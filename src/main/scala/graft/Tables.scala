@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table access for the driver-provided TPC-H-ish parquet dirs
+  * (`/root/testdata/sf*`, see TESTDATA.md). All queries take the sf dir as
+  * a parameter so the same code runs at any scale factor.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
+      // natively; read nanos as long and floor-truncate to micros — the
+      // same truncation DuckDB applies, so oracle comparisons line up.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for the spark.sql surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** A named batch of driver-checkable queries: each entry pairs a Spark
+  * implementation with (optionally) an equivalent DuckDB oracle SQL.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,495 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** The relational SQL surface of the engine (SURVEY.md §2.3–2.7): joins of
+  * every type, aggregations incl. ROLLUP/CUBE/GROUPING SETS, window
+  * functions, set operations, sorts/limits/offsets, subqueries, CTEs and
+  * lateral views — all expressed Catalyst-first (DataFrame API or
+  * `spark.sql`), never hand-scheduled.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares against
+  * DuckDB on the same parquet):
+  *   - SUM over doubles goes through DECIMAL casts so the result is exact
+  *     and independent of accumulation order (double sums are not).
+  *   - AVG is computed as CAST(exact-decimal-sum AS DOUBLE)/COUNT — one
+  *     IEEE division, bit-deterministic in both engines.
+  *   - Every query ends in a total ORDER BY; NULL ordering is pinned
+  *     explicitly because Spark defaults NULLS FIRST and DuckDB NULLS LAST.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+  /** Exact 2-decimal view of a stored double (prices, quantities). */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation (A-group): TPC-H Q1-shaped full-scan agg ----------
+    "q01_agg_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
+        .withColumn("avg_price", col("sum_base_price").cast("double") / col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- projection + filter pushdown (F-group) ------------------------
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+                col("l_shipdate") <  ts("1997-03-01 00:00:00") &&
+                col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- joins (J-group) -----------------------------------------------
+    "q03_join_broadcast_dims" -> ((s, dir) => {
+      // customer is mid-size (shuffle-join, AQE may still broadcast at low
+      // sf); nation/region are true dims -> explicit broadcast.
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_join_semi" -> ((s, dir) => {
+      // orders having >=1 heavy lineitem: LEFT SEMI (EXISTS)
+      val o = t(s, dir, "orders")
+      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_join_anti" -> ((s, dir) => {
+      // customers with no orders: LEFT ANTI (NOT EXISTS)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_lonely"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q06_join_full_outer_diff" -> ((s, dir) => {
+      // the diff-harness join shape (SURVEY J1): full outer + classify
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val lp = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+      p.join(lp, p("p_partkey") === lp("l_partkey"), "full_outer")
+        .select(
+          when(col("p_partkey").isNotNull && col("l_partkey").isNotNull, "both")
+            .when(col("p_partkey").isNotNull, "part_only")
+            .otherwise("lineitem_only").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    }),
+
+    // ---- window functions (W-group) ------------------------------------
+    "q07_window_topk_running" -> ((s, dir) => {
+      // top-3 shipments per supplier + running revenue (QUALIFY rewrite)
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(dec2(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(38,2)"))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+                col("l_linenumber"), col("running_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    "q08_window_lag_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    }),
+
+    // ---- set operations (§2.6) -----------------------------------------
+    "q09_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      val u = cn.union(sn).distinct().agg(count(lit(1)).as("n_union"))
+      val i = cn.intersect(sn).agg(count(lit(1)).as("n_intersect"))
+      val e = cn.distinct().except(sn).agg(count(lit(1)).as("n_except"))
+      u.crossJoin(i).crossJoin(e)
+    }),
+
+    // ---- grouping analytics: ROLLUP / CUBE / GROUPING SETS -------------
+    "q10_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(dec2(col("c_acctbal"))).cast("decimal(38,2)").as("bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q11_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+                 asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q12_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+                 g_rf, g_ls""")
+    }),
+
+    // ---- distinct / sort / limit / offset ------------------------------
+    "q13_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q14_sort_limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- subqueries / CTE (via the SQL surface) ------------------------
+    "q15_in_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    "q16_scalar_subquery" -> ((s, dir) => {
+      // above-average balance; avg compared multiplicatively so the
+      // predicate is exact decimal arithmetic in both engines
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_rich
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM customer)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    "q17_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DECIMAL(38,4)) AS total_rev
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // ---- scalar expression surface (§2.7) ------------------------------
+    "q18_case_coalesce" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qty_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"),
+          (dec2(col("l_extendedprice")) * col("l_tax").cast("decimal(3,2)"))
+            .cast("decimal(38,4)").as("tax_amt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q19_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tagged"),
+          ltrim(rtrim(col("c_name"))).as("trimmed"))
+        .orderBy("c_custkey")
+    }),
+
+    "q20_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("int").as("yr"),
+                month(col("o_orderdate")).cast("int").as("mo"),
+                date_trunc("month", col("o_orderdate")).as("month_start"),
+                col("o_totalprice"))
+        .groupBy("yr", "mo", "month_start")
+        .agg(count(lit(1)).as("n"),
+             sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").as("rev"))
+        .orderBy("yr", "mo")
+    }),
+
+    // ---- lateral view / explode (UDTF surface, §2.12) ------------------
+    "q21_explode_lateral" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                explode(sequence(lit(1), col("l_linenumber"))).as("i"))
+        .withColumn("i", col("i").cast("long"))
+        .orderBy("l_orderkey", "l_linenumber", "i")
+    }),
+
+    // ---- inline VALUES dim + join --------------------------------------
+    "q22_values_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT m.status_name, COUNT(*) AS n
+        FROM orders
+        JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+             AS m(code, status_name)
+          ON o_orderstatus = m.code
+        GROUP BY m.status_name ORDER BY m.status_name""")
+    }),
+
+    // ---- sampling (rows-only: engines sample differently) --------------
+    "q23_tablesample" -> ((s, dir) => {
+      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("l_orderkey"), col("l_quantity"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        COUNT(*) AS cnt,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+        AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_broadcast_dims" -> """
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
+    "q04_join_semi" -> """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_join_anti" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_lonely
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q06_join_full_outer_diff" -> """
+      SELECT side, COUNT(*) AS n FROM (
+        SELECT CASE WHEN p_partkey IS NOT NULL AND l_partkey IS NOT NULL THEN 'both'
+                    WHEN p_partkey IS NOT NULL THEN 'part_only'
+                    ELSE 'lineitem_only' END AS side
+        FROM part
+        FULL OUTER JOIN (SELECT DISTINCT l_partkey FROM lineitem) li
+          ON p_partkey = l_partkey) t
+      GROUP BY side ORDER BY side""",
+
+    "q07_window_topk_running" -> """
+      SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,2)) AS running_qty
+        FROM lineitem) t
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn""",
+
+    "q08_window_lag_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        RANK()       OVER w AS rk,
+        DENSE_RANK() OVER w AS drk,
+        LAG(o_totalprice, 1)  OVER w AS prev_price,
+        LEAD(o_orderkey, 1)   OVER w AS next_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rk, o_orderkey""",
+
+    "q09_setops" -> """
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer
+                               UNION SELECT s_nationkey FROM supplier) u) AS n_union,
+        (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer
+                               INTERSECT SELECT s_nationkey FROM supplier) i) AS n_intersect,
+        (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+                               EXCEPT SELECT s_nationkey FROM supplier) e) AS n_except""",
+
+    "q10_rollup" -> """
+      SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q11_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q12_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus))
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+               g_rf, g_ls""",
+
+    "q13_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem ORDER BY l_returnflag, l_linestatus""",
+
+    "q14_sort_limit_offset" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 20 OFFSET 10""",
+
+    "q15_in_subquery" -> """
+      SELECT o_orderstatus, COUNT(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q16_scalar_subquery" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_rich
+      FROM customer
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM customer)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q17_cte" -> """
+      WITH revenue AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DECIMAL(38,4)) AS total_rev
+        FROM lineitem GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s_suppkey""",
+
+    "q18_case_coalesce" -> """
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity < 10 THEN 'low'
+             WHEN l_quantity < 30 THEN 'mid'
+             ELSE 'high' END AS qty_band,
+        COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(3,2))
+             AS DECIMAL(38,4)) AS tax_amt
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q19_string_funcs" -> """
+      SELECT c_custkey,
+        UPPER(c_name) AS uname,
+        SUBSTRING(c_name, 1, 8) AS prefix,
+        CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tagged,
+        LTRIM(RTRIM(c_name)) AS trimmed
+      FROM customer ORDER BY c_custkey""",
+
+    "q20_date_funcs" -> """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+             CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders
+      GROUP BY 1, 2, 3 ORDER BY yr, mo""",
+
+    "q21_explode_lateral" -> """
+      SELECT l_orderkey, l_linenumber,
+             UNNEST(GENERATE_SERIES(1, l_linenumber)) AS i
+      FROM lineitem
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber, i""",
+
+    "q22_values_join" -> """
+      SELECT m.status_name, COUNT(*) AS n
+      FROM orders
+      JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+           AS m(code, status_name)
+        ON o_orderstatus = m.code
+      GROUP BY m.status_name ORDER BY m.status_name"""
+    // q23_tablesample: intentionally no oracle (sampling differs by engine)
+  )
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local pre-validation of oracle parity (mirrors the driver's DuckDB
+compare): reads each Verify output parquet, runs the matching oracle SQL
+in DuckDB over the same sf tables, sorts columns by name and rows by
+value, and diffs. Driver-side tooling only — not part of the library.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            got_cols = list(got_rel.columns)
+            got = canon(got_rel.fetchall(), got_cols)
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_bad += 1
+        elif got != exp:
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff row {i}:\n    spark={g}\n    duck ={e}")
+                    break
+            else:
+                print(f"  row count mismatch only (prefix equal)")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
