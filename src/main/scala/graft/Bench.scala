@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness. Protocol with the driver: the ONE line on
+  * stdout is the result JSON (all Spark logging goes to stderr).
+  *
+  * Design (fixes the round-1 flaws called out in VERDICT.md):
+  *   - full materialization via a noop-format write — `.count()` lets
+  *     Catalyst prune every unused projection, so projection-heavy queries
+  *     would measure a bare scan;
+  *   - one untimed warmup pass so JVM/codegen warmup isn't attributed to
+  *     whichever query happens to run first;
+  *   - deterministic (sorted) query order;
+  *   - a failed query is reported (negative sentinel + errors map), never
+  *     silently recorded as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +21,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+
+    // Warmup: one full untimed pass (codegen compile, parquet footer cache,
+    // JIT). Failures here are also failures in the timed pass; skip noise.
+    ordered.foreach { case (n, fn) => runOnce(n, fn) }
+
+    var errors = Map.empty[String, String]
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = runOnce(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      err.foreach { m =>
+        System.err.println(s"[bench] $name FAILED: $m")
+        errors += (name -> m)
+      }
+      name -> (if (err.isEmpty) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // Sole program-stdout line AND a file copy: when launched through sbt,
+    // stdout lines get an "[info] " prefix that breaks a naive json parse.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
     spark.stop()
   }
 }

@@ -15,13 +15,13 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
-      // natively; read nanos as long and floor-truncate to micros — the
-      // same truncation DuckDB applies, so oracle comparisons line up.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // natively; `spark.sql.legacy.parquet.nanosAsLong=true` (set ONCE at
+      // session build in Verify/Bench/tests — a per-read toggle here was a
+      // thread-safety hazard) surfaces it as a nanos long, which we
+      // truncate to micros — the same truncation DuckDB applies. Testdata
+      // timestamps are post-1970, so DIV truncation == floor.
+      spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-      df
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for the spark.sql surface). */
