@@ -17,6 +17,8 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS); set once at session build (a
       // per-read conf toggle is racy — see Tables.t).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated random map keys may collide; keep map building total
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,317 @@
+package graft.gen
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ddl.{DorisDdl, DType}
+import graft.ddl.DType._
+import graft.genrule.GenRules
+import graft.genrule.GenRules.Rule
+
+/** Compiles a (Doris type, generation rule) pair into a pure Catalyst
+  * `Column` expression over `spark.range(n)`.
+  *
+  * Design decision (SURVEY.md §7.5 #3): the reference's generators are
+  * stateful pull-based iterators (reference: src/generator/generator.go:39-42);
+  * here every random draw is a *pure function* of
+  * (seed, column path, purpose salt, row id, enclosing collection indices)
+  * via codegen'd xxhash64 — so generation is reproducible, partition-layout
+  * independent, and embarrassingly parallel at any scale: the same
+  * (seed, rows) pair produces identical data on 1 core or 1000 executors.
+  * No UDFs anywhere on this path — everything stays inside whole-stage
+  * codegen.
+  */
+object ColumnGen {
+
+  /** Deterministic draw context: `salts` carries the row-id column plus any
+    * enclosing lambda variables (array index, map slot). */
+  case class Ctx(seed: Long, path: String, salts: Seq[Column]) {
+    def child(sub: String, extraSalt: Seq[Column] = Nil): Ctx =
+      Ctx(seed, s"$path.$sub", salts ++ extraSalt)
+    /** 64-bit hash draw, unique per (seed, path, purpose, row, indices). */
+    def h(purpose: String): Column =
+      xxhash64((lit(seed) +: lit(path) +: lit(purpose) +: salts): _*)
+    /** Uniform double in [0,1). */
+    def u01(purpose: String): Column =
+      pmod(h(purpose), lit(1L << 52)).cast("double") / lit((1L << 52).toDouble)
+    /** Uniform long in [min,max] inclusive (range must fit in a long). */
+    def uniform(purpose: String, min: Long, max: Long): Column =
+      if (max <= min) lit(min) else pmod(h(purpose), lit(max - min + 1)) + lit(min)
+  }
+
+  private val Charset = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+  private val CharsetArr = lit(Charset.map(_.toString).toArray)
+
+  private def rule(r: Rule, k: String): Option[Any] = r.get(k).filter(_ != null)
+
+  /** (lenMin, lenMax) from a `length` rule that is either a scalar or a
+    * {min,max} node (reference: generator.go GetLength). */
+  private def lengthOf(r: Rule): (Int, Int) = rule(r, "length") match {
+    case Some(m: Map[_, _]) =>
+      val mm = GenRules.asRule(m)
+      val mn = mm.get("min").map(GenRules.toInt).getOrElse(1)
+      val mx = mm.get("max").map(GenRules.toInt).getOrElse(mn)
+      if (mx < mn) (mx, mx) else (mn, mx)
+    case Some(v) => val l = GenRules.toInt(v); (l, l)
+    case None    => (1, 3)
+  }
+
+  private def minMaxLong(r: Rule, defMin: Long, defMax: Long): (Long, Long) = {
+    val mn = rule(r, "min").map(GenRules.toLong).getOrElse(defMin)
+    val mx = rule(r, "max").map(GenRules.toLong).getOrElse(defMax)
+    if (mx < mn) (mn, mn) else (mn, mx)
+  }
+  private def minMaxDouble(r: Rule, defMin: Double, defMax: Double): (Double, Double) = {
+    val mn = rule(r, "min").map(GenRules.toDouble).getOrElse(defMin)
+    val mx = rule(r, "max").map(GenRules.toDouble).getOrElse(defMax)
+    if (mx < mn) (mn, mn) else (mn, mx)
+  }
+
+  private def parseDate(v: Any): LocalDate = v match {
+    case d: LocalDate => d
+    case s: String => LocalDate.parse(s.trim.take(10))
+    case other => LocalDate.parse(other.toString.take(10))
+  }
+  private def parseDateTime(v: Any): LocalDateTime = v match {
+    case d: LocalDateTime => d
+    case s: String =>
+      val t = s.trim
+      if (t.length <= 10) LocalDate.parse(t).atStartOfDay()
+      else LocalDateTime.parse(t.replace(' ', 'T'))
+    case other => parseDateTime(other.toString)
+  }
+
+  /** Build the generator expression for one column. `env` supplies type
+    * defaults; `resolved` is the already stats/custom-merged column rule. */
+  def build(dt: DType, resolved: Rule, ctx: Ctx, env: GenRules.Env): Column = {
+    val base = DType.baseType(dt)
+    val r = GenRules.mergeKeep(resolved, env.typeDefault(base))
+    val g = rule(r, "gen") match {
+      case Some(custom) => customGen(dt, GenRules.asRule(custom), r, ctx, env)
+      case None         => typeGen(dt, r, ctx, env)
+    }
+    // null wrapper (skipped for BITMAP, mirroring the reference)
+    val nullFreq = rule(r, "null_frequency").map(GenRules.toDouble).getOrElse(0.0)
+    if (nullFreq > 0 && nullFreq <= 1 && base != "BITMAP")
+      when(ctx.u01("null") < lit(nullFreq), lit(null)).otherwise(g)
+    else g
+  }
+
+  // ---- custom generators (G3 inc, G4 enum/weights) --------------------
+
+  private def customGen(dt: DType, gen: Rule, r: Rule, ctx: Ctx, env: GenRules.Env): Column = {
+    if (gen.contains("inc")) incGen(dt, gen, ctx)
+    else if (gen.contains("enum") || gen.contains("enums")) enumGen(dt, gen, r, ctx, env)
+    else throw new IllegalArgumentException(
+      s"Unsupported custom generator for '${ctx.path}': ${gen.keys.mkString(",")} (supported: inc, enum)")
+  }
+
+  /** Auto-increment start/step as pure row-id arithmetic: exact, contiguous
+    * and scale-independent (vs. stateful counters that can't parallelize;
+    * reference semantics: src/generator/inc.go:16-38). Expects the row-id
+    * column as the first salt. */
+  private def incGen(dt: DType, gen: Rule, ctx: Ctx): Column = {
+    val start = gen.get("start").map(GenRules.toLong).filter(_ != 0).getOrElse(1L)
+    val step = gen.get("inc").map(GenRules.toLong).filter(_ != 0).getOrElse(1L)
+    val id = ctx.salts.head
+    (lit(start) + id * lit(step)).cast(DType.toSpark(dt))
+  }
+
+  /** Uniform or cumulative-weighted pick; elements may be literals or
+    * nested generator rules (reference: src/generator/enum.go:24-97). */
+  private def enumGen(dt: DType, gen: Rule, r: Rule, ctx: Ctx, env: GenRules.Env): Column = {
+    val elems: Seq[Any] = gen.get("enum").orElse(gen.get("enums")) match {
+      case Some(s: Seq[Any] @unchecked) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException(s"enum is empty for '${ctx.path}'")
+    }
+    def elemCol(e: Any, i: Int): Column = e match {
+      case m: Map[_, _] => // nested generator element
+        build(dt, GenRules.merge(r - "gen", GenRules.asRule(m)), ctx.child(s"enum.$i"), env)
+      case v => lit(v).cast(DType.toSpark(dt))
+    }
+    val weights = gen.get("weights").orElse(gen.get("weight")) match {
+      case Some(ws: Seq[Any] @unchecked) => ws.map(GenRules.toDouble)
+      case _ => Nil
+    }
+    if (weights.isEmpty) {
+      if (elems.size == 1) elemCol(elems.head, 0)
+      else {
+        // when-chain on a uniform pick (supports heterogeneous/nested elems)
+        val pick = ctx.uniform("enum", 0, elems.size - 1)
+        elems.zipWithIndex.slice(1, elems.size - 1)
+          .foldLeft(when(pick === lit(0), elemCol(elems.head, 0))) {
+            case (w, (e, i)) => w.when(pick === lit(i), elemCol(e, i))
+          }.otherwise(elemCol(elems.last, elems.size - 1))
+      }
+    } else {
+      require(weights.size == elems.size, s"enum length != weights length for '${ctx.path}'")
+      require(math.abs(weights.sum - 1.0) < 1e-6, s"sum of weights should be 1 for '${ctx.path}'")
+      val cum = weights.scanLeft(0.0)(_ + _).tail.dropRight(1) // last bound = 1 implicit
+      val u = ctx.u01("enumw")
+      val first = when(u < lit(cum.headOption.getOrElse(1.0)), elemCol(elems.head, 0))
+      val mid = cum.zipWithIndex.drop(1).foldLeft(first) {
+        case (w, (c, i)) => w.when(u < lit(c), elemCol(elems(i), i))
+      }
+      mid.otherwise(elemCol(elems.last, elems.size - 1))
+    }
+  }
+
+  // ---- type generators (G1) ------------------------------------------
+
+  private def typeGen(dt: DType, r: Rule, ctx: Ctx, env: GenRules.Env): Column = dt match {
+    case DBoolean => pmod(ctx.h("bool"), lit(2)) === lit(1L)
+
+    case DTinyInt  => intLike(r, ctx, 0, Byte.MaxValue).cast("tinyint")
+    case DSmallInt => intLike(r, ctx, 0, Short.MaxValue).cast("smallint")
+    case DInt      => intLike(r, ctx, 0, Int.MaxValue).cast("int")
+    case DBigInt   => intLike(r, ctx, 0, Int.MaxValue)
+    case DLargeInt => intLike(r, ctx, 0, Int.MaxValue).cast(DType.toSpark(DLargeInt))
+
+    case DFloat =>
+      val (mn, mx) = minMaxDouble(r, 0, Short.MaxValue)
+      (ctx.u01("f") * lit(mx - mn) + lit(mn)).cast("float")
+    case DDouble =>
+      val (mn, mx) = minMaxDouble(r, 0, Int.MaxValue)
+      ctx.u01("d") * lit(mx - mn) + lit(mn)
+
+    case DDecimal(p0, s0) => decimalGen(p0, s0, r, ctx)
+
+    case DDate =>
+      val mn = rule(r, "min").map(parseDate).getOrElse(LocalDate.now().minusYears(10))
+      val mx0 = rule(r, "max").map(parseDate).getOrElse(LocalDate.now())
+      val mx = if (mx0.isBefore(mn)) mn else mx0
+      date_add(lit(java.sql.Date.valueOf(mn)),
+        ctx.uniform("date", 0, mx.toEpochDay - mn.toEpochDay).cast("int"))
+
+    case DDatetime =>
+      val mn = rule(r, "min").map(parseDateTime).getOrElse(LocalDateTime.now().minusYears(10))
+      val mx0 = rule(r, "max").map(parseDateTime).getOrElse(LocalDateTime.now())
+      val mx = if (mx0.isBefore(mn)) mn else mx0
+      val (a, b) = (mn.toEpochSecond(ZoneOffset.UTC), mx.toEpochSecond(ZoneOffset.UTC))
+      timestamp_seconds(ctx.uniform("dt", a, b))
+
+    case DString => randomStr(r, None, ctx)
+    case DVarchar(n) => randomStr(r, n, ctx)
+    case DChar(n) =>
+      // CHAR(n) is exactly n chars (reference: generator.go CHAR case)
+      val fixed: Rule = r + ("length" -> Map("min" -> n, "max" -> n))
+      randomStr(fixed, Some(n), ctx)
+
+    case DJson(_) =>
+      val structure = rule(r, "structure").map(_.toString.trim).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"JSON/JSONB/VARIANT must have a 'structure' or 'gen' rule at '${ctx.path}'"))
+      val innerType = DorisDdl.parseType(structure)
+      to_json(build(innerType, r - "structure" - "null_frequency", ctx, env))
+
+    case DBitmap =>
+      val (lmn, lmx) = lengthOf(r)
+      val (mn, mx) = minMaxLong(r, 0, Int.MaxValue)
+      val len = ctx.uniform("blen", lmn, lmx).cast("int")
+      transform(sequence(lit(1), len),
+        i => pmod(xxhash64(lit(ctx.seed), lit(ctx.path), lit("bit"), i, ctx.salts.head),
+                  lit(mx - mn + 1)) + lit(mn))
+
+    case DHll =>
+      rule(r, "from") match {
+        case Some(from) => xxhash64(col(from.toString)) // derived at load (G10)
+        case None       => lit("")
+      }
+    case DIpv4 =>
+      format_string("%d.%d.%d.%d",
+        ctx.uniform("ip1", 1, 255), ctx.uniform("ip2", 0, 255),
+        ctx.uniform("ip3", 0, 255), ctx.uniform("ip4", 0, 255))
+    case DIpv6 =>
+      lower(concat_ws(":", (1 to 8).map(k =>
+        lpad(hex(ctx.uniform(s"ip6$k", 0, 65535)), 4, "0")): _*))
+
+    case DArray(elem) =>
+      val (lmn, lmx) = lengthOf(r)
+      val len = ctx.uniform("alen", lmn, lmx).cast("int")
+      val elemRule = GenRules.asRule(r.getOrElse("element", GenRules.empty))
+      transform(sequence(lit(1), len),
+        i => build(elem, elemRule, ctx.child("element", Seq(i)), env))
+
+    case DMap(k, v) =>
+      val (lmn, lmx) = lengthOf(r)
+      val len = ctx.uniform("mlen", lmn, lmx).cast("int")
+      val keyRule = GenRules.asRule(r.getOrElse("key", GenRules.empty))
+      val valRule = GenRules.asRule(r.getOrElse("value", GenRules.empty))
+      // Requires spark.sql.mapKeyDedupPolicy=LAST_WIN in the session (random
+      // keys can collide); set in the engine's session builders.
+      map_from_arrays(
+        transform(sequence(lit(1), len), i => build(k, keyRule, ctx.child("key", Seq(i)), env)),
+        transform(sequence(lit(1), len), i => build(v, valRule, ctx.child("value", Seq(i)), env)))
+
+    case DStruct(fields) =>
+      val fieldRules: Map[String, Rule] = rule(r, "fields").orElse(rule(r, "field")) match {
+        case Some(fs: Seq[Any] @unchecked) =>
+          fs.map(GenRules.asRule)
+            .flatMap(f => f.get("name").map(_.toString -> (f - "name"))).toMap
+        case _ => Map.empty
+      }
+      struct(fields.map { case (fn, ft) =>
+        build(ft, fieldRules.getOrElse(fn, GenRules.empty), ctx.child(fn), env).as(fn)
+      }: _*)
+  }
+
+  private def intLike(r: Rule, ctx: Ctx, defMin: Long, defMax: Long): Column = {
+    val (mn, mx) = minMaxLong(r, defMin, defMax)
+    ctx.uniform("i", mn, mx)
+  }
+
+  /** DECIMAL(p,s) with the reference's precision/scale clamping
+    * (reference: generator.go:252-325): rule precision/scale may only
+    * narrow the DDL's; int part bounded by min(p-s, 18) digits; value
+    * rendered as "<int>.<frac>" and cast — sign semantics match the
+    * reference's "%d.%0*d" formatting. */
+  private def decimalGen(p0: Int, s0: Int, r: Rule, ctx: Ctx): Column = {
+    val p = math.min(math.min(
+      rule(r, "precision").map(GenRules.toInt).getOrElse(p0), p0), 38)
+    val s = math.max(0, math.min(
+      rule(r, "scale").map(GenRules.toInt).getOrElse(s0), math.min(s0, p)))
+    val intDigits = math.min(math.max(p - s, 0), 18)
+    val bound = if (intDigits == 0) 0L else math.pow(10, intDigits).toLong - 1
+    val (mn, mx) = minMaxLong(r, -bound, bound)
+    val loClamp = math.max(mn, -bound)
+    val hiClamp = math.min(mx, bound)
+    val intPart: Column =
+      if (intDigits == 0) lit(0L)
+      else if (loClamp < 0)
+        when(ctx.u01("dsign") < lit(0.5),
+          -ctx.uniform("dneg", 0, -loClamp))
+          .otherwise(ctx.uniform("dpos", math.max(0, loClamp), math.max(0, hiClamp)))
+      else ctx.uniform("dpos", loClamp, hiClamp)
+    val fracDigits = math.min(s, 18)
+    val target = DType.toSpark(DDecimal(p, s))
+    if (s == 0) intPart.cast(target)
+    else {
+      val frac = ctx.uniform("dfrac", 0, math.pow(10, fracDigits).toLong - 1)
+      val fracStr =
+        if (s > fracDigits) concat(lpad(frac.cast("string"), fracDigits, "0"), lit("0" * (s - fracDigits)))
+        else lpad(frac.cast("string"), s, "0")
+      concat(intPart.cast("string"), lit("."), fracStr).cast(target)
+    }
+  }
+
+  /** Random alphanumeric string, length uniform in [lenMin,lenMax] (∧ the
+    * DDL length cap for VARCHAR). 10 chars per 64-bit hash draw (6 bits
+    * each over a 62-char set), assembled with builtin concat/substring so
+    * the whole thing stays codegen'd. */
+  private def randomStr(r: Rule, ddlLen: Option[Int], ctx: Ctx): Column = {
+    var (lmn, lmx) = lengthOf(r)
+    lmn = math.max(1, lmn); lmx = math.max(1, lmx)
+    ddlLen.foreach { cap => if (cap < lmx) lmx = math.max(1, cap) }
+    if (lmn > lmx) lmn = 1
+    val len = ctx.uniform("slen", lmn, lmx).cast("int")
+    val chunks = (lmx + 9) / 10
+    val full = concat((0 until chunks).flatMap { j =>
+      val h = ctx.h(s"str$j")
+      (0 until 10).map { k =>
+        element_at(CharsetArr,
+          (pmod(shiftright(h, 6 * k), lit(62)) + lit(1)).cast("int"))
+      }
+    }: _*)
+    full.substr(lit(1), len)
+  }
+}
