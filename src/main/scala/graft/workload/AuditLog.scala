@@ -1,0 +1,179 @@
+package graft.workload
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audit-log workload extraction (SURVEY.md §2.1 S1–S3, §2.2 F1–F5).
+  *
+  * Pipeline: file scan with multi-line record reassembly → one regex
+  * extraction into typed columns → statement filters (truncated / self /
+  * EXPLAIN-SHOW-USE / time window / min duration) → query-id dedup →
+  * unescape → optional strict parse-validation → replay-format encode.
+  *
+  * Scale design: the unit of parallelism is the log *file* (audit logs are
+  * rotated), matching the reference's per-file goroutine
+  * (reference: src/auditlog.go:88-138). Each file is read whole and split
+  * into records with a codegen'd regex-lookahead split — records never
+  * cross files, so no cross-partition stitching is needed; a 10k-file
+  * 100 TB log directory fans out to 10k independent tasks.
+  */
+object AuditLog {
+
+  /** Record-start pattern: `yyyy-mm-dd HH:MM:SS,S…` at line head. */
+  val recordStartRe = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d*"""
+
+  /** The extraction regex (groups: time, client, user, db, durationMs,
+    * queryId, isQuery, stmt) — reference: src/auditlog.go:29. `(?s)` lets
+    * Stmt span the record's embedded newlines. */
+  def extractRe(dbs: Seq[String] = Nil, states: Seq[String] = Nil,
+                onlySelect: Boolean = false): String = {
+    val dbPat = if (dbs.nonEmpty) dbs.map(java.util.regex.Pattern.quote).mkString("|") else "[^|]*"
+    val statePat = if (states.nonEmpty) states.map(java.util.regex.Pattern.quote).mkString("|") else "[^|]*"
+    val isQueryPat = if (onlySelect) "true" else "[^|]+"
+    s"(?s)^($recordStartRe) \\[[^\\]]+\\] \\|Client=([^|]+)\\|User=([^|]+)(?:\\|Ctl=[^|]+)?" +
+      s"\\|Db=($dbPat)(?:\\|CommandType=[^|]+)?\\|State=($statePat)\\|(?:.+?)\\|Time(?:\\(ms\\))?=(\\d*)" +
+      s"\\|(?:.+?)\\|QueryId=([a-z0-9-]+)\\|IsQuery=($isQueryPat)\\|(?:.+?)\\|Stmt=(.+?)\\|CpuTimeMS="
+  }
+
+  /** Header-prefix pattern (through IsQuery — every field on the record's
+    * first line), usable both on reassembled records and on single lines:
+    * the cross-engine parity surface for the oracle. Groups: time(1),
+    * client(2), user(3), db(4), state(5), queryId(6), isQuery(7). */
+  val headerRe: String =
+    s"^($recordStartRe) \\[[^\\]]+\\] \\|Client=([^|]+)\\|User=([^|]+)(?:\\|Ctl=[^|]+)?" +
+      "\\|Db=([^|]*)(?:\\|CommandType=[^|]+)?\\|State=([^|]*)\\|(?:.+?)" +
+      "\\|QueryId=([a-z0-9-]+)\\|IsQuery=([^|]+)\\|"
+
+  case class ScanOpts(
+      dbs: Seq[String] = Nil,
+      states: Seq[String] = Nil,
+      onlySelect: Boolean = false,
+      minDurationMs: Long = 0,
+      from: String = "", to: String = "",
+      strict: Boolean = false)
+
+  /** S1: file scan + multi-line reassembly. One row per audit *record*
+    * (a line not starting with a timestamp belongs to the previous one).
+    * Columns: file, record. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+      // zero-width lookahead split keeps each record intact, with its
+      // continuation lines, in file order
+      .select(col("file"),
+        posexplode(split(col("value"), s"(?m)(?=^$recordStartRe )")).as(Seq("pos", "record")))
+      .filter(col("record").rlike(s"^$recordStartRe "))
+
+  /** S3 + F1: regex extraction into typed columns. Rows whose record does
+    * not match the (db/state/only-select-refined) pattern are dropped —
+    * the same pushdown the reference folds into its regex. */
+  def events(spark: SparkSession, path: String, opts: ScanOpts = ScanOpts()): DataFrame = {
+    val re = extractRe(opts.dbs, opts.states, opts.onlySelect)
+    def g(i: Int) = regexp_extract(col("record"), re, i)
+    records(spark, path)
+      .withColumn("m", regexp_extract(col("record"), re, 1))
+      .filter(col("m") =!= "")
+      .select(
+        col("file"), col("pos"),
+        regexp_replace(g(1), ",", ".").as("ts"),
+        g(2).as("client"), g(3).as("user"), g(4).as("db"), g(5).as("state"),
+        g(6).cast("long").as("durationMs"),
+        g(7).as("queryId"), (g(8) === "true").as("isQuery"),
+        trim(g(9)).as("stmt"))
+  }
+
+  /** F2–F4: statement filters + query-id dedup + unescape, mirroring the
+    * reference's onMatch/filterStmtFromMatch (src/auditlog.go:258-339). */
+  def queries(spark: SparkSession, path: String, opts: ScanOpts = ScanOpts()): DataFrame = {
+    val ev = events(spark, path, opts)
+      // dedup before filtering, like the reference's distinctQueryIds cache
+      // (F3) — exact dropDuplicates instead of a bounded sliding window
+      .dropDuplicates("queryId")
+      .filter(col("stmt") =!= "")
+      // truncated statements (audit_plugin_max_sql_length)
+      .filter(!col("stmt").endsWith("...") &&
+        !(col("stmt").endsWith("*/") && col("stmt").contains("... /*")))
+      // dodo self-queries
+      .filter(!col("stmt").startsWith("/*dodo"))
+    val ev2 =
+      if (!opts.onlySelect) ev.filter(!col("stmt").rlike("(?i)^(EXPLAIN|SHOW|USE)"))
+      else ev
+    val ev3 = ev2
+      .filter(if (opts.from.nonEmpty) substring_index(col("ts"), ".", 1) >= opts.from else lit(true))
+      .filter(if (opts.to.nonEmpty) substring_index(col("ts"), ".", 1) <= opts.to else lit(true))
+      .filter(if (opts.minDurationMs > 0) col("durationMs") >= opts.minDurationMs else lit(true))
+      .withColumn("stmt", Unescape.udf(col("stmt")))
+    if (opts.strict) ev3.filter(ParseValidate.udf(col("stmt"))) else ev3
+  }
+
+  /** F7/S8: encode rows to replay-format lines
+    * `/*dodo{meta}*/ stmt;` (reference: src/replay.go:514-533).
+    * durationMs is omitted when 0 (json omitempty parity). */
+  def encodeReplaySql(ts: Column, client: Column, user: Column, db: Column,
+                      queryId: Column, durationMs: Column, stmt: Column): Column = {
+    val metaFull = to_json(struct(
+      ts.as("ts"), client.as("client"), user.as("user"), db.as("db"),
+      queryId.as("queryId"), durationMs.as("durationMs")))
+    val metaNoDur = to_json(struct(
+      ts.as("ts"), client.as("client"), user.as("user"), db.as("db"),
+      queryId.as("queryId")))
+    val meta = when(durationMs.isNull || durationMs === 0, metaNoDur).otherwise(metaFull)
+    val line = concat(lit("/*dodo"), meta, lit("*/ "), stmt)
+    when(line.endsWith(";"), line).otherwise(concat(line, lit(";")))
+  }
+
+  def encoded(df: DataFrame): DataFrame =
+    df.select(encodeReplaySql(col("ts"), col("client"), col("user"), col("db"),
+      col("queryId"), col("durationMs"), col("stmt")).as("line"))
+}
+
+/** F4: unescape \n, \t, \r outside string literals and comments — a
+  * stateful character scan, the one audit-path op not expressible in
+  * builtin functions (reference: src/auditlog.go:341-390). */
+object Unescape {
+  def apply(stmt: String): String = {
+    val w = new StringBuilder(stmt.length)
+    var ignoreUntil = ""
+    var i = 0
+    while (i < stmt.length) {
+      val curr = stmt.charAt(i)
+      if (i < stmt.length - 1) {
+        if (ignoreUntil.nonEmpty) {
+          if (curr == ignoreUntil.charAt(0) &&
+              (ignoreUntil.length < 2 || stmt.charAt(i + 1) == ignoreUntil.charAt(1)))
+            ignoreUntil = ""
+        } else if (curr == '\'' || curr == '"') ignoreUntil = curr.toString
+        else if (curr == '/' && stmt.charAt(i + 1) == '*') ignoreUntil = "*/"
+        else if (curr == '-' && stmt.charAt(i + 1) == '-') ignoreUntil = "\\n"
+      }
+      if (ignoreUntil.isEmpty && curr == '\\' && i + 1 < stmt.length) {
+        i += 1
+        stmt.charAt(i) match {
+          case 'n' => w += '\n'
+          case 't' => w += '\t'
+          case 'r' => w += '\r'
+          case c   => w += '\\'; w += c
+        }
+      } else if (ignoreUntil.isEmpty && curr == '\\' && i + 1 >= stmt.length) {
+        w += curr
+      } else w += curr
+      i += 1
+    }
+    w.toString
+  }
+  val udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => if (s == null) null else apply(s))
+}
+
+/** F5: strict parse-validation through Spark's own SQL parser (the
+  * engine's executable dialect — statements it cannot parse cannot be
+  * replayed, which is exactly what strict mode is for). */
+object ParseValidate {
+  def apply(stmt: String): Boolean =
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(stmt)
+      true
+    } catch { case _: Throwable => false }
+  val udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => s != null && apply(s))
+}

@@ -1,0 +1,84 @@
+package graft.workload
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Golden tests against the reference's fixture corpus (counts mirror
+  * reference: src/auditlog_test.go:30-110 and src/replay_test.go:15-96). */
+class WorkloadSpec extends SparkSpec {
+
+  private val auditLog = getClass.getResource("/fixture/fe.audit.log").getPath
+  private val q0 = getClass.getResource("/fixture/q0.sql").getPath
+
+  test("audit scan golden: only-select + strict + minDuration(8ms) -> 8") {
+    val df = AuditLog.queries(spark, auditLog,
+      AuditLog.ScanOpts(onlySelect = true, strict = true, minDurationMs = 8))
+    assert(df.count() == 8)
+  }
+
+  test("audit scan golden: all statements + strict -> 9") {
+    val df = AuditLog.queries(spark, auditLog, AuditLog.ScanOpts(strict = true))
+    assert(df.count() == 9)
+  }
+
+  test("audit scan golden: from/to window -> 7") {
+    val df = AuditLog.queries(spark, auditLog, AuditLog.ScanOpts(
+      strict = true, from = "2024-08-06 23:44:11", to = "2024-08-06 23:44:12"))
+    assert(df.count() == 7)
+  }
+
+  test("audit scan: users and dbs as in the fixture") {
+    val rows = AuditLog.queries(spark, auditLog, AuditLog.ScanOpts(strict = true))
+      .select("user", "db").distinct().collect()
+    assert(rows.forall(_.getString(0) == "root"))
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("mydb", "__internal_schema")))
+  }
+
+  test("encode emits reference-shaped /*dodo{...}*/ lines") {
+    val df = AuditLog.queries(spark, auditLog,
+      AuditLog.ScanOpts(onlySelect = true, strict = true, minDurationMs = 8))
+    val lines = AuditLog.encoded(df).collect().map(_.getString(0))
+    assert(lines.forall(_.startsWith("""/*dodo{"ts":"""")))
+    assert(lines.forall(_.endsWith(";")))
+    assert(lines.forall(_.contains(""""user":"root"""")))
+    assert(lines.forall(_.contains(""""durationMs":""")))
+  }
+
+  test("unescape: outside literals/comments only (reference semantics)") {
+    assert(Unescape("""a\nb""") == "a\nb")
+    assert(Unescape("""a\tb\rc""") == "a\tb\rc")
+    assert(Unescape("""'a\nb'""") == """'a\nb'""")          // string literal kept
+    assert(Unescape("""/*c\nc*/x\ny""") == "/*c\\nc*/x\ny") // comment kept
+    assert(Unescape("""-- c\n x""") == "-- c\n x")          // line comment ends at \n
+    assert(Unescape("""a\\b""") == """a\\b""")              // unknown escape kept
+  }
+
+  test("replay decode golden: per-client counts and minTs from q0.sql") {
+    val df = ReplayCodec.decode(spark, q0)
+    val counts = df.groupBy("client").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "192.168.48.119:51970" -> 7L, "192.168.48.118:51970" -> 5L))
+    val mts = ReplayCodec.minTs(df)
+    assert(mts.contains(
+      java.sql.Timestamp.valueOf("2024-08-06 23:44:11.041").getTime))
+  }
+
+  test("replay decode golden: clientCount=4 re-buckets round-robin 3/3/3/3") {
+    val df = ReplayCodec.decode(spark, q0, ReplayCodec.DecodeOpts(clientCount = 4))
+    val counts = df.groupBy("client").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("client1" -> 3L, "client2" -> 3L, "client3" -> 3L, "client4" -> 3L))
+  }
+
+  test("decode ∘ encode = identity on the audit fixture") {
+    val qdf = AuditLog.queries(spark, auditLog, AuditLog.ScanOpts(strict = true))
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    AuditLog.encoded(qdf).coalesce(1).write.mode("overwrite").text(dir)
+    val back = ReplayCodec.decode(spark, dir)
+    assert(back.count() == qdf.count())
+    val a = qdf.select("queryId", "db", "durationMs").orderBy("queryId").collect().toSeq
+    val b = back.select("queryId", "db", "durationMs").orderBy("queryId").collect().toSeq
+    assert(a == b)
+  }
+}
