@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.RelationalQueries,
     graft.queries.GendataQueries,
-    graft.queries.WorkloadQueries
+    graft.queries.WorkloadQueries,
+    graft.queries.DiffStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

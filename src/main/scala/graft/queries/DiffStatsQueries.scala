@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.diff.{Diff, RowDigest}
+import graft.stats.Stats
+
+/** Diff, row-digest and stats operators as driver-checkable queries
+  * (SURVEY.md J1/D1/D2/A3 and S6/A2). The synthetic replay-result sides
+  * are derived deterministically from the sf tables so the DuckDB oracle
+  * can rebuild both sides and re-implement the rule logic independently.
+  */
+object DiffStatsQueries extends QueryModule {
+
+  private def resultSide(s: SparkSession, right: Boolean): DataFrame = {
+    // Deterministic ReplayResult-shaped rows from `orders`; the right side
+    // perturbs rows/hash/err/duration on co-prime key slices.
+    val base =
+      if (!right) s.sql("""
+        SELECT CONCAT('q', CAST(o_orderkey AS STRING)) AS queryId,
+               CAST(o_orderkey % 5 AS INT) AS returnRows,
+               CAST(o_orderkey % 7 AS STRING) AS returnRowsHash,
+               CAST(o_orderkey % 100 AS BIGINT) AS durationMs,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'boom' ELSE '' END AS err
+        FROM orders WHERE o_orderkey <= 5000""")
+      else s.sql("""
+        SELECT CONCAT('q', CAST(o_orderkey AS STRING)) AS queryId,
+               CAST(o_orderkey % 5 + (CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END) AS INT) AS returnRows,
+               CAST((CASE WHEN o_orderkey % 19 = 0 THEN o_orderkey % 7 + 1 ELSE o_orderkey % 7 END) AS STRING) AS returnRowsHash,
+               CAST(o_orderkey % 100 + (CASE WHEN o_orderkey % 23 = 0 THEN 200 ELSE 0 END) AS BIGINT) AS durationMs,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'boom'
+                    WHEN o_orderkey % 29 = 0 THEN 'late' ELSE '' END AS err
+        FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 5500""")
+    base
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- D1: diff two replay-result sets -------------------------------
+    "d01_diff_replays" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val diffed = Diff.compare(resultSide(s, right = false), resultSide(s, right = true))
+      diffed.groupBy("presence", "err_mismatch", "rows_mismatch",
+                     "hash_mismatch", "duration_regressed")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("presence", "err_mismatch", "rows_mismatch",
+                 "hash_mismatch", "duration_regressed")
+    }),
+
+    // ---- A3: order-sensitive row digest --------------------------------
+    "d02_row_digest" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      RowDigest.digest(li, Seq("l_orderkey", "l_linenumber"))
+    }),
+
+    // ---- S6/A2: one-pass column stats over lineitem --------------------
+    "s01_column_stats" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      Stats.collect(li,
+        Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"), exact = true)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_diff_replays" -> """
+      WITH r1 AS (
+        SELECT CONCAT('q', CAST(o_orderkey AS VARCHAR)) AS queryId,
+               CAST(o_orderkey % 5 AS INT) AS rrows,
+               CAST(o_orderkey % 7 AS VARCHAR) AS rhash,
+               CAST(o_orderkey % 100 AS BIGINT) AS ms,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'boom' ELSE '' END AS err
+        FROM orders WHERE o_orderkey <= 5000),
+      r2 AS (
+        SELECT CONCAT('q', CAST(o_orderkey AS VARCHAR)) AS queryId,
+               CAST(o_orderkey % 5 + (CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END) AS INT) AS rrows,
+               CAST((CASE WHEN o_orderkey % 19 = 0 THEN o_orderkey % 7 + 1 ELSE o_orderkey % 7 END) AS VARCHAR) AS rhash,
+               CAST(o_orderkey % 100 + (CASE WHEN o_orderkey % 23 = 0 THEN 200 ELSE 0 END) AS BIGINT) AS ms,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'boom'
+                    WHEN o_orderkey % 29 = 0 THEN 'late' ELSE '' END AS err
+        FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 5500),
+      joined AS (
+        SELECT COALESCE(r1.queryId, r2.queryId) AS queryId,
+               CASE WHEN r1.queryId IS NOT NULL AND r2.queryId IS NOT NULL THEN 'both'
+                    WHEN r1.queryId IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS presence,
+               (r1.queryId IS NOT NULL AND r2.queryId IS NOT NULL AND r1.err <> r2.err) AS err_mismatch,
+               (r1.queryId IS NOT NULL AND r2.queryId IS NOT NULL AND r1.rrows <> r2.rrows) AS rows_mismatch,
+               (r1.queryId IS NOT NULL AND r2.queryId IS NOT NULL AND r1.rhash <> r2.rhash) AS hash_mismatch,
+               (r1.queryId IS NOT NULL AND r2.queryId IS NOT NULL AND r2.ms - r1.ms > 100) AS duration_regressed
+        FROM r1 FULL OUTER JOIN r2 ON r1.queryId = r2.queryId)
+      SELECT presence, err_mismatch, rows_mismatch, hash_mismatch,
+             duration_regressed, COUNT(*) AS n
+      FROM joined
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY 1, 2, 3, 4, 5""",
+
+    "d02_row_digest" -> """
+      SELECT sha256(COALESCE(string_agg(line || chr(10), '' ORDER BY l_orderkey, l_linenumber, line), '')) AS rows_hash,
+             COUNT(*) AS n_rows
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               concat_ws(chr(9), CAST(l_orderkey AS VARCHAR),
+                         CAST(l_linenumber AS VARCHAR),
+                         CAST(l_quantity AS VARCHAR)) AS line
+        FROM lineitem WHERE l_orderkey <= 500)""",
+
+    "s01_column_stats" -> """
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS "column", COUNT(*) AS cnt,
+               COUNT(DISTINCT l_orderkey) AS ndv,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min, CAST(MAX(l_orderkey) AS VARCHAR) AS max,
+               AVG(LENGTH(CAST(l_orderkey AS VARCHAR))) AS avg_len
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*), COUNT(DISTINCT l_quantity),
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR),
+               AVG(LENGTH(CAST(l_quantity AS VARCHAR)))
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(DISTINCT l_returnflag),
+               CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR),
+               AVG(LENGTH(CAST(l_returnflag AS VARCHAR)))
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*), COUNT(DISTINCT l_shipdate),
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR),
+               AVG(LENGTH(CAST(l_shipdate AS VARCHAR)))
+        FROM lineitem) t
+      ORDER BY "column""""
+  )
+}

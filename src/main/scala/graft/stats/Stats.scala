@@ -1,0 +1,110 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.genrule.{ColumnStats, TableStats}
+import scala.jdk.CollectionConverters._
+
+/** Column-statistics dump (SURVEY.md §2.1 S6, §2.4 A2): one aggregation
+  * pass computes count/ndv/null_count/min/max/avg-len for every column —
+  * the engine-side equivalent of the reference's `SHOW COLUMN STATS`
+  * consumption (reference: src/db.go:356-445) — plus the `<db>.stats.yaml`
+  * round-trip (reference: cmd/dump.go:321-341).
+  *
+  * Scale: a single full scan with partial (map-side) aggregation; `exact
+  * = false` (default) uses HLL approx_count_distinct so no per-column
+  * shuffle of distinct values ever happens — the right choice at 100 TB.
+  * Exact mode exists for small-scale oracle comparison.
+  */
+object Stats {
+
+  /** Per-column stats as a DataFrame (column, cnt, ndv, null_count,
+    * min, max, avg_len) in one pass over `df`. */
+  def collect(df: DataFrame, columns: Seq[String] = Nil, exact: Boolean = false): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__cnt"), // total rows (null_frequency = nulls/cnt)
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"${c}__ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        // min/max on the TYPED column, rendered as string afterwards —
+        // string-typed min would be lexicographic and wrong for numerics
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        avg(length(col(c).cast("string"))).as(s"${c}__avglen"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per column
+    val stackExpr = cols.map { c =>
+      s"'$c', `${c}__cnt`, CAST(`${c}__ndv` AS BIGINT), `${c}__nulls`, `${c}__min`, `${c}__max`, CAST(`${c}__avglen` AS DOUBLE)"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackExpr) AS (column, cnt, ndv, null_count, min, max, avg_len)")
+      .orderBy("column")
+  }
+
+  /** DataFrame → TableStats (driver-side; the stats result is tiny). */
+  def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
+    TableStats(name, rowCount, stats.collect().toSeq.map { r =>
+      ColumnStats(
+        name = r.getAs[String]("column"),
+        count = r.getAs[Long]("cnt"),
+        ndv = r.getAs[Long]("ndv"),
+        nullCount = r.getAs[Long]("null_count"),
+        avgSizeByte = Option(r.getAs[Double]("avg_len")).map(_.round).getOrElse(0L),
+        min = Option(r.getAs[String]("min")).getOrElse(""),
+        max = Option(r.getAs[String]("max")).getOrElse(""),
+        method = "FULL")
+    })
+
+  // ---- <db>.stats.yaml round-trip ------------------------------------
+
+  /** Serialize in the reference's stats.yaml shape (FIXTURES.md §5). */
+  def toYaml(db: String, tables: Seq[TableStats]): String = {
+    val root = new java.util.LinkedHashMap[String, Any]()
+    root.put("db", db)
+    root.put("tables", tables.map { t =>
+      val tm = new java.util.LinkedHashMap[String, Any]()
+      tm.put("name", t.name)
+      tm.put("row_count", t.rowCount)
+      tm.put("columns", t.columns.map { c =>
+        val cm = new java.util.LinkedHashMap[String, Any]()
+        cm.put("name", c.name)
+        cm.put("ndv", c.ndv)
+        cm.put("null_count", c.nullCount)
+        cm.put("data_size", c.dataSize)
+        cm.put("avg_size_byte", c.avgSizeByte)
+        cm.put("min", c.min)
+        cm.put("max", c.max)
+        cm.put("method", c.method)
+        cm
+      }.asJava)
+      tm
+    }.asJava)
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(root)
+  }
+
+  def fromYaml(yaml: String): (String, Seq[TableStats]) = {
+    val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](yaml)
+    val db = Option(root.get("db")).map(_.toString).getOrElse("")
+    def longOf(m: java.util.Map[String, Any], k: String): Long =
+      Option(m.get(k)).map(_.toString.toDouble.toLong).getOrElse(0L)
+    def strOf(m: java.util.Map[String, Any], k: String): String =
+      Option(m.get(k)).map(_.toString).getOrElse("")
+    val tables = Option(root.get("tables")).map(_.asInstanceOf[java.util.List[java.util.Map[String, Any]]].asScala.toSeq)
+      .getOrElse(Nil).map { tm =>
+        val cols = Option(tm.get("columns")).map(_.asInstanceOf[java.util.List[java.util.Map[String, Any]]].asScala.toSeq)
+          .getOrElse(Nil).map { cm =>
+            ColumnStats(
+              name = strOf(cm, "name"), count = longOf(cm, "count"),
+              ndv = longOf(cm, "ndv"), nullCount = longOf(cm, "null_count"),
+              dataSize = longOf(cm, "data_size"), avgSizeByte = longOf(cm, "avg_size_byte"),
+              min = strOf(cm, "min"), max = strOf(cm, "max"), method = strOf(cm, "method"))
+          }
+        TableStats(strOf(tm, "name"), longOf(tm, "row_count"), cols)
+      }
+    (db, tables)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.diff
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.stats.Stats
+import graft.genrule.{ColumnStats, TableStats}
+
+class DiffStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def side(rows: Seq[(String, Int, String, Long, String)]) =
+    rows.toDF("queryId", "returnRows", "returnRowsHash", "durationMs", "err")
+
+  test("diff rules: err/rows/hash/duration/presence classification") {
+    val r1 = side(Seq(
+      ("a", 1, "h1", 10L, ""), ("b", 2, "h2", 10L, ""),
+      ("c", 3, "h3", 10L, "boom"), ("d", 4, "h4", 10L, ""),
+      ("left", 0, "x", 0L, "")))
+    val r2 = side(Seq(
+      ("a", 1, "h1", 50L, ""),            // clean (50-10 < 100)
+      ("b", 9, "h2", 10L, ""),            // rows mismatch
+      ("c", 3, "h3", 300L, ""),           // err mismatch + duration regression
+      ("d", 4, "HX", 10L, ""),            // hash mismatch
+      ("right", 0, "y", 0L, "")))
+    val d = Diff.compare(r1, r2).collect().map(r =>
+      r.getAs[String]("queryId") -> r).toMap
+    assert(d("a").getAs[String]("presence") == "both")
+    assert(!d("a").getAs[Boolean]("duration_regressed"))
+    assert(d("b").getAs[Boolean]("rows_mismatch"))
+    assert(d("c").getAs[Boolean]("err_mismatch") && d("c").getAs[Boolean]("duration_regressed"))
+    assert(d("d").getAs[Boolean]("hash_mismatch"))
+    assert(d("left").getAs[String]("presence") == "left_only")
+    assert(d("right").getAs[String]("presence") == "right_only")
+    assert(Diff.report(Diff.compare(r1, r2)).count() == 5) // all but 'a'
+  }
+
+  test("diff vs dump ignores rows/hash (dump has none)") {
+    val r1 = side(Seq(("a", 1, "h1", 10L, "")))
+    val r2 = side(Seq(("a", 9, "zz", 10L, "")))
+    val d = Diff.compare(r1, r2, vsDump = true).head()
+    assert(!d.getAs[Boolean]("rows_mismatch") && !d.getAs[Boolean]("hash_mismatch"))
+  }
+
+  test("row digest: order-sensitive, shuffle-independent, maxHashRows") {
+    val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("k", "v")
+    val h1 = RowDigest.digest(df, Seq("k")).head().getString(0)
+    val h2 = RowDigest.digest(df.repartition(7), Seq("k")).head().getString(0)
+    assert(h1 == h2) // partitioning can't change the digest
+    val hSwapped = RowDigest.digest(
+      Seq((2, "a"), (1, "b"), (3, "c")).toDF("k", "v"), Seq("k")).head().getString(0)
+    assert(h1 != hSwapped) // content/order matters
+    val capped = RowDigest.digest(df, Seq("k"), maxHashRows = 2).head()
+    assert(capped.getLong(1) == 2)
+  }
+
+  test("stats: one-pass values match direct computation") {
+    val df = Seq(
+      (1, Some("aa")), (2, Some("bbb")), (2, None), (4, Some("aa"))
+    ).toDF("k", "s")
+    val st = Stats.collect(df, exact = true).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(st("k").getAs[Long]("cnt") == 4 && st("k").getAs[Long]("ndv") == 3)
+    assert(st("k").getAs[String]("min") == "1" && st("k").getAs[String]("max") == "4")
+    assert(st("s").getAs[Long]("null_count") == 1)
+    assert(st("s").getAs[Long]("ndv") == 2)
+    assert(math.abs(st("s").getAs[Double]("avg_len") - (2 + 3 + 2) / 3.0) < 1e-9)
+  }
+
+  test("stats.yaml round-trip preserves the reference shape") {
+    val ts = TableStats("employees", 8, Seq(
+      ColumnStats("department_id", count = 8, ndv = 3, nullCount = 0,
+        dataSize = 32, avgSizeByte = 4, min = "10", max = "30", method = "FULL")))
+    val yaml = Stats.toYaml("company", Seq(ts))
+    assert(yaml.contains("db: company") && yaml.contains("row_count: 8"))
+    val (db, back) = Stats.fromYaml(yaml)
+    assert(db == "company")
+    assert(back.head.name == "employees" && back.head.rowCount == 8)
+    assert(back.head.columns.head == ts.columns.head.copy(count = 0) ||
+           back.head.columns.head == ts.columns.head)
+    // stats → generation rules consumption path
+    val rule = graft.genrule.GenRules.columnRule(
+      back.head.col("department_id"), isStringType = false, isCharType = false,
+      custom = Map.empty, notNull = false)
+    assert(rule("min") == "10" && rule("max") == "30")
+  }
+}
