@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.RelationalQueries,
     graft.queries.GendataQueries,
     graft.queries.WorkloadQueries,
-    graft.queries.DiffStatsQueries
+    graft.queries.DiffStatsQueries,
+    graft.queries.PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  *   - bruteForceTopK: exact top-k cosine against a SMALL query set —
+  *     O(n·q) via a broadcast join, the correctness baseline. Never
+  *     all-pairs: the query side must be broadcastable.
+  *   - lshNeighbors: random-hyperplane LSH — each vector is hashed to a
+  *     bucket by the sign pattern of `planes` pseudo-random projections;
+  *     neighbor search joins only within buckets (shuffle keyed by
+  *     bucket). The scale path: candidate cost ~ n·E[bucket size], and
+  *     hyperplanes are derived from hashes, so bucketing is deterministic
+  *     and needs no driver-side random state.
+  *
+  * All dot products run in double via codegen'd zip_with/aggregate —
+  * no UDFs.
+  */
+object Ann {
+
+  /** Cosine similarity of two Array[Float] columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector (queries must be small —
+    * they are broadcast). Returns (query_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      // round before ranking so FP accumulation-order differences between
+      // engines can't flip near-ties; neighbor_id breaks exact ties
+      .withColumn("cos_r", round(col("cos"), 8))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * uniform in [-1, 1], derived from xxhash64 — any engine can
+    * recompute it. */
+  private def w(seed: Long, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Bucket id = sign pattern of `planes` projections (per hash table). */
+  def lshBucket(emb: Column, dims: Int, planes: Int, seed: Long): Column = {
+    val idx = sequence(lit(0), lit(dims - 1))
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(zip_with(emb, idx, (x, d) => x.cast("double") * w(seed, p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
+    * hyperplane LSH: `tables` independent hash tables of `planes` bits
+    * each; candidates are vectors sharing a bucket in ANY table (recall
+    * 1-(1-p₁^planes)^tables — multi-table is what makes hyperplane LSH
+    * usable on near-isotropic embeddings). Each table's join is keyed by
+    * (table, bucket) — candidate cost ~ n·tables·E[bucket size], never
+    * O(n²); scale n up ⇒ raise `planes` to keep buckets bounded.
+    * Returns (vec_id, neighbor_id, cos_r). */
+  def lshNeighbors(emb: DataFrame, dims: Int, planes: Int = 6, tables: Int = 8,
+                   seed: Long = 5): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), dims, planes, seed + t * 1000)): _*))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val candidates = a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id").distinct()
+    // score candidates against the raw vectors (joined back by id so the
+    // bucket shuffle never carries embeddings through every table)
+    val va = emb.select(col("vec_id"), col("embedding"))
+    val vb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val paired = candidates.join(va, "vec_id").join(vb, "neighbor_id")
+      .withColumn("cos_r", round(cosine(col("embedding"), col("n_emb")), 6))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("cos_r").desc, col("neighbor_id"))
+    paired.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select("vec_id", "neighbor_id", "cos_r")
+  }
+}

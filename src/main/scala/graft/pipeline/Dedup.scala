@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, each designed so that NO
+  * stage is O(n²) in the corpus: candidate generation always goes through
+  * a banded/bucketed groupBy-shuffle, and exact verification runs only on
+  * candidates.
+  *
+  *   - exact:     hash-groupBy on a normalized fingerprint
+  *   - minhash:   shingle → k-slot MinHash → b bands of r rows →
+  *                bucket join → exact-Jaccard verify (classic LSH;
+  *                P(candidate) = 1-(1-s^r)^b)
+  *   - simhash:   63-bit signature → 4×16-bit bands → bucket join →
+  *                Hamming verify. For maxHamming ≤ 3 the recovery is
+  *                EXACT by pigeonhole: 3 flipped bits cannot touch all
+  *                4 bands, so every true pair shares at least one band.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("keep_id"))
+
+  /** Near-duplicate pairs (i < j, jaccard ≥ threshold) via banded
+    * MinHash-LSH. Returns (i, j, jaccard). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                   shingleN: Int = 3, seed: Long = 7): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = base.withColumn("sig", TextOps.minhashSignature(col("sh"), k, seed))
+
+    // band hash per (doc, band): the r signature slots of the band hashed
+    // together — candidates are pairs sharing any (band, hash) bucket.
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1))): _*)
+      }: _*)).as(Seq("band", "bandHash")))
+
+    val a = banded.select(col("band"), col("bandHash"), col("id").as("i"))
+    val b = banded.select(col("band"), col("bandHash"), col("id").as("j"))
+    val candidates = a.join(b, Seq("band", "bandHash"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+
+    // exact-Jaccard verification only on candidates (shingles re-joined by
+    // id so band buckets never carry the shingle arrays through shuffle)
+    val shA = base.select(col("id").as("i"), col("sh").as("sh_i"))
+    val shB = base.select(col("id").as("j"), col("sh").as("sh_j"))
+    candidates.join(shA, "i").join(shB, "j")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** SimHash signatures (id, sig). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        seed: Long = 11): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextOps.simhash64(TextOps.tokens(col(textCol)), seed).as("sig"))
+
+  /** Near-duplicate pairs by Hamming distance over SimHash signatures;
+    * exact for maxHamming ≤ 3 (4 bands, pigeonhole). Returns (i, j, hamming). */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = 4
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bandVal")))
+    val a = banded.select(col("band"), col("bandVal"), col("id").as("i"), col("sig").as("sig_i"))
+    val b = banded.select(col("band"), col("bandVal"), col("id").as("j"), col("sig").as("sig_j"))
+    a.join(b, Seq("band", "bandVal"))
+      .filter(col("i") < col("j"))
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming").distinct()
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.pipeline.{Ann, Dedup, TextOps}
+
+/** LLM-training-data pipeline operators as driver-checkable queries:
+  * text analysis, exact + MinHash-LSH + SimHash dedup, and similarity
+  * search over the `documents`/`embeddings` tables. Every dedup/ANN entry
+  * is banded/bucketed — no O(n²) stage on the engine side; the DuckDB
+  * oracle is allowed to brute-force because it runs at sf0.01 only.
+  */
+object PipelineQueries extends QueryModule {
+
+  private val outRoot = "/tmp/graft_pipeline"
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis: tokens / quality / fingerprint -----------------
+    "p01_text_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      d.select(
+        col("doc_id"),
+        TextOps.tokenCount(toks).as("n_tokens"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.stopwordRatio(toks).as("stop_ratio"),
+        TextOps.meanTokenLen(toks).as("mean_tok_len"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic over the corpus -------------------------
+    "p02_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      d.select(TextOps.langIdEn(toks).as("pred_lang"), col("source"))
+        .groupBy("pred_lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang", "source")
+    }),
+
+    // ---- exact dedup by normalized fingerprint -------------------------
+    "p03_exact_dedup" -> ((s, dir) => {
+      val groups = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_docs"),
+        max(col("n")).as("max_group"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    }),
+
+    // ---- MinHash-LSH near-dup pairs (banded; oracle brute-forces) ------
+    "p04_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+        .orderBy("i", "j")
+    }),
+
+    // ---- SimHash near-dup pairs (pigeonhole-exact banding) -------------
+    "p05_simhash_dedup" -> ((s, dir) => {
+      val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+      sigs.write.mode("overwrite").parquet(s"$outRoot/simhash_sigs")
+      val landed = s.read.parquet(s"$outRoot/simhash_sigs")
+      Dedup.simhashPairs(landed, maxHamming = 3).orderBy("i", "j")
+    }),
+
+    // ---- exact top-k similarity search (broadcast query set) -----------
+    "p06_ann_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed ANN (the 100 TB path); oracle re-derives the
+    //      cosine of every reported pair from the raw embeddings ---------
+    "p07_ann_lsh" -> ((s, dir) => {
+      val nn = Ann.lshNeighbors(embs(s, dir), dims = 64, planes = 6, tables = 8)
+      nn.write.mode("overwrite").parquet(s"$outRoot/ann_pairs")
+      s.read.parquet(s"$outRoot/ann_pairs").orderBy("vec_id")
+    })
+  )
+
+  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val duckStops = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "p01_text_stats" -> s"""
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(toks, t -> list_contains($duckStops, t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS stop_ratio,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS mean_tok_len,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)
+      ORDER BY doc_id""",
+
+    "p02_lang_id" -> s"""
+      SELECT CASE WHEN CAST(len(list_filter(toks, t -> list_contains($duckStops, t))) AS DOUBLE)
+                       / greatest(len(toks), 1) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS pred_lang,
+             source, COUNT(*) AS n
+      FROM (SELECT source, $duckToks AS toks FROM documents)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "p03_exact_dedup" -> """
+      SELECT COUNT(*) AS n_groups,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(MAX(n) AS BIGINT) AS max_group,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      FROM (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1) g""",
+
+    "p04_minhash_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY i, j""",
+
+    "p05_simhash_dedup" -> s"""
+      SELECT a.id AS i, b.id AS j,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM read_parquet('$outRoot/simhash_sigs/*.parquet') a,
+           read_parquet('$outRoot/simhash_sigs/*.parquet') b
+      WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY i, j""",
+
+    "p06_ann_bruteforce" -> """
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(e.embedding AS DOUBLE[])), 8) DESC,
+                          e.vec_id) AS BIGINT) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+      WHERE rank <= 3
+      ORDER BY query_id, rank""",
+
+    "p07_ann_lsh" -> s"""
+      SELECT p.vec_id, p.neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      FROM read_parquet('$outRoot/ann_pairs/*.parquet') p
+      JOIN embeddings a ON a.vec_id = p.vec_id
+      JOIN embeddings b ON b.vec_id = p.neighbor_id
+      ORDER BY p.vec_id"""
+  )
+}
