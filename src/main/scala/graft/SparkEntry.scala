@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.GendataQueries,
     graft.queries.WorkloadQueries,
     graft.queries.DiffStatsQueries,
-    graft.queries.PipelineQueries
+    graft.queries.PipelineQueries,
+    graft.queries.AnonQueries,
+    graft.queries.SqlSurfaceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

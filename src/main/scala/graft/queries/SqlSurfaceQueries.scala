@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.sqlx.DorisSql
+
+/** Round-2 SQL-surface gap fills (SURVEY.md §2.3–2.4 grammar rows): plain
+  * LEFT/RIGHT OUTER joins, USING equi-joins, HAVING, and the Doris
+  * dialect forms Spark lacks — QUALIFY, `LIMIT m,n`, MINUS — executed
+  * through the sqlx translator (the oracle runs DuckDB's native QUALIFY/
+  * OFFSET/EXCEPT, so the rewrite itself is cross-engine-verified).
+  */
+object SqlSurfaceQueries extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_left_outer" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      val o = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_open"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("open_total"))
+        .orderBy("c_custkey")
+    }),
+
+    "q25_right_outer" -> ((s, dir) => {
+      // same semantics as q24 mirrored: the right side must survive intact
+      val o = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val c = Tables.t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_open"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q26_join_using" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val o = Tables.t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      c.join(o, usingColumns = Seq("custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q27_having" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_suppkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1700 AND COUNT(*) > 50
+        ORDER BY l_suppkey""")
+    }),
+
+    "q28_qualify" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+    }),
+
+    "q29_limit_comma" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15, 25"""))
+    }),
+
+    "q30_minus" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT c_nationkey AS nk FROM customer
+        MINUS
+        SELECT s_nationkey FROM supplier
+        ORDER BY nk"""))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_left_outer" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_open,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
+      FROM customer
+      LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+        ON c_custkey = o_custkey
+      WHERE c_custkey <= 300
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q25_right_outer" -> """
+      SELECT c_mktsegment, COUNT(o_orderkey) AS n_open, COUNT(*) AS n_rows
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+      RIGHT OUTER JOIN (SELECT * FROM customer WHERE c_custkey <= 300) c
+        ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q26_join_using" -> """
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM (SELECT c_custkey AS custkey, c_mktsegment FROM customer) c
+      JOIN (SELECT o_custkey AS custkey, o_totalprice FROM orders) o
+        USING (custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q27_having" -> """
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1700 AND COUNT(*) > 50
+      ORDER BY l_suppkey""",
+
+    "q28_qualify" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q29_limit_comma" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 15""",
+
+    "q30_minus" -> """
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nk"""
+  )
+}

@@ -1,0 +1,38 @@
+package graft.sqlx
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DorisSqlSpec extends AnyFunSuite {
+
+  test("LIMIT m,n -> LIMIT n OFFSET m") {
+    assert(DorisSql.translate("SELECT a FROM t LIMIT 5, 10") ==
+      "SELECT a FROM t LIMIT 10 OFFSET 5")
+    // plain LIMIT untouched
+    assert(DorisSql.translate("SELECT a FROM t LIMIT 10") ==
+      "SELECT a FROM t LIMIT 10")
+  }
+
+  test("MINUS -> EXCEPT at top level, not inside strings") {
+    assert(DorisSql.translate("SELECT a FROM t MINUS SELECT b FROM u") ==
+      "SELECT a FROM t EXCEPT SELECT b FROM u")
+    assert(DorisSql.translate("SELECT 'MINUS sign' FROM t") ==
+      "SELECT 'MINUS sign' FROM t")
+  }
+
+  test("QUALIFY rewrite wraps window predicate") {
+    val out = DorisSql.translate(
+      "SELECT a, b FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a")
+    assert(out.contains("SELECT * EXCEPT (__qualify)"))
+    assert(out.contains("AS __qualify"))
+    assert(out.contains("WHERE __qualify"))
+    assert(out.trim.endsWith("ORDER BY a"))
+    // no top-level QUALIFY -> untouched
+    assert(DorisSql.translate("SELECT a FROM t WHERE a > 1") ==
+      "SELECT a FROM t WHERE a > 1")
+  }
+
+  test("QUALIFY inside subquery is left for that level (depth-0 only)") {
+    val sql = "SELECT * FROM (SELECT a FROM t) x WHERE a > 0"
+    assert(DorisSql.translate(sql) == sql)
+  }
+}
