@@ -1,0 +1,144 @@
+package graft.replay
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.SparkSession
+import graft.sqlx.DorisSql
+import graft.workload.ReplayStatement
+
+/** Per-client serial replay scheduler (SURVEY.md §2.9 R1–R5).
+  *
+  * This is deliberately a DRIVER-side scheduler, not a Spark job: replay
+  * reproduces wall-clock arrival patterns, so each client is one serial
+  * loop on its own thread with its own child SparkSession (isolated
+  * current-database / temp-view state — the `USE db` analog of the
+  * reference's connection-per-client); every statement then executes as
+  * a full distributed Spark query. Timing mirrors the reference
+  * (reference: src/replay.go:217-296): sleep
+  * `(ts - prevTs - prevDurationMs) / speed` ms between statements,
+  * skipping sleeps ≤ 2 ms.
+  *
+  * The clock and sleeper are injectable so timing logic is testable with
+  * a fake clock (SURVEY.md §7.5 risk 5).
+  */
+object Replay {
+
+  case class Options(
+      speed: Double = 1.0,
+      maxHashRows: Int = 0,
+      sleepFloorMs: Long = 2,
+      translateDialect: Boolean = true)
+
+  /** JSONL result row (reference: src/replay.go:33-42). */
+  case class Result(
+      ts: String, queryId: String, returnRows: Long, returnRowsHash: String,
+      durationMs: Long, err: String)
+
+  /** Replay all clients concurrently, each serially. Returns per-client
+    * results in execution order. `sleeper` receives every computed sleep
+    * (ms) — the real one blocks, tests record. */
+  def replay(
+      spark: SparkSession,
+      clientSqls: Map[String, Seq[ReplayStatement]],
+      minTs: Long,
+      opts: Options = Options(),
+      sleeper: Long => Unit = ms => Thread.sleep(ms)): Map[String, Seq[Result]] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = clientSqls.toSeq.map { case (client, sqls) =>
+      Future(client -> replayClient(spark.newSession(), sqls, minTs, opts, sleeper))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
+
+  private def replayClient(
+      session: SparkSession, sqls: Seq[ReplayStatement], minTs: Long,
+      opts: Options, sleeper: Long => Unit): Seq[Result] = {
+    var prevTs = minTs
+    var prevDurationMs = 0L
+    sqls.map { s =>
+      // 1. wait — interval between original starts minus previous duration
+      val sleepMs = ((s.tsMs - prevTs - prevDurationMs) / opts.speed).toLong
+      if (sleepMs > opts.sleepFloorMs) sleeper(sleepMs)
+      prevTs = s.tsMs
+
+      // 2. execute (errors recorded, never thrown — R5)
+      val startedAt = java.time.LocalDateTime.now()
+      val t0 = System.nanoTime()
+      var rows = 0L
+      var hash = ""
+      var err = ""
+      try {
+        val stmt = if (opts.translateDialect) DorisSql.translate(s.stmt) else s.stmt
+        val df = session.sql(stmt)
+        if (opts.maxHashRows > 0) {
+          val collected = df.limit(opts.maxHashRows + 1).collect()
+          // rows beyond maxHashRows still count, via a separate count
+          rows = if (collected.length > opts.maxHashRows) df.count() else collected.length.toLong
+          val md = MessageDigest.getInstance("SHA-256")
+          collected.take(opts.maxHashRows).foreach { r =>
+            (0 until r.length).foreach { i =>
+              md.update(Option(r.get(i)).map(_.toString).getOrElse("").getBytes("UTF-8"))
+              md.update('\t'.toByte)
+            }
+            md.update('\n'.toByte)
+          }
+          if (rows > 0) hash = md.digest().map(b => f"${b & 0xff}%02x").mkString
+        } else {
+          rows = df.count()
+        }
+      } catch {
+        case e: Throwable => err = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+      }
+      val durationMs = (System.nanoTime() - t0) / 1000000
+      prevDurationMs = s.durationMs
+      Result(startedAt.toString.replace('T', ' '), s.queryId, rows, hash, durationMs, err)
+    }
+  }
+
+  // ---- S13: JSONL result sink (one <client>.result file) --------------
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def resultJson(r: Result): String = {
+    val sb = new StringBuilder("{")
+    if (r.ts.nonEmpty) sb ++= s""""ts":"${jsonEscape(r.ts)}","""
+    sb ++= s""""queryId":"${jsonEscape(r.queryId)}","returnRows":${r.returnRows},"""
+    if (r.returnRowsHash.nonEmpty) sb ++= s""""returnRowsHash":"${r.returnRowsHash}","""
+    sb ++= s""""durationMs":${r.durationMs}"""
+    if (r.err.nonEmpty) sb ++= s""","err":"${jsonEscape(r.err)}""""
+    sb += '}'
+    sb.toString
+  }
+
+  def writeResults(resultDir: String, results: Map[String, Seq[Result]]): Unit = {
+    Files.createDirectories(Paths.get(resultDir))
+    results.foreach { case (client, rs) =>
+      // no ':' — a colon in a filename parses as a URI scheme in Hadoop
+      // paths and breaks readResults (client names are ip:port)
+      val safe = client.replaceAll("[^A-Za-z0-9._-]", "_")
+      Files.writeString(Paths.get(s"$resultDir/$safe.result"),
+        rs.map(resultJson).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** Read result files back as a DataFrame (for Diff.compare). */
+  def readResults(spark: SparkSession, resultDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", StringType), StructField("queryId", StringType),
+      StructField("returnRows", LongType), StructField("returnRowsHash", StringType),
+      StructField("durationMs", LongType), StructField("err", StringType),
+      StructField("stmt", StringType)))
+    spark.read.schema(schema).json(resultDir + "/*.result")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.replay
+
+import scala.collection.mutable
+import graft.SparkSpec
+import graft.workload.{ReplayCodec, ReplayStatement}
+import graft.diff.Diff
+
+class ReplaySpec extends SparkSpec {
+
+  private val fixtureDir = getClass.getResource("/fixture").getPath
+
+  private def stmt(ts: Long, id: String, dur: Long, sql: String) =
+    ReplayStatement(ts.toString, ts, "db", id, dur, sql)
+
+  test("timing: (ts - prevTs - prevDur)/speed with <=2ms floor, per client") {
+    val sleeps = mutable.ArrayBuffer.empty[Long]
+    val sqls = Seq(
+      stmt(1000, "q1", 50, "select 1 as a"),
+      stmt(1300, "q2", 10, "select 2 as a"),   // (1300-1000-50)/2 = 125
+      stmt(1302, "q3", 0, "select 3 as a"))    // (1302-1300-10)/2 < 0 -> no sleep
+    val res = Replay.replay(spark, Map("c1" -> sqls), minTs = 900,
+      Replay.Options(speed = 2.0), sleeper = ms => sleeps += ms)
+    assert(sleeps == mutable.ArrayBuffer(50L, 125L)) // (1000-900-0)/2, then 125
+    assert(res("c1").map(_.queryId) == Seq("q1", "q2", "q3"))
+    assert(res("c1").forall(_.err.isEmpty))
+    assert(res("c1").map(_.returnRows) == Seq(1L, 1L, 1L))
+  }
+
+  test("replay fixture statements; unsupported ones record errors, not throws") {
+    val decoded = ReplayCodec.decode(spark, s"$fixtureDir/replay.sql")
+    val byClient = ReplayCodec.byClient(decoded)
+    assert(byClient.nonEmpty)
+    val res = Replay.replay(spark, byClient, minTs = 0,
+      Replay.Options(speed = 1e9), sleeper = _ => ()) // no real sleeping
+    val all = res.values.flatten.toSeq
+    assert(all.nonEmpty)
+    // trivial selects succeed with 1 row; SHOW VARIABLES LIKE is not
+    // Spark SQL -> must be a recorded error, not an exception
+    assert(all.exists(r => r.err.isEmpty && r.returnRows == 1))
+    assert(all.forall(r => r.durationMs >= 0))
+  }
+
+  test("replay twice -> diff reports zero regressions (deterministic)") {
+    val sqls = Seq(
+      stmt(0, "q1", 0, "select 1 as a union all select 2"),
+      stmt(0, "q2", 0, "select 'x' as s"),
+      stmt(0, "q3", 0, "select bad syntax here from"))
+    val opts = Replay.Options(speed = 1e9, maxHashRows = 10)
+    val r1 = Replay.replay(spark, Map("c" -> sqls), 0, opts, _ => ())
+    val r2 = Replay.replay(spark, Map("c" -> sqls), 0, opts, _ => ())
+    val d1 = java.nio.file.Files.createTempDirectory("graft_rep1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rep2").toString
+    Replay.writeResults(d1, r1)
+    Replay.writeResults(d2, r2)
+    val df1 = Replay.readResults(spark, d1)
+    val df2 = Replay.readResults(spark, d2)
+    assert(df1.count() == 3)
+    // durations jitter but stay under the 100ms regression threshold for
+    // these trivial statements after warmup; rows/hash/err must agree
+    val report = Diff.report(Diff.compare(df1, df2, minDurationDiffMs = 60000))
+    assert(report.count() == 0)
+    // the q3 parse error is recorded on both sides identically
+    assert(df1.filter("queryId = 'q3' AND err IS NOT NULL").count() == 1)
+  }
+
+  test("result JSON shape matches the reference (omitempty fields)") {
+    val r = Replay.Result("2024-08-06 23:44:11.041", "qid", 3, "", 12, "")
+    assert(Replay.resultJson(r) ==
+      """{"ts":"2024-08-06 23:44:11.041","queryId":"qid","returnRows":3,"durationMs":12}""")
+    val rh = Replay.Result("", "qid", 2, "abc123", 5, "boom")
+    assert(Replay.resultJson(rh) ==
+      """{"queryId":"qid","returnRows":2,"returnRowsHash":"abc123","durationMs":5,"err":"boom"}""")
+  }
+}
