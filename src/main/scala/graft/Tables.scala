@@ -24,9 +24,14 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every table as a temp view (for the spark.sql surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view (for the spark.sql surface).
+    * Memoized per (session, dir): many queries call this and re-reading
+    * ten parquet footers per query is pure fixed overhead. */
+  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (registered.add((spark, dir)))
+      names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
 
 /** A named batch of driver-checkable queries: each entry pairs a Spark

@@ -36,15 +36,25 @@ object Dedup {
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = base.withColumn("sig", TextOps.minhashSignature(col("sh"), k, seed))
+    // The exchange is load-bearing: it materializes each signature ONCE.
+    // Without it, projection collapse inlines the minhash expression into
+    // the banding lambda below and recomputes it per band element; with
+    // it, `sig` is a bound attribute, and ReuseExchange shares the
+    // shuffle between the two self-join branches. The signature itself is
+    // a native Catalyst expression (see MinHashSignatureExpr).
+    graft.functions.MinHashSignatureExpr.register(df.sparkSession)
+    val sigs = base
+      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k, $seed)"))
+      .select("id", "sig")
+      .repartition(col("id"))
 
     // band hash per (doc, band): the r signature slots of the band hashed
     // together — candidates are pairs sharing any (band, hash) bucket.
     val banded = sigs.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1))): _*)
-      }: _*)).as(Seq("band", "bandHash")))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
+        .as(Seq("band", "bandHash")))
 
     val a = banded.select(col("band"), col("bandHash"), col("id").as("i"))
     val b = banded.select(col("band"), col("bandHash"), col("id").as("j"))

@@ -16,19 +16,41 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Distinct word n-gram shingles (empty when fewer than n tokens).
-    * Guarded: Spark's sequence(1, 0) would be a DESCENDING [1, 0]. */
+    *
+    * Built as n-1 nested `zip_with`s of the token array against its own
+    * shifted slices, NOT as `transform(sequence(…), i => element_at(toks,
+    * i+d))`. The distinction is the whole ballgame: `toks` is usually a
+    * derived expression (`split(trim(lower(text)))`), and Catalyst's
+    * projection collapse inlines it wherever referenced — a reference
+    * INSIDE a lambda body is then re-evaluated per array element (the
+    * element_at form re-ran the regex split 3× per shingle: 18.5 s at
+    * sf0.1), while a reference as a HOF INPUT ARGUMENT is evaluated once
+    * per row (this form: <1 s). `zip_with` pads the shorter side with
+    * null and `concat` null-propagates, so the trailing (n-1) partial
+    * grams come out null and are filtered. */
   def shingles(toks: Column, n: Int = 3): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(d => element_at(toks, i + d)): _*))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    val grams = (2 to n).foldLeft(toks) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, g => g.isNotNull))
   }
 
   /** MinHash signature: k independent hash slots, each the min of
-    * xxhash64(slot, shingle) over the shingle set. */
+    * xxhash64(slot, shingle) over the shingle set.
+    *
+    * Construction matters enormously here: `sh` must appear as the
+    * AGGREGATE'S INPUT ARGUMENT (evaluated once per row), never inside a
+    * lambda body — Catalyst's projection collapse inlines a referenced
+    * column's defining expression, and an expression inside a lambda is
+    * re-evaluated per element (k separate `array_min(transform(sh,…))`
+    * slots measured 48 s, a `transform(seq(0,k), j -> …sh…)` nesting
+    * 1277 s, this single-pass fold ~2 s at sf0.1). One pass over the
+    * shingles, a k-slot running-min vector. */
   def minhashSignature(sh: Column, k: Int = 64, seed: Long = 7): Column =
-    array((0 until k).map(j =>
-      array_min(transform(sh, s => xxhash64(lit(seed), lit(j), s)))): _*)
+    aggregate(sh, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, xxhash64(lit(seed), j, s))))
 
   /** 63-bit SimHash over the token multiset (bit 63 unused so the value
     * stays a positive signed long): bit b is set when the sum of ±1 votes
