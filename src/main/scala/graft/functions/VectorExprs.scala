@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Compiled vector/sketch kernels for the pipeline operators.
+  *
+  * Same rationale as MinHashSignatureExpr (SURVEY.md §7.4): the
+  * declarative `aggregate`/`zip_with` formulations of per-element math
+  * run on interpreted higher-order-function machinery — fine for one
+  * pass over a few elements, pathological when the expression sits in a
+  * join hot path (p07 scored millions of candidate pairs through an
+  * interpreted 64-dim cosine fold: 16 s at sf0.1, sub-second compiled).
+  * Each expression here is one tight JIT'd loop over the array data.
+  *
+  * Accumulation order in cosine matches the declarative fold (sequential
+  * left-to-right from 0.0, float widened to double per element) so
+  * results are bit-identical and the DuckDB oracle comparison is
+  * unaffected.
+  */
+object splitmix {
+  def apply(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** cosine(a, b) over two array<float> columns, accumulated in double. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Multi-table hyperplane-LSH bucket ids for an array<float> embedding:
+  * element t of the result is table t's bucket — the sign pattern of
+  * `planes` pseudo-random projections. Weights are deterministic
+  * functions of (seed, table, plane, dim) via splitmix64, uniform in
+  * [-1, 1], precomputed once per operator instance. */
+case class HyperplaneBucketsExpr(child: Expression, dims: Int, planes: Int,
+                                 tables: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  // weights(t*planes + p)(d) ∈ [-1, 1]
+  private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(tables * planes) { tp =>
+      Array.tabulate(dims) { d =>
+        val h = splitmix(seed + tp.toLong * 0x9E3779B97F4A7C15L + d * 0xff51afd7ed558ccdL)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val w = weights(t * planes + p)
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += x(d) * w(d); d += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}
+
+/** 63-bit SimHash over an array<string> token column: one XXH64 per
+  * token, then 63 sign votes from odd-multiplier affine permutations of
+  * that hash (a balanced bit family, same construction as the MinHash
+  * permutations). Bit 63 unused so the value stays a positive long. */
+case class SimHash64Expr(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(63)(j => splitmix(seed * 0x100000001b3L + j) | 1L)
+    val b = Array.tabulate(63)(j => splitmix(seed ^ (j * 0xc2b2ae3d27d4eb4fL)))
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var j = 0
+        while (j < 63) {
+          if (as(j) * h0 + bs(j) < 0) votes(j) -= 1 else votes(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object VectorExprs {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v, _) => v.toString.toInt
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v, _) => v.toString.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  /** Register the kernels as temp SQL functions reachable through the
+    * public Column API via `functions.call_function`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      { exprs =>
+        require(exprs.length == 2, "graft_cosine(a, b)")
+        CosineSimExpr(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_buckets",
+      { exprs =>
+        require(exprs.length == 5, "graft_hyperplane_buckets(emb, dims, planes, tables, seed)")
+        HyperplaneBucketsExpr(exprs.head, litInt(exprs(1), "dims"),
+          litInt(exprs(2), "planes"), litInt(exprs(3), "tables"),
+          litLong(exprs(4), "seed"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      { exprs =>
+        require(exprs.length == 2, "graft_simhash64(tokens, seed)")
+        SimHash64Expr(exprs.head, litLong(exprs(1), "seed"))
+      }, "built-in")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -16,17 +16,19 @@ import org.apache.spark.sql.expressions.Window
   *     hyperplanes are derived from hashes, so bucketing is deterministic
   *     and needs no driver-side random state.
   *
-  * All dot products run in double via codegen'd zip_with/aggregate —
-  * no UDFs.
+  * All per-element math runs in compiled Catalyst expressions
+  * (graft.functions.VectorExprs) — no UDFs, no interpreted
+  * higher-order-function folds in the candidate-scoring hot path.
   */
 object Ann {
 
-  /** Cosine similarity of two Array[Float] columns, computed in double. */
+  /** Cosine similarity of two Array[Float] columns, computed in double.
+    * Requires VectorExprs.register on the session (the DataFrame entry
+    * points below do it); accumulation order matches a sequential
+    * left-to-right fold, so values are engine-reproducible. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorExprs.register(SparkSession.active)
+    call_function("graft_cosine", a, b)
   }
 
   /** Exact top-k neighbors for each query vector (queries must be small —
@@ -47,23 +49,6 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * uniform in [-1, 1], derived from xxhash64 — any engine can
-    * recompute it. */
-  private def w(seed: Long, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
-  /** Bucket id = sign pattern of `planes` projections (per hash table). */
-  def lshBucket(emb: Column, dims: Int, planes: Int, seed: Long): Column = {
-    val idx = sequence(lit(0), lit(dims - 1))
-    val bits = (0 until planes).map { p =>
-      val dot = aggregate(zip_with(emb, idx, (x, d) => x.cast("double") * w(seed, p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
     * hyperplane LSH: `tables` independent hash tables of `planes` bits
     * each; candidates are vectors sharing a bucket in ANY table (recall
@@ -71,12 +56,14 @@ object Ann {
     * usable on near-isotropic embeddings). Each table's join is keyed by
     * (table, bucket) — candidate cost ~ n·tables·E[bucket size], never
     * O(n²); scale n up ⇒ raise `planes` to keep buckets bounded.
-    * Returns (vec_id, neighbor_id, cos_r). */
+    * All tables' buckets come from ONE compiled expression pass
+    * (HyperplaneBucketsExpr). Returns (vec_id, neighbor_id, cos_r). */
   def lshNeighbors(emb: DataFrame, dims: Int, planes: Int = 6, tables: Int = 8,
                    seed: Long = 5): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), dims, planes, seed + t * 1000)): _*))
+      posexplode(call_function("graft_hyperplane_buckets",
+        col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
         .as(Seq("table", "bucket")))
     val a = bucketed.select(col("table"), col("bucket"), col("vec_id"))
     val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))

@@ -74,11 +74,15 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** SimHash signatures (id, sig). */
+  /** SimHash signatures (id, sig) — compiled single-pass kernel
+    * (one XXH64 per token + 63 affine sign votes, see SimHash64Expr). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        seed: Long = 11): DataFrame =
+                        seed: Long = 11): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.select(col(idCol).as("id"),
-      TextOps.simhash64(TextOps.tokens(col(textCol)), seed).as("sig"))
+      call_function("graft_simhash64",
+        TextOps.tokens(col(textCol)), lit(seed)).as("sig"))
+  }
 
   /** Near-duplicate pairs by Hamming distance over SimHash signatures;
     * exact for maxHamming ≤ 3 (4 bands, pigeonhole). Returns (i, j, hamming). */

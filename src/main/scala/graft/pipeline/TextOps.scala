@@ -36,35 +36,10 @@ object TextOps {
     array_distinct(filter(grams, g => g.isNotNull))
   }
 
-  /** MinHash signature: k independent hash slots, each the min of
-    * xxhash64(slot, shingle) over the shingle set.
-    *
-    * Construction matters enormously here: `sh` must appear as the
-    * AGGREGATE'S INPUT ARGUMENT (evaluated once per row), never inside a
-    * lambda body — Catalyst's projection collapse inlines a referenced
-    * column's defining expression, and an expression inside a lambda is
-    * re-evaluated per element (k separate `array_min(transform(sh,…))`
-    * slots measured 48 s, a `transform(seq(0,k), j -> …sh…)` nesting
-    * 1277 s, this single-pass fold ~2 s at sf0.1). One pass over the
-    * shingles, a k-slot running-min vector. */
-  def minhashSignature(sh: Column, k: Int = 64, seed: Long = 7): Column =
-    aggregate(sh, array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, j) => least(m, xxhash64(lit(seed), j, s))))
-
-  /** 63-bit SimHash over the token multiset (bit 63 unused so the value
-    * stays a positive signed long): bit b is set when the sum of ±1 votes
-    * — sign of an independent per-bit hash of each token — is positive.
-    * Single pass over the token array (one aggregate with a 63-slot
-    * vote vector), fully codegen'd. */
-  def simhash64(toks: Column, seed: Long = 11): Column = {
-    val votes = aggregate(toks, array_repeat(lit(0L), 63),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(62)),
-        (a, b) => a + when(xxhash64(lit(seed), b, t) > 0, 1L).otherwise(-1L)))
-    val powers = array((0 until 63).map(b => lit(1L << b)): _*)
-    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  // MinHash and SimHash signatures are compiled Catalyst expressions —
+  // see graft.functions.{MinHashSignatureExpr, SimHash64Expr}. Their
+  // declarative aggregate/zip_with formulations ran on interpreted HOF
+  // machinery and were 10-600× slower in the dedup hot paths.
 
   /** Stopword fraction — the language-ID heuristic's feature. */
   val EnStopwords: Seq[String] = Seq(

@@ -19,28 +19,55 @@ import scala.jdk.CollectionConverters._
 object Stats {
 
   /** Per-column stats as a DataFrame (column, cnt, ndv, null_count,
-    * min, max, avg_len) in one pass over `df`. */
+    * min, max, avg_len).
+    *
+    * Approx mode (the 100 TB default) is ONE pass: HLL ndv composes with
+    * the other partial aggregates, so no distinct-value shuffle exists.
+    * Exact mode deliberately avoids Spark's multi-count_distinct plan —
+    * n distinct aggregates in one agg trigger an Expand that multiplies
+    * the scan (n+1)× before the shuffle (measured 8-11 s vs 1.8 s approx
+    * on 4 lineitem columns at sf0.1). Instead: the cheap aggregates in
+    * one Expand-free pass, plus a second pass exploding (column, value)
+    * pairs into a two-level distinct count — two skinny shuffles that
+    * partial-aggregate map-side, no row multiplication. */
   def collect(df: DataFrame, columns: Seq[String] = Nil, exact: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__cnt"), // total rows (null_frequency = nulls/cnt)
-        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"${c}__ndv"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         // min/max on the TYPED column, rendered as string afterwards —
         // string-typed min would be lexicographic and wrong for numerics
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        avg(length(col(c).cast("string"))).as(s"${c}__avglen"))
+        avg(length(col(c).cast("string"))).as(s"${c}__avglen")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"${c}__ndv")))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into one row per column
+    val ndvCell = if (exact) "CAST(NULL AS BIGINT)" else "CAST(`%s__ndv` AS BIGINT)"
     val stackExpr = cols.map { c =>
-      s"'$c', `${c}__cnt`, CAST(`${c}__ndv` AS BIGINT), `${c}__nulls`, `${c}__min`, `${c}__max`, CAST(`${c}__avglen` AS DOUBLE)"
+      s"'$c', `${c}__cnt`, ${ndvCell.format(c)}, `${c}__nulls`, `${c}__min`, `${c}__max`, CAST(`${c}__avglen` AS DOUBLE)"
     }.mkString(", ")
-    wide.selectExpr(
+    val base = wide.selectExpr(
       s"stack(${cols.size}, $stackExpr) AS (column, cnt, ndv, null_count, min, max, avg_len)")
-      .orderBy("column")
+    val result =
+      if (!exact) base
+      else {
+        // exact ndv: string rendering is injective for the primitive
+        // types stats run on, so distinct-of-strings = distinct-of-values
+        val pairs = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("kv"))
+          .select(col("kv.column").as("column"), col("kv.v").as("v"))
+          .filter(col("v").isNotNull)
+        val ndv = pairs.distinct()
+          .groupBy("column").agg(count(lit(1)).as("ndv_exact"))
+        base.drop("ndv").join(ndv, Seq("column"), "left")
+          .withColumn("ndv", coalesce(col("ndv_exact"), lit(0L)))
+          .select("column", "cnt", "ndv", "null_count", "min", "max", "avg_len")
+      }
+    result.orderBy("column")
   }
 
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
