@@ -24,10 +24,14 @@ import graft.genrule.GenRules.Rule
 object ColumnGen {
 
   /** Deterministic draw context: `salts` carries the row-id column plus any
-    * enclosing lambda variables (array index, map slot). */
-  case class Ctx(seed: Long, path: String, salts: Seq[Column]) {
+    * enclosing lambda variables (array index, map slot). `refValues` holds
+    * the pre-sampled reservoirs for `gen.ref` targets, keyed "table.column"
+    * (supplied by GenPlanner; shared across all refs to the same target,
+    * mirroring the reference's shared reservoir). */
+  case class Ctx(seed: Long, path: String, salts: Seq[Column],
+                 refValues: Map[String, Seq[Any]] = Map.empty) {
     def child(sub: String, extraSalt: Seq[Column] = Nil): Ctx =
-      Ctx(seed, s"$path.$sub", salts ++ extraSalt)
+      Ctx(seed, s"$path.$sub", salts ++ extraSalt, refValues)
     /** 64-bit hash draw, unique per (seed, path, purpose, row, indices). */
     def h(purpose: String): Column =
       xxhash64((lit(seed) +: lit(path) +: lit(purpose) +: salts): _*)
@@ -86,9 +90,33 @@ object ColumnGen {
   def build(dt: DType, resolved: Rule, ctx: Ctx, env: GenRules.Env): Column = {
     val base = DType.baseType(dt)
     val r = GenRules.mergeKeep(resolved, env.typeDefault(base))
-    val g = rule(r, "gen") match {
-      case Some(custom) => customGen(dt, GenRules.asRule(custom), r, ctx, env)
-      case None         => typeGen(dt, r, ctx, env)
+    val genRule = rule(r, "gen").map(GenRules.asRule)
+    val fmt = rule(r, "format").map(_.toString).filter(_.nonEmpty)
+    // parts produce k sub-values spliced into the format's k %-verb tags;
+    // everything else is a single generator, optionally format-wrapped
+    val g: Column = (genRule, fmt) match {
+      case (Some(cg), Some(f)) if cg.contains("parts") =>
+        formatGen(f, partsGen(cg, ctx, env), ctx).cast(DType.toSpark(dt))
+      case (Some(cg), None) if cg.contains("parts") =>
+        throw new IllegalArgumentException(
+          s"parts generator requires a 'format' rule for column '${ctx.path}'")
+      case (maybeGen, maybeFmt) =>
+        // type-substituted values stay RAW until after formatting (a %d
+        // verb must see the substituted int, not its declared-type cast)
+        val inner = maybeGen match {
+          case Some(custom) => customGen(dt, custom, r, ctx, env)
+          case None         => typeGen(dt, r, ctx, env)
+        }
+        maybeFmt match {
+          case Some(f) =>
+            // format returns NULL when the inner generator returns NULL
+            when(inner.isNull, lit(null))
+              .otherwise(formatGen(f, Seq(inner), ctx))
+              .cast(DType.toSpark(dt))
+          case None =>
+            if (maybeGen.exists(_.contains("type"))) inner.cast(DType.toSpark(dt))
+            else inner
+        }
     }
     // null wrapper (skipped for BITMAP, mirroring the reference)
     val nullFreq = rule(r, "null_frequency").map(GenRules.toDouble).getOrElse(0.0)
@@ -97,13 +125,181 @@ object ColumnGen {
     else g
   }
 
-  // ---- custom generators (G3 inc, G4 enum/weights) --------------------
+  // ---- custom generators (G3 inc, G4 enum, G5 ref, G7 type, G9 expr) --
+
+  private val CustomGenKeys = Seq("inc", "enum", "enums", "ref", "type", "expr")
 
   private def customGen(dt: DType, gen: Rule, r: Rule, ctx: Ctx, env: GenRules.Env): Column = {
+    val present = CustomGenKeys.filter(gen.contains)
+    require(present.nonEmpty, s"Custom generator not found for column '${ctx.path}', " +
+      s"expect one of ${CustomGenKeys.mkString(",")}")
+    require(present.size == 1 || present == Seq("enum", "enums"),
+      s"Multiple custom generators for column '${ctx.path}', only one allowed: ${present.mkString(",")}")
     if (gen.contains("inc")) incGen(dt, gen, ctx)
     else if (gen.contains("enum") || gen.contains("enums")) enumGen(dt, gen, r, ctx, env)
-    else throw new IllegalArgumentException(
-      s"Unsupported custom generator for '${ctx.path}': ${gen.keys.mkString(",")} (supported: inc, enum)")
+    else if (gen.contains("ref")) refGen(dt, gen, ctx)
+    else if (gen.contains("type")) typeSubstGen(dt, gen, ctx, env)
+    else exprGen(dt, gen)
+  }
+
+  /** G5 `ref`: value drawn uniformly from the pre-sampled reservoir of
+    * another generated table.column (reference: src/generator/ref.go:40-137;
+    * the reservoir itself is sampled by GenPlanner, ≤limit values,
+    * default 1000). */
+  private def refGen(dt: DType, gen: Rule, ctx: Ctx): Column = {
+    val target = gen("ref").toString.trim
+    val values = ctx.refValues.getOrElse(target,
+      throw new IllegalArgumentException(
+        s"ref '$target' for column '${ctx.path}' has no sampled values — " +
+          "generate through GenPlanner so referenced tables are built first"))
+    require(values.nonEmpty, s"ref '$target' sampled zero values for '${ctx.path}'")
+    val arr = array(values.map(v => lit(v)): _*)
+    element_at(arr, (ctx.uniform("ref", 0, values.size - 1) + lit(1)).cast("int"))
+      .cast(DType.toSpark(dt))
+  }
+
+  /** G7 `type`: render this column with another type's generator; the
+    * remaining keys of the gen rule configure the substituted generator
+    * (reference: src/generator/type.go:19-41). Complex substituted values
+    * targeting a string column are JSON-encoded. */
+  private def typeSubstGen(dt: DType, gen: Rule, ctx: Ctx, env: GenRules.Env): Column = {
+    val sub = DorisDdl.parseType(gen("type").toString)
+    val inner = build(sub, (gen - "type") + ("null_frequency" -> 0.0), ctx.child("type"), env)
+    sub match {
+      // complex values render as JSON text (string-family targets)
+      case DArray(_) | DMap(_, _) | DStruct(_) => to_json(inner)
+      // primitives stay raw — build() casts to the declared type after
+      // any format wrapper has consumed the typed value
+      case _ => inner
+    }
+  }
+
+  /** G9: the Spark-native analog of the reference's user-code (`golang`)
+    * generator — an arbitrary SQL expression over the row-id column `id`
+    * (reference: src/generator/golang.go:26-65; arbitrary JVM code would
+    * need runtime compilation, and a SQL expression keeps the column
+    * codegen'd and distributed). */
+  private def exprGen(dt: DType, gen: Rule): Column =
+    expr(gen("expr").toString).cast(DType.toSpark(dt))
+
+  /** G6+G8 format template: `{{%verb}}` tags consume `values` in order
+    * (Go verbs; %v → %s), named tags draw from the built-in tag registry
+    * (reference: src/generator/format.go:22-81, format_tags.go:39-86).
+    * Literal text is %-escaped for java.util.Formatter. */
+  private val TagPattern = "\\{\\{(.*?)\\}\\}".r
+
+  private def formatGen(template: String, values: Seq[Column], ctx: Ctx): Column = {
+    val sb = new StringBuilder
+    val args = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    var vi = 0
+    var occ = 0
+    for (m <- TagPattern.findAllMatchIn(template)) {
+      sb.append(template.substring(last, m.start).replace("%", "%%"))
+      val tag = m.group(1).trim
+      if (tag.startsWith("%")) {
+        require(vi < values.size,
+          s"format parts out of range: $vi, format: $template (column '${ctx.path}')")
+        sb.append(if (tag == "%v") "%s" else tag)
+        args += values(vi)
+        vi += 1
+      } else {
+        sb.append("%s")
+        args += fakerTag(tag, occ, ctx).getOrElse(
+          throw new IllegalArgumentException(s"unknown format tag '$tag' in '${ctx.path}'"))
+        occ += 1
+      }
+      last = m.end
+    }
+    sb.append(template.substring(last).replace("%", "%%"))
+    format_string(sb.toString, args.toSeq: _*)
+  }
+
+  // ---- built-in format tags (G8) --------------------------------------
+
+  private val FirstNames = Seq("alice", "bob", "carol", "dave", "erin", "frank",
+    "grace", "heidi", "ivan", "judy", "mallory", "oscar", "peggy", "trent", "victor", "wendy")
+  private val LastNames = Seq("smith", "jones", "miller", "davis", "garcia",
+    "wilson", "moore", "taylor", "anderson", "thomas", "jackson", "white", "harris", "martin")
+  private val Words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+  private val Domains = Seq("example.com", "example.org", "test.net", "mail.dev", "corp.io")
+  private val Cities = Seq("springfield", "riverton", "lakeside", "hillview",
+    "brookfield", "fairmont", "oakdale", "elmwood", "maplewood", "cedarville")
+  private val Countries = Seq("argentina", "brazil", "canada", "denmark", "egypt",
+    "france", "germany", "hungary", "india", "japan", "kenya", "mexico")
+  private val Colors = Seq("red", "orange", "yellow", "green", "blue", "indigo",
+    "violet", "black", "white", "gray")
+  private val Months = Seq("January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December")
+  private val Weekdays = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  private def pick(xs: Seq[String], purpose: String, ctx: Ctx): Column =
+    element_at(array(xs.map(lit(_)): _*),
+      (ctx.uniform(purpose, 0, xs.size - 1) + lit(1)).cast("int"))
+
+  /** Deterministic per-row draw for a named tag occurrence. A curated
+    * registry standing in for the reference's reflected gofakeit tag set;
+    * unknown tags error, mirroring "unknown format tag". */
+  private def fakerTag(tag: String, occ: Int, ctx: Ctx): Option[Column] = {
+    val p = s"tag.$tag.$occ"
+    tag match {
+      case "year"       => Some(ctx.uniform(p, 1900, 2025))
+      case "month"      => Some(pick(Months, p, ctx))
+      case "monthnum"   => Some(ctx.uniform(p, 1, 12))
+      case "day"        => Some(ctx.uniform(p, 1, 28))
+      case "hour"       => Some(ctx.uniform(p, 0, 23))
+      case "minute" | "second" => Some(ctx.uniform(p, 0, 59))
+      case "weekday"    => Some(pick(Weekdays, p, ctx))
+      case "firstname"  => Some(pick(FirstNames, p, ctx))
+      case "lastname"   => Some(pick(LastNames, p, ctx))
+      case "name"       => Some(concat_ws(" ", pick(FirstNames, p + ".f", ctx), pick(LastNames, p + ".l", ctx)))
+      case "username"   => Some(concat(pick(FirstNames, p + ".f", ctx), ctx.uniform(p + ".n", 10, 9999)))
+      case "email"      => Some(concat(pick(FirstNames, p + ".f", ctx), ctx.uniform(p + ".n", 10, 9999),
+                                       lit("@"), pick(Domains, p + ".d", ctx)))
+      case "domainname" => Some(pick(Domains, p, ctx))
+      case "url"        => Some(concat(lit("https://"), pick(Domains, p + ".d", ctx),
+                                       lit("/"), pick(Words, p + ".w", ctx)))
+      case "uuid"       => Some(uuidTag(p, ctx))
+      case "word"       => Some(pick(Words, p, ctx))
+      case "city"       => Some(pick(Cities, p, ctx))
+      case "country"    => Some(pick(Countries, p, ctx))
+      case "color"      => Some(pick(Colors, p, ctx))
+      case "phone"      => Some(format_string("%03d-%03d-%04d",
+                                  ctx.uniform(p + ".1", 200, 999),
+                                  ctx.uniform(p + ".2", 0, 999),
+                                  ctx.uniform(p + ".3", 0, 9999)))
+      case "digit"      => Some(ctx.uniform(p, 0, 9))
+      case "letter"     => Some(element_at(CharsetArr, (ctx.uniform(p, 0, 25) + lit(1)).cast("int")))
+      case _            => None
+    }
+  }
+
+  /** Deterministic UUID-shaped string from two hash draws. */
+  private def uuidTag(p: String, ctx: Ctx): Column = {
+    val h1 = lower(lpad(hex(ctx.h(p + ".a")), 16, "0"))
+    val h2 = lower(lpad(hex(ctx.h(p + ".b")), 16, "0"))
+    concat_ws("-",
+      h1.substr(1, 8), h1.substr(9, 4), h1.substr(13, 4),
+      h2.substr(1, 4), h2.substr(5, 12))
+  }
+
+  /** G6 parts: k sub-generators (rule nodes, each may substitute its own
+    * `type`) or literal values (reference: src/generator/parts.go:16-51). */
+  private def partsGen(gen: Rule, ctx: Ctx, env: GenRules.Env): Seq[Column] = {
+    val parts = gen.get("parts") match {
+      case Some(ps: Seq[Any] @unchecked) if ps.nonEmpty => ps
+      case _ => throw new IllegalArgumentException(s"parts is empty for '${ctx.path}'")
+    }
+    parts.zipWithIndex.map {
+      case (m: Map[_, _], i) =>
+        val pr = GenRules.asRule(m)
+        val pdt = pr.get("type").map(t => DorisDdl.parseType(t.toString)).getOrElse(DType.DString)
+        build(pdt, (pr - "type") + ("null_frequency" -> 0.0), ctx.child(s"parts.$i"), env)
+      case (v, _) => lit(v)
+    }
   }
 
   /** Auto-increment start/step as pure row-id arithmetic: exact, contiguous

@@ -23,14 +23,15 @@ object TableGen {
   /** Build the generated DataFrame for `table` with rule resolution
     * precedence column-custom > stats > type-default (G11). */
   def frame(spark: SparkSession, table: TableDef, rows: Long, seed: Long,
-            env: GenRules.Env, stats: Option[TableStats] = None): DataFrame = {
+            env: GenRules.Env, stats: Option[TableStats] = None,
+            refValues: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     val base = spark.range(rows)
     val id = col("id")
     // HLL `from` columns reference sibling columns; build them as a second
     // projection so the referenced generator expression exists by name.
     val (hllFrom, normal) = table.columns.partition(c =>
       c.dtype == DType.DHll && hllFromRule(table, c, env).isDefined)
-    val exprs = normal.map(c => genExpr(table, c, id, seed, env, stats).as(c.name))
+    val exprs = normal.map(c => genExpr(table, c, id, seed, env, stats, refValues).as(c.name))
     val df0 = base.select(exprs: _*)
     if (hllFrom.isEmpty) df0.select(table.columns.map(c => col(c.name)): _*)
     else {
@@ -46,7 +47,8 @@ object TableGen {
       .flatMap(_.get("from")).map(_.toString)
 
   private def genExpr(table: TableDef, c: ColumnDef, id: Column, seed: Long,
-                      env: GenRules.Env, stats: Option[TableStats]): Column = {
+                      env: GenRules.Env, stats: Option[TableStats],
+                      refValues: Map[String, Seq[Any]] = Map.empty): Column = {
     val custom: Rule = env.tables.get(table.name)
       .flatMap(_.columns.get(c.name)).getOrElse(GenRules.empty)
     val baseType = DType.baseType(c.dtype)
@@ -54,7 +56,7 @@ object TableGen {
     val resolved = GenRules.columnRule(
       stats.flatMap(_.col(c.name)), isString, baseType == "CHAR",
       custom, notNull = !c.nullable)
-    val ctx = ColumnGen.Ctx(seed, s"${table.name}.${c.name}", Seq(id))
+    val ctx = ColumnGen.Ctx(seed, s"${table.name}.${c.name}", Seq(id), refValues)
     ColumnGen.build(c.dtype, resolved, ctx, env)
   }
 

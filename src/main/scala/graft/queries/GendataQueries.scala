@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.ddl.DorisDdl
-import graft.gen.TableGen
+import graft.gen.{GenPlanner, TableGen}
 import graft.genrule.{ColumnStats, GenRules, TableStats}
 
 /** Gendata engine as driver-checkable operators (SURVEY.md §2.8 G1–G4,
@@ -114,6 +114,82 @@ object GendataQueries extends QueryModule {
         sum(when(col("department_id").isNull, 1).otherwise(0)).as("n_null_dept"),
         min(col("salary")).cast("double").as("sal_min"),
         max(col("salary")).cast("double").as("sal_max"))
+    }),
+
+    // ---- G5 ref correlation + topo scheduling --------------------------
+    "g04_gendata_ref" -> ((s, _) => {
+      val dim = DorisDdl.parseCreateTable(
+        "CREATE TABLE dim (dep_id int NOT NULL, dep_name varchar(16) NOT NULL)")
+      val fact = DorisDdl.parseCreateTable(
+        "CREATE TABLE fact (row_id bigint NOT NULL, dep_ref int NOT NULL)")
+      val conf = GenRules.parseYaml("""
+        tables:
+          - name: dim
+            row_count: 40
+            columns:
+              - {name: dep_id, gen: {inc: 3, start: 100}}
+          - name: fact
+            row_count: 20000
+            columns:
+              - {name: row_id, gen: {inc: 1}}
+              - {name: dep_ref, gen: {ref: dim.dep_id, limit: 25}}
+        """)
+      val env = GenRules.buildEnv(conf)
+      // deliberately pass fact first: the planner must topo-order
+      val frames = GenPlanner.generateAll(s, Seq(fact, dim), env, seed = 14)
+      frames("dim").write.mode("overwrite").parquet(s"$outRoot/ref_dim")
+      frames("fact").write.mode("overwrite").parquet(s"$outRoot/ref_fact")
+      val dimL = s.read.parquet(s"$outRoot/ref_dim")
+      val factL = s.read.parquet(s"$outRoot/ref_fact")
+      // every fact ref must hit a dim key; ≤25 distinct values drawn
+      factL.join(dimL, factL("dep_ref") === dimL("dep_id"), "left")
+        .agg(
+          count(lit(1)).as("n_fact"),
+          sum(when(dimL("dep_id").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          countDistinct(factL("dep_ref")).as("ndv_ref"))
+    }),
+
+    // ---- G6/G7/G8/G9: parts+format, faker tags, type subst, expr -------
+    "g05_gendata_format" -> ((s, _) => {
+      val table = DorisDdl.parseCreateTable("""
+        CREATE TABLE fmt (
+          id bigint NOT NULL,
+          sku varchar(32) NOT NULL,
+          email varchar(64) NOT NULL,
+          month_code char(7) NOT NULL,
+          as_int_str varchar(8) NOT NULL,
+          from_expr bigint NOT NULL
+        )""")
+      val conf = GenRules.parseYaml("""
+        tables:
+          - name: fmt
+            row_count: 10000
+            columns:
+              - {name: id, gen: {inc: 1}}
+              - name: sku
+                format: "SKU-{{%05d}}-{{%s}}"
+                gen:
+                  parts:
+                    - {type: int, min: 1, max: 99999}
+                    - {type: "char(3)"}
+              - {name: email, format: "{{username}}@{{domainname}}"}
+              - name: month_code
+                format: "{{year}}-{{%02d}}"
+                gen: {type: tinyint, min: 1, max: 12}
+              - {name: as_int_str, gen: {type: int, min: 1000, max: 9999}}
+              - {name: from_expr, gen: {expr: "id * 10 + 7"}}
+        """)
+      val env = GenRules.buildEnv(conf)
+      val gen = TableGen.frame(s, table, TableGen.rowCount(table, env), seed = 15, env)
+      val landed = landAndRead(s, gen, "fmt")
+      landed.agg(
+        count(lit(1)).as("n"),
+        sum(when(regexp_like(col("sku"), lit("^SKU-[0-9]{5}-[a-zA-Z0-9]{3}$")), 1L).otherwise(0L)).as("n_sku_ok"),
+        sum(when(regexp_like(col("email"), lit("^[a-z]+[0-9]+@[a-z.]+$")), 1L).otherwise(0L)).as("n_email_ok"),
+        sum(when(regexp_like(col("month_code"), lit("^(19|20)[0-9]{2}-(0[1-9]|1[0-2])$")), 1L).otherwise(0L)).as("n_month_ok"),
+        min(col("as_int_str").cast("int")).as("int_str_min"),
+        max(col("as_int_str").cast("int")).as("int_str_max"),
+        sum(when(col("from_expr") % 10 === lit(7), 1L).otherwise(0L)).as("n_expr_ok"))
     })
   )
 
@@ -141,6 +217,24 @@ object GendataQueries extends QueryModule {
              CAST(SUM(CASE WHEN department_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_dept,
              CAST(MIN(salary) AS DOUBLE) AS sal_min,
              CAST(MAX(salary) AS DOUBLE) AS sal_max
-      FROM read_parquet('$outRoot/emp/*.parquet')"""
+      FROM read_parquet('$outRoot/emp/*.parquet')""",
+
+    "g04_gendata_ref" -> s"""
+      SELECT COUNT(*) AS n_fact,
+             CAST(SUM(CASE WHEN d.dep_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             COUNT(DISTINCT f.dep_ref) AS ndv_ref
+      FROM read_parquet('$outRoot/ref_fact/*.parquet') f
+      LEFT JOIN read_parquet('$outRoot/ref_dim/*.parquet') d
+        ON f.dep_ref = d.dep_id""",
+
+    "g05_gendata_format" -> s"""
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN regexp_matches(sku, '^SKU-[0-9]{5}-[a-zA-Z0-9]{3}$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_sku_ok,
+             CAST(SUM(CASE WHEN regexp_matches(email, '^[a-z]+[0-9]+@[a-z.]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_ok,
+             CAST(SUM(CASE WHEN regexp_matches(month_code, '^(19|20)[0-9]{2}-(0[1-9]|1[0-2])$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_month_ok,
+             MIN(CAST(as_int_str AS INT)) AS int_str_min,
+             MAX(CAST(as_int_str AS INT)) AS int_str_max,
+             CAST(SUM(CASE WHEN from_expr % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_expr_ok
+      FROM read_parquet('$outRoot/fmt/*.parquet')"""
   )
 }
