@@ -150,6 +150,27 @@ object Anonymizer {
     }
   }
 
+  // ---- N4: stats / schema-name anonymization --------------------------
+
+  /** Anonymize db/table/column names inside a stats tree with the same
+    * context (so stats stay joinable with anonymized schemas/queries —
+    * reference: cmd/anonymize.go:100-122, cmd/dump.go:299-341). */
+  def anonymizeStats(ctx: Context, db: String, tables: Seq[graft.genrule.TableStats])
+      : (String, Seq[graft.genrule.TableStats]) =
+    (ctx.anonymize(db), tables.map(t => t.copy(
+      name = ctx.anonymize(t.name),
+      columns = t.columns.map(c => c.copy(name = ctx.anonymize(c.name))))))
+
+  /** Anonymize the db/table parts of a `<db>.<table>.<type>.sql` schema
+    * file name (the type suffix and extension are structure, not ids). */
+  def anonymizeSchemaFileName(ctx: Context, fileName: String): String =
+    fileName match {
+      case s if s.count(_ == '.') >= 3 =>
+        val parts = s.split('.')
+        (Seq(ctx.anonymize(parts(0)), ctx.anonymize(parts(1))) ++ parts.drop(2)).mkString(".")
+      case other => other
+    }
+
   def loadDictYaml(yaml: String): Map[String, String] = {
     val loaded = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, String]](yaml)
     if (loaded == null) Map.empty else loaded.asScala.toMap
@@ -254,7 +275,13 @@ object Anonymizer {
             })
           if (pendingEngineValue) { sb ++= w; pendingEngineValue = false }
           else if (isKeyword || isFunction) sb ++= w
-          else sb ++= f(w)
+          else {
+            val alias = f(w)
+            // hex aliases may start with a digit; quote those so the
+            // rewritten statement stays parseable (N5 replayability)
+            if (alias.nonEmpty && alias.head.isDigit && alias != w) sb ++= s"`$alias`"
+            else sb ++= alias
+          }
           if (lw == "engine") pendingEngineValue = true
           pendingCommentLiteral = lw == "comment"
           prevMeaningful = lw

@@ -81,6 +81,23 @@ object SqlSurfaceQueries extends QueryModule {
         MINUS
         SELECT s_nationkey FROM supplier
         ORDER BY nk"""))
+    }),
+
+    // X-BH: the bitmap/hll trio the reference emits (bitmap = sorted
+    // distinct array<bigint>; hll value = 64-bit element hash). The
+    // oracle can't recompute xxhash64, so it checks at the cardinality
+    // level, where count(distinct hll_hash(x)) = count(distinct x).
+    "q31_bitmap_hll" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.DorisCompat.register(s)
+      s.sql("""
+        SELECT l_linenumber,
+               CAST(bitmap_count(bitmap_from_array(collect_list(l_suppkey))) AS BIGINT) AS bm_ndv,
+               COUNT(DISTINCT hll_hash(l_suppkey)) AS hll_ndv,
+               CAST(bitmap_count(bitmap_empty()) AS BIGINT) AS bm_zero
+        FROM lineitem
+        GROUP BY l_linenumber
+        ORDER BY l_linenumber""")
     })
   )
 
@@ -131,6 +148,15 @@ object SqlSurfaceQueries extends QueryModule {
       SELECT c_nationkey AS nk FROM customer
       EXCEPT
       SELECT s_nationkey FROM supplier
-      ORDER BY nk"""
+      ORDER BY nk""",
+
+    "q31_bitmap_hll" -> """
+      SELECT l_linenumber,
+             COUNT(DISTINCT l_suppkey) AS bm_ndv,
+             COUNT(DISTINCT l_suppkey) AS hll_ndv,
+             CAST(0 AS BIGINT) AS bm_zero
+      FROM lineitem
+      GROUP BY l_linenumber
+      ORDER BY l_linenumber"""
   )
 }

@@ -54,15 +54,53 @@ object AuditLog {
 
   /** S1: file scan + multi-line reassembly. One row per audit *record*
     * (a line not starting with a timestamp belongs to the previous one).
-    * Columns: file, record. */
-  def records(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("file"), col("value"))
-      // zero-width lookahead split keeps each record intact, with its
-      // continuation lines, in file order
-      .select(col("file"),
+    * Columns: file, record. `encoding` other than UTF-8 reads the bytes
+    * and decodes with that charset (S2). */
+  def records(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
+    val text =
+      if (encoding.equalsIgnoreCase("UTF-8"))
+        spark.read.option("wholetext", "true").text(path)
+          .select(input_file_name().as("file"), col("value"))
+      else {
+        // Spark's decode() expression whitelists a few charsets only; a
+        // JVM decode runs once per FILE (wholetext granularity), so the
+        // UDF is off the per-row hot path
+        val dec = udf((bytes: Array[Byte]) => new String(bytes, encoding))
+        spark.read.format("binaryFile").load(path)
+          .select(col("path").as("file"), dec(col("content")).as("value"))
+      }
+    // zero-width lookahead split keeps each record intact, with its
+    // continuation lines, in file order
+    text.select(col("file"),
         posexplode(split(col("value"), s"(?m)(?=^$recordStartRe )")).as(Seq("pos", "record")))
       .filter(col("record").rlike(s"^$recordStartRe "))
+  }
+
+  /** S2: encoding detection over a head sample — strict UTF-8 probe
+    * (retrying with up to 3 trailing bytes dropped, in case the sample
+    * cuts a multi-byte char); anything non-UTF-8 decodes as GB18030,
+    * mirroring the reference's chardet + GBK→GB18030 promotion
+    * (reference: src/auditlog.go:438-457, src/misc.go:116-163). */
+  def detectEncoding(head: Array[Byte]): String = {
+    import java.nio.ByteBuffer
+    import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+    def utf8Ok(bytes: Array[Byte]): Boolean =
+      try {
+        StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+          .decode(ByteBuffer.wrap(bytes))
+        true
+      } catch { case _: CharacterCodingException => false }
+    val ok = (0 to 3).exists(drop => head.length >= drop && utf8Ok(head.dropRight(drop)))
+    if (ok) "UTF-8" else "GB18030"
+  }
+
+  /** Detect the encoding of a local file from its first 4 KB. */
+  def detectFileEncoding(path: String): String = {
+    val in = new java.io.FileInputStream(path)
+    try detectEncoding(in.readNBytes(4096)) finally in.close()
+  }
 
   /** S3 + F1: regex extraction into typed columns. Rows whose record does
     * not match the (db/state/only-select-refined) pattern are dropped —
