@@ -80,6 +80,13 @@ object PipelineQueries extends QueryModule {
       val nn = Ann.lshNeighbors(embs(s, dir), dims = 64, planes = 6, tables = 8)
       nn.write.mode("overwrite").parquet(s"$outRoot/ann_pairs")
       s.read.parquet(s"$outRoot/ann_pairs").orderBy("vec_id")
+    }),
+
+    // ---- tumbling-window event aggregation (same operator serves the
+    //      Structured Streaming path; see EventStream + StreamingSpec) ---
+    "p08_events_window" -> ((s, dir) => {
+      graft.streaming.EventStream.windowedAgg(Tables.t(s, dir, "events"))
+        .orderBy("hour_start", "event_type")
     })
   )
 
@@ -160,6 +167,15 @@ object PipelineQueries extends QueryModule {
       FROM read_parquet('$outRoot/ann_pairs/*.parquet') p
       JOIN embeddings a ON a.vec_id = p.vec_id
       JOIN embeddings b ON b.vec_id = p.neighbor_id
-      ORDER BY p.vec_id"""
+      ORDER BY p.vec_id""",
+
+    "p08_events_window" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(value) AS DOUBLE) AS sum_value,
+             AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""
   )
 }

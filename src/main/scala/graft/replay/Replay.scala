@@ -70,6 +70,11 @@ object Replay {
       var hash = ""
       var err = ""
       try {
+        // R3: per-statement db context from meta — the child session's
+        // current database is this client's `USE db` state
+        if (s.db.nonEmpty && session.catalog.currentDatabase != s.db &&
+            session.catalog.databaseExists(s.db))
+          session.catalog.setCurrentDatabase(s.db)
         val stmt = if (opts.translateDialect) DorisSql.translate(s.stmt) else s.stmt
         val df = session.sql(stmt)
         if (opts.maxHashRows > 0) {

@@ -163,6 +163,38 @@ object AuditLog {
   def encoded(df: DataFrame): DataFrame =
     df.select(encodeReplaySql(col("ts"), col("client"), col("user"), col("db"),
       col("queryId"), col("durationMs"), col("stmt")).as("line"))
+
+  /** S8: dump-SQL file sink — one `q{i}.sql` per input log file, lines in
+    * file order (reference: cmd/dump.go:461-536). The write itself is one
+    * distributed job partitioned by source-file index; the q{i} renames
+    * are driver-side metadata moves. */
+  def writeDumpSql(queriesDf: DataFrame, outDir: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val files = queriesDf.select("file").distinct().collect().map(_.getString(0)).sorted
+    val idx = files.zipWithIndex.toMap
+    val idxCol = files.foldLeft(lit(-1)) { (acc, f) => when(col("file") === f, lit(idx(f))).otherwise(acc) }
+    val staging = s"$outDir/_staging"
+    queriesDf.withColumn("fileIdx", idxCol)
+      .withColumn("line", encodeReplaySql(col("ts"), col("client"), col("user"),
+        col("db"), col("queryId"), col("durationMs"), col("stmt")))
+      .repartition(col("fileIdx"))
+      .sortWithinPartitions("fileIdx", "pos")
+      .select(col("fileIdx"), col("line"))
+      .write.mode("overwrite").partitionBy("fileIdx").text(staging)
+    // q{i}.sql per input file (tiny driver-side renames)
+    Files.createDirectories(Paths.get(outDir))
+    val out = files.indices.map { i =>
+      val partDir = Paths.get(s"$staging/fileIdx=$i")
+      val parts = Files.list(partDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+      val target = Paths.get(s"$outDir/q$i.sql")
+      Files.write(target,
+        parts.flatMap(p => Files.readAllLines(p).asScala).mkString("", "\n", "\n").getBytes("UTF-8"))
+      s"q$i.sql"
+    }
+    out
+  }
 }
 
 /** F4: unescape \n, \t, \r outside string literals and comments — a

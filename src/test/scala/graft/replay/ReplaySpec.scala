@@ -63,6 +63,24 @@ class ReplaySpec extends SparkSpec {
     assert(df1.filter("queryId = 'q3' AND err IS NOT NULL").count() == 1)
   }
 
+  test("R3: per-statement db context switches the client session database") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS replay_db")
+    spark.sql("CREATE TABLE IF NOT EXISTS replay_db.rt (id BIGINT) USING parquet")
+    spark.sql("INSERT OVERWRITE replay_db.rt VALUES (1), (2), (3)")
+    try {
+      val stmts = Seq(graft.workload.ReplayStatement(
+        "2024-01-01 00:00:00", 0L, "replay_db", "qdb", 0L, "SELECT * FROM rt"))
+      val results = Replay.replay(spark, Map("c1" -> stmts), minTs = 0L,
+        Replay.Options(), sleeper = _ => ())
+      val r = results("c1").head
+      assert(r.err.isEmpty, s"err: ${r.err}")
+      assert(r.returnRows == 3) // resolved rt through USE replay_db
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS replay_db.rt")
+      spark.sql("DROP DATABASE IF EXISTS replay_db")
+    }
+  }
+
   test("result JSON shape matches the reference (omitempty fields)") {
     val r = Replay.Result("2024-08-06 23:44:11.041", "qid", 3, "", 12, "")
     assert(Replay.resultJson(r) ==
