@@ -311,10 +311,39 @@ object RelationalQueries extends QueryModule {
         GROUP BY m.status_name ORDER BY m.status_name""")
     }),
 
-    // ---- sampling (rows-only: engines sample differently) --------------
+    // ---- sampling, self-verifying (engines sample differently, so the
+    //      oracle checks INVARIANTS of the landed sample: validity vs the
+    //      base table and a fraction bound — both deterministic given the
+    //      landed file, whatever rows the sampler picked) ----------------
     "q23_tablesample" -> ((s, dir) => {
+      val samplePath = "/tmp/graft_sample/lineitem_10pct"
       t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("l_orderkey"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .write.mode("overwrite").parquet(samplePath)
+      val sample = s.read.parquet(samplePath)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"), col("l_linenumber").as("ln"), col("l_quantity").as("q"))
+      val total = t(s, dir, "lineitem").count()
+      sample.join(li,
+          sample("l_orderkey") === li("k") && sample("l_linenumber") === li("ln") &&
+            sample("l_quantity") === li("q"), "left")
+        .agg(
+          sum(when(li("k").isNull, 1L).otherwise(0L)).as("n_invalid"),
+          (count(lit(1)) > lit(0.05 * total) && count(lit(1)) < lit(0.15 * total)).as("frac_ok"))
+    }),
+
+    // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
+    "q33_literals" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL '3' MONTH AS DATE) AS due,
+               element_at(array(o_orderkey, o_orderkey * 2, 7L), 2) AS arr2,
+               CAST(element_at(map('k', o_totalprice, 'z', CAST(0 AS DECIMAL(15,2))), 'k') AS DOUBLE) AS map_k,
+               named_struct('x', o_orderkey, 'y', o_orderstatus).y AS st_y
+        FROM orders
+        WHERE o_orderkey <= 200
+        ORDER BY o_orderkey""")
     })
   )
 
@@ -514,7 +543,28 @@ object RelationalQueries extends QueryModule {
       JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
            AS m(code, status_name)
         ON o_orderstatus = m.code
-      GROUP BY m.status_name ORDER BY m.status_name"""
-    // q23_tablesample: intentionally no oracle (sampling differs by engine)
+      GROUP BY m.status_name ORDER BY m.status_name""",
+
+    // engines sample differently, so the oracle verifies invariants of
+    // the LANDED sample — membership in the base table and the fraction
+    // bound — which are deterministic whatever rows the sampler picked
+    "q23_tablesample" -> """
+      SELECT CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+             (COUNT(*) > 0.05 * (SELECT COUNT(*) FROM lineitem)
+              AND COUNT(*) < 0.15 * (SELECT COUNT(*) FROM lineitem)) AS frac_ok
+      FROM read_parquet('/tmp/graft_sample/lineitem_10pct/*.parquet') s
+      LEFT JOIN lineitem l
+        ON s.l_orderkey = l.l_orderkey AND s.l_linenumber = l.l_linenumber
+       AND s.l_quantity = l.l_quantity""",
+
+    "q33_literals" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due,
+             ([o_orderkey, o_orderkey * 2, 7])[2] AS arr2,
+             CAST(map(['k', 'z'], [o_totalprice, 0])['k'][1] AS DOUBLE) AS map_k,
+             {'x': o_orderkey, 'y': o_orderstatus}.y AS st_y
+      FROM orders
+      WHERE o_orderkey <= 200
+      ORDER BY o_orderkey"""
   )
 }
