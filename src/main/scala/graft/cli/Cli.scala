@@ -1,0 +1,147 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.anon.Anonymizer
+import graft.diff.Diff
+import graft.dump.SchemaDump
+import graft.gen.GenPlanner
+import graft.genrule.GenRules
+import graft.replay.Replay
+import graft.stats.Stats
+import graft.workload.{AuditLog, ReplayCodec}
+
+/** Command surface mirroring the reference's verbs (SURVEY.md §7.1 cli):
+  *
+  *   dump      --audit-log <path> --out <dir> [--only-select] [--strict]
+  *   gendata   --ddl <file,...> --out <dir> [--genconf <yaml>] [--rows n]
+  *             [--seed n] [--format csv|parquet]
+  *   replay    --source <dumpDir> --out <resultDir> [--speed x]
+  *             [--client-count n] [--max-hash-rows k]
+  *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
+  *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
+  *   stats     --table <parquetPath> --name <table> --out <yamlFile>
+  *
+  * Each verb is a thin wiring of the library modules — the CLI owns arg
+  * parsing and nothing else, so everything it can do is equally available
+  * as a library call (reference: cmd/root.go:63-84).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val verb = args.head
+    val opts = parseFlags(args.tail)
+    val spark = session()
+    try run(spark, verb, opts)
+    finally spark.stop()
+  }
+
+  val usage: String =
+    "usage: graft.cli.Cli <dump|gendata|replay|diff|anonymize|stats> [--flag value ...]"
+
+  def parseFlags(args: Seq[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --flag, got '$a'\n$usage")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(a.drop(2)) = args(i + 1); i += 2
+      } else { m(a.drop(2)) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
+  private def session(): SparkSession =
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** Dispatch one verb (exposed for tests; throws on bad input). */
+  def run(spark: SparkSession, verb: String, o: Map[String, String]): Unit = verb match {
+    case "dump" =>
+      val qdf = AuditLog.queries(spark, req(o, "audit-log"), AuditLog.ScanOpts(
+        onlySelect = o.contains("only-select"),
+        strict = o.contains("strict"),
+        minDurationMs = o.getOrElse("min-duration-ms", "0").toLong))
+      val written = AuditLog.writeDumpSql(qdf, req(o, "out"))
+      println(s"dumped ${written.size} query file(s) to ${req(o, "out")}")
+
+    case "gendata" =>
+      val ddls = req(o, "ddl").split(',').toSeq.map(p =>
+        graft.ddl.DorisDdl.parseCreateTable(readFile(p)))
+      val conf = o.get("genconf").map(readFile).getOrElse("")
+      val rows = o.getOrElse("rows", "1000").toLong
+      val seed = o.getOrElse("seed", "42").toLong
+      val out = req(o, "out")
+      GenPlanner.generateDatasets(spark, ddls, conf, seed, rows)
+        .zipWithIndex.foreach { case (tables, di) =>
+          tables.foreach { case (name, df) =>
+            val dir = s"$out/$name/conf_$di"
+            if (o.getOrElse("format", "csv") == "parquet") df.write.mode("overwrite").parquet(dir)
+            else graft.gen.TableGen.writeCsv(df, dir,
+              o.getOrElse("rows-per-file", "20000").toInt)
+            println(s"generated $name dataset $di -> $dir")
+          }
+        }
+
+    case "replay" =>
+      val decoded = ReplayCodec.decode(spark, req(o, "source"), ReplayCodec.DecodeOpts(
+        clientCount = o.getOrElse("client-count", "0").toInt))
+      val minTs = ReplayCodec.minTs(decoded).getOrElse(0L)
+      val results = Replay.replay(spark, ReplayCodec.byClient(decoded), minTs,
+        Replay.Options(
+          speed = o.getOrElse("speed", "1.0").toDouble,
+          maxHashRows = o.getOrElse("max-hash-rows", "0").toInt))
+      Replay.writeResults(req(o, "out"), results)
+      println(s"replayed ${results.valuesIterator.map(_.size).sum} statement(s) " +
+        s"across ${results.size} client(s) -> ${req(o, "out")}")
+
+    case "diff" =>
+      val d = Diff.compare(
+        Replay.readResults(spark, req(o, "left")),
+        Replay.readResults(spark, req(o, "right")),
+        minDurationDiffMs = o.getOrElse("min-duration-diff", "100").toLong)
+      val bad = Diff.report(d)
+      val n = bad.count()
+      bad.show(100, truncate = false)
+      println(s"diff: $n mismatch(es)")
+
+    case "anonymize" =>
+      val ctx = new Anonymizer.Context(
+        method = o.getOrElse("method", "hash"),
+        initialDict = o.get("dict").map(p => Anonymizer.loadDictYaml(readFile(p)))
+          .getOrElse(Map.empty))
+      val out = readFile(req(o, "file")).linesIterator
+        .map(l => if (l.trim.isEmpty) l else Anonymizer.anonymizeSql(ctx, l, hideComments = true))
+        .mkString("\n")
+      println(out)
+      o.get("dict-out").foreach(p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), ctx.dictYaml))
+
+    case "stats" =>
+      val df = spark.read.parquet(req(o, "table"))
+      val name = o.getOrElse("name", "table")
+      val collected = Stats.collect(df, exact = o.contains("exact"))
+      val yaml = Stats.toYaml(o.getOrElse("db", "db"),
+        Seq(Stats.toTableStats(name, df.count(), collected)))
+      o.get("out") match {
+        case Some(p) => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
+        case None    => println(yaml)
+      }
+
+    case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")
+  }
+
+  private def req(o: Map[String, String], k: String): String =
+    o.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+}

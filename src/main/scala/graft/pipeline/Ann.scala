@@ -49,6 +49,32 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold)
+    * via the same multi-table hyperplane-LSH bucketing as lshNeighbors —
+    * candidates only ever form inside (table, bucket) groups, then exact
+    * cosine verifies. High-threshold near-dups are near-collinear, so
+    * per-table bucket agreement probability is (1-θ/π)^planes ≈ 1 and
+    * multi-table recall is effectively exact at dedup thresholds. */
+  def cosineNearDupPairs(emb: DataFrame, dims: Int, threshold: Double,
+                         planes: Int = 8, tables: Int = 8, seed: Long = 5): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      posexplode(call_function("graft_hyperplane_buckets",
+        col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("i"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("j"))
+    val candidates = a.join(b, Seq("table", "bucket"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val va = emb.select(col("vec_id").as("i"), col("embedding").as("e_i"))
+    val vb = emb.select(col("vec_id").as("j"), col("embedding").as("e_j"))
+    candidates.join(va, "i").join(vb, "j")
+      .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
+      .filter(col("cos_r") >= threshold)
+      .select("i", "j", "cos_r")
+  }
+
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
     * hyperplane LSH: `tables` independent hash tables of `planes` bits
     * each; candidates are vectors sharing a bucket in ANY table (recall

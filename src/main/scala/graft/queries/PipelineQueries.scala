@@ -87,6 +87,21 @@ object PipelineQueries extends QueryModule {
     "p08_events_window" -> ((s, dir) => {
       graft.streaming.EventStream.windowedAgg(Tables.t(s, dir, "events"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- embedding-cosine near-dup (LSH-bucketed; the oracle verifies
+    //      invariants of the REPORTED pairs — each recomputed cosine must
+    //      clear the threshold — since LSH recall is probabilistic at low
+    //      thresholds; exact-recall behavior is unit-tested on planted
+    //      near-dups in PipelineSpec) ------------------------------------
+    "p09_embedding_neardup" -> ((s, dir) => {
+      val pairs = Ann.cosineNearDupPairs(embs(s, dir), dims = 64, threshold = 0.45)
+      pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
+      val landed = s.read.parquet(s"$outRoot/neardup_pairs")
+      landed.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("cos_r") < 0.45, 1L).otherwise(0L)), lit(0L)).as("n_below"),
+        coalesce(min(col("cos_r")), lit(0.0)).as("min_cos"))
     })
   )
 
@@ -176,6 +191,17 @@ object PipelineQueries extends QueryModule {
              AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
       FROM events
       GROUP BY 1, 2
-      ORDER BY 1, 2"""
+      ORDER BY 1, 2""",
+
+    "p09_embedding_neardup" -> s"""
+      SELECT COUNT(*) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) < 0.45
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below,
+             COALESCE(MIN(round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)), 0.0) AS min_cos
+      FROM read_parquet('$outRoot/neardup_pairs/*.parquet') p
+      JOIN embeddings a ON a.vec_id = p.i
+      JOIN embeddings b ON b.vec_id = p.j"""
   )
 }

@@ -1,0 +1,59 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** The dodo-verb command surface, driven end-to-end: dump → replay →
+  * diff on the audit fixture, gendata from DDL, anonymize, stats. */
+class CliSpec extends SparkSpec {
+
+  private val auditLog = getClass.getResource("/fixture/fe.audit.log").getPath
+
+  test("dump -> replay -> replay -> diff round-trip") {
+    val dumpDir = Files.createTempDirectory("cli_dump").toString
+    Cli.run(spark, "dump", Map("audit-log" -> auditLog, "out" -> dumpDir))
+    assert(Files.exists(Paths.get(s"$dumpDir/q0.sql")))
+
+    val r1 = Files.createTempDirectory("cli_r1").toString
+    val r2 = Files.createTempDirectory("cli_r2").toString
+    Cli.run(spark, "replay", Map("source" -> s"$dumpDir/q0.sql", "out" -> r1,
+      "speed" -> "1000000", "max-hash-rows" -> "10"))
+    Cli.run(spark, "replay", Map("source" -> s"$dumpDir/q0.sql", "out" -> r2,
+      "speed" -> "1000000", "max-hash-rows" -> "10"))
+    assert(graft.replay.Replay.guessClientCount(r1) > 0)
+    // deterministic replays diff clean
+    Cli.run(spark, "diff", Map("left" -> r1, "right" -> r2,
+      "min-duration-diff" -> "60000"))
+  }
+
+  test("gendata from DDL file generates the configured rows") {
+    val ddl = Files.createTempFile("cli_ddl", ".sql")
+    Files.writeString(ddl, "CREATE TABLE g (id bigint NOT NULL, v varchar(8) NULL)")
+    val out = Files.createTempDirectory("cli_gen").toString
+    Cli.run(spark, "gendata", Map("ddl" -> ddl.toString, "out" -> out,
+      "rows" -> "50", "format" -> "parquet"))
+    assert(spark.read.parquet(s"$out/g/conf_0").count() == 50)
+  }
+
+  test("stats writes a stats.yaml round-trippable by the rule system") {
+    val data = Files.createTempDirectory("cli_stats_in").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v").write.mode("overwrite").parquet(data)
+    val out = Files.createTempFile("cli_stats", ".yaml").toString
+    Cli.run(spark, "stats", Map("table" -> data, "name" -> "t", "out" -> out, "exact" -> "true"))
+    val (_, tables) = graft.stats.Stats.fromYaml(Files.readString(Paths.get(out)))
+    assert(tables.head.rowCount == 3)
+    assert(tables.head.col("v").exists(_.nullCount == 1))
+    assert(tables.head.col("id").exists(_.ndv == 3))
+  }
+
+  test("unknown verb and missing flags error usefully") {
+    val e1 = intercept[IllegalArgumentException] { Cli.run(spark, "nope", Map.empty) }
+    assert(e1.getMessage.contains("unknown verb"))
+    val e2 = intercept[IllegalArgumentException] { Cli.run(spark, "dump", Map.empty) }
+    assert(e2.getMessage.contains("--audit-log"))
+    assert(Cli.parseFlags(Seq("--a", "1", "--flag", "--b", "x")) ==
+      Map("a" -> "1", "flag" -> "true", "b" -> "x"))
+  }
+}

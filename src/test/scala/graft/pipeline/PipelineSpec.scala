@@ -56,12 +56,30 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("embedding-cosine near-dup: planted duplicate detection") {
-    // near-dup text pairs should also be embedding near-dups if embeddings
-    // correlate with text; validate the cosine op itself on self-similarity
+    // validate the cosine op on self-similarity...
     val self = embs.limit(5)
       .withColumn("cos", Ann.cosine(col("embedding"), col("embedding")))
       .select("cos").collect().map(_.getDouble(0))
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+
+    // ...and LSH near-dup recall on PLANTED near-dups: for each of 10
+    // vectors, plant a lightly-perturbed copy (cos ≈ 0.999) among the
+    // corpus — at dedup thresholds bucket agreement is near-certain, so
+    // every planted pair must surface
+    val r = new scala.util.Random(3)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * r.nextGaussian().toFloat)
+    val originals = (0L until 10L).map(i => i -> vec())
+    val planted = originals.map { case (i, v) => (i + 1000L) -> perturb(v) }
+    val noise = (100L until 200L).map(i => i -> vec())
+    val df = spark.createDataFrame(originals ++ planted ++ noise)
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(df, dims = 64, threshold = 0.9)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missed planted pairs: ${expected -- pairs}")
+    // and nothing among pure noise clears a 0.9 threshold
+    assert(pairs.forall { case (i, j) => expected.contains((i, j)) })
   }
 
   test("multimodal: batch plumbing with stubbed decode") {
