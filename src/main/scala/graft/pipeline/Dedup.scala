@@ -62,8 +62,14 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
 
-    // exact-Jaccard verification only on candidates (shingles re-joined by
-    // id so band buckets never carry the shingle arrays through shuffle)
+    verifyJaccard(candidates, base, threshold)
+  }
+
+  /** Exact-Jaccard verification only on candidate (i, j) pairs — shingles
+    * re-joined by id so candidate generation never carries the shingle
+    * arrays through its shuffle. */
+  private def verifyJaccard(candidates: DataFrame, base: DataFrame,
+                            threshold: Double): DataFrame = {
     val shA = base.select(col("id").as("i"), col("sh").as("sh_i"))
     val shB = base.select(col("id").as("j"), col("sh").as("sh_j"))
     candidates.join(shA, "i").join(shB, "j")
@@ -72,6 +78,41 @@ object Dedup {
           size(array_union(col("sh_i"), col("sh_j"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
+  }
+
+  /** EXACT n-gram Jaccard near-dup pairs via a shared-shingle inverted
+    * index: any pair with jaccard ≥ t > 0 shares at least one shingle, so
+    * pairs co-occurring under some shingle hash are a SUPERSET of the true
+    * pairs — the groupBy-shuffle bucket here is the shingle itself, and
+    * exact verification filters. Complement to minhashPairs: exact instead
+    * of probabilistic, at the cost of candidate volume driven by shingle
+    * document frequency. `dfCap > 0` drops shingles appearing in more than
+    * dfCap docs — THE scale knob for 100 TB corpora (ubiquitous shingles
+    * generate quadratic candidates and carry no dedup signal); with a cap
+    * the result loses only pairs whose every shared shingle is ubiquitous,
+    * which at near-dup thresholds do not exist. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, shingleN: Int = 3,
+                        dfCap: Int = 0): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (J >= t > 0 implies a shared shingle)")
+    val base = df.select(
+      col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posts = base.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val usable =
+      if (dfCap <= 0) posts
+      else {
+        val rare = posts.groupBy("sh_h").count().filter(col("count") <= dfCap).select("sh_h")
+        posts.join(rare, "sh_h")
+      }
+    val a = usable.select(col("sh_h"), col("id").as("i"))
+    val b = usable.select(col("sh_h"), col("id").as("j"))
+    val candidates = a.join(b, "sh_h")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccard(candidates, base, threshold)
   }
 
   /** SimHash signatures (id, sig) — compiled single-pass kernel

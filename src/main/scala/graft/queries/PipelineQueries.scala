@@ -89,6 +89,15 @@ object PipelineQueries extends QueryModule {
         .orderBy("hour_start", "event_type")
     }),
 
+    // ---- exact n-gram Jaccard dedup (inverted-index bucketing: the
+    //      oracle's brute-force set must match EXACTLY, unlike p04's
+    //      probabilistic LSH which the oracle happens to match because
+    //      planted dups are high-similarity) -----------------------------
+    "p10_ngram_jaccard_dedup" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("i", "j")
+    }),
+
     // ---- embedding-cosine near-dup (LSH-bucketed; the oracle verifies
     //      invariants of the REPORTED pairs — each recomputed cosine must
     //      clear the threshold — since LSH recall is probabilistic at low
@@ -192,6 +201,22 @@ object PipelineQueries extends QueryModule {
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    "p10_ngram_jaccard_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY i, j""",
 
     "p09_embedding_neardup" -> s"""
       SELECT COUNT(*) AS n_pairs,

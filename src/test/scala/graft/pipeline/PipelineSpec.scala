@@ -29,6 +29,24 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("n-gram Jaccard inverted-index dedup is EXACT vs brute force") {
+    val ix = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.shingles(TextOps.tokens(col("text"))).as("sh")).filter(size(col("sh")) > 0)
+    val exact = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .withColumn("jac", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && ix == exact)
+    // dfCap caps candidate volume; at near-dup thresholds the planted
+    // pairs share many non-ubiquitous shingles, so none are lost
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, dfCap = 20)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact)
+  }
+
   test("simhash banding is exact for hamming <= 3 (pigeonhole)") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text").cache()
     try {
