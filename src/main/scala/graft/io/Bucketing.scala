@@ -1,0 +1,28 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Co-located joins via bucketed tables — the shuffle-elimination story
+  * for repeated large-fact joins at 100 TB: two tables bucketed (and
+  * sorted) the same way on the join keys sort-merge-join with NO
+  * Exchange on either side; the shuffle is paid once at write time and
+  * amortized over every subsequent join/aggregation on those keys.
+  * (Requires `spark.sql.sources.bucketing.enabled`, on by default.)
+  */
+object Bucketing {
+
+  /** Write `df` as a managed bucketed+sorted table on `keys`. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int, format: String = "parquet"): Unit =
+    df.write
+      .format(format)
+      .mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** True when the physical plan of `joined` contains no shuffle — the
+    * property bucketed co-location buys (exposed for tests/diagnostics). */
+  def isShuffleFree(joined: DataFrame): Boolean =
+    !joined.queryExecution.executedPlan.toString.contains("Exchange ")
+}

@@ -87,6 +87,17 @@ object SqlSurfaceQueries extends QueryModule {
     // distinct array<bigint>; hll value = 64-bit element hash). The
     // oracle can't recompute xxhash64, so it checks at the cardinality
     // level, where count(distinct hll_hash(x)) = count(distinct x).
+    // Doris distribute hint surface: [broadcast] translated to a
+    // Catalyst BROADCAST hint (plan shape asserted in DorisSqlSpec; the
+    // oracle checks the join result is hint-invariant)
+    "q34_distribute_hints" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN [broadcast] nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""))
+    }),
+
     "q31_bitmap_hll" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       graft.functions.DorisCompat.register(s)
@@ -149,6 +160,11 @@ object SqlSurfaceQueries extends QueryModule {
       EXCEPT
       SELECT s_nationkey FROM supplier
       ORDER BY nk""",
+
+    "q34_distribute_hints" -> """
+      SELECT n_name, COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
 
     "q31_bitmap_hll" -> """
       SELECT l_linenumber,

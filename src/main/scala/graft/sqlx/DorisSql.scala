@@ -8,7 +8,10 @@ package graft.sqlx
   *                               predicate, filter, drop the helper col
   *                               (Spark has no QUALIFY);
   *   - `LIMIT m, n`            → `LIMIT n OFFSET m`;
-  *   - `MINUS`                 → `EXCEPT`.
+  *   - `MINUS`                 → `EXCEPT`;
+  *   - `JOIN [broadcast] t` / `[shuffle]` distribute hints
+  *                             → Catalyst `/*+ BROADCAST(t) */` /
+  *                               `/*+ SHUFFLE_HASH(t) */` in the SELECT.
   *
   * Rewrites operate on top-level tokens only (string literals, comments
   * and parenthesized subqueries are opaque).
@@ -16,7 +19,37 @@ package graft.sqlx
 object DorisSql {
 
   def translate(sql: String): String =
-    rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(sql)))
+    rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(rewriteDistributeHints(sql))))
+
+  /** Doris join distribute hints (DorisParser.g4 joinRelation,
+    * distributeType): `[broadcast]`/`[shuffle]` before the right-side
+    * relation become Catalyst join-strategy hints on the enclosing
+    * SELECT, named by the relation's alias (or its table name). */
+  private val distHintRe =
+    """(?i)\[\s*(broadcast|shuffle)\s*\]\s*(`?[A-Za-z_][\w.]*`?)(?:\s+(?:as\s+)?(`?[A-Za-z_]\w*`?))?""".r
+  private val relKeywords = Set("on", "using", "where", "join", "inner", "left",
+    "right", "full", "cross", "group", "order", "limit", "qualify", "having")
+
+  private def rewriteDistributeHints(sql: String): String = {
+    val hints = Seq.newBuilder[String]
+    val stripped = distHintRe.replaceAllIn(sql, m => {
+      val kind = m.group(1).toLowerCase
+      val table = m.group(2).stripPrefix("`").stripSuffix("`")
+      val alias = Option(m.group(3)).map(_.stripPrefix("`").stripSuffix("`"))
+        .filterNot(a => relKeywords.contains(a.toLowerCase))
+      val name = alias.getOrElse(table.split('.').last)
+      hints += (if (kind == "broadcast") s"BROADCAST($name)" else s"SHUFFLE_HASH($name)")
+      scala.util.matching.Regex.quoteReplacement(
+        m.matched.replaceFirst("(?i)\\[\\s*(broadcast|shuffle)\\s*\\]\\s*", ""))
+    })
+    val hs = hints.result()
+    if (hs.isEmpty) sql
+    else wordTokens(stripped).find(t => t._1 == "select" && t._4 == 0) match {
+      case Some((_, _, e, _)) =>
+        stripped.substring(0, e) + s" /*+ ${hs.mkString(", ")} */" + stripped.substring(e)
+      case None => stripped
+    }
+  }
 
   /** Token walk: yields (tokenLower, startIdx, endIdx, depth) for word
     * tokens outside strings/comments. */

@@ -35,4 +35,16 @@ class DorisSqlSpec extends AnyFunSuite {
     val sql = "SELECT * FROM (SELECT a FROM t) x WHERE a > 0"
     assert(DorisSql.translate(sql) == sql)
   }
+
+  test("[broadcast]/[shuffle] distribute hints become Catalyst join hints") {
+    val t = DorisSql.translate(
+      "SELECT a.x FROM a JOIN [broadcast] dim d ON a.k = d.k JOIN [shuffle] big ON a.k = big.k")
+    assert(t.contains("/*+ BROADCAST(d), SHUFFLE_HASH(big) */"), t)
+    assert(!t.contains("["))
+    // alias-less relation uses its table name, db prefix stripped
+    val t2 = DorisSql.translate("SELECT * FROM a JOIN [broadcast] db1.dim ON a.k = dim.k")
+    assert(t2.contains("/*+ BROADCAST(dim) */"), t2)
+    // no hint, no change
+    assert(DorisSql.translate("SELECT 1") == "SELECT 1")
+  }
 }
