@@ -49,6 +49,49 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) top-k similarity search: the corpus is
+    * partitioned into `nCells` KMeans cells (cosine distance), each query
+    * probes its `nProbe` nearest centroids, and exact cosine ranks only
+    * within probed cells — candidate cost ~ q·(nProbe/nCells)·n instead
+    * of q·n. The scale path when embeddings cluster (LSH needs no
+    * training but ignores data geometry; IVF buys sharper cells from a
+    * one-off fit). `nProbe = nCells` degenerates to exact brute force —
+    * the property the unit test pins. Centroids are a tiny literal array
+    * (driver-side model), so probing is shuffle-free; the only shuffle is
+    * the (cell) candidate join. Returns (query_id, rank, neighbor_id,
+    * cos_r). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+              nProbe: Int = 4, seed: Long = 1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val corpusFv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpusFv)
+    val corpus = model.transform(corpusFv)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cc").desc, col("c.cell"))
+    val probed = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"), explode(centArr).as("c"))
+      .withColumn("cc", cosine(col("q_emb"), col("c.cent")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("c.cell").as("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id"))
+    probed.join(corpus, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_r", round(cosine(col("q_emb"), col("n_emb")), 8))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_r"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold)
     * via the same multi-table hyperplane-LSH bucketing as lshNeighbors —
     * candidates only ever form inside (table, bucket) groups, then exact

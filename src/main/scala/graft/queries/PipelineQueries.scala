@@ -89,6 +89,29 @@ object PipelineQueries extends QueryModule {
         .orderBy("hour_start", "event_type")
     }),
 
+    // ---- IVF ANN (KMeans cells + nearest-centroid probing; the oracle
+    //      verifies reported-neighbor invariants: stored cosines match a
+    //      recompute and ranks are cosine-ordered; full-probe == brute
+    //      force is pinned in PipelineSpec) ------------------------------
+    "p11_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val nn = Ann.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
+        nCells = 16, nProbe = 4)
+      nn.write.mode("overwrite").parquet(s"$outRoot/ivf_pairs")
+      val landed = s.read.parquet(s"$outRoot/ivf_pairs")
+      val a = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val re = landed.join(a, "query_id").join(b, "neighbor_id")
+        .withColumn("cr", round(Ann.cosine(col("qe"), col("ne")), 8))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      re.withColumn("prev_cr", lag(col("cr"), 1).over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("cos_r") =!= col("cr"), 1L).otherwise(0L)), lit(0L)).as("n_cos_mismatch"),
+          coalesce(sum(when(col("cr") > col("prev_cr"), 1L).otherwise(0L)), lit(0L)).as("n_rank_violations"))
+    }),
+
     // ---- exact n-gram Jaccard dedup (inverted-index bucketing: the
     //      oracle's brute-force set must match EXACTLY, unlike p04's
     //      probabilistic LSH which the oracle happens to match because
@@ -201,6 +224,23 @@ object PipelineQueries extends QueryModule {
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    "p11_ann_ivf" -> s"""
+      WITH r AS (
+        SELECT p.query_id, p.rank, p.cos_r,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 8) AS cr
+        FROM read_parquet('$outRoot/ivf_pairs/*.parquet') p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+      v AS (
+        SELECT cos_r, cr,
+               lag(cr) OVER (PARTITION BY query_id ORDER BY rank) AS prev_cr
+        FROM r)
+      SELECT COUNT(*) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN cos_r <> cr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cos_mismatch,
+             CAST(COALESCE(SUM(CASE WHEN cr > prev_cr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rank_violations
+      FROM v""",
 
     "p10_ngram_jaccard_dedup" -> s"""
       WITH sh AS (

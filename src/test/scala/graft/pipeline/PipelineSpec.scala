@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall { case (i, j) => expected.contains((i, j)) })
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe recalls") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(embs, queries, k = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe == nCells probes every cell -> exact brute-force equivalence
+    val full = Ann.ivfTopK(embs, queries, k = 3, nCells = 8, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf)
+    // partial probe keeps reasonable top-1 recall
+    val part = Ann.ivfTopK(embs, queries, k = 1, nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf1 = bf.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val recall = bf1.count { case (q, n) => part.get(q).contains(n) }.toDouble / bf1.size
+    info(f"IVF nProbe=3/8 top-1 recall: $recall%.2f")
+    assert(recall >= 0.5)
+  }
+
   test("multimodal: batch plumbing with stubbed decode") {
     val media = Multimodal.asMedia(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
