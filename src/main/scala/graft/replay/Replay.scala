@@ -29,7 +29,8 @@ object Replay {
       speed: Double = 1.0,
       maxHashRows: Int = 0,
       sleepFloorMs: Long = 2,
-      translateDialect: Boolean = true)
+      translateDialect: Boolean = true,
+      retries: Int = 0) // R2: re-attempts per failed statement
 
   /** JSONL result row (reference: src/replay.go:33-42). */
   case class Result(
@@ -44,10 +45,11 @@ object Replay {
       clientSqls: Map[String, Seq[ReplayStatement]],
       minTs: Long,
       opts: Options = Options(),
-      sleeper: Long => Unit = ms => Thread.sleep(ms)): Map[String, Seq[Result]] = {
+      sleeper: Long => Unit = ms => Thread.sleep(ms),
+      sessionFor: SparkSession => SparkSession = _.newSession()): Map[String, Seq[Result]] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = clientSqls.toSeq.map { case (client, sqls) =>
-      Future(client -> replayClient(spark.newSession(), sqls, minTs, opts, sleeper))
+      Future(client -> replayClient(sessionFor(spark), sqls, minTs, opts, sleeper))
     }
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }
@@ -63,38 +65,47 @@ object Replay {
       if (sleepMs > opts.sleepFloorMs) sleeper(sleepMs)
       prevTs = s.tsMs
 
-      // 2. execute (errors recorded, never thrown — R5)
+      // 2. execute (errors recorded, never thrown — R5; R2: a failed
+      //    statement is re-attempted up to `retries` times, mirroring the
+      //    reference's reconnect-and-retry-once on dropped connections)
       val startedAt = java.time.LocalDateTime.now()
       val t0 = System.nanoTime()
       var rows = 0L
       var hash = ""
       var err = ""
-      try {
-        // R3: per-statement db context from meta — the child session's
-        // current database is this client's `USE db` state
-        if (s.db.nonEmpty && session.catalog.currentDatabase != s.db &&
-            session.catalog.databaseExists(s.db))
-          session.catalog.setCurrentDatabase(s.db)
-        val stmt = if (opts.translateDialect) DorisSql.translate(s.stmt) else s.stmt
-        val df = session.sql(stmt)
-        if (opts.maxHashRows > 0) {
-          val collected = df.limit(opts.maxHashRows + 1).collect()
-          // rows beyond maxHashRows still count, via a separate count
-          rows = if (collected.length > opts.maxHashRows) df.count() else collected.length.toLong
-          val md = MessageDigest.getInstance("SHA-256")
-          collected.take(opts.maxHashRows).foreach { r =>
-            (0 until r.length).foreach { i =>
-              md.update(Option(r.get(i)).map(_.toString).getOrElse("").getBytes("UTF-8"))
-              md.update('\t'.toByte)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        rows = 0L; hash = ""; err = ""
+        try {
+          // R3: per-statement db context from meta — the child session's
+          // current database is this client's `USE db` state
+          if (s.db.nonEmpty && session.catalog.currentDatabase != s.db &&
+              session.catalog.databaseExists(s.db))
+            session.catalog.setCurrentDatabase(s.db)
+          val stmt = if (opts.translateDialect) DorisSql.translate(s.stmt) else s.stmt
+          val df = session.sql(stmt)
+          if (opts.maxHashRows > 0) {
+            val collected = df.limit(opts.maxHashRows + 1).collect()
+            // rows beyond maxHashRows still count, via a separate count
+            rows = if (collected.length > opts.maxHashRows) df.count() else collected.length.toLong
+            val md = MessageDigest.getInstance("SHA-256")
+            collected.take(opts.maxHashRows).foreach { r =>
+              (0 until r.length).foreach { i =>
+                md.update(Option(r.get(i)).map(_.toString).getOrElse("").getBytes("UTF-8"))
+                md.update('\t'.toByte)
+              }
+              md.update('\n'.toByte)
             }
-            md.update('\n'.toByte)
+            if (rows > 0) hash = md.digest().map(b => f"${b & 0xff}%02x").mkString
+          } else {
+            rows = df.count()
           }
-          if (rows > 0) hash = md.digest().map(b => f"${b & 0xff}%02x").mkString
-        } else {
-          rows = df.count()
+        } catch {
+          case e: Throwable => err = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         }
-      } catch {
-        case e: Throwable => err = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        attempt += 1
+        done = err.isEmpty || attempt > opts.retries
       }
       val durationMs = (System.nanoTime() - t0) / 1000000
       prevDurationMs = s.durationMs

@@ -5,6 +5,12 @@ import graft.SparkSpec
 import graft.workload.{ReplayCodec, ReplayStatement}
 import graft.diff.Diff
 
+/** Process-wide call counter for the transient-failure UDF (local-mode
+  * executors share the JVM, so the counter sees every call). */
+object Flaky {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ReplaySpec extends SparkSpec {
 
   private val fixtureDir = getClass.getResource("/fixture").getPath
@@ -79,6 +85,33 @@ class ReplaySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS replay_db.rt")
       spark.sql("DROP DATABASE IF EXISTS replay_db")
     }
+  }
+
+  test("R2: a transiently-failing statement succeeds on retry") {
+    Flaky.calls.set(0)
+    // nondeterministic so Catalyst cannot constant-fold the 0-arg call
+    // away at optimization time (which would absorb the planted failure)
+    spark.udf.register("graft_flaky_once",
+      org.apache.spark.sql.functions.udf(() => {
+        if (Flaky.calls.incrementAndGet() == 1)
+          throw new RuntimeException("transient boom")
+        42L
+      }).asNondeterministic())
+    val stmts = Seq(graft.workload.ReplayStatement(
+      "2024-01-01 00:00:00", 0L, "", "qr", 0L, "SELECT graft_flaky_once() AS v"))
+    // the test UDF lives on the parent session, so replay on it directly
+    // (child sessions get a fresh function registry)
+    // maxHashRows forces row collection — a bare count() would let the
+    // optimizer prune the projection and never evaluate the UDF
+    val noRetry = Replay.replay(spark, Map("c" -> stmts), 0L,
+      Replay.Options(retries = 0, maxHashRows = 10), sleeper = _ => (), sessionFor = identity)
+    assert(noRetry("c").head.err.contains("boom")) // first call fails
+    Flaky.calls.set(0)
+    val withRetry = Replay.replay(spark, Map("c" -> stmts), 0L,
+      Replay.Options(retries = 1, maxHashRows = 10), sleeper = _ => (), sessionFor = identity)
+    assert(withRetry("c").head.err.isEmpty, withRetry("c").head.err)
+    assert(withRetry("c").head.returnRows == 1)
+    assert(graft.replay.Flaky.calls.get() == 2) // exactly one retry
   }
 
   test("result JSON shape matches the reference (omitempty fields)") {
