@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Isolated landing root: a bench run (typically a different scale
+    // factor) must never clobber the landed files a Verify-then-oracle
+    // compare reads. Must be set before any query module initializes.
+    Land.root = "/tmp/graft_bench_land"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

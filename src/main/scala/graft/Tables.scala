@@ -34,6 +34,17 @@ object Tables {
   }
 }
 
+/** Root directory for query outputs that oracles re-read (landed
+  * samples, signatures, generated tables). Set ONCE at process start,
+  * BEFORE any query module initializes: oracle SQL strings interpolate
+  * this root at module init, so queries and oracles always agree within
+  * a process. Bench overrides it so a bench run at one scale factor can
+  * never clobber the files a Verify-then-DuckDB compare at another scale
+  * factor is about to read. */
+object Land {
+  @volatile var root: String = "/tmp/graft_land"
+}
+
 /** A named batch of driver-checkable queries: each entry pairs a Spark
   * implementation with (optionally) an equivalent DuckDB oracle SQL.
   */

@@ -16,7 +16,7 @@ import graft.genrule.{ColumnStats, GenRules, TableStats}
   */
 object GendataQueries extends QueryModule {
 
-  private val outRoot = "/tmp/graft_gendata"
+  private val outRoot = s"${graft.Land.root}/gendata"
 
   private def landAndRead(s: SparkSession, df: DataFrame, name: String): DataFrame = {
     val path = s"$outRoot/$name"

@@ -13,7 +13,7 @@ import graft.pipeline.{Ann, Dedup, TextOps}
   */
 object PipelineQueries extends QueryModule {
 
-  private val outRoot = "/tmp/graft_pipeline"
+  private val outRoot = s"${graft.Land.root}/pipeline"
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
 

@@ -316,7 +316,7 @@ object RelationalQueries extends QueryModule {
     //      base table and a fraction bound — both deterministic given the
     //      landed file, whatever rows the sampler picked) ----------------
     "q23_tablesample" -> ((s, dir) => {
-      val samplePath = "/tmp/graft_sample/lineitem_10pct"
+      val samplePath = s"${graft.Land.root}/sample/lineitem_10pct"
       t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .write.mode("overwrite").parquet(samplePath)
@@ -548,11 +548,11 @@ object RelationalQueries extends QueryModule {
     // engines sample differently, so the oracle verifies invariants of
     // the LANDED sample — membership in the base table and the fraction
     // bound — which are deterministic whatever rows the sampler picked
-    "q23_tablesample" -> """
+    "q23_tablesample" -> s"""
       SELECT CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
              (COUNT(*) > 0.05 * (SELECT COUNT(*) FROM lineitem)
               AND COUNT(*) < 0.15 * (SELECT COUNT(*) FROM lineitem)) AS frac_ok
-      FROM read_parquet('/tmp/graft_sample/lineitem_10pct/*.parquet') s
+      FROM read_parquet('${graft.Land.root}/sample/lineitem_10pct/*.parquet') s
       LEFT JOIN lineitem l
         ON s.l_orderkey = l.l_orderkey AND s.l_linenumber = l.l_linenumber
        AND s.l_quantity = l.l_quantity""",
