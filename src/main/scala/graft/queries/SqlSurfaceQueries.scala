@@ -83,6 +83,18 @@ object SqlSurfaceQueries extends QueryModule {
         ORDER BY nk"""))
     }),
 
+    // MySQL/Doris %-pattern date functions through the translator; the
+    // oracle states the same pattern natively via DuckDB's strftime
+    "q35_mysql_datefmt" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT date_format(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= str_to_date('1996-01-01', '%Y-%m-%d')
+        GROUP BY date_format(o_orderdate, '%Y-%m')
+        ORDER BY ym"""))
+    }),
+
     // X-BH: the bitmap/hll trio the reference emits (bitmap = sorted
     // distinct array<bigint>; hll value = 64-bit element hash). The
     // oracle can't recompute xxhash64, so it checks at the cardinality
@@ -160,6 +172,13 @@ object SqlSurfaceQueries extends QueryModule {
       EXCEPT
       SELECT s_nationkey FROM supplier
       ORDER BY nk""",
+
+    "q35_mysql_datefmt" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY strftime(o_orderdate, '%Y-%m')
+      ORDER BY ym""",
 
     "q34_distribute_hints" -> """
       SELECT n_name, COUNT(*) AS n

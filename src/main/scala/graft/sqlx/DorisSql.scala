@@ -19,7 +19,51 @@ package graft.sqlx
 object DorisSql {
 
   def translate(sql: String): String =
-    rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(rewriteDistributeHints(sql))))
+    rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(
+      rewriteDateFormatPatterns(rewriteDistributeHints(sql)))))
+
+  /** MySQL/Doris `%`-patterns → JDK datetime patterns, for the pattern
+    * literal of date_format / str_to_date calls. Non-pattern letters are
+    * single-quoted (JDK treats bare letters as fields). */
+  private val MysqlToJdk: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+    'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
+    'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
+    'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE", 'b' -> "MMM", 'M' -> "MMMM",
+    'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+
+  def mysqlPatternToJdk(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 1 < p.length) {
+        val d = p.charAt(i + 1)
+        sb ++= (if (d == '%') "%" else MysqlToJdk.getOrElse(d, d.toString))
+        i += 2
+      } else {
+        if (c.isLetter) { sb += '\''; sb += c; sb += '\'' } // literal letter
+        else if (c == '\'') sb ++= "''"
+        else sb += c
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Rewrite the second-argument pattern literal of
+    * `date_format(x, '%...')` / `str_to_date(x, '%...')`; str_to_date
+    * itself becomes to_timestamp (its Spark equivalent). Only patterns
+    * containing '%' are touched, so JDK-style patterns pass through. */
+  private val dateFnRe =
+    """(?i)\b(date_format|str_to_date)\s*\(((?:[^()']|'[^']*')*?)'([^']*%[^']*)'\s*\)""".r
+  private def rewriteDateFormatPatterns(sql: String): String =
+    dateFnRe.replaceAllIn(sql, m => {
+      val fn = if (m.group(1).equalsIgnoreCase("str_to_date")) "to_timestamp"
+               else m.group(1)
+      scala.util.matching.Regex.quoteReplacement(
+        s"$fn(${m.group(2)}'${mysqlPatternToJdk(m.group(3))}')")
+    })
 
   /** Doris join distribute hints (DorisParser.g4 joinRelation,
     * distributeType): `[broadcast]`/`[shuffle]` before the right-side

@@ -36,6 +36,19 @@ class DorisSqlSpec extends AnyFunSuite {
     assert(DorisSql.translate(sql) == sql)
   }
 
+  test("MySQL %-patterns in date_format/str_to_date become JDK patterns") {
+    assert(DorisSql.mysqlPatternToJdk("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
+    assert(DorisSql.mysqlPatternToJdk("%d/%b/%Y") == "dd/MMM/yyyy")
+    assert(DorisSql.mysqlPatternToJdk("100%% at %T") == "100% 'a''t' HH:mm:ss")
+    val t = DorisSql.translate(
+      "SELECT date_format(o_orderdate, '%Y-%m') AS ym, str_to_date('2024-01-02', '%Y-%m-%d') AS d FROM orders")
+    assert(t.contains("date_format(o_orderdate, 'yyyy-MM')"), t)
+    assert(t.contains("to_timestamp('2024-01-02', 'yyyy-MM-dd')"), t)
+    // JDK-style patterns (no %) pass through untouched
+    assert(DorisSql.translate("SELECT date_format(d, 'yyyy-MM') FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
+  }
+
   test("[broadcast]/[shuffle] distribute hints become Catalyst join hints") {
     val t = DorisSql.translate(
       "SELECT a.x FROM a JOIN [broadcast] dim d ON a.k = d.k JOIN [shuffle] big ON a.k = big.k")
