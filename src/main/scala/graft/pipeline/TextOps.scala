@@ -15,6 +15,14 @@ object TextOps {
   /** Whitespace tokens of the lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, and
+    * single punctuation marks — the word-boundary split BPE vocabularies
+    * train over (a stand-in for a learned merges table; the regex is the
+    * deliberately engine-portable part). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
   /** Distinct word n-gram shingles (empty when fewer than n tokens).
     *
     * Built as n-1 nested `zip_with`s of the token array against its own

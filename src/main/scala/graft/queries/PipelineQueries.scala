@@ -121,6 +121,20 @@ object PipelineQueries extends QueryModule {
         .orderBy("i", "j")
     }),
 
+    // ---- BPE-ish subword token accounting (training-data budgeting) ----
+    "p12_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextOps.bpeTokens(col("text"))
+      d.select(col("doc_id"), col("source"), toks.as("bt"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("bt"))).as("n_subwords"),
+          avg(size(col("bt"))).as("avg_subwords"),
+          sum(size(array_distinct(col("bt")))).as("sum_distinct"))
+        .orderBy("source")
+    }),
+
     // ---- embedding-cosine near-dup (LSH-bucketed; the oracle verifies
     //      invariants of the REPORTED pairs — each recomputed cosine must
     //      clear the threshold — since LSH recall is probabilistic at low
@@ -257,6 +271,17 @@ object PipelineQueries extends QueryModule {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",
+
+    "p12_bpe_tokens" -> s"""
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(bt)) AS BIGINT) AS n_subwords,
+             AVG(len(bt)) AS avg_subwords,
+             CAST(SUM(len(list_distinct(bt))) AS BIGINT) AS sum_distinct
+      FROM (SELECT source,
+                   regexp_extract_all(lower(text), '${TextOps.BpePattern}') AS bt
+            FROM documents)
+      GROUP BY source ORDER BY source""",
 
     "p09_embedding_neardup" -> s"""
       SELECT COUNT(*) AS n_pairs,
