@@ -48,6 +48,22 @@ class CliSpec extends SparkSpec {
     assert(tables.head.col("id").exists(_.ndv == 3))
   }
 
+  test("anonymize verb rewrites a SQL file and persists the minihash dict") {
+    val f = Files.createTempFile("cli_anon", ".sql")
+    Files.writeString(f, "SELECT customer_name FROM shop.customers WHERE customer_name LIKE 'a%'\n")
+    val dictOut = Files.createTempFile("cli_dict", ".yaml").toString
+    Cli.run(spark, "anonymize", Map("file" -> f.toString,
+      "method" -> "minihash", "dict-out" -> dictOut))
+    val dict = graft.anon.Anonymizer.loadDictYaml(Files.readString(Paths.get(dictOut)))
+    // two identifiers got minihash aliases (plus the @@last cursor)
+    assert(dict.size >= 3)
+    assert(dict.contains("@@last"))
+  }
+
+  test("driver flagship entry() returns rows at sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("unknown verb and missing flags error usefully") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, "nope", Map.empty) }
     assert(e1.getMessage.contains("unknown verb"))
