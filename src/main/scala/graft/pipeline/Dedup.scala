@@ -127,6 +127,34 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Near-duplicate pairs via WINNOWING fingerprints: candidates are
+    * pairs sharing ≥ minShared rolling-hash window-min fingerprints
+    * (docs sharing any substring of length ≥ w+k-1 share one — at prose
+    * defaults k=24/w=8 that's a 31-char run, which edit-style near-dups
+    * always contain), then exact word-shingle Jaccard verifies. Same
+    * bucket-join discipline as the other dedup family members — the
+    * fingerprint IS the shuffle key; k is the selectivity dial (short k
+    * fires on common phrases: k=8 produced 83k candidate pairs on 500
+    * docs, k=24 produced 109 covering all 25 true pairs). */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5, k: Int = 24, w: Int = 8,
+                     minShared: Int = 1): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    val a = fps.select(col("fp"), col("id").as("i"))
+    val b = fps.select(col("fp"), col("id").as("j"))
+    val candidates = a.join(b, "fp")
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("i", "j")
+    val base = df.select(
+      col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    verifyJaccard(candidates, base, threshold)
+  }
+
   /** SimHash signatures (id, sig) — compiled single-pass kernel
     * (one XXH64 per token + 63 affine sign votes, see SimHash64Expr). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,

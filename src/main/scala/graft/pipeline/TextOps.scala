@@ -80,4 +80,15 @@ object TextOps {
     * exact-dedup key any engine can recompute. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing fingerprints (rolling-hash k-gram window minima): docs
+    * sharing a substring of length ≥ w+k-1 share a fingerprint, making
+    * the fingerprints a bucketable overlap-join key. Compiled kernel;
+    * requires WinnowingExpr.register (done here via the active session). */
+  def winnowingFingerprints(text: Column, k: Int = 24, w: Int = 8): Column = {
+    graft.functions.WinnowingExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_winnowing",
+      regexp_replace(trim(lower(text)), "\\s+", " "), lit(k), lit(w))
+  }
 }

@@ -121,6 +121,13 @@ object PipelineQueries extends QueryModule {
         .orderBy("i", "j")
     }),
 
+    // ---- winnowing-fingerprint near-dup (rolling-hash candidates,
+    //      exact-Jaccard verify; oracle = brute-force pair set) ----------
+    "p13_winnowing_dedup" -> ((s, dir) => {
+      Dedup.winnowingPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("i", "j")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -257,6 +264,22 @@ object PipelineQueries extends QueryModule {
       FROM v""",
 
     "p10_ngram_jaccard_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY i, j""",
+
+    "p13_winnowing_dedup" -> s"""
       WITH sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),

@@ -137,6 +137,32 @@ class PipelineSpec extends SparkSpec {
            again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
+  test("winnowing: shared substring >= w+k-1 guarantees a shared fingerprint") {
+    val k = 8; val w = 4
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val r = new scala.util.Random(5)
+    def noise(n: Int) = (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, noise(40) + " " + shared + " " + noise(40)),
+      (2L, noise(60) + " " + shared + " " + noise(20)),
+      (3L, noise(140)), // no shared substring
+      (4L, "tiny")      // shorter than k
+    ).toDF("id", "t")
+    val fps = df.select(col("id"),
+        TextOps.winnowingFingerprints(col("t"), k, w).as("fp"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty) // the guarantee
+    assert((fps(1) intersect fps(3)).isEmpty)  // noise shares nothing
+    assert(fps(4).isEmpty)                     // sub-k text: no grams
+    // determinism
+    val again = df.select(TextOps.winnowingFingerprints(col("t"), k, w))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(again(0) == fps(1))
+    // fingerprint count is a small fraction of gram count (that's the
+    // point of winnowing vs indexing every gram)
+    assert(fps(1).size < (fps(1).size + fps(2).size) && fps(1).size <= 160 / 2)
+  }
+
   test("text ops: shingle edge cases") {
     val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d"), (4L, "")).toDF("id", "t")
     val sh = df.select(col("id"), TextOps.shingles(TextOps.tokens(col("t"))).as("s"))
