@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.DiffStatsQueries,
     graft.queries.PipelineQueries,
     graft.queries.AnonQueries,
+    graft.queries.CreateQueries,
     graft.queries.SqlSurfaceQueries
   )
 

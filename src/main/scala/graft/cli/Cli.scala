@@ -13,6 +13,9 @@ import graft.workload.{AuditLog, ReplayCodec}
 /** Command surface mirroring the reference's verbs (SURVEY.md §7.1 cli):
   *
   *   dump      --audit-log <path> --out <dir> [--only-select] [--strict]
+  *             [--schema-db <db>]   (also dump that db's schemas as
+  *                                   <db>.<table>.<type>.sql files)
+  *   create    --ddl-dir <dir> [--db <target>] [--be-count n] [--dry-run]
   *   gendata   --ddl <file,...> --out <dir> [--genconf <yaml>] [--rows n]
   *             [--seed n] [--format csv|parquet]
   *   replay    --source <dumpDir> --out <resultDir> [--speed x]
@@ -37,7 +40,7 @@ object Cli {
   }
 
   val usage: String =
-    "usage: graft.cli.Cli <dump|gendata|replay|diff|anonymize|stats> [--flag value ...]"
+    "usage: graft.cli.Cli <dump|create|gendata|replay|diff|anonymize|stats> [--flag value ...]"
 
   def parseFlags(args: Seq[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -73,6 +76,22 @@ object Cli {
         minDurationMs = o.getOrElse("min-duration-ms", "0").toLong))
       val written = AuditLog.writeDumpSql(qdf, req(o, "out"))
       println(s"dumped ${written.size} query file(s) to ${req(o, "out")}")
+      o.get("schema-db").foreach { db =>
+        val schemas = SchemaDump.listTables(spark, db).map { case (t, tpe) =>
+          (t, tpe, SchemaDump.showCreate(spark, s"`$db`.`$t`"))
+        }
+        val files = SchemaDump.writeSchemas(req(o, "out"), db, schemas)
+        println(s"dumped ${files.size} schema file(s) to ${req(o, "out")}")
+      }
+
+    case "create" =>
+      val res = graft.create.Create.createFromDir(spark, req(o, "ddl-dir"),
+        graft.create.Create.Options(
+          db = o.get("db"),
+          beCount = o.getOrElse("be-count", "3").toInt,
+          dryRun = o.contains("dry-run")))
+      res.foreach(r => println(s"${r.action} ${r.tpe} '${r.db}.${r.name}'" +
+        (if (r.rounds > 1) s" (round ${r.rounds})" else "")))
 
     case "gendata" =>
       val ddls = req(o, "ddl").split(',').toSeq.map(p =>

@@ -107,16 +107,21 @@ object RelationalQueries extends QueryModule {
 
     // ---- window functions (W-group) ------------------------------------
     "q07_window_topk_running" -> ((s, dir) => {
-      // top-3 shipments per supplier + running revenue (QUALIFY rewrite)
+      // top-3 shipments per supplier + running revenue (QUALIFY rewrite).
+      // Two-phase on purpose: filter rn<=3 FIRST (its own window, so
+      // Spark's WindowGroupLimit pushes the top-k below the sort — each
+      // partition materializes only ~3 rows), then compute the running sum
+      // over the ≤3 survivors. The running sum at rn<=3 only ever sees the
+      // first 3 rows, so results are identical with half the window work.
       val li = t(s, dir, "lineitem")
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
         .withColumn("running_qty",
           sum(dec2(col("l_quantity")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double"))
-        .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
                 col("l_linenumber"), col("running_qty"))
         .orderBy("l_suppkey", "rn")

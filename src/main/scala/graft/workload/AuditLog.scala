@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * EXPLAIN-SHOW-USE / time window / min duration) → query-id dedup →
   * unescape → optional strict parse-validation → replay-format encode.
   *
-  * Scale design: the unit of parallelism is the log *file* (audit logs are
-  * rotated), matching the reference's per-file goroutine
-  * (reference: src/auditlog.go:88-138). Each file is read whole and split
-  * into records with a codegen'd regex-lookahead split — records never
-  * cross files, so no cross-partition stitching is needed; a 10k-file
-  * 100 TB log directory fans out to 10k independent tasks.
+  * Scale design: a line-based scan keyed by byte offset — big unrotated
+  * files split across tasks like any text source, and records reassemble
+  * via a per-file running-count window (see `records`). Records never
+  * cross files, so a 10k-file 100 TB log directory still fans out to
+  * independent tasks, and a single multi-GB file no longer serializes
+  * into one task or one JVM string.
   */
 object AuditLog {
 
@@ -54,26 +54,55 @@ object AuditLog {
 
   /** S1: file scan + multi-line reassembly. One row per audit *record*
     * (a line not starting with a timestamp belongs to the previous one).
-    * Columns: file, record. `encoding` other than UTF-8 reads the bytes
-    * and decodes with that charset (S2). */
+    * Columns: file, pos (1-based record index within its file), record.
+    * `encoding` other than UTF-8 reads the bytes and decodes with that
+    * charset (S2).
+    *
+    * Scale design: a LINE-based scan, not `wholetext` — one unrotated
+    * multi-GB log must neither hit Spark's ~2 GB single-string ceiling
+    * nor serialize a whole file into one task's memory (the reference
+    * streams the file line by line for the same reason,
+    * src/auditlog.go:88-138). Hadoop's TextInputFormat keys every line
+    * with its BYTE OFFSET, which gives exact intra-file order even when
+    * a big file splits across tasks; a running `sum(is_record_start)`
+    * window over (file, offset) then assigns each continuation line to
+    * its record, and records reassemble in a map-side-combinable
+    * aggregate. Only the record — bounded by the engine's max statement
+    * length — ever exists as one string. */
   def records(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
-    val text =
-      if (encoding.equalsIgnoreCase("UTF-8"))
-        spark.read.option("wholetext", "true").text(path)
-          .select(input_file_name().as("file"), col("value"))
-      else {
-        // Spark's decode() expression whitelists a few charsets only; a
-        // JVM decode runs once per FILE (wholetext granularity), so the
-        // UDF is off the per-row hot path
-        val dec = udf((bytes: Array[Byte]) => new String(bytes, encoding))
-        spark.read.format("binaryFile").load(path)
-          .select(col("path").as("file"), dec(col("content")).as("value"))
+    if (!encoding.equalsIgnoreCase("UTF-8")) {
+      // Charset-decode path (S2): Spark's decode() whitelists a few
+      // charsets only, so a JVM decode runs once per FILE — wholetext
+      // granularity is the price of the one-shot decode and is confined
+      // to this (rare, explicitly-requested) path.
+      val dec = udf((bytes: Array[Byte]) => new String(bytes, encoding))
+      val text = spark.read.format("binaryFile").load(path)
+        .select(col("path").as("file"), dec(col("content")).as("value"))
+      return text.select(col("file"),
+          posexplode(split(col("value"), s"(?m)(?=^$recordStartRe )")).as(Seq("pos", "record")))
+        .filter(col("record").rlike(s"^$recordStartRe "))
+    }
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val raw = spark.sparkContext.newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], spark.sparkContext.hadoopConfiguration)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { case (split, iter) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        iter.map { case (off, line) => (file, off.get(), line.toString) }
       }
-    // zero-width lookahead split keeps each record intact, with its
-    // continuation lines, in file order
-    text.select(col("file"),
-        posexplode(split(col("value"), s"(?m)(?=^$recordStartRe )")).as(Seq("pos", "record")))
-      .filter(col("record").rlike(s"^$recordStartRe "))
+    val lines = spark.createDataFrame(raw).toDF("file", "off", "line")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("off"))
+    lines
+      .withColumn("pos",
+        sum(when(col("line").rlike(s"^$recordStartRe "), 1).otherwise(0)).over(w)
+          .cast("int"))
+      .filter(col("pos") > 0) // prelude lines before the first record start
+      .groupBy(col("file"), col("pos"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("off"), col("line")))),
+          x => x.getField("line")), "\n").as("record"))
   }
 
   /** S2: encoding detection over a head sample — strict UTF-8 probe
@@ -171,26 +200,31 @@ object AuditLog {
   def writeDumpSql(queriesDf: DataFrame, outDir: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val spark = queriesDf.sparkSession
     val files = queriesDf.select("file").distinct().collect().map(_.getString(0)).sorted
-    val idx = files.zipWithIndex.toMap
-    val idxCol = files.foldLeft(lit(-1)) { (acc, f) => when(col("file") === f, lit(idx(f))).otherwise(acc) }
+    // file → index as a broadcast join against a tiny frame — NOT a
+    // when-chain: at the reference's own 10k-rotated-file target a
+    // 10k-deep nested CaseWhen blows up analysis/codegen.
+    val idxDf = broadcast(
+      spark.createDataFrame(files.toSeq.zipWithIndex).toDF("file", "fileIdx"))
     val staging = s"$outDir/_staging"
-    queriesDf.withColumn("fileIdx", idxCol)
+    queriesDf.join(idxDf, "file")
       .withColumn("line", encodeReplaySql(col("ts"), col("client"), col("user"),
         col("db"), col("queryId"), col("durationMs"), col("stmt")))
       .repartition(col("fileIdx"))
       .sortWithinPartitions("fileIdx", "pos")
       .select(col("fileIdx"), col("line"))
       .write.mode("overwrite").partitionBy("fileIdx").text(staging)
-    // q{i}.sql per input file (tiny driver-side renames)
+    // q{i}.sql per input file: stream-concatenate the sorted part files
+    // (constant driver memory — never materialize a file's lines).
     Files.createDirectories(Paths.get(outDir))
     val out = files.indices.map { i =>
       val partDir = Paths.get(s"$staging/fileIdx=$i")
       val parts = Files.list(partDir).iterator().asScala.toSeq
         .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
       val target = Paths.get(s"$outDir/q$i.sql")
-      Files.write(target,
-        parts.flatMap(p => Files.readAllLines(p).asScala).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(target))
+      try parts.foreach(p => Files.copy(p, os)) finally os.close()
       s"q$i.sql"
     }
     out
