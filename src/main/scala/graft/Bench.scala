@@ -25,6 +25,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Fresh warehouse per JVM (same rationale as Verify: stale physical
+      // db dirs + fresh in-memory catalog = LOCATION_ALREADY_EXISTS).
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_bench").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

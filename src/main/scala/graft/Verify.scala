@@ -12,6 +12,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Isolated warehouse per JVM: a stale spark-warehouse/<db>.db dir
+      // from a previous run is invisible to a fresh in-memory catalog, so
+      // DROP DATABASE no-ops and CREATE dies on LOCATION_ALREADY_EXISTS.
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh_verify").toString)
       .config("spark.sql.session.timeZone", "UTC")
       // µs (not INT96/ns) on disk: pyarrow then reads timestamp[us], the
       // same unit DuckDB produces, so timestamp cells hash identically.
@@ -25,13 +30,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filters.isEmpty || filters.exists(n.startsWith) }
-      .foreach { case (name, fn) =>
+    // A failing query must never VANISH from the correctness gate (round-3
+    // postmortem: c01 threw, nothing was written, and the driver's JSON
+    // simply omitted the row — 59 entries for 60 queries, nobody noticed).
+    // On failure: write an _ERROR marker dir the driver's parquet read
+    // will loudly reject, plus an aggregate errors.json, plus a final
+    // ran≠ok count line on stderr.
+    var failed = Map.empty[String, String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed += (name -> msg)
+        // Clear any partial write first — a half-written parquet dir could
+        // otherwise read back as a small (wrong) result.
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +73,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+          failed.keys.toSeq.sorted.mkString(", "))
+      System.err.println(
+        s"[verify] COUNT MISMATCH WARNING: only ${selected.size - failed.size} " +
+          s"result dirs are valid parquet; ${failed.size} hold _ERROR markers")
+    }
+    // Exit 0 even with failures: the driver should still oracle-compare
+    // the healthy queries; the _ERROR markers carry the failure signal.
     spark.stop()
   }
 }

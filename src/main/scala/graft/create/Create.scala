@@ -52,15 +52,34 @@ object Create {
   def createFromDir(spark: SparkSession, dir: String,
                     opts: Options = Options()): Seq[Outcome] = {
     val schemas = SchemaDump.readSchemas(dir).map { case (db, table, tpe, ddl) =>
-      (opts.db.getOrElse(db), table, tpe, ddl)
+      (opts.db.getOrElse(db), table, tpe, ddl, db)
     }
     val (tables, views) = schemas.partition(_._3 == "table")
     val out = mutable.ArrayBuffer.empty[Outcome]
 
-    tables.foreach { case (db, _, _, ddl) => out += createTable(spark, db, ddl, opts) }
+    tables.foreach { case (db, _, _, ddl, _) => out += createTable(spark, db, ddl, opts) }
+
+    // --db retarget only rewrites the HEAD of each view; a body that
+    // qualifies relations with the source db (Spark's SHOW CREATE TABLE
+    // always does) keeps pointing at the SOURCE db's tables. True to
+    // re-running the original CREATE VIEW text, but surprising — warn.
+    views.foreach { case (db, name, tpe, ddl, srcDb) =>
+      // Check the BODY only (the head's qualified name is rewritten by
+      // normalizeViewHead anyway and shouldn't trigger the warning).
+      val body = try {
+        normalizeViewHead(DorisSql.translate(
+          if (tpe == "materialized_view") mtmvToView(ddl) else ddl), name)
+          .stripPrefix(s"CREATE VIEW `$name` ")
+      } catch { case scala.util.control.NonFatal(_) => ddl }
+      if (db != srcDb && referencesDb(body, srcDb))
+        System.err.println(
+          s"[create] WARNING: view `$db`.`$name` body still references " +
+            s"source db `$srcDb` — qualified relations are NOT retargeted " +
+            s"by --db; it will read `$srcDb`'s tables")
+    }
 
     // Views in a retry queue (dependency order unknown up front).
-    val queue = mutable.Queue(views.map(v => (v, 1)): _*)
+    val queue = mutable.Queue(views.map(v => ((v._1, v._2, v._3, v._4), 1)): _*)
     val total = views.size
     while (queue.nonEmpty) {
       val ((db, name, tpe, ddl), round) = queue.dequeue()
@@ -107,9 +126,35 @@ object Create {
     if (spark.catalog.tableExists(db, td.name))
       Outcome(db, td.name, "table", "exists", 1)
     else {
+      // The catalog says absent, but a previous JVM (whose in-memory
+      // catalog died with it) may have left the physical table dir under
+      // the warehouse — CREATE would then fail LOCATION_ALREADY_EXISTS.
+      // Catalog-absent + dir-present can only be stale state: remove it.
+      deleteStaleLocation(spark, db, td.name)
       spark.sql(sparkTableDdl(db, td))
       Outcome(db, td.name, "table", "created", 1)
     }
+  }
+
+  private def deleteStaleLocation(spark: SparkSession, db: String,
+                                  table: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    try {
+      val dbLoc = spark.catalog.getDatabase(db).locationUri
+      val uri = new java.net.URI(dbLoc)
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val dir =
+          (if (uri.getScheme == null) Paths.get(dbLoc) else Paths.get(uri))
+            .resolve(table)
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          System.err.println(
+            s"[create] removed stale location for `$db`.`$table`: $dir")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
   }
 
   // ---- views ---------------------------------------------------------
@@ -135,6 +180,15 @@ object Create {
     } catch {
       case e: AnalysisException if isMissingRelation(e) => Left(e.getMessage)
     } finally spark.catalog.setCurrentDatabase(prevDb)
+  }
+
+  /** Does the DDL body qualify any relation with `db` (dotted or
+    * backticked)? Word-boundary match so db `a` doesn't hit `data`. */
+  def referencesDb(ddl: String, db: String): Boolean = {
+    val qdb = java.util.regex.Pattern.quote(db)
+    java.util.regex.Pattern
+      .compile(s"(?i)(?<![A-Za-z0-9_`])`?$qdb`?\\s*\\.")
+      .matcher(ddl).find()
   }
 
   private def isMissingRelation(e: AnalysisException): Boolean = {

@@ -22,6 +22,10 @@ object SchemaDump {
     * information_schema.TABLES). */
   def listTables(spark: SparkSession, db: String): Seq[(String, String)] =
     spark.catalog.listTables(db).collect().toSeq
+      // catalog.listTables(db) also returns session/global TEMP views —
+      // they don't live in `db` and have no persistent DDL to dump (and a
+      // concurrent session's temp view must never leak into a schema dump)
+      .filterNot(_.isTemporary)
       .map(t => t.name -> (if (t.tableType == "VIEW") "view" else "table"))
 
   /** S9: one `<db>.<table>.<type>.sql` file per schema; optional
