@@ -92,14 +92,36 @@ object Ann {
         col("neighbor_id"), col("cos_r"))
   }
 
+  /** EXACT near-neighbor pairs restricted to a probe prefix: (i, j,
+    * cos_r) with i < j, cos_r ≥ threshold, and i < probeMax. The probe
+    * side is broadcast, so cost is linear in the corpus (probeMax² is
+    * bounded) — usable as an in-query recall guard at any scale. The
+    * i < j normalization makes "i < probeMax" cover every pair with at
+    * least one endpoint in the probe prefix of the id space below any
+    * j ≥ probeMax, and all probe-probe pairs. */
+  def exactProbePairs(emb: DataFrame, probeMax: Long, threshold: Double): DataFrame = {
+    val probe = broadcast(emb.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("i"), col("embedding").as("e_i")))
+    emb.select(col("vec_id").as("j"), col("embedding").as("e_j"))
+      .join(probe, col("i") < col("j"))
+      .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
+      .filter(col("cos_r") >= threshold)
+      .select("i", "j", "cos_r")
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold)
     * via the same multi-table hyperplane-LSH bucketing as lshNeighbors —
     * candidates only ever form inside (table, bucket) groups, then exact
-    * cosine verifies. High-threshold near-dups are near-collinear, so
-    * per-table bucket agreement probability is (1-θ/π)^planes ≈ 1 and
-    * multi-table recall is effectively exact at dedup thresholds. */
+    * cosine verifies. Per-table bucket agreement is (1-θ/π)^planes and
+    * multi-table recall 1-(1-p₁^planes)^tables; at a MODERATE dedup
+    * threshold (cos 0.45 ⇒ θ≈63°) recall needs few planes and many
+    * tables — measured on the driver corpus: planes=8/tables=8 missed
+    * 11/14 true pairs where planes=4/tables=32 missed 0 (and ran 3×
+    * faster: coarser buckets, but 4× the tables of cheap skinny rows).
+    * Raise `planes` as n grows to keep E[bucket size] bounded; spend
+    * `tables` to buy recall. */
   def cosineNearDupPairs(emb: DataFrame, dims: Int, threshold: Double,
-                         planes: Int = 8, tables: Int = 8, seed: Long = 5): DataFrame = {
+                         planes: Int = 4, tables: Int = 32, seed: Long = 5): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       posexplode(call_function("graft_hyperplane_buckets",

@@ -93,26 +93,22 @@ object Dedup {
     * driven by shingle document frequency. `dfCap > 0` drops shingles
     * appearing in more than dfCap docs — THE scale knob for 100 TB
     * corpora (ubiquitous shingles generate quadratic candidates and
-    * carry no dedup signal); a cap undercounts intersections that
-    * include dropped shingles, so it trades a bounded recall loss at the
-    * threshold boundary for linear candidate growth. */
+    * carry no dedup signal), ON by default (1000: far above any real
+    * near-dup cluster, so nothing is lost at small scale, while a
+    * boilerplate shingle shared by millions of docs stays linear); a cap
+    * undercounts intersections that include dropped shingles, so it
+    * trades a bounded recall loss at the threshold boundary for linear
+    * candidate growth. Pass dfCap = 0 for the exact-at-any-cost mode. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, shingleN: Int = 3,
-                        dfCap: Int = 0): DataFrame = {
+                        dfCap: Int = 1000): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (J >= t > 0 implies a shared shingle)")
     val base = df.select(
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sized = base.select(col("id"), size(col("sh")).as("n"))
-    val posts = base.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_h"))
-    val usable =
-      if (dfCap <= 0) posts
-      else {
-        val rare = posts.groupBy("sh_h").count().filter(col("count") <= dfCap).select("sh_h")
-        posts.join(rare, "sh_h")
-      }
+    val usable = shinglePostings(base, dfCap)
     val a = usable.select(col("sh_h"), col("id").as("i"))
     val b = usable.select(col("sh_h"), col("id").as("j"))
     val inter = a.join(b, "sh_h")
@@ -126,6 +122,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
   }
+
+  /** (id, sh_h) postings with the document-frequency cap applied —
+    * factored out so the cap's candidate-volume effect is testable:
+    * candidates are exactly the i<j pairs of a postings self-join, so
+    * the quadratic blow-up of an ubiquitous shingle is visible here. */
+  private[pipeline] def shinglePostings(base: DataFrame, dfCap: Int): DataFrame = {
+    val posts = base.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    if (dfCap <= 0) posts
+    else {
+      val rare = posts.groupBy("sh_h").count().filter(col("count") <= dfCap).select("sh_h")
+      posts.join(rare, "sh_h")
+    }
+  }
+
+  /** Shingled (id, sh) projection shared by the Jaccard family. */
+  private[pipeline] def shingled(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** Near-duplicate pairs via WINNOWING fingerprints: candidates are
     * pairs sharing ≥ minShared rolling-hash window-min fingerprints

@@ -75,11 +75,28 @@ object PipelineQueries extends QueryModule {
     }),
 
     // ---- LSH-bucketed ANN (the 100 TB path); oracle re-derives the
-    //      cosine of every reported pair from the raw embeddings ---------
+    //      cosine of every reported pair from the raw embeddings, and an
+    //      in-query RECALL GUARD brute-forces a 50-vector probe set
+    //      (broadcast, linear in n) and errors the gate if fewer than
+    //      60% of probes get a near-optimal neighbor (within 0.05 cos of
+    //      exact top-1; measured 76%/80% at sf0.01/sf0.1) ----------------
     "p07_ann_lsh" -> ((s, dir) => {
-      val nn = Ann.lshNeighbors(embs(s, dir), dims = 64, planes = 6, tables = 8)
+      val e = embs(s, dir)
+      val nn = Ann.lshNeighbors(e, dims = 64, planes = 6, tables = 8)
       nn.write.mode("overwrite").parquet(s"$outRoot/ann_pairs")
-      s.read.parquet(s"$outRoot/ann_pairs").orderBy("vec_id")
+      val landed = s.read.parquet(s"$outRoot/ann_pairs")
+      val nProbe = 50L
+      val bf = Ann.bruteForceTopK(e, e.filter(col("vec_id") < nProbe), k = 1)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .select(col("query_id").as("vec_id"),
+          round(Ann.cosine(col("qe"), col("ne")), 6).as("bf_cos"))
+      val nearHits = landed.filter(col("vec_id") < nProbe)
+        .join(bf, "vec_id")
+        .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
+      require(nearHits >= (0.6 * nProbe).toLong,
+        s"ANN recall regression: only $nearHits/$nProbe probes got a near-optimal neighbor")
+      landed.orderBy("vec_id")
     }),
 
     // ---- tumbling-window event aggregation (same operator serves the
@@ -95,10 +112,21 @@ object PipelineQueries extends QueryModule {
     //      force is pinned in PipelineSpec) ------------------------------
     "p11_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val nn = Ann.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
-        nCells = 16, nProbe = 4)
+      val queries = e.filter(col("vec_id") < 10)
+      val nn = Ann.ivfTopK(e, queries, k = 3, nCells = 16, nProbe = 4)
       nn.write.mode("overwrite").parquet(s"$outRoot/ivf_pairs")
       val landed = s.read.parquet(s"$outRoot/ivf_pairs")
+      // recall guard + cross-engine truth: exact top-3 via broadcast
+      // brute force; DuckDB recomputes BOTH counts independently, so a
+      // broken Spark brute force is a hash mismatch and an IVF recall
+      // collapse is an in-query error (measured recall@3: 16/30 at
+      // sf0.01, 20/30 at sf0.1; floor 40%)
+      val exact3 = Ann.bruteForceTopK(e, queries, k = 3)
+        .select("query_id", "neighbor_id")
+      val nExact3 = exact3.count()
+      val nHits3 = exact3.intersect(landed.select("query_id", "neighbor_id")).count()
+      require(nHits3 >= (0.4 * nExact3).toLong,
+        s"IVF recall regression: $nHits3/$nExact3 exact top-3 neighbors recovered")
       val a = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       val re = landed.join(a, "query_id").join(b, "neighbor_id")
@@ -110,6 +138,8 @@ object PipelineQueries extends QueryModule {
           count(lit(1)).as("n_rows"),
           coalesce(sum(when(col("cos_r") =!= col("cr"), 1L).otherwise(0L)), lit(0L)).as("n_cos_mismatch"),
           coalesce(sum(when(col("cr") > col("prev_cr"), 1L).otherwise(0L)), lit(0L)).as("n_rank_violations"))
+        .withColumn("n_exact3", lit(nExact3))
+        .withColumn("n_r3_hits", lit(nHits3))
     }),
 
     // ---- exact n-gram Jaccard dedup (inverted-index bucketing: the
@@ -143,18 +173,29 @@ object PipelineQueries extends QueryModule {
     }),
 
     // ---- embedding-cosine near-dup (LSH-bucketed; the oracle verifies
-    //      invariants of the REPORTED pairs — each recomputed cosine must
-    //      clear the threshold — since LSH recall is probabilistic at low
-    //      thresholds; exact-recall behavior is unit-tested on planted
-    //      near-dups in PipelineSpec) ------------------------------------
+    //      invariants of the REPORTED pairs AND an independently-computed
+    //      probe-truth count, while an in-query guard brute-forces the
+    //      exact pair set over a 500-id probe prefix (broadcast, linear
+    //      in n) and errors the gate if the LSH output misses ANY true
+    //      pair — planes=4/tables=32 measured missed=0 at both sf0.01
+    //      and sf0.1, where the old planes=8/tables=8 missed 11/14 ------
     "p09_embedding_neardup" -> ((s, dir) => {
-      val pairs = Ann.cosineNearDupPairs(embs(s, dir), dims = 64, threshold = 0.45)
+      val e = embs(s, dir)
+      val pairs = Ann.cosineNearDupPairs(e, dims = 64, threshold = 0.45,
+        planes = 4, tables = 32)
       pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
       val landed = s.read.parquet(s"$outRoot/neardup_pairs")
+      val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
+      val nTrueProbe = truth.count()
+      val missed = truth.select("i", "j")
+        .except(landed.select("i", "j")).count()
+      require(missed == 0,
+        s"near-dup recall regression: LSH dropped $missed/$nTrueProbe true pair(s)")
       landed.agg(
         count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("cos_r") < 0.45, 1L).otherwise(0L)), lit(0L)).as("n_below"),
         coalesce(min(col("cos_r")), lit(0.0)).as("min_cos"))
+        .withColumn("n_true_probe", lit(nTrueProbe))
     })
   )
 
@@ -257,10 +298,25 @@ object PipelineQueries extends QueryModule {
       v AS (
         SELECT cos_r, cr,
                lag(cr) OVER (PARTITION BY query_id ORDER BY rank) AS prev_cr
-        FROM r)
+        FROM r),
+      ex AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 8) DESC,
+                   e.vec_id) AS rank
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+        WHERE rank <= 3)
       SELECT COUNT(*) AS n_rows,
              CAST(COALESCE(SUM(CASE WHEN cos_r <> cr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cos_mismatch,
-             CAST(COALESCE(SUM(CASE WHEN cr > prev_cr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rank_violations
+             CAST(COALESCE(SUM(CASE WHEN cr > prev_cr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rank_violations,
+             (SELECT COUNT(*) FROM ex) AS n_exact3,
+             (SELECT COUNT(*) FROM ex
+              JOIN read_parquet('$outRoot/ivf_pairs/*.parquet') p2
+                ON p2.query_id = ex.query_id AND p2.neighbor_id = ex.neighbor_id)
+               AS n_r3_hits
       FROM v""",
 
     "p10_ngram_jaccard_dedup" -> s"""
@@ -312,7 +368,12 @@ object PipelineQueries extends QueryModule {
                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) < 0.45
                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below,
              COALESCE(MIN(round(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)), 0.0) AS min_cos
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)), 0.0) AS min_cos,
+             (SELECT COUNT(*) FROM embeddings a2, embeddings b2
+              WHERE a2.vec_id < b2.vec_id AND a2.vec_id < 500
+                AND round(list_cosine_similarity(CAST(a2.embedding AS DOUBLE[]),
+                                                 CAST(b2.embedding AS DOUBLE[])), 6) >= 0.45)
+               AS n_true_probe
       FROM read_parquet('$outRoot/neardup_pairs/*.parquet') p
       JOIN embeddings a ON a.vec_id = p.i
       JOIN embeddings b ON b.vec_id = p.j"""

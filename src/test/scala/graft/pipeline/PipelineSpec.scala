@@ -47,6 +47,36 @@ class PipelineSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  test("dfCap default kills the quadratic candidates of an ubiquitous shingle") {
+    // 40 docs share a boilerplate prefix (an ubiquitous shingle: df=40);
+    // two extra docs are true near-dups sharing only RARE shingles.
+    val boiler = "terms of service apply to all"
+    val uniq = (1 to 40).map(n =>
+      (n.toLong, s"$boiler alpha$n beta$n gamma$n delta$n epsilon$n zeta$n"))
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val dups = Seq((101L, dupText), (102L, dupText + " extra"))
+    val df = (uniq ++ dups).toDF("doc_id", "text")
+
+    val base = Dedup.shingled(df, "doc_id", "text")
+    def candidates(dfCap: Int): Long = {
+      val posts = Dedup.shinglePostings(base, dfCap)
+      posts.as("a").join(posts.as("b"),
+          col("a.sh_h") === col("b.sh_h") && col("a.id") < col("b.id"))
+        .count()
+    }
+    val uncapped = candidates(0)
+    val capped = candidates(10)
+    // boilerplate alone contributes >= 4 shingles x C(40,2) pairs uncapped
+    assert(uncapped >= 4 * 780L, s"uncapped=$uncapped")
+    // capped: only the rare shingles of the planted dup pair remain
+    assert(capped < 40, s"capped=$capped should be linear, not quadratic")
+    // and the capped DEFAULT path still finds exactly the true pair when
+    // the cap actually bites (dfCap=10 < 40 here)
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, dfCap = 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 102L)))
+  }
+
   test("simhash banding is exact for hamming <= 3 (pigeonhole)") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text").cache()
     try {
@@ -58,6 +88,32 @@ class PipelineSpec extends SparkSpec {
         .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(banded == exact) // banding may not miss a single pair
     } finally sigs.unpersist()
+  }
+
+  test("exactProbePairs equals all-pairs brute force over the probe prefix") {
+    val probeMax = 1000000L // covers every id at sf0.001 → full pair set
+    val guard = Ann.exactProbePairs(embs, probeMax, 0.45)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = embs.as("a").join(embs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("c", round(Ann.cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("c") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guard == bf && bf.nonEmpty)
+  }
+
+  test("recall guard catches an LSH that drops true pairs") {
+    // degenerate LSH (1 table, many planes) has near-zero recall at the
+    // dedup threshold — the truth/except guard must SEE the missed pairs
+    val truth = Ann.exactProbePairs(embs, 1000000L, 0.45).select("i", "j")
+    val weak = Ann.cosineNearDupPairs(embs, dims = 64, threshold = 0.45,
+      planes = 16, tables = 1).select("i", "j")
+    val missed = truth.except(weak).count()
+    assert(missed > 0, "a degenerate LSH should visibly miss true pairs")
+    // while the shipped parameters miss none (what p09's require pins)
+    val shipped = Ann.cosineNearDupPairs(embs, dims = 64, threshold = 0.45)
+      .select("i", "j")
+    assert(truth.except(shipped).count() == 0)
   }
 
   test("LSH-bucketed ANN top-1 recall >= 0.6 vs brute force, no all-pairs") {
