@@ -135,7 +135,11 @@ object Anonymizer {
               i += 1
             }
             next = sb.toString
-            ok = !Keywords.contains(next) && !ReservedIdentifiers.contains(next)
+            // Skip EVERY grammar keyword, not just the curated rewrite
+            // set: an alias is substituted unquoted into replayed SQL,
+            // so `bucket`/`week`/… would change how statements parse.
+            ok = !Keywords.contains(next) && !ReservedIdentifiers.contains(next) &&
+              !DorisKeywords.All.contains(next)
           }
           dict("@@last") = next
           dict(hash) = next

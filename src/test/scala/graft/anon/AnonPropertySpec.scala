@@ -49,6 +49,25 @@ class AnonPropertySpec extends SparkSpec {
     }
   }
 
+  test("no minihash alias is a grammar keyword") {
+    // Exhaust the alias sequence well past the 1-3 letter space (26 +
+    // 676 + 17576) — the dictionary must skip every keyword literal of
+    // the public grammar, or an unquoted alias like `by`/`add`/`row`
+    // changes how replayed SQL parses (N5).
+    val ctx = new Anonymizer.Context(method = "minihash")
+    val aliases = (1 to 20000).map(i => ctx.anonymize(s"ident_$i"))
+    assert(aliases.distinct.size == aliases.size, "aliases must be unique")
+    val bad = aliases.filter(a =>
+      Anonymizer.Keywords.contains(a) || DorisKeywords.All.contains(a))
+    assert(bad.isEmpty, s"keyword aliases handed out: ${bad.take(10)}")
+    // the short grammar keywords are all demonstrably within the
+    // exhausted prefix, so they were skipped, not just unreached
+    val twoLetter = Seq("as", "at", "by", "do", "if", "in", "is", "no",
+      "of", "on", "or", "pi", "to", "up")
+    assert(twoLetter.forall(DorisKeywords.All.contains), "sanity: grammar list")
+    assert(twoLetter.forall(w => !aliases.contains(w)))
+  }
+
   test("idempotence: identity rewrite preserves the statement (modulo backtick strip)") {
     for (seed <- 1 to 50) {
       val r = rng(seed + 1000)
