@@ -18,6 +18,11 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   create    --ddl-dir <dir> [--db <target>] [--be-count n] [--dry-run]
   *   gendata   --ddl <file,...> --out <dir> [--genconf <yaml>] [--rows n]
   *             [--seed n] [--format csv|parquet]
+  *             [--llm <model> --llm-response <file> [--stats <yaml>]
+  *              [--query <sql>] [--prompt <text>] [--anonymize] [--yes]]
+  *             (LLM-assisted genconf: prompt assembly + anonymize-before-
+  *              send + confirm gate; the transport is pluggable and the
+  *              shipped one replays a canned completion from a file)
   *   replay    --source <dumpDir> --out <resultDir> [--speed x]
   *             [--client-count n] [--max-hash-rows k]
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
@@ -94,22 +99,51 @@ object Cli {
         (if (r.rounds > 1) s" (round ${r.rounds})" else "")))
 
     case "gendata" =>
-      val ddls = req(o, "ddl").split(',').toSeq.map(p =>
-        graft.ddl.DorisDdl.parseCreateTable(readFile(p)))
-      val conf = o.get("genconf").map(readFile).getOrElse("")
-      val rows = o.getOrElse("rows", "1000").toLong
-      val seed = o.getOrElse("seed", "42").toLong
-      val out = req(o, "out")
-      GenPlanner.generateDatasets(spark, ddls, conf, seed, rows)
-        .zipWithIndex.foreach { case (tables, di) =>
-          tables.foreach { case (name, df) =>
-            val dir = s"$out/$name/conf_$di"
-            if (o.getOrElse("format", "csv") == "parquet") df.write.mode("overwrite").parquet(dir)
-            else graft.gen.TableGen.writeCsv(df, dir,
-              o.getOrElse("rows-per-file", "20000").toInt)
-            println(s"generated $name dataset $di -> $dir")
+      val ddlTexts = req(o, "ddl").split(',').toSeq.map(readFile)
+      val ddls = ddlTexts.map(graft.ddl.DorisDdl.parseCreateTable)
+      // --llm <model>: assemble prompt (optionally anonymized), run the
+      // transport, validate, write <out>/gendata.yaml, and gate on a
+      // human confirm before generating (reference cmd/gendata.go:110-147).
+      // Offline transport: --llm-response <file> with the canned reply.
+      var llmAborted = false
+      val llmConf: Option[String] = o.get("llm").filter(_ => !o.contains("genconf")).flatMap { model =>
+        val transport: graft.llm.LlmTransport =
+          new graft.llm.FileTransport(req(o, "llm-response"))
+        val stats = o.get("stats").map(p =>
+          graft.stats.Stats.fromYaml(readFile(p))._2).getOrElse(Nil)
+        val anonCtx =
+          if (o.contains("anonymize"))
+            Some(new Anonymizer.Context(method = o.getOrElse("method", "minihash")))
+          else None
+        val conf = graft.llm.LlmGendata.generate(transport, model, ddlTexts,
+          stats, o.get("query").toSeq, o.getOrElse("prompt", ""), anonCtx)
+        val path = java.nio.file.Paths.get(req(o, "out"), "gendata.yaml")
+        java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.writeString(path, conf)
+        println(s"LLM genconf written to $path")
+        val ok = o.contains("yes") || graft.llm.LlmGendata.confirm(
+          s"Using LLM output config: '$path', please check it before going on",
+          new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+          System.out)
+        if (!ok) { println("Aborted"); llmAborted = true; None }
+        else Some(conf)
+      }
+      if (!llmAborted) {
+        val conf = llmConf.orElse(o.get("genconf").map(readFile)).getOrElse("")
+        val rows = o.getOrElse("rows", "1000").toLong
+        val seed = o.getOrElse("seed", "42").toLong
+        val out = req(o, "out")
+        GenPlanner.generateDatasets(spark, ddls, conf, seed, rows)
+          .zipWithIndex.foreach { case (tables, di) =>
+            tables.foreach { case (name, df) =>
+              val dir = s"$out/$name/conf_$di"
+              if (o.getOrElse("format", "csv") == "parquet") df.write.mode("overwrite").parquet(dir)
+              else graft.gen.TableGen.writeCsv(df, dir,
+                o.getOrElse("rows-per-file", "20000").toInt)
+              println(s"generated $name dataset $di -> $dir")
+            }
           }
-        }
+      }
 
     case "replay" =>
       val decoded = ReplayCodec.decode(spark, req(o, "source"), ReplayCodec.DecodeOpts(
