@@ -236,6 +236,81 @@ object ColumnGen {
   private val Weekdays = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
     "Friday", "Saturday", "Sunday")
 
+  private val NamePrefixes = Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Prof.")
+  private val NameSuffixes = Seq("Jr.", "Sr.", "II", "III", "PhD", "MD")
+  private val Genders = Seq("male", "female")
+  private val JobTitles = Seq("engineer", "analyst", "manager", "designer",
+    "director", "consultant", "architect", "administrator", "developer", "specialist")
+  private val Companies = Seq("Acme", "Globex", "Initech", "Umbrella", "Hooli",
+    "Stark", "Wayne", "Wonka", "Tyrell", "Cyberdyne")
+  private val CompanySuffixes = Seq("Inc", "LLC", "Ltd", "Group", "Corp", "Co")
+  private val BuzzWords = Seq("synergy", "paradigm", "leverage", "pivot",
+    "scalable", "holistic", "disruptive", "agile", "seamless", "robust")
+  private val Nouns = Seq("table", "river", "engine", "signal", "garden",
+    "window", "market", "bridge", "cloud", "forest")
+  private val Verbs = Seq("run", "jump", "build", "carry", "write", "read",
+    "move", "play", "open", "close")
+  private val Adjectives = Seq("quick", "bright", "calm", "eager", "fancy",
+    "gentle", "happy", "kind", "lively", "mighty")
+  private val Adverbs = Seq("quickly", "slowly", "quietly", "loudly",
+    "carefully", "eagerly", "rarely", "often", "nearly", "boldly")
+  private val Prepositions = Seq("above", "below", "between", "under", "over",
+    "through", "against", "within", "without", "beside")
+  private val StatesAbr = Seq("AL", "CA", "CO", "FL", "GA", "IL", "NY", "OH",
+    "TX", "WA")
+  private val StreetPrefixes = Seq("North", "South", "East", "West", "Lake", "Old")
+  private val StreetSuffixes = Seq("Street", "Avenue", "Boulevard", "Lane",
+    "Road", "Drive", "Court", "Way")
+  private val TimeZones = Seq("UTC", "EST", "CST", "MST", "PST", "CET", "JST", "IST")
+  private val Languages = Seq("english", "spanish", "french", "german",
+    "mandarin", "hindi", "arabic", "portuguese", "japanese", "swahili")
+  private val LangAbbrs = Seq("en", "es", "fr", "de", "zh", "hi", "ar", "pt", "ja", "sw")
+  private val HttpMethods = Seq("GET", "POST", "PUT", "PATCH", "DELETE", "HEAD", "OPTIONS")
+  private val HttpStatuses = Seq("200", "201", "204", "301", "302", "400",
+    "401", "403", "404", "500", "502", "503")
+  private val HttpVersions = Seq("HTTP/1.0", "HTTP/1.1", "HTTP/2.0")
+  private val FileExtensions = Seq("txt", "csv", "json", "parquet", "avro",
+    "png", "jpg", "pdf", "html", "xml")
+  private val MimeTypes = Seq("text/plain", "text/csv", "application/json",
+    "application/pdf", "image/png", "image/jpeg", "text/html", "application/xml")
+  private val AppNames = Seq("Notewise", "Fitloop", "Cashmap", "Snapdeck",
+    "Tasker", "Mealmate", "Triply", "Chatter", "Skysync", "Podly")
+  private val ProgLanguages = Seq("scala", "java", "python", "go", "rust",
+    "ruby", "kotlin", "swift", "typescript", "haskell")
+  private val SafeColors = Seq("black", "maroon", "green", "olive", "navy",
+    "purple", "teal", "silver", "gray", "white")
+  private val Dogs = Seq("labrador", "poodle", "beagle", "bulldog", "terrier",
+    "collie", "boxer", "husky", "dachshund", "corgi")
+  private val Cats = Seq("siamese", "persian", "bengal", "sphynx", "ragdoll",
+    "birman", "bombay", "manx", "burmese", "tabby")
+  private val Birds = Seq("sparrow", "eagle", "robin", "finch", "heron",
+    "swallow", "owl", "wren", "crane", "magpie")
+  private val FarmAnimals = Seq("cow", "pig", "sheep", "goat", "horse",
+    "chicken", "duck", "goose", "donkey", "turkey")
+  private val PetNames = Seq("buddy", "max", "bella", "charlie", "luna",
+    "lucy", "cooper", "daisy", "rocky", "molly")
+  private val Desserts = Seq("brownie", "cheesecake", "tiramisu", "eclair",
+    "pudding", "sundae", "baklava", "trifle", "flan", "sorbet")
+  private val Snacks = Seq("pretzel", "popcorn", "granola", "crackers",
+    "trailmix", "chips", "jerky", "raisins", "nuts", "crisps")
+  private val Breakfasts = Seq("pancakes", "omelette", "porridge", "waffles",
+    "granola", "bagel", "frittata", "toast", "muesli", "crepes")
+  private val Lunches = Seq("sandwich", "salad", "soup", "burrito", "wrap",
+    "ramen", "quiche", "falafel", "pasta", "poke")
+  private val Dinners = Seq("lasagna", "curry", "stew", "risotto", "tacos",
+    "paella", "goulash", "stirfry", "roast", "gnocchi")
+  private val Drinks = Seq("coffee", "tea", "lemonade", "smoothie", "cocoa",
+    "juice", "soda", "cider", "kombucha", "water")
+  private val Hobbies = Seq("reading", "hiking", "painting", "chess",
+    "gardening", "cycling", "baking", "photography", "climbing", "origami")
+  private val Emojis = Seq("😀", "🎉", "🚀", "🌟", "🔥", "🍀", "🌊", "🎈", "🐙", "🦉")
+  private val UserAgents = Seq(
+    "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.0 Safari/605.1.15")
+  private val Currencies = Seq("USD", "EUR", "GBP", "JPY", "CNY", "INR",
+    "BRL", "CAD", "AUD", "CHF")
+
   private def pick(xs: Seq[String], purpose: String, ctx: Ctx): Column =
     element_at(array(xs.map(lit(_)): _*),
       (ctx.uniform(purpose, 0, xs.size - 1) + lit(1)).cast("int"))
@@ -273,6 +348,113 @@ object ColumnGen {
                                   ctx.uniform(p + ".3", 0, 9999)))
       case "digit"      => Some(ctx.uniform(p, 0, 9))
       case "letter"     => Some(element_at(CharsetArr, (ctx.uniform(p, 0, 25) + lit(1)).cast("int")))
+
+      // ---- reference-faithful snake_case registry (the ~60 most-used of
+      //      the reflected gofakeit set, src/generator/format_tags.go:39-86
+      //      and src/generator/README.md's table), each a deterministic
+      //      compiled Column — word-list pick, hash-uniform draw, or
+      //      formatted composite; no UDFs --------------------------------
+      case "first_name"    => Some(pick(FirstNames, p, ctx))
+      case "last_name"     => Some(pick(LastNames, p, ctx))
+      case "middle_name"   => Some(pick(FirstNames, p, ctx))
+      case "name_prefix"   => Some(pick(NamePrefixes, p, ctx))
+      case "name_suffix"   => Some(pick(NameSuffixes, p, ctx))
+      case "gender"        => Some(pick(Genders, p, ctx))
+      case "job_title"     => Some(pick(JobTitles, p, ctx))
+      case "ssn"           => Some(format_string("%03d-%02d-%04d",
+                                ctx.uniform(p + ".1", 100, 899),
+                                ctx.uniform(p + ".2", 1, 99),
+                                ctx.uniform(p + ".3", 1, 9999)))
+      case "gamertag"      => Some(concat(pick(Adjectives, p + ".a", ctx),
+                                pick(Nouns, p + ".n", ctx), ctx.uniform(p + ".d", 1, 999)))
+      case "phone_formatted" => Some(format_string("(%03d) %03d-%04d",
+                                ctx.uniform(p + ".1", 200, 999),
+                                ctx.uniform(p + ".2", 0, 999),
+                                ctx.uniform(p + ".3", 0, 9999)))
+      case "company"        => Some(pick(Companies, p, ctx))
+      case "company_suffix" => Some(pick(CompanySuffixes, p, ctx))
+      case "buzz_word"      => Some(pick(BuzzWords, p, ctx))
+      case "bs"             => Some(concat_ws(" ", pick(BuzzWords, p + ".1", ctx),
+                                pick(Adjectives, p + ".2", ctx), pick(Nouns, p + ".3", ctx)))
+      case "slogan"         => Some(concat_ws(" ", pick(Adjectives, p + ".1", ctx),
+                                pick(Nouns, p + ".2", ctx), lit("for"), pick(Nouns, p + ".3", ctx)))
+      case "noun"           => Some(pick(Nouns, p, ctx))
+      case "verb"           => Some(pick(Verbs, p, ctx))
+      case "adjective"      => Some(pick(Adjectives, p, ctx))
+      case "adverb"         => Some(pick(Adverbs, p, ctx))
+      case "preposition"    => Some(pick(Prepositions, p, ctx))
+      case "vowel"          => Some(pick(Seq("a", "e", "i", "o", "u"), p, ctx))
+      case "lorem_ipsum_word" => Some(pick(Words, p, ctx))
+      case "phrase"         => Some(concat_ws(" ", pick(Verbs, p + ".1", ctx),
+                                lit("the"), pick(Adjectives, p + ".2", ctx), pick(Nouns, p + ".3", ctx)))
+      case "sentence_simple" => Some(concat_ws(" ", initcap(pick(Nouns, p + ".1", ctx)),
+                                pick(Verbs, p + ".2", ctx), pick(Adverbs, p + ".3", ctx)))
+      case "street_number"  => Some(ctx.uniform(p, 1, 9999))
+      case "street_prefix"  => Some(pick(StreetPrefixes, p, ctx))
+      case "street_suffix"  => Some(pick(StreetSuffixes, p, ctx))
+      case "street_name"    => Some(concat_ws(" ", initcap(pick(Words, p + ".w", ctx)),
+                                pick(StreetSuffixes, p + ".s", ctx)))
+      case "street"         => Some(concat_ws(" ", ctx.uniform(p + ".n", 1, 9999),
+                                pick(StreetPrefixes, p + ".p", ctx),
+                                initcap(pick(Words, p + ".w", ctx)),
+                                pick(StreetSuffixes, p + ".s", ctx)))
+      case "state_abr"      => Some(pick(StatesAbr, p, ctx))
+      case "latitude"       => Some(round(ctx.uniform(p, -90000000, 90000000).cast("double") / 1e6, 6))
+      case "longitude"      => Some(round(ctx.uniform(p, -180000000, 180000000).cast("double") / 1e6, 6))
+      case "time_zone"      => Some(pick(TimeZones, p, ctx))
+      case "language"       => Some(pick(Languages, p, ctx))
+      case "language_abbreviation" => Some(pick(LangAbbrs, p, ctx))
+      case "domain_name"    => Some(pick(Domains, p, ctx))
+      case "domain_suffix"  => Some(pick(Seq("com", "org", "net", "dev", "io"), p, ctx))
+      case "mac_address"    => Some(format_string("%02x:%02x:%02x:%02x:%02x:%02x",
+                                ctx.uniform(p + ".1", 0, 255), ctx.uniform(p + ".2", 0, 255),
+                                ctx.uniform(p + ".3", 0, 255), ctx.uniform(p + ".4", 0, 255),
+                                ctx.uniform(p + ".5", 0, 255), ctx.uniform(p + ".6", 0, 255)))
+      case "http_method"    => Some(pick(HttpMethods, p, ctx))
+      case "http_status_code" => Some(pick(HttpStatuses, p, ctx).cast("int"))
+      case "http_version"   => Some(pick(HttpVersions, p, ctx))
+      case "user_agent"     => Some(pick(UserAgents, p, ctx))
+      case "file_extension" => Some(pick(FileExtensions, p, ctx))
+      case "file_mime_type" => Some(pick(MimeTypes, p, ctx))
+      case "app_name"       => Some(pick(AppNames, p, ctx))
+      case "programming_language" => Some(pick(ProgLanguages, p, ctx))
+      case "hex_color"      => Some(format_string("#%06x", ctx.uniform(p, 0, 0xFFFFFF)))
+      case "safe_color"     => Some(pick(SafeColors, p, ctx))
+      case "bool"           => Some((ctx.uniform(p, 0, 1) === 1).cast("boolean"))
+      case "flip_a_coin"    => Some(pick(Seq("Heads", "Tails"), p, ctx))
+      case "int_8"          => Some(ctx.uniform(p, Byte.MinValue, Byte.MaxValue).cast("int"))
+      case "int_16"         => Some(ctx.uniform(p, Short.MinValue, Short.MaxValue).cast("int"))
+      case "int_32" | "int" => Some(ctx.uniform(p, Int.MinValue, Int.MaxValue).cast("int"))
+      case "int_64"         => Some(ctx.h(p)) // full-range 64-bit draw
+      case "uint_8"         => Some(ctx.uniform(p, 0, 255).cast("int"))
+      case "uint_16"        => Some(ctx.uniform(p, 0, 65535).cast("int"))
+      case "uint_32" | "uint" => Some(ctx.uniform(p, 0, Int.MaxValue).cast("long"))
+      case "month_string"   => Some(pick(Months, p, ctx))
+      case "week_day"       => Some(pick(Weekdays, p, ctx))
+      case "date"           => Some(date_format(
+                                date_add(lit("2016-01-01").cast("date"),
+                                  ctx.uniform(p, 0, 3650).cast("int")),
+                                "yyyy-MM-dd"))
+      case "past_date"      => Some(date_format(
+                                date_sub(current_date(), (ctx.uniform(p, 1, 365)).cast("int")),
+                                "yyyy-MM-dd"))
+      case "credit_card_cvv" => Some(format_string("%03d", ctx.uniform(p, 0, 999)))
+      case "credit_card_exp" => Some(format_string("%02d/%02d",
+                                ctx.uniform(p + ".m", 1, 12), ctx.uniform(p + ".y", 26, 33)))
+      case "currency_short" => Some(pick(Currencies, p, ctx))
+      case "dog"            => Some(pick(Dogs, p, ctx))
+      case "cat"            => Some(pick(Cats, p, ctx))
+      case "bird"           => Some(pick(Birds, p, ctx))
+      case "farm_animal"    => Some(pick(FarmAnimals, p, ctx))
+      case "pet_name"       => Some(pick(PetNames, p, ctx))
+      case "dessert"        => Some(pick(Desserts, p, ctx))
+      case "snack"          => Some(pick(Snacks, p, ctx))
+      case "breakfast"      => Some(pick(Breakfasts, p, ctx))
+      case "lunch"          => Some(pick(Lunches, p, ctx))
+      case "dinner"         => Some(pick(Dinners, p, ctx))
+      case "drink"          => Some(pick(Drinks, p, ctx))
+      case "hobby"          => Some(pick(Hobbies, p, ctx))
+      case "emoji"          => Some(pick(Emojis, p, ctx))
       case _            => None
     }
   }

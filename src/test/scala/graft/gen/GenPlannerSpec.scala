@@ -103,6 +103,51 @@ class GenPlannerSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown format tag"))
   }
 
+  test("snake_case faker registry: shaped values, deterministic, broad") {
+    def gen(fmt: String, n: Int = 40): Array[String] = {
+      val t = DorisDdl.parseCreateTable("CREATE TABLE u (m varchar(255) NOT NULL)")
+      val env = GenRules.buildEnv(GenRules.parseYaml(
+        s"""tables: [{name: u, row_count: $n, columns: [{name: m, format: "$fmt"}]}]"""))
+      TableGen.frame(spark, t, n, seed = 3, env).collect().map(_.getString(0))
+    }
+    assert(gen("{{ssn}}").forall(_.matches("""\d{3}-\d{2}-\d{4}""")))
+    assert(gen("{{mac_address}}").forall(_.matches("""([0-9a-f]{2}:){5}[0-9a-f]{2}""")))
+    assert(gen("{{hex_color}}").forall(_.matches("""#[0-9a-f]{6}""")))
+    assert(gen("{{http_status_code}}").forall(s => Set("200", "201", "204", "301",
+      "302", "400", "401", "403", "404", "500", "502", "503")(s)))
+    assert(gen("{{date}}").forall(_.matches("""20(1[6-9]|2[0-5])-\d{2}-\d{2}""")))
+    assert(gen("{{credit_card_exp}}").forall(_.matches("""(0[1-9]|1[0-2])/(2[6-9]|3[0-3])""")))
+    assert(gen("{{latitude}}").forall(s => math.abs(s.toDouble) <= 90))
+    assert(gen("{{longitude}}").forall(s => math.abs(s.toDouble) <= 180))
+    assert(gen("{{phone_formatted}}").forall(_.matches("""\(\d{3}\) \d{3}-\d{4}""")))
+    assert(gen("{{street}}").forall(_.matches("""\d+ [A-Z][a-z]+ [A-Z][a-z]+ [A-Za-z]+""")))
+    assert(gen("{{bool}}").forall(s => s == "true" || s == "false"))
+    assert(gen("{{int_8}}").forall(s => { val v = s.toInt; v >= -128 && v <= 127 }))
+    assert(gen("{{uint_16}}").forall(s => { val v = s.toInt; v >= 0 && v <= 65535 }))
+    // every word-list tag yields a non-empty value from its list domain
+    val wordTags = Seq("first_name", "last_name", "name_prefix", "name_suffix",
+      "gender", "job_title", "company", "company_suffix", "buzz_word", "noun",
+      "verb", "adjective", "adverb", "preposition", "vowel", "state_abr",
+      "street_prefix", "street_suffix", "time_zone", "language",
+      "language_abbreviation", "domain_name", "domain_suffix", "http_method",
+      "http_version", "user_agent", "file_extension", "file_mime_type",
+      "app_name", "programming_language", "safe_color", "flip_a_coin",
+      "month_string", "week_day", "currency_short", "dog", "cat", "bird",
+      "farm_animal", "pet_name", "dessert", "snack", "breakfast", "lunch",
+      "dinner", "drink", "hobby", "emoji", "lorem_ipsum_word", "gamertag",
+      "bs", "slogan", "phrase", "sentence_simple", "street_name",
+      "street_number", "past_date", "credit_card_cvv", "middle_name",
+      "int_16", "int_32", "int_64", "uint_8", "uint_32")
+    for (tag <- wordTags) {
+      val vs = gen(s"{{$tag}}", 10)
+      assert(vs.forall(_.nonEmpty), s"tag $tag produced empty values")
+      assert(gen(s"{{$tag}}", 10).toSeq == vs.toSeq, s"tag $tag not deterministic")
+    }
+    // distinct draws per occurrence: two tags in one template differ sometimes
+    val pairs = gen("{{first_name}}|{{first_name}}", 60)
+    assert(pairs.exists(s => { val Array(a, b) = s.split('|'); a != b }))
+  }
+
   test("format null propagation: NULL inner value formats to NULL") {
     val t = DorisDdl.parseCreateTable("CREATE TABLE nf (v varchar(24) NULL)")
     val env = GenRules.buildEnv(GenRules.parseYaml(
