@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native k-slot MinHash signature over an array<string> of shingles.
   *
@@ -19,11 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle·slot less overhead. Measured at sf0.1 (5k docs): 48 s
   * (per-slot builtin) / 21 s (fold builtin) → sub-second here.
   *
-  * Interpreted `eval` via CodegenFallback: the hot loop is compiled
-  * Scala, so codegen would only remove one virtual call per row.
+  * `doGenCode` emits a direct static call into the VectorKernels loop,
+  * so the expression stays inside whole-stage codegen — no per-row
+  * interpreted dispatch or boxing around the JIT'd loop.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // input contract: array<string> (AbstractDataType/ExpectsInputTypes are
   // private[sql]; the one call site guarantees the type)
@@ -43,25 +43,14 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-        var j = 0
-        while (j < k) {
-          val h = as(j) * h0 + bs(j)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.minhashSignature(input.asInstanceOf[ArrayData], k, seed, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.minhashSignature($v, $k, ${seed}L, $aRef, $bRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =

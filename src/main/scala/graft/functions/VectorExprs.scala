@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Compiled vector/sketch kernels for the pipeline operators.
@@ -14,12 +14,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * pass over a few elements, pathological when the expression sits in a
   * join hot path (p07 scored millions of candidate pairs through an
   * interpreted 64-dim cosine fold: 16 s at sf0.1, sub-second compiled).
-  * Each expression here is one tight JIT'd loop over the array data.
+  *
+  * Each expression implements `doGenCode` as a direct call into the
+  * static VectorKernels loop — inside whole-stage codegen, no boxing,
+  * no interpreted dispatch (the CodegenFallback versions paid a per-row
+  * virtual eval + Object boxing around the JIT'd loop). Parameter
+  * tables (weights, permutation coefficients) ride along as codegen
+  * reference objects.
   *
   * Accumulation order in cosine matches the declarative fold (sequential
   * left-to-right from 0.0, float widened to double per element) so
   * results are bit-identical and the DuckDB oracle comparison is
-  * unaffected.
+  * unaffected; zero-norm inputs yield 0.0 instead of NaN.
   */
 object splitmix {
   def apply(x0: Long): Long = {
@@ -32,24 +38,16 @@ object splitmix {
 
 /** cosine(a, b) over two array<float> columns, accumulated in double. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
@@ -62,7 +60,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * [-1, 1], precomputed once per operator instance. */
 case class HyperplaneBucketsExpr(child: Expression, dims: Int, planes: Int,
                                  tables: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_buckets"
 
@@ -75,29 +73,14 @@ case class HyperplaneBucketsExpr(child: Expression, dims: Int, planes: Int,
       }
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
-    val x = new Array[Double](n)
-    var i = 0
-    while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        val w = weights(t * planes + p)
-        var dot = 0.0
-        var d = 0
-        while (d < n) { dot += x(d) * w(d); d += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData],
+      dims, planes, tables, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.hyperplaneBuckets($v, $dims, $planes, $tables, $w)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
@@ -109,7 +92,7 @@ case class HyperplaneBucketsExpr(child: Expression, dims: Int, planes: Int,
   * that hash (a balanced bit family, same construction as the MinHash
   * permutations). Bit 63 unused so the value stays a positive long. */
 case class SimHash64Expr(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
@@ -119,27 +102,14 @@ case class SimHash64Expr(child: Expression, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](63)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-        var j = 0
-        while (j < 63) {
-          if (as(j) * h0 + bs(j) < 0) votes(j) -= 1 else votes(j) += 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 63) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-    sig
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simhash64(input.asInstanceOf[ArrayData], seed, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("simhashAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("simhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.simhash64($v, ${seed}L, $aRef, $bRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =

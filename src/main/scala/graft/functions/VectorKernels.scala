@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The per-row loops of the compiled kernels, as static-forwarder
+  * methods generated Java can call directly — `doGenCode` in the
+  * expression classes emits `graft.functions.VectorKernels.cosine(a, b)`
+  * style calls, so the kernels run INSIDE whole-stage codegen with no
+  * boxing and no interpreted expression-tree dispatch (the round-3
+  * CodegenFallback versions paid a per-row virtual eval + Object boxing
+  * around an otherwise JIT'd loop). Parameter tables (hyperplane
+  * weights, permutation coefficients) are passed in by the caller, which
+  * owns deriving them from the seed. */
+object VectorKernels {
+
+  /** Cosine over two array<float>, accumulated in double left-to-right
+    * (bit-identical to the declarative fold the oracle mirrors).
+    * Zero-norm vectors yield 0.0, not NaN — a NaN neither sorts nor
+    * compares, which silently poisons top-k ranking downstream. */
+  def cosine(l: ArrayData, r: ArrayData): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = l.getFloat(i).toDouble
+      val y = r.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Multi-table hyperplane-LSH buckets; weights(t*planes+p)(d) ∈ [-1,1]. */
+  def hyperplaneBuckets(input: ArrayData, dims: Int, planes: Int,
+                        tables: Int, weights: Array[Array[Double]]): ArrayData = {
+    val n = math.min(input.numElements(), dims)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = input.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val w = weights(t * planes + p)
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += x(d) * w(d); d += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 63-bit SimHash over array<string> tokens: one XXH64 per token, 63
+    * affine sign votes. */
+  def simhash64(arr: ArrayData, seed: Long, as: Array[Long], bs: Array[Long]): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var j = 0
+        while (j < 63) {
+          if (as(j) * h0 + bs(j) < 0) votes(j) -= 1 else votes(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** k-slot MinHash signature over array<string> shingles: one XXH64 per
+    * shingle, k affine permutations into a running-min vector. */
+  def minhashSignature(arr: ArrayData, k: Int, seed: Long,
+                       as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var j = 0
+        while (j < k) {
+          val h = as(j) * h0 + bs(j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private final val B = 0x100000001b3L // rolling base (FNV prime)
+
+  /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes, sliding
+    * window-of-w minima (rightmost on ties) via a monotone deque,
+    * distinct, in first-seen order. */
+  def winnowing(input: UTF8String, k: Int, w: Int, bk: Long): ArrayData = {
+    val s = input.toString.toLowerCase
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = splitmix(h)
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * bk) * B + s.charAt(i)
+      hs(i - k + 1) = splitmix(h)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1 || j == nGrams - 1) out.add(hs(deque(head)))
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+}

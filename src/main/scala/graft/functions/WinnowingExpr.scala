@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,9 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Single compiled pass, O(n) time, O(w) extra space via a monotone
   * deque — the same kernel discipline as the MinHash/SimHash
-  * expressions (SURVEY.md §7.4). */
+  * expressions (SURVEY.md §7.4); `doGenCode` calls the static kernel so
+  * the expression stays inside whole-stage codegen. */
 case class WinnowingExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -33,44 +33,12 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
     r
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val n = s.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
-    val nGrams = n - k + 1
-    // rolling k-gram hashes
-    val hs = new Array[Long](nGrams)
-    var h = 0L
-    var i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
-    hs(0) = finalize(h)
-    i = k
-    while (i < n) {
-      h = (h - s.charAt(i - k) * Bk) * B + s.charAt(i)
-      hs(i - k + 1) = finalize(h)
-      i += 1
-    }
-    // sliding-window minimum via monotone deque, rightmost-min tie rule
-    val out = new java.util.LinkedHashSet[Long]()
-    val deque = new Array[Int](nGrams)
-    var head = 0; var tail = 0 // indices into hs, increasing, values increasing
-    var j = 0
-    while (j < nGrams) {
-      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1 // rightmost on ties
-      deque(tail) = j; tail += 1
-      if (deque(head) <= j - w) head += 1
-      if (j >= w - 1 || j == nGrams - 1) out.add(hs(deque(head)))
-      j += 1
-    }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var x = 0
-    while (it.hasNext) { arr(x) = it.next(); x += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.winnowing(input.asInstanceOf[UTF8String], k, w, Bk)
 
-  /** Avalanche the raw polynomial hash so window minima are unbiased. */
-  private def finalize(h: Long): Long = splitmix(h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.winnowing($v, $k, $w, ${Bk}L)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowingExpr =
     copy(child = newChild)

@@ -176,6 +176,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("cosine kernel: zero-norm vectors yield 0.0, not NaN") {
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f, 3f), Array(0f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f))).toDF("a", "b")
+    val cs = df.select(call_function("graft_cosine", col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cs(0) == 0.0 && cs(1) == 0.0 && cs(2) == 1.0)
+    assert(!cs.exists(_.isNaN))
+  }
+
   test("multimodal: batch plumbing with stubbed decode") {
     val media = Multimodal.asMedia(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
