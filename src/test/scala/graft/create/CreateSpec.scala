@@ -87,6 +87,30 @@ class CreateSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM csdb.mv1").count() == 2)
   }
 
+  test("cross-db view retarget emits a loud warning") {
+    dropDb("csdb"); dropDb("warn_tgt")
+    val dir = ddlDir(
+      ("base", "table", "CREATE TABLE base (n INT NOT NULL)"),
+      // body qualifies the SOURCE db — --db retargeting can't rewrite it
+      ("v_q", "view", "CREATE VIEW v_q AS SELECT n FROM csdb.base"))
+    // csdb.base must exist for the view body to resolve
+    Create.createFromDir(spark, dir)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Create.createFromDir(spark, dir, Create.Options(db = Some("warn_tgt")))
+    } finally System.setErr(prevErr)
+    val err = errBuf.toString
+    assert(err.contains("WARNING") && err.contains("v_q") &&
+      err.contains("csdb"), s"expected retarget warning, got: $err")
+    // referencesDb matcher: word-boundary + backtick aware
+    assert(Create.referencesDb("SELECT 1 FROM `csdb`.`t`", "csdb"))
+    assert(Create.referencesDb("SELECT 1 FROM csdb.t", "csdb"))
+    assert(!Create.referencesDb("SELECT 1 FROM mycsdb.t", "csdb"))
+    assert(!Create.referencesDb("SELECT csdb FROM t", "csdb"))
+  }
+
   test("dump --schema-db -> create --db round-trips across databases") {
     dropDb("src_rt"); dropDb("tgt_rt")
     spark.sql("CREATE DATABASE src_rt")
