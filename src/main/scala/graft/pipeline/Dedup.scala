@@ -132,8 +132,13 @@ object Dedup {
       .select(col("id"), xxhash64(col("s")).as("sh_h"))
     if (dfCap <= 0) posts
     else {
-      val rare = posts.groupBy("sh_h").count().filter(col("count") <= dfCap).select("sh_h")
-      posts.join(rare, "sh_h")
+      // Anti-join against the HOT set, not inner-join against the rare
+      // set: above-cap shingles are by construction a tiny fraction of
+      // the key space (that's why the cap works), so this side broadcasts
+      // where the rare set is the size of the whole posting table.
+      val hot = posts.groupBy("sh_h").count()
+        .filter(col("count") > dfCap).select("sh_h")
+      posts.join(broadcast(hot), Seq("sh_h"), "left_anti")
     }
   }
 

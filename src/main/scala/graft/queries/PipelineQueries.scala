@@ -186,9 +186,11 @@ object PipelineQueries extends QueryModule {
       pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
       val landed = s.read.parquet(s"$outRoot/neardup_pairs")
       val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
+        .select("i", "j").cache()
       val nTrueProbe = truth.count()
-      val missed = truth.select("i", "j")
-        .except(landed.select("i", "j")).count()
+      val missed = truth
+        .join(landed.select("i", "j"), Seq("i", "j"), "left_anti").count()
+      truth.unpersist()
       require(missed == 0,
         s"near-dup recall regression: LSH dropped $missed/$nTrueProbe true pair(s)")
       landed.agg(
