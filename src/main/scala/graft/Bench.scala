@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   *     whichever query happens to run first;
   *   - deterministic (sorted) query order;
   *   - a failed query is reported (negative sentinel + errors map), never
-  *     silently recorded as a fast success.
+  *     silently recorded as a fast success;
+  *   - MEDIAN of 3 timed passes per query (round-3 postmortem: a single
+  *     pass recorded a 22x phantom regression on untouched code during a
+  *     burst of machine contention; the median absorbs one bad pass).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,15 +49,22 @@ object Bench {
     ordered.foreach { case (n, fn) => runOnce(n, fn) }
 
     var errors = Map.empty[String, String]
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = runOnce(name, fn)
-      val sec = (System.nanoTime() - t0) / 1e9
-      err.foreach { m =>
-        System.err.println(s"[bench] $name FAILED: $m")
-        errors += (name -> m)
+      var lastErr: Option[String] = None
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val err = runOnce(name, fn)
+        val sec = (System.nanoTime() - t0) / 1e9
+        err.foreach { m =>
+          System.err.println(s"[bench] $name pass FAILED: $m")
+          lastErr = Some(m)
+        }
+        if (err.isEmpty) Some(sec) else None
       }
-      name -> (if (err.isEmpty) sec else -1.0)
+      // a query is failed only when NO pass succeeded
+      if (times.isEmpty) lastErr.foreach(m => errors += (name -> m))
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
