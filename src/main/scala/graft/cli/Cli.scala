@@ -25,6 +25,8 @@ import graft.workload.{AuditLog, ReplayCodec}
   *              shipped one replays a canned completion from a file)
   *   replay    --source <dumpDir> --out <resultDir> [--speed x]
   *             [--client-count n] [--max-hash-rows k]
+  *   import    --db <db> --table <t> --data <csvDir> [--host h]
+  *             [--http-port p] [--user u] [--password w] [--dry-run]
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
   *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
@@ -166,6 +168,18 @@ object Cli {
       val n = bad.count()
       bad.show(100, truncate = false)
       println(s"diff: $n mismatch(es)")
+
+    case "import" =>
+      val cfg = graft.io.StreamLoad.Config(
+        host = o.getOrElse("host", "127.0.0.1"),
+        httpPort = o.getOrElse("http-port", "8030").toInt,
+        user = o.getOrElse("user", "root"),
+        password = o.getOrElse("password", ""),
+        dryRun = o.contains("dry-run"))
+      val res = graft.io.StreamLoad.loadDir(cfg, req(o, "db"), req(o, "table"),
+        req(o, "data"))
+      println(s"stream-loaded ${res.size} file(s), " +
+        s"${res.map(_.rows).sum} row(s) into ${req(o, "db")}.${req(o, "table")}")
 
     case "anonymize" =>
       val ctx = new Anonymizer.Context(

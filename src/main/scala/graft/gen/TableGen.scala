@@ -68,6 +68,18 @@ object TableGen {
     * nulls, complex values as JSON text, booleans as 0/1, ≤rowsPerFile
     * rows per file (reference: src/gendata.go:16-18,196-244). */
   def writeCsv(df: DataFrame, dir: String, rowsPerFile: Int = 20000): Unit =
+    csvWireFrame(df)
+      .write
+      .option("sep", "☆")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("maxRecordsPerFile", rowsPerFile.toLong)
+      .mode("overwrite")
+      .csv(dir)
+
+  /** The CSV wire projection shared by writeCsv and the stream-load
+    * dataset path: complex values as JSON text, booleans as 0/1. */
+  def csvWireFrame(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       val c = col(f.name)
       f.dataType match {
@@ -78,13 +90,6 @@ object TableGen {
         case _ => c.as(f.name)
       }
     }.toIndexedSeq: _*)
-      .write
-      .option("sep", "☆")
-      .option("nullValue", "\\N")
-      .option("emptyValue", "")
-      .option("maxRecordsPerFile", rowsPerFile.toLong)
-      .mode("overwrite")
-      .csv(dir)
 
   /** Stream-load `columns:` header mapping for BITMAP/HLL columns
     * (reference: src/gendata.go:163-187). Pure string builder — returns
