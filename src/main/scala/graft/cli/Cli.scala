@@ -25,6 +25,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *              shipped one replays a canned completion from a file)
   *   replay    --source <dumpDir> --out <resultDir> [--speed x]
   *             [--client-count n] [--max-hash-rows k]
+  *             [--max-conn-idle-ms n] [--cluster <pool>]
   *   import    --db <db> --table <t> --data <csvDir> [--host h]
   *             [--http-port p] [--user u] [--password w] [--dry-run]
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
@@ -154,7 +155,9 @@ object Cli {
       val results = Replay.replay(spark, ReplayCodec.byClient(decoded), minTs,
         Replay.Options(
           speed = o.getOrElse("speed", "1.0").toDouble,
-          maxHashRows = o.getOrElse("max-hash-rows", "0").toInt))
+          maxHashRows = o.getOrElse("max-hash-rows", "0").toInt,
+          maxConnIdleMs = o.getOrElse("max-conn-idle-ms", "5000").toLong,
+          cluster = o.get("cluster")))
       Replay.writeResults(req(o, "out"), results)
       println(s"replayed ${results.valuesIterator.map(_.size).sum} statement(s) " +
         s"across ${results.size} client(s) -> ${req(o, "out")}")

@@ -30,7 +30,18 @@ object Replay {
       maxHashRows: Int = 0,
       sleepFloorMs: Long = 2,
       translateDialect: Boolean = true,
-      retries: Int = 0) // R2: re-attempts per failed statement
+      retries: Int = 0, // R2: re-attempts per failed statement
+      // Recycle the client's child session before any sleep longer than
+      // this (reference: --max-conn-idle-time, default 5 s, cmd/replay.go
+      // :93-98 + src/replay.go:233-236). A recycle drops session state
+      // (temp views, session confs) exactly like a MySQL reconnect, and
+      // re-establishes the current database the way the reference
+      // reconnects with the client's curr db. <= 0 disables.
+      maxConnIdleMs: Long = 5000,
+      // Cloud compute-group routing (`db@cluster`, src/replay.go:69-98):
+      // the Spark analog of pointing a client's connection at a named
+      // compute cluster is pinning its jobs to a named scheduler pool.
+      cluster: Option[String] = None)
 
   /** JSONL result row (reference: src/replay.go:33-42). */
   case class Result(
@@ -49,20 +60,37 @@ object Replay {
       sessionFor: SparkSession => SparkSession = _.newSession()): Map[String, Seq[Result]] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = clientSqls.toSeq.map { case (client, sqls) =>
-      Future(client -> replayClient(sessionFor(spark), sqls, minTs, opts, sleeper))
+      Future(client -> replayClient(() => sessionFor(spark), sqls, minTs, opts, sleeper))
     }
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }
 
   private def replayClient(
-      session: SparkSession, sqls: Seq[ReplayStatement], minTs: Long,
+      newSession: () => SparkSession, sqls: Seq[ReplayStatement], minTs: Long,
       opts: Options, sleeper: Long => Unit): Seq[Result] = {
+    var session = newSession()
+    // set OR CLEAR: replay threads come from a shared pool, so a stale
+    // thread-local pool from a previous replay must not leak in
+    def pinCluster(): Unit =
+      session.sparkContext.setLocalProperty("spark.scheduler.pool", opts.cluster.orNull)
+    pinCluster()
     var prevTs = minTs
     var prevDurationMs = 0L
     sqls.map { s =>
       // 1. wait — interval between original starts minus previous duration
       val sleepMs = ((s.tsMs - prevTs - prevDurationMs) / opts.speed).toLong
-      if (sleepMs > opts.sleepFloorMs) sleeper(sleepMs)
+      if (sleepMs > opts.sleepFloorMs) {
+        // conn-idle recycling: a long-idle client drops its session the
+        // way the reference closes its connection, keeping the current db
+        if (opts.maxConnIdleMs > 0 && sleepMs > opts.maxConnIdleMs) {
+          val currDb = session.catalog.currentDatabase
+          session = newSession()
+          pinCluster()
+          if (session.catalog.databaseExists(currDb))
+            session.catalog.setCurrentDatabase(currDb)
+        }
+        sleeper(sleepMs)
+      }
       prevTs = s.tsMs
 
       // 2. execute (errors recorded, never thrown — R5; R2: a failed

@@ -32,6 +32,55 @@ class ReplaySpec extends SparkSpec {
     assert(res("c1").map(_.returnRows) == Seq(1L, 1L, 1L))
   }
 
+  test("conn-idle recycling: a long gap drops the client session, keeps the db") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS rp_idle")
+    var created = 0
+    val sessions = mutable.ArrayBuffer.empty[org.apache.spark.sql.SparkSession]
+    def factory(root: org.apache.spark.sql.SparkSession) = {
+      created += 1
+      val s = root.newSession()
+      sessions += s
+      s
+    }
+    val sqls = Seq(
+      stmt(1000, "q1", 0, "create temporary view rp_tmp as select 1 as a")
+        .copy(db = "rp_idle"),
+      // 10 s gap > 5 s idle default -> recycle; temp view must be GONE
+      stmt(11000, "q2", 0, "select * from rp_tmp").copy(db = "rp_idle"),
+      stmt(11001, "q3", 0, "select current_database() as d").copy(db = "rp_idle"))
+    val res = Replay.replay(spark, Map("c" -> sqls), minTs = 1000,
+      Replay.Options(), sleeper = _ => (), sessionFor = factory)("c")
+    assert(created == 2, s"expected one recycle, got $created session(s)")
+    assert(res(0).err.isEmpty)
+    assert(res(1).err.nonEmpty, "temp view must not survive the recycle (reconnect semantics)")
+    assert(res(2).err.isEmpty, "current db must survive the recycle")
+    assert(sessions.last.catalog.currentDatabase == "rp_idle")
+    // <=0 disables recycling entirely
+    var created2 = 0
+    Replay.replay(spark, Map("c" -> sqls.take(2)), minTs = 1000,
+      Replay.Options(maxConnIdleMs = 0), sleeper = _ => (),
+      sessionFor = s => { created2 += 1; s.newSession() })
+    assert(created2 == 1)
+  }
+
+  test("cluster routing pins the client's scheduler pool (db@cluster analog)") {
+    // the pool property is thread-local to the client's replay thread —
+    // the sleeper runs on that thread, so it can observe it directly
+    val pools = mutable.ArrayBuffer.empty[String]
+    val sqls = Seq(stmt(1000, "q1", 0, "select 1 as a"))
+    val res = Replay.replay(spark, Map("c" -> sqls), minTs = 0,
+      Replay.Options(cluster = Some("cloud_pool_1")),
+      sleeper = _ => pools += spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
+    assert(res("c").head.err.isEmpty)
+    assert(pools == mutable.ArrayBuffer("cloud_pool_1"))
+    // without the option the pool is untouched
+    val pools2 = mutable.ArrayBuffer.empty[String]
+    Replay.replay(spark, Map("c" -> sqls), minTs = 0, Replay.Options(),
+      sleeper = _ => pools2 += String.valueOf(
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")))
+    assert(pools2 == mutable.ArrayBuffer("null"))
+  }
+
   test("replay fixture statements; unsupported ones record errors, not throws") {
     val decoded = ReplayCodec.decode(spark, s"$fixtureDir/replay.sql")
     val byClient = ReplayCodec.byClient(decoded)
