@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.PipelineQueries,
     graft.queries.AnonQueries,
     graft.queries.CreateQueries,
-    graft.queries.SqlSurfaceQueries
+    graft.queries.SqlSurfaceQueries,
+    graft.queries.IoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
