@@ -106,6 +106,15 @@ object PipelineQueries extends QueryModule {
         .orderBy("hour_start", "event_type")
     }),
 
+    // ---- per-user sessionization (session_window: merging-window agg,
+    //      one shuffle keyed by user; same plan batch or streaming; the
+    //      oracle recomputes sessions via gaps-and-islands SQL) ----------
+    "p14_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionize(Tables.t(s, dir, "events"))
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- IVF ANN (KMeans cells + nearest-centroid probing; the oracle
     //      verifies reported-neighbor invariants: stored cosines match a
     //      recompute and ranks are cosine-ordered; full-probe == brute
@@ -288,6 +297,26 @@ object PipelineQueries extends QueryModule {
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    "p14_sessionize" -> """
+      WITH m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
 
     "p11_ann_ivf" -> s"""
       WITH r AS (

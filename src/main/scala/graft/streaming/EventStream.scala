@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * exactly how a 100 TB event pipeline runs backfill and live ingest off
   * one operator definition.
   */
-object EventStream {
+object EventStream extends Serializable {
 
   /** Tumbling-window per-type aggregate over (ts, event_type, value,
     * props). Window start aligns with date_trunc for whole-unit windows,
@@ -34,4 +34,103 @@ object EventStream {
   def windowedAggStream(events: DataFrame, windowLength: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
+
+  /** Per-user SESSIONIZATION: maximal event runs with inter-event gap
+    * < `gap`, via the built-in `session_window` — the declarative
+    * Catalyst path (merging-window aggregate, shuffle keyed by user),
+    * identical plan batch or streaming. Emits one row per session:
+    * (user_id, session_start, session_end, n_events, sum_value).
+    * Session bounds follow Spark's session_window semantics: end =
+    * last event + gap, so `duration_s` below subtracts the gap back to
+    * the observable last-event time — an engine-independent quantity
+    * any SQL (gaps-and-islands) can recompute. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming flavor of sessionize: watermark bounds the session state;
+    * append mode emits a session once the watermark passes its close. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    sessionize(events.withWatermark("ts", watermark), gap)
+
+  /** One closed session from the custom-state path. */
+  case class Session(userId: Long, sessionStart: java.sql.Timestamp,
+                     sessionEnd: java.sql.Timestamp, nEvents: Long,
+                     sumValue: Double, eventTypes: Map[String, Long])
+
+  // state times in MICROSECONDS — java.sql.Timestamp.getTime is
+  // millis-only and silently truncates the event time's micros
+  private case class SessionState(startUs: Long, lastUs: Long, n: Long,
+                                  sum: Double, types: Map[String, Long])
+
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** CUSTOM-STATE sessionization via flatMapGroupsWithState — the escape
+    * hatch for per-session logic `session_window` can't express (here:
+    * per-type event counts accumulated in arrival order). Batch
+    * semantics: state never times out mid-batch, so every group's final
+    * state flushes at the end — output equals the declarative path plus
+    * the extra column. In streaming, EventTimeTimeout closes a session
+    * once the watermark passes last-event + gap. */
+  def sessionizeWithState(events: DataFrame, gapMinutes: Long = 30,
+                          watermark: String = "2 hours",
+                          streaming: Boolean = false): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    val typed = (if (streaming) events.withWatermark("ts", watermark) else events)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"), col("value").cast("double"))
+      .as[(Long, Long, String, Double)]
+
+    def close(userId: Long, st: SessionState): Session =
+      Session(userId, usToTs(st.startUs), usToTs(st.lastUs + gapUs),
+        st.n, st.sum, st.types)
+
+    def fn(userId: Long, rows: Iterator[(Long, Long, String, Double)],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      // within one trigger the group's rows arrive unordered — sort here;
+      // cross-trigger order is the watermark's job
+      val sorted = rows.toSeq.sortBy(_._2)
+      var st = state.getOption.orNull
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { case (_, us, tpe, v) =>
+        if (st != null && us - st.lastUs >= gapUs) { closed += close(userId, st); st = null }
+        st =
+          if (st == null) SessionState(us, us, 1, v, Map(tpe -> 1L))
+          else st.copy(lastUs = us, n = st.n + 1, sum = st.sum + v,
+            types = st.types + (tpe -> (st.types.getOrElse(tpe, 0L) + 1L)))
+      }
+      if (st != null) {
+        if (streaming) {
+          state.update(st)
+          state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L)
+        } else closed += close(userId, st) // batch: flush at end of input
+      }
+      closed.result().iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -44,4 +44,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length >= batch.length - 8,
       s"stream closed too few windows: ${streamed.length} vs batch ${batch.length}")
   }
+
+  test("custom-state sessionization equals the declarative session_window path") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.t(spark, dir, "events")
+    val declarative = EventStream.sessionize(events)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val custom = EventStream.sessionizeWithState(events)
+      .toDF()
+      .select(col("userId").as("user_id"),
+        col("sessionStart").cast("timestamp_ntz"),
+        col("sessionEnd").cast("timestamp_ntz"),
+        col("nEvents"))
+      .collect().map(_.toSeq).toSet
+    assert(declarative.nonEmpty && custom == declarative)
+    // and the custom path's extra column is consistent: per-type counts
+    // sum to the session's event count
+    val sums = EventStream.sessionizeWithState(events).collect()
+    assert(sums.forall(s => s.eventTypes.values.sum == s.nEvents))
+  }
+
+  test("streaming sessionization (session_window + watermark) matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStream.sessionize(Tables.t(spark, dir, "events"))
+      .collect().map(r => (r.get(0), r.get(1)) -> r.toSeq).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("sess_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStream.sessionizeStream(streamIn)
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_agg").collect()
+    assert(streamed.nonEmpty, "stream emitted no sessions")
+    streamed.foreach { r =>
+      val k = (r.get(0), r.get(1))
+      assert(batch.contains(k), s"stream emitted unknown session $k")
+      assert(batch(k) == r.toSeq, s"session $k differs")
+    }
+    // the watermark closes every session except those near the stream end
+    assert(streamed.length >= batch.size * 3 / 4,
+      s"stream closed too few sessions: ${streamed.length} vs batch ${batch.size}")
+  }
 }
