@@ -205,6 +205,44 @@ class PipelineSpec extends SparkSpec {
            again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: REAL image decode (JDK codecs), aHash near-dup pairs") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val gradient = png(32, 24, (x, _) => { val v = x * 8 % 256; (v << 16) | (v << 8) | v })
+    // same gradient with one noisy pixel — a true near-dup
+    val noisy = png(32, 24, (x, y) =>
+      if (x == 5 && y == 5) 0xffffff
+      else { val v = x * 8 % 256; (v << 16) | (v << 8) | v })
+    val inverted = png(32, 24, (x, _) => { val v = 255 - x * 8 % 256; (v << 16) | (v << 8) | v })
+    val rows = Seq(
+      (1L, gradient), (2L, noisy), (3L, inverted),
+      (4L, "not an image at all".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
+
+    val feats = Multimodal.imageFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).width == 32 && feats(1L).height == 24)
+    assert(feats(1L).features.length == 64 && feats(1L).mean_luma > 0)
+    assert(!feats(4L).decoded, "corrupt payload must flag, not throw")
+    // determinism: identical payload -> identical signature
+    val again = Multimodal.imageFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.ahash).toMap
+    assert(again(1L) == feats(1L).ahash)
+    // the near-identical image is within 3 bits; the inverted one is far
+    assert(java.lang.Long.bitCount(feats(1L).ahash ^ feats(2L).ahash) <= 3)
+    assert(java.lang.Long.bitCount(feats(1L).ahash ^ feats(3L).ahash) > 10)
+
+    val pairs = Multimodal.imageNearDupPairs(spark, media)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("winnowing: shared substring >= w+k-1 guarantees a shared fingerprint") {
     val k = 8; val w = 4
     val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
