@@ -108,7 +108,12 @@ object Dedup {
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sized = base.select(col("id"), size(col("sh")).as("n"))
-    val usable = shinglePostings(base, dfCap)
+    // The exchange is load-bearing (same discipline as minhashPairs):
+    // without it each side of the self-join below re-scans, re-explodes,
+    // and re-filters the postings; with it the pipeline materializes
+    // once, ReuseExchange shares the shuffle between both branches, and
+    // the sh_h join is co-partitioned.
+    val usable = shinglePostings(base, dfCap).repartition(col("sh_h"))
     val a = usable.select(col("sh_h"), col("id").as("i"))
     val b = usable.select(col("sh_h"), col("id").as("j"))
     val inter = a.join(b, "sh_h")
