@@ -167,6 +167,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("i", "j")
     }),
 
+    // ---- as-of join: most recent click before each purchase, per user
+    //      (union + one window pass keyed by user — no join node, no
+    //      broadcast cap; DuckDB's native ASOF JOIN is the oracle). The
+    //      right side is pre-aggregated per (user, ts) so tie-breaking is
+    //      engine-independent -----------------------------------------
+    "p15_asof_join" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      graft.operators.AsofJoin.backward(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("ts", "click_id"), prefix = "c_")
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("c_ts")))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("c_click_id").as("click_id"), col("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -381,6 +402,16 @@ object PipelineQueries extends QueryModule {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",
+
+    "p15_asof_join" -> """
+      WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.ts, c.click_id,
+             CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,
