@@ -121,6 +121,49 @@ object SqlSurfaceQueries extends QueryModule {
         FROM lineitem
         GROUP BY l_linenumber
         ORDER BY l_linenumber""")
+    }),
+
+    // True SKETCH parity for the bitmap/hll pair (vs q31's value-level
+    // model): graft_bitmap_agg is a Roaring64 TypedImperativeAggregate
+    // (exact distinct, kilobyte partials, map-side merge) and the HLL
+    // side is Spark's built-in datasketches hll_sketch_agg. Per-flag
+    // sketches are LANDED to parquet, then the MERGED row re-aggregates
+    // the saved sketches alone — no second scan of the fact table, which
+    // is the whole point of mergeable sketches at 100 TB. The A&R row
+    // exercises scalar bitmap intersection. DuckDB re-derives every
+    // count exactly; hll_ok asserts the estimate lands within 5%.
+    "q32_sketch_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.BitmapExprs.register(s)
+      val out = s"${graft.Land.root}/sketch/q32_perflag"
+      s.sql("""
+        SELECT l_returnflag AS flag,
+               graft_bitmap_agg(l_orderkey) AS bm,
+               hll_sketch_agg(l_orderkey) AS hs
+        FROM lineitem GROUP BY l_returnflag""")
+        .write.mode("overwrite").parquet(out)
+      val saved = s.read.parquet(out)
+      saved.createOrReplaceTempView("graft_q32_saved")
+      val perFlag = s.sql("""
+        SELECT flag,
+               graft_bitmap_count(bm) AS n_distinct,
+               abs(hll_sketch_estimate(hs) - graft_bitmap_count(bm))
+                 <= 0.05 * graft_bitmap_count(bm) AS hll_ok
+        FROM graft_q32_saved""")
+      val merged = s.sql("""
+        SELECT 'MERGED' AS flag,
+               graft_bitmap_count(graft_bitmap_union_agg(bm)) AS n_distinct,
+               abs(hll_sketch_estimate(hll_union_agg(hs))
+                   - graft_bitmap_count(graft_bitmap_union_agg(bm)))
+                 <= 0.05 * graft_bitmap_count(graft_bitmap_union_agg(bm)) AS hll_ok
+        FROM graft_q32_saved""")
+      val inter = s.sql("""
+        SELECT 'A&R' AS flag,
+               graft_bitmap_count(graft_bitmap_and(a.bm, r.bm)) AS n_distinct,
+               TRUE AS hll_ok
+        FROM graft_q32_saved a JOIN graft_q32_saved r
+          ON a.flag = 'A' AND r.flag = 'R'""")
+      perFlag.unionByName(merged).unionByName(inter).orderBy("flag")
     })
   )
 
@@ -192,6 +235,22 @@ object SqlSurfaceQueries extends QueryModule {
              CAST(0 AS BIGINT) AS bm_zero
       FROM lineitem
       GROUP BY l_linenumber
-      ORDER BY l_linenumber"""
+      ORDER BY l_linenumber""",
+
+    "q32_sketch_agg" -> """
+      SELECT flag, n_distinct, hll_ok FROM (
+        SELECT l_returnflag AS flag,
+               count(DISTINCT l_orderkey) AS n_distinct, TRUE AS hll_ok
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT 'MERGED', count(DISTINCT l_orderkey), TRUE FROM lineitem
+        UNION ALL
+        SELECT 'A&R',
+               (SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+                  INTERSECT
+                  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
+               TRUE)
+      ORDER BY flag"""
   )
 }
