@@ -116,6 +116,44 @@ case class SimHash64Expr(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** Per-vector int8 quantization scale of an array<float> embedding. */
+case class Int8ScaleExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_scale"
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.int8Scale(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.int8Scale($v)")
+  override protected def withNewChildInternal(newChild: Expression): Int8ScaleExpr =
+    copy(child = newChild)
+}
+
+/** Cosine of an embedding against its int8 quantize→dequantize round
+  * trip — the quantization-quality metric, computed in one fused pass
+  * (the quantized array never materializes). */
+case class Int8CosQExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_cosq"
+  override def nullSafeEval(emb: Any, scale: Any): Any =
+    VectorKernels.int8CosQ(emb.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.int8CosQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8CosQExpr =
+    copy(left = l, right = r)
+}
+
+/** Mean |x - dequant(x)| of the int8 round trip. */
+case class Int8MaeQExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_maeq"
+  override def nullSafeEval(emb: Any, scale: Any): Any =
+    VectorKernels.int8MaeQ(emb.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.int8MaeQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8MaeQExpr =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v, _) => v.toString.toInt
@@ -146,6 +184,21 @@ object VectorExprs {
       { exprs =>
         require(exprs.length == 2, "graft_simhash64(tokens, seed)")
         SimHash64Expr(exprs.head, litLong(exprs(1), "seed"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_int8_scale",
+      { exprs =>
+        require(exprs.length == 1, "graft_int8_scale(emb)")
+        Int8ScaleExpr(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_int8_cosq",
+      { exprs =>
+        require(exprs.length == 2, "graft_int8_cosq(emb, scale)")
+        Int8CosQExpr(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_int8_maeq",
+      { exprs =>
+        require(exprs.length == 2, "graft_int8_maeq(emb, scale)")
+        Int8MaeQExpr(exprs(0), exprs(1))
       }, "built-in")
   }
 }

@@ -106,6 +106,51 @@ object VectorKernels {
     new GenericArrayData(mins)
   }
 
+  /** Per-vector symmetric int8 scale: max|x| / 127 with a 1e-12 floor
+    * (zero vectors would otherwise divide by zero). */
+  def int8Scale(emb: ArrayData): Double = {
+    val n = emb.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(emb.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    math.max(m, 1e-12) / 127.0
+  }
+
+  /** Cosine between the original vector and its int8 round-trip
+    * (`floor(x/scale + 0.5) * scale` — floor+0.5 instead of round so the
+    * halfway rule is engine-unambiguous). Same accumulation shape as
+    * `cosine`, one pass, no materialized quantized array. */
+  def int8CosQ(emb: ArrayData, scale: Double): Double = {
+    val n = emb.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      val y = math.floor(x / scale + 0.5) * scale
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Mean absolute error of the int8 round-trip, sequential left fold. */
+  def int8MaeQ(emb: ArrayData, scale: Double): Double = {
+    val n = emb.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      s += math.abs(x - math.floor(x / scale + 0.5) * scale)
+      i += 1
+    }
+    if (n == 0) 0.0 else s / n
+  }
+
   private final val B = 0x100000001b3L // rolling base (FNV prime)
 
   /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes, sliding

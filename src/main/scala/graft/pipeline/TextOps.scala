@@ -81,6 +81,29 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ---- PII scrubbing -------------------------------------------------
+  // Regexes are deliberately RE2-compatible (no backreferences or
+  // lookaround) so the DuckDB oracle — and any RE2-based scanner at
+  // ingest time — applies the exact same patterns. Scrub order is fixed
+  // (email → phone → IPv4): each later pattern runs over the already-
+  // redacted text, so engines agree even on overlapping matches.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Count occurrences of a PII pattern (pre-scrub). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed tags —
+    * one codegen'd regexp_replace chain, scan-local at any scale. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
   /** Winnowing fingerprints (rolling-hash k-gram window minima): docs
     * sharing a substring of length ≥ w+k-1 share a fingerprint, making
     * the fingerprints a bucketable overlap-join key. Compiled kernel;

@@ -188,6 +188,48 @@ object PipelineQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // ---- PII scrubbing: typed-tag redaction of emails/phones/IPv4s.
+    //      The synthetic corpus carries no PII, so the query first
+    //      AUGMENTS each doc with deterministic doc_id-derived PII (the
+    //      identical expression runs in the oracle) — the operator under
+    //      test is TextOps.piiScrub/piiCount, a codegen'd regex chain
+    //      that is scan-local at any scale --------------------------------
+    "p16_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via "),
+        lit("10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" tel 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      d.select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextOps.piiCount(col("aug"), TextOps.EmailRe).as("n_email"),
+          TextOps.piiCount(col("aug"), TextOps.PhoneRe).as("n_phone"),
+          TextOps.piiCount(col("aug"), TextOps.Ipv4Re).as("n_ip"),
+          md5(TextOps.piiScrub(col("aug"))).as("scrub_md5"),
+          length(TextOps.piiScrub(col("aug"))).cast("long").as("scrub_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- int8 embedding quantization: per-vector symmetric scale
+    //      (max|x|/127), quality measured as cosine + MAE of the
+    //      quantize→dequantize round trip — fused compiled kernels, no
+    //      materialized int8 array. The 100 TB point: 4× smaller vectors
+    //      through every ANN shuffle for ~1e-5 cosine loss (measured
+    //      below); DuckDB recomputes the identical arithmetic ------------
+    "p17_embedding_quantize" -> ((s, dir) => {
+      graft.functions.VectorExprs.register(s)
+      val e = embs(s, dir)
+      val scale = call_function("graft_int8_scale", col("embedding"))
+      e.select(col("vec_id"), col("label").cast("long").as("label"),
+          round(call_function("graft_int8_cosq", col("embedding"), scale), 6).as("cos_q"),
+          round(call_function("graft_int8_maeq", col("embedding"), scale), 9).as("mae_q"),
+          round(scale * 127.0, 6).as("max_abs"))
+        .orderBy("vec_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -412,6 +454,48 @@ object PipelineQueries extends QueryModule {
              CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+
+    "p16_pii_scrub" -> s"""
+      WITH a AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST(doc_id % 100 AS VARCHAR)
+                    || ' tel 555-123-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents),
+      s AS (
+        SELECT doc_id, aug,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(aug, '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+                   '${TextOps.PhoneRe}', '[PHONE]', 'g'),
+                 '${TextOps.Ipv4Re}', '[IP]', 'g') AS scrubbed
+        FROM a)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(aug, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ip,
+             md5(scrubbed) AS scrub_md5,
+             CAST(length(scrubbed) AS BIGINT) AS scrub_len
+      FROM s ORDER BY doc_id""",
+
+    "p17_embedding_quantize" -> """
+      WITH s1 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                         CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s2 AS (SELECT vec_id, label, emb,
+             greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 AS scale
+             FROM s1),
+      s3 AS (SELECT vec_id, label, emb, scale,
+             list_transform(emb, x -> floor(x / scale + 0.5) * scale) AS deq
+             FROM s2)
+      SELECT vec_id, label,
+             round(list_cosine_similarity(emb, deq), 6) AS cos_q,
+             round(list_reduce(list_transform(range(1, len(emb) + 1),
+                     i -> abs(emb[i] - deq[i])), (a, b) -> a + b) / len(emb), 9) AS mae_q,
+             round(scale * 127.0, 6) AS max_abs
+      FROM s3 ORDER BY vec_id""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,

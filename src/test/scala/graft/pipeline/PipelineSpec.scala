@@ -275,4 +275,41 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
     assert(sh == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
   }
+
+  test("pii scrub redacts emails/phones/ips with typed tags; counts match") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "host 192.168.0.1 and 10.0.0.255"),
+      (4L, "clean text, nothing to redact"),
+      (5L, "mixed a@b.co 1.2.3.4 111-222-3333")).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextOps.piiScrub(col("t")).as("s"),
+        TextOps.piiCount(col("t"), TextOps.EmailRe).as("ne"),
+        TextOps.piiCount(col("t"), TextOps.PhoneRe).as("np"),
+        TextOps.piiCount(col("t"), TextOps.Ipv4Re).as("ni"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1) == ("mail [EMAIL] now", 1L, 0L, 0L))
+    assert(out(2) == ("call [PHONE] or [PHONE]", 0L, 2L, 0L))
+    assert(out(3) == ("host [IP] and [IP]", 0L, 0L, 2L))
+    assert(out(4) == ("clean text, nothing to redact", 0L, 0L, 0L))
+    assert(out(5) == ("mixed [EMAIL] [IP] [PHONE]", 1L, 1L, 1L))
+  }
+
+  test("int8 quantization: near-lossless cosine, error bounded by scale/2") {
+    graft.functions.VectorExprs.register(spark)
+    val scale = call_function("graft_int8_scale", col("embedding"))
+    val rows = embs.select(
+        call_function("graft_int8_cosq", col("embedding"), scale).as("cos_q"),
+        call_function("graft_int8_maeq", col("embedding"), scale).as("mae_q"),
+        scale.as("s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cosQ, mae, s) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(cosQ > 0.999, s"quantization broke cosine: $cosQ")
+      // each element's round-trip error is < scale/2 by construction
+      assert(mae >= 0.0 && mae <= s / 2.0 + 1e-12, s"mae $mae vs scale $s")
+    }
+  }
 }
