@@ -182,6 +182,37 @@ object Dedup {
     verifyJaccard(candidates, base, threshold)
   }
 
+  /** DECONTAMINATION: benchmark/eval probe docs detected inside a
+    * training corpus via the same shared-shingle inverted index as
+    * ngramJaccardPairs, but cross-set and ASYMMETRIC — the score is
+    * containment |T∩E| / |E| (how much of the eval doc appears in the
+    * training doc), the standard leakage metric: a long train doc that
+    * embeds a whole eval item scores 1.0 where jaccard would dilute it.
+    * The probe set (benchmark suites: thousands of docs) is broadcast,
+    * so cost is one pass over the train postings + a candidate-only
+    * aggregation — never train×eval. `dfCap` caps train-side shingle
+    * document frequency exactly as in ngramJaccardPairs. Returns
+    * (train_id, eval_id, n_common, overlap). */
+  def contaminationPairs(train: DataFrame, probe: DataFrame, idCol: String,
+                         textCol: String, threshold: Double = 0.5,
+                         shingleN: Int = 3, dfCap: Int = 1000): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
+    val tBase = shingled(train, idCol, textCol, shingleN)
+    val pBase = shingled(probe, idCol, textCol, shingleN)
+    val pSized = pBase.select(col("id").as("eval_id"), size(col("sh")).as("n_e"))
+    val tPosts = shinglePostings(tBase, dfCap)
+      .select(col("sh_h"), col("id").as("train_id"))
+    val pPosts = shinglePostings(pBase, 0)
+      .select(col("sh_h"), col("id").as("eval_id"))
+    val inter = tPosts.join(broadcast(pPosts), "sh_h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_common"))
+    inter.join(broadcast(pSized), "eval_id")
+      .withColumn("overlap",
+        col("n_common").cast("double") / col("n_e").cast("double"))
+      .filter(col("overlap") >= threshold)
+      .select("train_id", "eval_id", "n_common", "overlap")
+  }
+
   /** SimHash signatures (id, sig) — compiled single-pass kernel
     * (one XXH64 per token + 63 affine sign votes, see SimHash64Expr). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Dedup, TextOps}
+import graft.pipeline.{Ann, Dedup, Mixing, TextOps}
 
 /** LLM-training-data pipeline operators as driver-checkable queries:
   * text analysis, exact + MinHash-LSH + SimHash dedup, and similarity
@@ -228,6 +228,54 @@ object PipelineQueries extends QueryModule {
           round(call_function("graft_int8_maeq", col("embedding"), scale), 9).as("mae_q"),
           round(scale * 127.0, 6).as("max_abs"))
         .orderBy("vec_id")
+    }),
+
+    // ---- reproducible splits + stratified source mixing: everything a
+    //      deterministic function of md5(salt:doc_id), no rand() — the
+    //      split survives retries/repartitioning and ANY engine can
+    //      re-derive who was sampled (the oracle does exactly that) ------
+    "p18_split_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val rate = element_at(
+        array(lit(1.0), lit(0.75), lit(0.5), lit(0.25)), srcNum % 4 + 1)
+      d.select(col("doc_id"), col("source"),
+          Mixing.hashUnit(col("doc_id"), "graft-split").as("u"),
+          Mixing.hashUnit(col("doc_id"), "graft-mix").as("um"),
+          rate.as("rate"))
+        .withColumn("split", Mixing.splitAssign(col("u")))
+        .withColumn("kept", Mixing.stratifiedKeep(col("um"), col("rate")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+        .orderBy("source", "split")
+    }),
+
+    // ---- token-budget sequence packing: one window pass per source,
+    //      docs cut into 512-token training sequences by start offset ----
+    "p19_token_packing" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("source"), col("doc_id"),
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("toks"))
+      Mixing.packBins(base, "source", "doc_id", "toks", budget = 512)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+        .orderBy("source", "bin")
+    }),
+
+    // ---- decontamination: eval-probe docs (doc_id % 20 == 7 stands in
+    //      for a benchmark suite) found inside the remaining training
+    //      corpus by shingle containment |T∩E|/|E| — probe side
+    //      broadcast, candidates only from the shared-shingle inverted
+    //      index; the oracle brute-forces the same containment ----------
+    "p20_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probe = d.filter(col("doc_id") % 20 === 7)
+      val train = d.filter(col("doc_id") % 20 =!= 7)
+      Dedup.contaminationPairs(train, probe, "doc_id", "text", threshold = 0.5)
+        .withColumn("overlap", round(col("overlap"), 6))
+        .orderBy("train_id", "eval_id")
     }),
 
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
@@ -496,6 +544,54 @@ object PipelineQueries extends QueryModule {
                      i -> abs(emb[i] - deq[i])), (a, b) -> a + b) / len(emb), 9) AS mae_q,
              round(scale * 127.0, 6) AS max_abs
       FROM s3 ORDER BY vec_id""",
+
+    "p18_split_sample" -> """
+      WITH b AS (
+        SELECT doc_id, source,
+          ('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 AS u,
+          ('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 AS um,
+          list_extract([1.0, 0.75, 0.5, 0.25],
+            CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 + 1) AS rate
+        FROM documents)
+      SELECT source,
+             CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN um < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN um < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "p19_token_packing" -> s"""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, toks,
+               SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT source, CAST(floor((cum - toks) / 512.0) AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "p20_decontaminate" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      e AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
+      t AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_common,
+             round(CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s), 6) AS overlap
+      FROM t, e
+      WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) >= 0.5
+      ORDER BY train_id, eval_id""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,

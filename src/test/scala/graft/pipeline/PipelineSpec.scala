@@ -296,6 +296,46 @@ class PipelineSpec extends SparkSpec {
     assert(out(5) == ("mixed [EMAIL] [IP] [PHONE]", 1L, 1L, 1L))
   }
 
+  test("hash split: deterministic, partition-invariant, fractions near target") {
+    val a = spark.range(0, 2000, 1, 1)
+      .select(col("id"), Mixing.splitAssign(Mixing.hashUnit(col("id"), "graft-split")).as("sp"))
+    val b = spark.range(0, 2000, 1, 16) // different partitioning, same split
+      .select(col("id"), Mixing.splitAssign(Mixing.hashUnit(col("id"), "graft-split")).as("sp"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val frac = a.groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac.toString)
+    // salts decorrelate: split hash and mix hash disagree somewhere
+    val corr = spark.range(0, 100)
+      .select((Mixing.hashUnit(col("id"), "a") < 0.5) === (Mixing.hashUnit(col("id"), "b") < 0.5))
+      .collect().count(_.getBoolean(0))
+    assert(corr > 20 && corr < 80)
+  }
+
+  test("token packing: bins respect budget by start offset, cover all docs") {
+    val df = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), // cum 300,600,900
+      ("s2", 4L, 1000L), ("s2", 5L, 10L)).toDF("source", "doc_id", "toks")
+    val out = Mixing.packBins(df, "source", "doc_id", "toks", budget = 512)
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1 starts at 0 → bin0; doc2 starts at 300 → bin0; doc3 starts at 600 → bin1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("contamination: planted eval text inside a train doc scores containment 1.0") {
+    val probe = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix words here"),
+      (2L, "completely different content with no overlap at all in any way")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(train, probe, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 100L && out.head._3 == 1.0)
+  }
+
   test("int8 quantization: near-lossless cosine, error bounded by scale/2") {
     graft.functions.VectorExprs.register(spark)
     val scale = call_function("graft_int8_scale", col("embedding"))
