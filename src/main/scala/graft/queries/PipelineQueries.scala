@@ -278,6 +278,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("train_id", "eval_id")
     }),
 
+    // ---- REAL audio decode on the verified path: deterministic WAV
+    //      payloads synthesized per doc_id (16-bit PCM sine, parameters =
+    //      id arithmetic), decoded through the JDK's actual WAV reader in
+    //      the batched mapPartitions pipeline. DuckDB re-derives every
+    //      FORMAT fact analytically; the signal side (rms ≈ amp/√2) is an
+    //      in-query guard, so a broken decoder fails the gate either way -
+    "p21_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 50)
+        .as[Long].map(id => (id, Multimodal.synthWav(id))).toDF("id", "b")
+      val feats = Multimodal.audioFeatures(s,
+        Multimodal.asMedia(media, "id", "b", "audio"))
+      val expRms = (lit(0.25) + (col("media_id") % 3) * 0.05) / math.sqrt(2.0)
+      val bad = feats.filter(!col("decoded")
+        || abs(col("rms") - expRms) > 0.02
+        || abs(col("duration_s") * col("sample_rate") - col("n_frames")) > 0.5)
+        .count()
+      require(bad == 0, s"audio decode regression: $bad bad rows")
+      feats.select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"),
+          round(col("duration_s"), 6).as("duration_s"))
+        .orderBy("media_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -592,6 +619,14 @@ object PipelineQueries extends QueryModule {
       FROM t, e
       WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) >= 0.5
       ORDER BY train_id, eval_id""",
+
+    "p21_audio_decode" -> """
+      SELECT doc_id AS media_id,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(1 AS BIGINT) AS channels,
+             CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS n_frames,
+             round((1000 + (doc_id % 5) * 500) / 8000.0, 6) AS duration_s
+      FROM documents WHERE doc_id < 50 ORDER BY media_id""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,

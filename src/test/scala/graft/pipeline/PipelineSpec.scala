@@ -243,6 +243,37 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("multimodal: REAL audio decode (JDK WAV reader), signal features") {
+    import javax.sound.sampled._
+    // synthesize a 0.5 s, 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8 kHz
+    val sr = 8000; val n = 4000; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Multimodal.asMedia(
+      Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("id", "b"), "id", "b", "audio")
+    val out = Multimodal.audioFeatures(spark, media).collect()
+      .map(a => a.media_id -> a).toMap
+    val a1 = out(1L)
+    assert(a1.decoded && a1.sample_rate == sr && a1.channels == 1)
+    assert(a1.n_frames == n && math.abs(a1.duration_s - 0.5) < 1e-9)
+    // sine RMS = amp/sqrt(2); zcr = 2f/sr
+    assert(math.abs(a1.rms - amp / math.sqrt(2)) < 0.01, s"rms=${a1.rms}")
+    assert(math.abs(a1.peak - amp) < 0.01)
+    assert(math.abs(a1.zcr - 2.0 * 440 / sr) < 0.01, s"zcr=${a1.zcr}")
+    assert(!out(2L).decoded) // corrupt payload: resilient, not fatal
+  }
+
   test("winnowing: shared substring >= w+k-1 guarantees a shared fingerprint") {
     val k = 8; val w = 4
     val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
