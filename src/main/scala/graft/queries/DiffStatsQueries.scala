@@ -60,6 +60,30 @@ object DiffStatsQueries extends QueryModule {
       val li = Tables.t(s, dir, "lineitem")
       Stats.collect(li,
         Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"), exact = true)
+    }),
+
+    // ---- quantile stats: percentile_approx is the mergeable-sketch
+    //      100 TB path (map-side partials, rank error ≤ 1/accuracy); the
+    //      exact interpolated percentile is cross-engine-compared and an
+    //      in-query guard pins the sketch to within 1% of the value
+    //      range, so a sketch regression fails the gate -----------------
+    "s02_quantile_stats" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qdf = Stats.quantiles(li, cols)
+      val mm = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
+        .select(col("kv.column").as("column"), col("kv.v").as("v"))
+        .groupBy("column").agg(min("v").as("mn"), max("v").as("mx"))
+      val out = qdf.join(mm, "column")
+        .withColumn("approx_ok",
+          abs(col("approx_pct") - col("exact_pct")) <= (col("mx") - col("mn")) * 0.01)
+        .select(col("column"), col("q"),
+          round(col("exact_pct"), 6).as("exact_pct"), col("approx_ok"))
+        .orderBy("column", "q")
+      val bad = out.filter(!col("approx_ok")).count()
+      require(bad == 0, s"quantile sketch regression: $bad estimates out of bounds")
+      out
     })
   )
 
@@ -132,6 +156,23 @@ object DiffStatsQueries extends QueryModule {
                CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR),
                AVG(LENGTH(CAST(l_shipdate AS VARCHAR)))
         FROM lineitem) t
-      ORDER BY "column""""
+      ORDER BY "column"""",
+
+    "s02_quantile_stats" -> """
+      WITH v AS (
+        SELECT 'l_quantity' AS c, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+      qq AS (
+        SELECT c, quantile_cont(v, [0.25, 0.5, 0.75, 0.95]) AS qs
+        FROM v GROUP BY c)
+      SELECT c AS "column",
+             CAST(([0.25, 0.5, 0.75, 0.95])[i] AS DOUBLE) AS q,
+             round(qs[i], 6) AS exact_pct,
+             TRUE AS approx_ok
+      FROM qq CROSS JOIN (VALUES (1), (2), (3), (4)) t(i)
+      ORDER BY "column", q"""
   )
 }

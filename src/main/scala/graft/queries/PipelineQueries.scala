@@ -305,6 +305,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("media_id")
     }),
 
+    // ---- range join: every event inside the 10-minute window after
+    //      each of the 20 highest-value error events ("incidents") —
+    //      bucketized to an equi-join on the time bucket (no cartesian,
+    //      no broadcast requirement); DuckDB runs the plain inequality
+    //      join as the oracle ------------------------------------------
+    "p22_range_join" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+          expr("ts + INTERVAL 10 MINUTES").as("end_ts"))
+      val joined = graft.operators.RangeJoin.pointInInterval(
+        ev.select("event_id", "ts", "user_id", "value"),
+        incidents, "ts", "start_ts", "end_ts")
+      joined.groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("incident_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -627,6 +648,18 @@ object PipelineQueries extends QueryModule {
              CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS n_frames,
              round((1000 + (doc_id % 5) * 500) / 8000.0, 6) AS duration_s
       FROM documents WHERE doc_id < 50 ORDER BY media_id""",
+
+    "p22_range_join" -> """
+      WITH inc AS (
+        SELECT event_id AS incident_id, ts AS start_ts,
+               ts + INTERVAL 10 MINUTE AS end_ts
+        FROM events WHERE event_type = 'error'
+        ORDER BY value DESC, event_id LIMIT 20)
+      SELECT incident_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT e.user_id) AS n_users,
+             ROUND(CAST(SUM(e.value) AS DOUBLE), 4) AS sum_value
+      FROM inc JOIN events e ON e.ts >= inc.start_ts AND e.ts <= inc.end_ts
+      GROUP BY 1 ORDER BY 1""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,

@@ -70,6 +70,37 @@ object Stats {
     result.orderBy("column")
   }
 
+  /** Per-column quantiles in one pass: (column, q, exact_pct, approx_pct).
+    *
+    * `percentile_approx` is the 100 TB path — a mergeable KLL-style
+    * sketch whose partials combine map-side (rank error ≤ 1/accuracy),
+    * the engine-side analog of Doris PERCENTILE_APPROX. The exact
+    * interpolated percentile rides along for small-scale oracle
+    * comparison only (it buffers values per group — fine at sf0.01,
+    * not the plan you'd run on 100 TB; flip `withExact = false` there).
+    * Input columns are cast to double so both engines interpolate in
+    * the same arithmetic. */
+  def quantiles(df: DataFrame, columns: Seq[String],
+                qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                accuracy: Int = 10000, withExact: Boolean = true): DataFrame = {
+    val pairs = df.select(explode(array(columns.map(c =>
+      struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val qArr = array(qs.map(lit): _*)
+    val aggd = pairs.groupBy("column").agg(
+      (if (withExact) expr(s"percentile(v, array(${qs.mkString(",")}))")
+       else array(qs.map(_ => lit(null).cast("double")): _*)).as("exact_arr"),
+      percentile_approx(col("v"), qArr, lit(accuracy)).as("approx_arr"))
+    aggd.select(col("column"),
+        posexplode(arrays_zip(col("exact_arr"), col("approx_arr")))
+          .as(Seq("pos", "z")))
+      .select(col("column"),
+        element_at(qArr, col("pos") + 1).as("q"),
+        col("z.exact_arr").as("exact_pct"),
+        col("z.approx_arr").as("approx_pct"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>
