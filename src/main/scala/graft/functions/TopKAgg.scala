@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters summary — the engine-side analog of Doris's
+  * `TOPN(expr, k[, space_expand_rate])` aggregate (the classic
+  * Metwally/Agrawal/El Abbadi algorithm Doris itself uses). A bounded
+  * map of `capacity` counters; overflow evicts the minimum counter and
+  * charges its count as the newcomer's error bound. Properties that
+  * matter at 100 TB:
+  *   - the summary is MERGEABLE (counts add, then trim to capacity
+  *     keeping the largest), so partials combine map-side like any
+  *     other TypedImperativeAggregate;
+  *   - state is O(capacity) regardless of input cardinality;
+  *   - when a group's true distinct count ≤ capacity the result is
+  *     EXACT (no eviction ever fires) — which is what lets a DuckDB
+  *     oracle compare real counts; the approximate regime is covered by
+  *     the unit test's error-bound check (est - err ≤ true ≤ est).
+  */
+object SpaceSaving {
+  /** counters: value → (count, err). Deterministic eviction: among
+    * minimum-count entries the lexicographically LARGEST value is
+    * evicted, so results don't depend on hash-map iteration order. */
+  final class Summary(val capacity: Int) {
+    val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+    def offer(v: String, weight: Long = 1L): Unit = counters.get(v) match {
+      case Some((c, e)) => counters.update(v, (c + weight, e))
+      case None if counters.size < capacity => counters.update(v, (weight, 0L))
+      case None =>
+        val (mv, (mc, _)) = counters.minBy { case (value, (c, _)) => (c, reverseOrd(value)) }
+        counters.remove(mv)
+        counters.update(v, (mc + weight, mc))
+    }
+
+    // order helper: smallest count first; ties broken to evict the
+    // lexicographically largest value (so keep-side favors small values,
+    // matching the deterministic output ordering below)
+    private def reverseOrd(s: String): ReverseString = new ReverseString(s)
+
+    def merge(other: Summary): Unit = {
+      other.counters.foreach { case (v, (c, e)) =>
+        counters.get(v) match {
+          case Some((c0, e0)) => counters.update(v, (c0 + c, e0 + e))
+          case None => counters.update(v, (c, e))
+        }
+      }
+      if (counters.size > capacity) {
+        val keep = counters.toSeq
+          .sortBy { case (v, (c, _)) => (-c, v) }
+          .take(capacity)
+        counters.clear()
+        keep.foreach { case (v, ce) => counters.update(v, ce) }
+      }
+    }
+
+    /** top-k rows ordered (count desc, value asc) — deterministic. */
+    def topK(k: Int): Seq[(String, Long, Long)] =
+      counters.toSeq.sortBy { case (v, (c, _)) => (-c, v) }
+        .take(k).map { case (v, (c, e)) => (v, c, e) }
+  }
+
+  private final class ReverseString(val s: String) extends Comparable[ReverseString] {
+    override def compareTo(o: ReverseString): Int = o.s.compareTo(s)
+  }
+  private implicit val revOrdering: Ordering[ReverseString] =
+    (a: ReverseString, b: ReverseString) => a.compareTo(b)
+
+  def ser(s: Summary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(s.capacity)
+    out.writeInt(s.counters.size)
+    s.counters.foreach { case (v, (c, e)) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    bos.toByteArray
+  }
+
+  def deser(bytes: Array[Byte]): Summary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new Summary(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      s.counters.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
+      i += 1
+    }
+    s
+  }
+}
+
+/** graft_topn(strCol, k, capacity) → array<struct<value, cnt, err>>,
+  * ordered (cnt desc, value asc). */
+case class TopNAggExpr(
+    child: Expression, k: Int, capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving.Summary]
+  with UnaryLike[Expression] {
+
+  require(k > 0 && capacity >= k, "need capacity >= k > 0")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", StringType), StructField("cnt", LongType),
+    StructField("err", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topn"
+
+  override def createAggregationBuffer(): SpaceSaving.Summary =
+    new SpaceSaving.Summary(capacity)
+
+  override def update(buffer: SpaceSaving.Summary, input: InternalRow): SpaceSaving.Summary = {
+    val v = child.eval(input)
+    if (v != null) buffer.offer(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: SpaceSaving.Summary, other: SpaceSaving.Summary): SpaceSaving.Summary = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: SpaceSaving.Summary): Any = {
+    val rows = buffer.topK(k).map { case (v, c, e) =>
+      InternalRow(UTF8String.fromString(v), c, e)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buffer: SpaceSaving.Summary): Array[Byte] = SpaceSaving.ser(buffer)
+  override def deserialize(storageFormat: Array[Byte]): SpaceSaving.Summary =
+    SpaceSaving.deser(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopNAggExpr =
+    copy(child = newChild)
+}
+
+object TopKAgg {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v, _) => v.toString.toInt
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_topn",
+      { exprs =>
+        require(exprs.length == 3, "graft_topn(col, k, capacity)")
+        TopNAggExpr(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "capacity"))
+          .toAggregateExpression()
+      }, "built-in")
+}

@@ -164,6 +164,23 @@ object SqlSurfaceQueries extends QueryModule {
         FROM graft_q32_saved a JOIN graft_q32_saved r
           ON a.flag = 'A' AND r.flag = 'R'""")
       perFlag.unionByName(merged).unionByName(inter).orderBy("flag")
+    }),
+
+    // Doris TOPN parity: SpaceSaving heavy-hitters summary as a
+    // TypedImperativeAggregate — O(capacity) state, mergeable partials.
+    // Exact whenever a group's distinct count ≤ capacity (here: 5 event
+    // types vs capacity 16), which is what lets DuckDB compare true
+    // counts; the approximate regime's error bound is pinned in TopKSpec.
+    "q36_topn_sketch" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.TopKAgg.register(s)
+      s.sql("""
+        SELECT bucket, CAST(pos + 1 AS BIGINT) AS rank, c.value AS value, c.cnt AS cnt
+        FROM (
+          SELECT user_id % 10 AS bucket, graft_topn(event_type, 3, 16) AS top
+          FROM events GROUP BY user_id % 10)
+        LATERAL VIEW posexplode(top) t AS pos, c
+        ORDER BY bucket, rank""")
     })
   )
 
@@ -251,6 +268,18 @@ object SqlSurfaceQueries extends QueryModule {
                   INTERSECT
                   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
                TRUE)
-      ORDER BY flag"""
+      ORDER BY flag""",
+
+    "q36_topn_sketch" -> """
+      WITH c AS (
+        SELECT user_id % 10 AS bucket, event_type AS value, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT bucket, value, cnt,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY cnt DESC, value) AS rank
+        FROM c)
+      SELECT bucket, rank, value, cnt FROM r WHERE rank <= 3
+      ORDER BY bucket, rank"""
   )
 }

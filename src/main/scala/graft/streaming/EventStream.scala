@@ -61,6 +61,19 @@ object EventStream extends Serializable {
                        watermark: String = "2 hours"): DataFrame =
     sessionize(events.withWatermark("ts", watermark), gap)
 
+  /** STREAMING exact dedup by (key, event time): the streaming face of
+    * the batch query-id dedup (SURVEY §2.2 F3). State is bounded by the
+    * watermark — `dropDuplicatesWithinWatermark` keeps a key only until
+    * the watermark passes its event time + delay, so infinite streams
+    * run in finite state (plain `dropDuplicates` on a stream would grow
+    * state forever). Batch callers get plain exact dedup on the same
+    * keys — one operator definition, both execution modes. */
+  def dedup(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+            watermark: String = "2 hours", streaming: Boolean = false): DataFrame =
+    if (streaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** One closed session from the custom-state path. */
   case class Session(userId: Long, sessionStart: java.sql.Timestamp,
                      sessionEnd: java.sql.Timestamp, nEvents: Long,

@@ -95,4 +95,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length >= batch.size * 3 / 4,
       s"stream closed too few sessions: ${streamed.length} vs batch ${batch.size}")
   }
+
+  test("streaming dedup (watermark-bounded state) equals batch dedup") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.t(spark, dir, "events")
+    // plant duplicates: every event twice, so dedup must halve the stream
+    val doubled = events.unionAll(events)
+    val batchIds = EventStream.dedup(doubled)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.size == events.count())
+
+    val streamDir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // two copies of the file = duplicate arrivals across micro-batches
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force the dup into a LATER batch
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStream.dedup(streamIn, streaming = true)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0))
+    // every id exactly once: duplicates in the second file were suppressed
+    // because their event times precede the watermark-held state expiry
+    assert(streamed.length == streamed.distinct.length,
+      s"stream emitted duplicate ids: ${streamed.length} vs ${streamed.distinct.length}")
+    assert(streamed.toSet == batchIds,
+      s"stream ids differ from batch: ${streamed.length} vs ${batchIds.size}")
+  }
 }
