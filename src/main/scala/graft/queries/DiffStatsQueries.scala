@@ -65,25 +65,32 @@ object DiffStatsQueries extends QueryModule {
     // ---- quantile stats: percentile_approx is the mergeable-sketch
     //      100 TB path (map-side partials, rank error ≤ 1/accuracy); the
     //      exact interpolated percentile is cross-engine-compared and an
-    //      in-query guard pins the sketch to within 1% of the value
-    //      range, so a sketch regression fails the gate -----------------
+    //      in-query guard pins the sketch inside the RANK envelope
+    //      [exact(q-1%), exact(q+1%)] — rank-space, because value-space
+    //      bounds are meaningless for discrete columns like l_discount -
     "s02_quantile_stats" -> ((s, dir) => {
       val li = Tables.t(s, dir, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val qdf = Stats.quantiles(li, cols)
-      val mm = li.select(explode(array(cols.map(c =>
-        struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
-        .select(col("kv.column").as("column"), col("kv.v").as("v"))
-        .groupBy("column").agg(min("v").as("mn"), max("v").as("mx"))
-      val out = qdf.join(mm, "column")
+      // the result is 12 rows: collect ONCE, guard on the driver, and
+      // return a local frame — a .count() guard would re-execute the
+      // whole aggregation for the write
+      val rows = Stats.quantiles(li, cols)
         .withColumn("approx_ok",
-          abs(col("approx_pct") - col("exact_pct")) <= (col("mx") - col("mn")) * 0.01)
+          col("approx_pct") >= col("exact_lo") && col("approx_pct") <= col("exact_hi"))
         .select(col("column"), col("q"),
           round(col("exact_pct"), 6).as("exact_pct"), col("approx_ok"))
         .orderBy("column", "q")
-      val bad = out.filter(!col("approx_ok")).count()
-      require(bad == 0, s"quantile sketch regression: $bad estimates out of bounds")
-      out
+        .collect()
+      val bad = rows.count(!_.getBoolean(3))
+      require(bad == 0, s"quantile sketch regression: $bad estimates out of rank envelope")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("exact_pct", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("approx_ok", org.apache.spark.sql.types.BooleanType))))
+        .orderBy("column", "q")
     })
   )
 

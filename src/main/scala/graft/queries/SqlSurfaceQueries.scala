@@ -166,6 +166,22 @@ object SqlSurfaceQueries extends QueryModule {
       perFlag.unionByName(merged).unionByName(inter).orderBy("flag")
     }),
 
+    // Doris/MySQL GROUP_CONCAT through the translator (both the
+    // SEPARATOR form and the default ", " separator, DISTINCT + ORDER
+    // BY) → Spark 4 listagg WITHIN GROUP; the oracle states the same
+    // aggregation natively via DuckDB string_agg
+    "q37_group_concat" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        SELECT c_mktsegment,
+               group_concat(DISTINCT CAST(c_nationkey AS STRING)
+                            ORDER BY CAST(c_nationkey AS STRING)
+                            SEPARATOR '|') AS nations,
+               group_concat(c_name ORDER BY c_name) AS names
+        FROM customer WHERE c_custkey <= 200
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+    }),
+
     // Doris TOPN parity: SpaceSaving heavy-hitters summary as a
     // TypedImperativeAggregate — O(capacity) state, mergeable partials.
     // Exact whenever a group's distinct count ≤ capacity (here: 5 event
@@ -269,6 +285,14 @@ object SqlSurfaceQueries extends QueryModule {
                   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
                TRUE)
       ORDER BY flag""",
+
+    "q37_group_concat" -> """
+      SELECT c_mktsegment,
+             string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), '|'
+                        ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
+             string_agg(c_name, ', ' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey <= 200
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q36_topn_sketch" -> """
       WITH c AS (

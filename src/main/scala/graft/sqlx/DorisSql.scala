@@ -20,7 +20,52 @@ object DorisSql {
 
   def translate(sql: String): String =
     rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(
-      rewriteDateFormatPatterns(rewriteDistributeHints(sql)))))
+      rewriteDateFormatPatterns(rewriteDistributeHints(rewriteGroupConcat(sql))))))
+
+  /** Doris/MySQL `GROUP_CONCAT` → Spark 4 `listagg`:
+    *
+    *   group_concat([DISTINCT] e)                   → listagg(e, ', ')
+    *   group_concat(e, 'sep')        (Doris form)   → listagg(e, 'sep')
+    *   group_concat(e SEPARATOR 's') (MySQL form)   → listagg(e, 's')
+    *   … ORDER BY o [ASC|DESC] …                    → WITHIN GROUP (ORDER BY …)
+    *
+    * Doris's default separator is ", " (reference grammar's
+    * functionCallExpression accepts both forms). Arguments may contain
+    * string literals and one level of parentheses; deeper nesting passes
+    * through untranslated (Catalyst then reports the unknown function,
+    * which is the right failure mode for an untranslatable statement). */
+  private val groupConcatRe =
+    """(?i)\bgroup_concat\s*\(\s*(distinct\s+)?((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)\s*\)""".r
+  private val orderByInArgsRe = """(?i)\s+order\s+by\s+(.+)$""".r
+  private val separatorInArgsRe = """(?i)\s+separator\s+('(?:[^']|'')*')\s*$""".r
+  private val trailingSepArgRe = """(?s)^(.*?),\s*('(?:[^']|'')*')\s*$""".r
+
+  private def rewriteGroupConcat(sql: String): String =
+    groupConcatRe.replaceAllIn(sql, m => {
+      val distinct = Option(m.group(1)).map(_ => "DISTINCT ").getOrElse("")
+      var args = m.group(2).trim
+      // peel trailing SEPARATOR first (MySQL places it LAST, after any
+      // ORDER BY), then ORDER BY, then the Doris comma-separator form
+      val (afterSep, sepOpt) = separatorInArgsRe.findFirstMatchIn(args) match {
+        case Some(sm) => (args.substring(0, sm.start).trim, Some(sm.group(1)))
+        case None => (args, None)
+      }
+      args = afterSep
+      val (core, orderBy) = orderByInArgsRe.findFirstMatchIn(args) match {
+        case Some(ob) => (args.substring(0, ob.start).trim, Some(ob.group(1).trim))
+        case None => (args, None)
+      }
+      val (expr0, sep) = sepOpt match {
+        case Some(sp) => (core, sp)
+        case None => trailingSepArgRe.findFirstMatchIn(core) match {
+          case Some(cm) => (cm.group(1).trim, cm.group(2))
+          case None => (core, "', '")
+        }
+      }
+      val within = orderBy.map(o => s" WITHIN GROUP (ORDER BY $o)").getOrElse("")
+      scala.util.matching.Regex.quoteReplacement(
+        s"listagg($distinct$expr0, $sep)$within")
+    })
 
   /** MySQL/Doris `%`-patterns → JDK datetime patterns, for the pattern
     * literal of date_format / str_to_date calls. Non-pattern letters are

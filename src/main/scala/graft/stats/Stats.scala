@@ -70,7 +70,8 @@ object Stats {
     result.orderBy("column")
   }
 
-  /** Per-column quantiles in one pass: (column, q, exact_pct, approx_pct).
+  /** Per-column quantiles in one pass:
+    * (column, q, exact_pct, approx_pct, exact_lo, exact_hi).
     *
     * `percentile_approx` is the 100 TB path — a mergeable KLL-style
     * sketch whose partials combine map-side (rank error ≤ 1/accuracy),
@@ -78,27 +79,73 @@ object Stats {
     * interpolated percentile rides along for small-scale oracle
     * comparison only (it buffers values per group — fine at sf0.01,
     * not the plan you'd run on 100 TB; flip `withExact = false` there).
-    * Input columns are cast to double so both engines interpolate in
-    * the same arithmetic. */
+    * exact_lo/exact_hi are the exact quantiles at q ∓ rankTolerance —
+    * the RANK-space envelope a correct sketch must land in. (A
+    * value-space bound is wrong for discrete columns: one quantization
+    * step of l_discount is 10% of its range while its rank error is
+    * ~1e-4.) Input columns are cast to double so both engines
+    * interpolate in the same arithmetic. */
   def quantiles(df: DataFrame, columns: Seq[String],
                 qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
-                accuracy: Int = 10000, withExact: Boolean = true): DataFrame = {
+                accuracy: Int = 10000, withExact: Boolean = true,
+                rankTolerance: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = df.select(explode(array(columns.map(c =>
       struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
       .select(col("kv.column").as("column"), col("kv.v").as("v"))
       .filter(col("v").isNotNull)
     val qArr = array(qs.map(lit): _*)
-    val aggd = pairs.groupBy("column").agg(
-      (if (withExact) expr(s"percentile(v, array(${qs.mkString(",")}))")
-       else array(qs.map(_ => lit(null).cast("double")): _*)).as("exact_arr"),
-      percentile_approx(col("v"), qArr, lit(accuracy)).as("approx_arr"))
-    aggd.select(col("column"),
-        posexplode(arrays_zip(col("exact_arr"), col("approx_arr")))
-          .as(Seq("pos", "z")))
-      .select(col("column"),
-        element_at(qArr, col("pos") + 1).as("q"),
-        col("z.exact_arr").as("exact_pct"),
-        col("z.approx_arr").as("approx_pct"))
+    val k = qs.size
+    val approx = pairs.groupBy("column")
+      .agg(percentile_approx(col("v"), qArr, lit(accuracy)).as("approx_arr"))
+      .select(col("column"), posexplode(col("approx_arr")).as(Seq("pos", "approx_pct")))
+      .withColumn("q", element_at(qArr, col("pos") + 1))
+    if (!withExact)
+      return approx.select(col("column"), col("q"),
+        lit(null).cast("double").as("exact_pct"), col("approx_pct"),
+        lit(null).cast("double").as("exact_lo"),
+        lit(null).cast("double").as("exact_hi"))
+
+    // Exact quantiles by SORT, not by the built-in `percentile` aggregate
+    // — that one builds a value→count hash map per group (boxed doubles;
+    // measured 3.4 s on 3 lineitem columns at sf0.1 vs ~1 s for this
+    // plan). Rank positions: the target quantiles plus the ±rankTolerance
+    // envelope, pos = q·(n-1), linear interpolation between the floor and
+    // ceil ranks — the same definition `percentile`/quantile_cont use.
+    val loQs = qs.map(q => math.max(0.0, q - rankTolerance))
+    val hiQs = qs.map(q => math.min(1.0, q + rankTolerance))
+    val allQs = qs ++ loQs ++ hiQs
+    val counts = pairs.groupBy("column").agg(count(lit(1)).as("n"))
+    val targets = counts.select(col("column"), col("n"),
+        posexplode(array(allQs.map(lit): _*)).as(Seq("qi", "qv")))
+      .withColumn("posq", col("qv") * (col("n") - 1))
+      .withColumn("lo", floor(col("posq")).cast("long"))
+      .withColumn("hi", ceil(col("posq")).cast("long"))
+      .withColumn("frac", col("posq") - col("lo"))
+    // one pass over the ranked values picks every needed rank (lo and hi
+    // roles unioned so the big side is scanned once)
+    val wanted = targets.select(col("column"), col("qi"), col("frac"),
+        col("lo").as("rn"), lit("lo").as("role"))
+      .unionByName(targets.select(col("column"), col("qi"), col("frac"),
+        col("hi").as("rn"), lit("hi").as("role")))
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.partitionBy("column").orderBy("v")).cast("long") - 1)
+    val picked = ranked.join(broadcast(wanted), Seq("column", "rn"))
+    val ex = picked.groupBy("column", "qi").agg(
+        first(col("frac")).as("frac"),
+        max(when(col("role") === "lo", col("v"))).as("v_lo"),
+        max(when(col("role") === "hi", col("v"))).as("v_hi"))
+      .withColumn("exact", col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+      .select(col("column"), col("qi"), col("exact"))
+    val exQ = ex.filter(col("qi") < k).select(col("column"), col("qi").as("pos"), col("exact").as("exact_pct"))
+    val exLo = ex.filter(col("qi") >= k && col("qi") < 2 * k)
+      .select(col("column"), (col("qi") - k).as("pos"), col("exact").as("exact_lo"))
+    val exHi = ex.filter(col("qi") >= 2 * k)
+      .select(col("column"), (col("qi") - 2 * k).as("pos"), col("exact").as("exact_hi"))
+    approx.join(exQ, Seq("column", "pos")).join(exLo, Seq("column", "pos"))
+      .join(exHi, Seq("column", "pos"))
+      .select(col("column"), col("q"), col("exact_pct"), col("approx_pct"),
+        col("exact_lo"), col("exact_hi"))
   }
 
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */

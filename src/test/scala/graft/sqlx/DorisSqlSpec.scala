@@ -49,6 +49,28 @@ class DorisSqlSpec extends AnyFunSuite {
       "SELECT date_format(d, 'yyyy-MM') FROM t")
   }
 
+  test("group_concat translates to listagg in every surface form") {
+    // bare: Doris default separator ", "
+    assert(DorisSql.translate("SELECT group_concat(x) FROM t")
+      == "SELECT listagg(x, ', ') FROM t")
+    // Doris comma-separator form
+    assert(DorisSql.translate("SELECT group_concat(x, '|') FROM t")
+      == "SELECT listagg(x, '|') FROM t")
+    // MySQL SEPARATOR form
+    assert(DorisSql.translate("SELECT group_concat(x SEPARATOR ';') FROM t")
+      == "SELECT listagg(x, ';') FROM t")
+    // DISTINCT + ORDER BY + SEPARATOR (MySQL places SEPARATOR last)
+    assert(DorisSql.translate(
+      "SELECT group_concat(DISTINCT x ORDER BY x SEPARATOR '|') FROM t")
+      == "SELECT listagg(DISTINCT x, '|') WITHIN GROUP (ORDER BY x) FROM t")
+    // ORDER BY with direction, default separator
+    assert(DorisSql.translate("SELECT group_concat(x ORDER BY y DESC) FROM t")
+      == "SELECT listagg(x, ', ') WITHIN GROUP (ORDER BY y DESC) FROM t")
+    // expression args with one paren level survive
+    assert(DorisSql.translate("SELECT group_concat(concat(a, b), '-') FROM t")
+      == "SELECT listagg(concat(a, b), '-') FROM t")
+  }
+
   test("[broadcast]/[shuffle] distribute hints become Catalyst join hints") {
     val t = DorisSql.translate(
       "SELECT a.x FROM a JOIN [broadcast] dim d ON a.k = d.k JOIN [shuffle] big ON a.k = big.k")
