@@ -326,6 +326,22 @@ object PipelineQueries extends QueryModule {
         .orderBy("incident_id")
     }),
 
+    // ---- click→purchase attribution: same-user (purchase, click) pairs
+    //      with the click in the 30 min before the purchase. The SAME
+    //      operator is a stream-stream join with watermark-bounded state
+    //      (StreamingSpec pins batch/stream parity); here the batch face
+    //      is value-verified against DuckDB's inequality join ----------
+    "p23_attribution" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      graft.streaming.EventStream.attribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+        .select(col("purchase_id"), col("user_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("click_id"), col("gap_s"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -660,6 +676,16 @@ object PipelineQueries extends QueryModule {
              ROUND(CAST(SUM(e.value) AS DOUBLE), 4) AS sum_value
       FROM inc JOIN events e ON e.ts >= inc.start_ts AND e.ts <= inc.end_ts
       GROUP BY 1 ORDER BY 1""",
+
+    "p23_attribution" -> """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts, c.event_id AS click_id,
+             CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) / 1000000 AS gap_s
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY purchase_id, click_id""",
 
     "p12_bpe_tokens" -> s"""
       SELECT source,

@@ -74,6 +74,37 @@ object EventStream extends Serializable {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Click→purchase ATTRIBUTION join: every (purchase, click) pair of
+    * the same user with the click inside the `windowMinutes` before the
+    * purchase (inclusive) — the classic conversion-attribution shape.
+    * Batch: an equi-join on user plus the time-range predicate. Stream:
+    * the SAME call is a genuine STREAM-STREAM inner join — Spark keeps
+    * both sides' state and the time-range condition plus watermarks
+    * bound it (each side's rows expire once the other side's watermark
+    * passes the range), which is what lets two infinite streams join in
+    * finite memory. Returns (purchase_id, user_id, purchase_ts,
+    * click_id, click_ts, gap_s). */
+  def attribution(purchases: DataFrame, clicks: DataFrame,
+                  windowMinutes: Long = 30,
+                  watermark: String = "2 hours",
+                  streaming: Boolean = false): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val (p, c) =
+      if (streaming) (p0.withWatermark("purchase_ts", watermark),
+        c0.withWatermark("click_ts", watermark))
+      else (p0, c0)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L).as("gap_s"))
+  }
+
   /** One closed session from the custom-state path. */
   case class Session(userId: Long, sessionStart: java.sql.Timestamp,
                      sessionEnd: java.sql.Timestamp, nEvents: Long,

@@ -96,6 +96,41 @@ class StreamingSpec extends SparkSpec {
       s"stream closed too few sessions: ${streamed.length} vs batch ${batch.size}")
   }
 
+  test("stream-stream attribution join matches the batch join exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.t(spark, dir, "events")
+    val batch = EventStream.attribution(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "no attributed pairs in the fixture data")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("attr_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def streamIn = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStream.attribution(
+      streamIn.filter(col("event_type") === "purchase"),
+      streamIn.filter(col("event_type") === "click"),
+      streaming = true)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("attr_out").select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inner stream-stream joins emit a pair as soon as both sides arrive;
+    // watermarks only bound state, so the full pair set must appear
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("streaming dedup (watermark-bounded state) equals batch dedup") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.t(spark, dir, "events")
