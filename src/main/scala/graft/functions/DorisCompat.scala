@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Literal, Size, SortArray, XxHash64}
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, ArrayPosition, Cast, CaseWhen, Ceil, CreateArray, DateAdd, DateDiff, Divide, Floor, FormatNumber, GreaterThanOrEqual, Literal, Multiply, Pow, Size, SortArray, Subtract, XxHash64}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, LongType}
 
 /** Doris-dialect function compatibility (SURVEY.md §2.7 X-BH): the
   * bitmap/hll trio the reference emits into generated load SQL
@@ -43,6 +43,47 @@ object DorisCompat {
       { exprs =>
         require(exprs.isEmpty, "hll_empty()")
         Literal.create(null, LongType)
+      }, "built-in")
+
+    // ---- MySQL/Doris scalar functions Spark lacks by name, so replayed
+    //      statements run unchanged (Doris docs are the spec; each is a
+    //      pure expression tree — codegen'd, no UDFs) -------------------
+    // money_format(x) → '1,234,567.89'
+    reg.createOrReplaceTempFunction("money_format",
+      { exprs =>
+        require(exprs.length == 1, "money_format(x)")
+        FormatNumber(Cast(exprs.head, DoubleType), Literal(2))
+      }, "built-in")
+    // truncate(x, d): toward-zero decimal truncation
+    reg.createOrReplaceTempFunction("truncate",
+      { exprs =>
+        require(exprs.length == 2, "truncate(x, d)")
+        val x = Cast(exprs.head, DoubleType)
+        val p = Pow(Literal(10.0), Cast(exprs(1), DoubleType))
+        CaseWhen(
+          Seq((GreaterThanOrEqual(x, Literal(0.0)),
+            Divide(Cast(Floor(Multiply(x, p)), DoubleType), p))),
+          Some(Divide(Cast(Ceil(Multiply(x, p)), DoubleType), p)))
+      }, "built-in")
+    // field(str, s1, s2, …): 1-based index of str in the list, 0 if absent
+    reg.createOrReplaceTempFunction("field",
+      { exprs =>
+        require(exprs.length >= 2, "field(str, s1, ...)")
+        ArrayPosition(CreateArray(exprs.tail), exprs.head)
+      }, "built-in")
+    // to_days(date): days since year 0 (MySQL epoch: 1970-01-01 = 719528)
+    reg.createOrReplaceTempFunction("to_days",
+      { exprs =>
+        require(exprs.length == 1, "to_days(d)")
+        Add(Cast(DateDiff(Cast(exprs.head, DateType),
+          Cast(Literal("1970-01-01"), DateType)), LongType), Literal(719528L))
+      }, "built-in")
+    // from_days(n): inverse of to_days
+    reg.createOrReplaceTempFunction("from_days",
+      { exprs =>
+        require(exprs.length == 1, "from_days(n)")
+        DateAdd(Cast(Literal("1970-01-01"), DateType),
+          Cast(Subtract(Cast(exprs.head, LongType), Literal(719528L)), IntegerType))
       }, "built-in")
   }
 }

@@ -182,6 +182,25 @@ object SqlSurfaceQueries extends QueryModule {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
     }),
 
+    // MySQL/Doris scalar functions Spark lacks by NAME (money_format,
+    // truncate, field, to_days/from_days) registered in DorisCompat so
+    // replayed statements execute unchanged; DuckDB restates each
+    // natively. truncate is computed over the identical double ops in
+    // both engines, so even FP artifacts agree.
+    "q38_doris_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.DorisCompat.register(s)
+      s.sql("""
+        SELECT o_orderkey,
+               money_format(o_totalprice) AS mf,
+               truncate(o_totalprice, 1) AS tr,
+               CAST(field(o_orderstatus, 'F', 'O', 'P') AS BIGINT) AS fld,
+               to_days(o_orderdate) AS td,
+               from_days(to_days(o_orderdate)) AS fd
+        FROM orders WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""")
+    }),
+
     // Doris TOPN parity: SpaceSaving heavy-hitters summary as a
     // TypedImperativeAggregate — O(capacity) state, mergeable partials.
     // Exact whenever a group's distinct count ≤ capacity (here: 5 event
@@ -293,6 +312,18 @@ object SqlSurfaceQueries extends QueryModule {
              string_agg(c_name, ', ' ORDER BY c_name) AS names
       FROM customer WHERE c_custkey <= 200
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q38_doris_funcs" -> """
+      SELECT o_orderkey,
+             format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+               lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0') AS mf,
+             trunc(CAST(o_totalprice AS DOUBLE) * 10) / 10 AS tr,
+             CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                  WHEN 'P' THEN 3 ELSE 0 END AS BIGINT) AS fld,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) + 719528 AS BIGINT) AS td,
+             CAST(o_orderdate AS DATE) AS fd
+      FROM orders WHERE o_orderkey <= 300
+      ORDER BY o_orderkey""",
 
     "q36_topn_sketch" -> """
       WITH c AS (
