@@ -31,6 +31,13 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
   *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
+  *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate>
+  *             --in <parquetDir> --out <parquetDir>
+  *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
+  *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
+  *             [--probe <parquetDir>]   (decontaminate's benchmark set)
+  *             (training-data ops over any parquet corpus — the verb
+  *              face of graft.pipeline; beyond the reference surface)
   *
   * Each verb is a thin wiring of the library modules — the CLI owns arg
   * parsing and nothing else, so everything it can do is equally available
@@ -48,7 +55,7 @@ object Cli {
   }
 
   val usage: String =
-    "usage: graft.cli.Cli <dump|create|gendata|replay|diff|anonymize|stats> [--flag value ...]"
+    "usage: graft.cli.Cli <dump|create|gendata|import|replay|diff|anonymize|stats|pipeline> [--flag value ...]"
 
   def parseFlags(args: Seq[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -206,6 +213,41 @@ object Cli {
         case Some(p) => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
         case None    => println(yaml)
       }
+
+    case "pipeline" =>
+      import org.apache.spark.sql.functions._
+      val in = spark.read.parquet(req(o, "in"))
+      val idCol = o.getOrElse("id-col", "doc_id")
+      val textCol = o.getOrElse("text-col", "text")
+      val threshold = o.getOrElse("threshold", "0.5").toDouble
+      val out = req(o, "out")
+      val result = o.getOrElse("op", "") match {
+        case "dedup" => // keep one doc per exact-duplicate group
+          val keep = graft.pipeline.Dedup.exactGroups(in, idCol, textCol)
+            .select(col("keep_id").as(idCol))
+          in.join(keep, idCol)
+        case "neardup" => // near-duplicate pair report (MinHash-LSH)
+          graft.pipeline.Dedup.minhashPairs(in, idCol, textCol, threshold = threshold)
+        case "scrub" =>
+          in.withColumn(textCol, graft.pipeline.TextOps.piiScrub(col(textCol)))
+        case "split" =>
+          in.withColumn("split", graft.pipeline.Mixing.splitAssign(
+            graft.pipeline.Mixing.hashUnit(col(idCol), "graft-split"),
+            o.getOrElse("train-frac", "0.8").toDouble,
+            o.getOrElse("val-frac", "0.1").toDouble))
+        case "pack" =>
+          val base = in.withColumn("toks",
+            size(graft.pipeline.TextOps.bpeTokens(col(textCol))).cast("long"))
+          graft.pipeline.Mixing.packBins(base, "source", idCol, "toks",
+            o.getOrElse("budget", "512").toInt)
+        case "decontaminate" =>
+          graft.pipeline.Dedup.contaminationPairs(
+            in, spark.read.parquet(req(o, "probe")), idCol, textCol, threshold)
+        case other => throw new IllegalArgumentException(
+          s"unknown pipeline op '$other'\n$usage")
+      }
+      result.write.mode("overwrite").parquet(out)
+      println(s"pipeline ${o("op")}: wrote ${spark.read.parquet(out).count()} row(s) -> $out")
 
     case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")
   }

@@ -64,6 +64,47 @@ class CliSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("pipeline verb: dedup / scrub / split / decontaminate over a parquet corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s1"), // exact dup of 1
+      (3L, "mail me at bob@example.com today", "s2"),
+      (4L, "totally different text content here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val inDir = Files.createTempDirectory("cli_pipe_in").toString
+    corpus.write.mode("overwrite").parquet(inDir)
+
+    val dedupOut = Files.createTempDirectory("cli_pipe_dedup").toString
+    Cli.run(spark, "pipeline", Map("op" -> "dedup", "in" -> inDir, "out" -> dedupOut))
+    val kept = spark.read.parquet(dedupOut).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L)) // min doc_id survives the dup group
+
+    val scrubOut = Files.createTempDirectory("cli_pipe_scrub").toString
+    Cli.run(spark, "pipeline", Map("op" -> "scrub", "in" -> inDir, "out" -> scrubOut))
+    val scrubbed = spark.read.parquet(scrubOut).filter(col("doc_id") === 3L)
+      .head().getAs[String]("text")
+    assert(scrubbed == "mail me at [EMAIL] today")
+
+    val splitOut = Files.createTempDirectory("cli_pipe_split").toString
+    Cli.run(spark, "pipeline", Map("op" -> "split", "in" -> inDir, "out" -> splitOut))
+    val splits = spark.read.parquet(splitOut).select("split")
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+
+    val probeDir = Files.createTempDirectory("cli_pipe_probe").toString
+    Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(probeDir)
+    val deconOut = Files.createTempDirectory("cli_pipe_decon").toString
+    Cli.run(spark, "pipeline", Map("op" -> "decontaminate", "in" -> inDir,
+      "out" -> deconOut, "probe" -> probeDir))
+    val hits = spark.read.parquet(deconOut).select("train_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L)) // the probe text appears in docs 1 and 2
+  }
+
   test("unknown verb and missing flags error usefully") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, "nope", Map.empty) }
     assert(e1.getMessage.contains("unknown verb"))
