@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
-// temporary plan-audit harness — deleted before commit
+/** Dev tool: print the formatted physical plan of named driver-contract
+  * queries at sf0.01 (`runMain graft.PlanAudit q07 p10 …`) — the manual
+  * companion to PlanShapeSpec's automated no-cartesian audit. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -14,13 +14,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     // force a NEW SparkSession (extensions apply at session creation;
-    // getOrCreate would hand back a sibling suite's session unchanged)
+    // getOrCreate would hand back a sibling suite's session unchanged).
+    // `spark.sql.extensions` is a STATIC conf — honored only when the
+    // SparkContext itself is created (the spark-submit path); in a JVM
+    // whose context already exists (this suite) the equivalent
+    // programmatic route is builder.withExtensions with the same object.
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("ext-spec")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(e => new GraftExtensions().apply(e))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
