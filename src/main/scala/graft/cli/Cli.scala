@@ -35,6 +35,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
+  *             [--source-col source]    (pack's per-stratum packing key)
   *             [--probe <parquetDir>]   (decontaminate's benchmark set)
   *             (training-data ops over any parquet corpus — the verb
   *              face of graft.pipeline; beyond the reference surface)
@@ -236,9 +237,12 @@ object Cli {
             o.getOrElse("train-frac", "0.8").toDouble,
             o.getOrElse("val-frac", "0.1").toDouble))
         case "pack" =>
+          val srcCol = o.getOrElse("source-col", "source")
+          require(in.columns.contains(srcCol),
+            s"pack needs a per-stratum column '--source-col $srcCol' in the input")
           val base = in.withColumn("toks",
             size(graft.pipeline.TextOps.bpeTokens(col(textCol))).cast("long"))
-          graft.pipeline.Mixing.packBins(base, "source", idCol, "toks",
+          graft.pipeline.Mixing.packBins(base, srcCol, idCol, "toks",
             o.getOrElse("budget", "512").toInt)
         case "decontaminate" =>
           graft.pipeline.Dedup.contaminationPairs(
@@ -247,7 +251,7 @@ object Cli {
           s"unknown pipeline op '$other'\n$usage")
       }
       result.write.mode("overwrite").parquet(out)
-      println(s"pipeline ${o("op")}: wrote ${spark.read.parquet(out).count()} row(s) -> $out")
+      println(s"pipeline ${o("op")}: wrote -> $out") // no re-read just for a count
 
     case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")
   }

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -68,6 +69,12 @@ case class BitmapAggExpr(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bitmap_agg"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_agg requires a BIGINT column, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
+
   override def createAggregationBuffer(): Roaring64NavigableMap = new Roaring64NavigableMap()
 
   override def update(buffer: Roaring64NavigableMap, input: InternalRow): Roaring64NavigableMap = {
@@ -105,6 +112,12 @@ case class BitmapUnionAggExpr(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bitmap_union_agg"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_union_agg requires a BINARY bitmap column, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
+
   override def createAggregationBuffer(): Roaring64NavigableMap = new Roaring64NavigableMap()
 
   override def update(buffer: Roaring64NavigableMap, input: InternalRow): Roaring64NavigableMap = {
@@ -133,6 +146,11 @@ case class BitmapUnionAggExpr(
 case class BitmapCountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bitmap_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_count requires a BINARY bitmap, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
   override def nullSafeEval(input: Any): Any =
     BitmapOps.count(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -145,6 +163,11 @@ case class BitmapCountExpr(child: Expression) extends UnaryExpression {
 case class BitmapAndExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_bitmap_and"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_and requires two BINARY bitmaps, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     BitmapOps.and(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -157,6 +180,11 @@ case class BitmapAndExpr(left: Expression, right: Expression) extends BinaryExpr
 case class BitmapOrExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_bitmap_or"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_or requires two BINARY bitmaps, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     BitmapOps.or(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -170,6 +198,11 @@ case class BitmapContainsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bitmap_contains"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_contains requires (BINARY bitmap, BIGINT value), got ${children.map(_.dataType.catalogString).mkString(", ")}")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     BitmapOps.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

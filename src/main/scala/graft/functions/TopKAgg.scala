@@ -49,20 +49,27 @@ object SpaceSaving {
     // matching the deterministic output ordering below)
     private def reverseOrd(s: String): ReverseString = new ReverseString(s)
 
+    /** Mergeable-summaries combine (Agarwal et al.): a value ABSENT from
+      * a FULL summary may still have appeared up to that summary's
+      * minimum counter many times, so absence is charged (min, min) on
+      * that side — this is what preserves `est ≥ true ≥ est − err`
+      * across merges; a naive keep-the-top trim loses evicted mass and a
+      * later re-insertion would restart below the true count. A summary
+      * that never filled charges 0 (absence there really means 0). */
     def merge(other: Summary): Unit = {
-      other.counters.foreach { case (v, (c, e)) =>
-        counters.get(v) match {
-          case Some((c0, e0)) => counters.update(v, (c0 + c, e0 + e))
-          case None => counters.update(v, (c, e))
-        }
+      val thisMin =
+        if (counters.size >= capacity) counters.valuesIterator.map(_._1).min else 0L
+      val otherMin =
+        if (other.counters.size >= capacity) other.counters.valuesIterator.map(_._1).min
+        else 0L
+      val merged = (counters.keySet ++ other.counters.keySet).toSeq.map { v =>
+        val (c1, e1) = counters.getOrElse(v, (thisMin, thisMin))
+        val (c2, e2) = other.counters.getOrElse(v, (otherMin, otherMin))
+        v -> (c1 + c2, e1 + e2)
       }
-      if (counters.size > capacity) {
-        val keep = counters.toSeq
-          .sortBy { case (v, (c, _)) => (-c, v) }
-          .take(capacity)
-        counters.clear()
-        keep.foreach { case (v, ce) => counters.update(v, ce) }
-      }
+      val keep = merged.sortBy { case (v, (c, _)) => (-c, v) }.take(capacity)
+      counters.clear()
+      keep.foreach { case (v, ce) => counters.update(v, ce) }
     }
 
     /** top-k rows ordered (count desc, value asc) — deterministic. */

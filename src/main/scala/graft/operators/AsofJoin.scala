@@ -65,53 +65,56 @@ object AsofJoin {
     val carried = payload ++ tieBreak.filterNot(payload.contains)
     val leftCols = left.columns.toSeq
 
+    // The carried right row travels as ONE struct (ts + payload), and
+    // `last(ignoreNulls)` fills the whole struct at once — per-column
+    // fills would let a NULL payload field inherit a stale value from an
+    // OLDER right row (mixing columns across rows and dodging the
+    // tolerance check, which only sees the matched timestamp).
+    val rStruct = struct(
+      (col(rightTs).as("rts") +: carried.map(c => col(c).as(s"p_$c"))): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("rts", rType(rightTs)) +:
+          carried.map(c => org.apache.spark.sql.types.StructField(s"p_$c", rType(c)))))
+
     // one frame, two roles: left rows keep their columns, right rows keep
-    // only key + ts + carried payload (all other slots null)
+    // only key + ts + the carried struct (all other slots null)
     val lSel: Seq[Column] =
       leftCols.map(col) ++
-        Seq(lit(1).as("__side"), col(leftTs).as("__t"),
-          lit(null).cast(rType(rightTs)).as("__asof_rts")) ++
-        carried.map(c => lit(null).cast(rType(c)).as(s"__r_$c"))
+        Seq(lit(1).as("__side"), col(leftTs).as("__t"), nullStruct.as("__r"))
     val rSel: Seq[Column] =
       leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(rightTs).as("__t"),
-          col(rightTs).as("__asof_rts")) ++
-        carried.map(c => col(c).as(s"__r_$c"))
+        Seq(lit(0).as("__side"), col(rightTs).as("__t"), rStruct.as("__r"))
 
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
 
     // at equal __t the right row (side 0) precedes the left row → inclusive
-    // match; tie-break column orders duplicate right timestamps (asc, so
-    // `last` picks the LARGEST tie-break value)
-    // tie-break sorts ASC in both directions: `last` takes the final row
-    // in window order, so ascending puts the largest tie-break value last
+    // match. Tie-break sorts ASC in both directions: `last` takes the
+    // final row in window order, so ascending puts the largest tie-break
+    // value last
     val ord: Seq[Column] =
       (if (forward) Seq(col("__t").desc, col("__side").asc)
        else Seq(col("__t").asc, col("__side").asc)) ++
-        tieBreak.map(c => col(s"__r_$c").asc_nulls_first).toSeq
+        tieBreak.map(c => col("__r").getField(s"p_$c").asc_nulls_first).toSeq
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = (carried :+ "__match_ts").foldLeft(u) {
-      case (df, "__match_ts") =>
-        df.withColumn("__match_ts", last(col("__asof_rts"), ignoreNulls = true).over(w))
-      case (df, c) =>
-        df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
+    val matchTs = col("__m").getField("rts")
     val inTol: Column = toleranceSec match {
       case Some(sec) =>
         val gap =
-          if (forward) unix_micros(col("__match_ts")) - unix_micros(col("__t"))
-          else unix_micros(col("__t")) - unix_micros(col("__match_ts"))
-        col("__match_ts").isNotNull && gap <= sec * 1000000L
-      case None => col("__match_ts").isNotNull
+          if (forward) unix_micros(matchTs) - unix_micros(col("__t"))
+          else unix_micros(col("__t")) - unix_micros(matchTs)
+        matchTs.isNotNull && gap <= sec * 1000000L
+      case None => matchTs.isNotNull
     }
 
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => when(inTol, col(s"__m_$c")).as(s"$prefix$c")): _*)
+        payload.map(c => when(inTol, col("__m").getField(s"p_$c")).as(s"$prefix$c")): _*)
   }
 }

@@ -158,7 +158,9 @@ object Multimodal {
                     val s = if (fmt.isBigEndian) ((bytes(off).toInt << 8) | (bytes(off + 1) & 0xff))
                             else ((hi << 8) | lo)
                     s.toShort / 32768.0
-                  } else (bytes(off) & 0xff) / 128.0 - 1.0 // PCM8 is unsigned
+                  } else bytes(off).toInt / 128.0 // 8-bit here is PCM_SIGNED
+                                                  // (AIFF/AU; unsigned 8-bit
+                                                  // WAV fails the guard above)
                 acc += v
                 c += 1
               }

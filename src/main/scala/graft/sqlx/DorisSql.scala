@@ -36,8 +36,8 @@ object DorisSql {
     * which is the right failure mode for an untranslatable statement). */
   private val groupConcatRe =
     """(?i)\bgroup_concat\s*\(\s*(distinct\s+)?((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)\s*\)""".r
-  private val orderByInArgsRe = """(?i)\s+order\s+by\s+(.+)$""".r
-  private val separatorInArgsRe = """(?i)\s+separator\s+('(?:[^']|'')*')\s*$""".r
+  private val orderByInArgsRe = """(?is)\s+order\s+by\s+(.+)$""".r
+  private val separatorInArgsRe = """(?is)\s+separator\s+('(?:[^']|'')*')\s*$""".r
   private val trailingSepArgRe = """(?s)^(.*?),\s*('(?:[^']|'')*')\s*$""".r
 
   private def rewriteGroupConcat(sql: String): String =

@@ -94,6 +94,20 @@ class CliSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
 
+    val packOut = Files.createTempDirectory("cli_pipe_pack").toString
+    Cli.run(spark, "pipeline", Map("op" -> "pack", "in" -> inDir,
+      "out" -> packOut, "budget" -> "8"))
+    val bins = spark.read.parquet(packOut).select("doc_id", "bin")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins.size == 4 && bins.values.forall(_ >= 0))
+    // missing stratum column errors usefully (not an unresolved-column CCE)
+    val noSrc = Files.createTempDirectory("cli_pipe_nosrc").toString
+    corpus.drop("source").write.mode("overwrite").parquet(noSrc)
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, "pipeline", Map("op" -> "pack", "in" -> noSrc, "out" -> packOut))
+    }
+    assert(e.getMessage.contains("--source-col"))
+
     val probeDir = Files.createTempDirectory("cli_pipe_probe").toString
     Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(probeDir)

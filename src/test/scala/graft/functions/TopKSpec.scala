@@ -43,6 +43,35 @@ class TopKSpec extends SparkSpec {
     assert(Set("k0", "k1", "k2").subsetOf(got), s"lost a heavy hitter: $got")
   }
 
+  test("merge never undercounts: eviction + re-insertion across partials") {
+    // Adversarial partial order: v is small in s1 (trimmed away by the
+    // s1+s2 merge overflow), then huge in s3. The mergeable-summaries
+    // combine must keep est >= true by charging absence with the full
+    // summary's min counter.
+    val cap = 4
+    def summary(counts: (String, Long)*): SpaceSaving.Summary = {
+      val s = new SpaceSaving.Summary(cap)
+      counts.foreach { case (v, c) => s.offer(v, c) }
+      s
+    }
+    val s1 = summary("v" -> 10L, "a" -> 50L, "b" -> 60L, "c" -> 70L)
+    val s2 = summary("d" -> 80L, "e" -> 90L, "f" -> 100L, "g" -> 110L)
+    val s3 = summary("v" -> 500L, "x" -> 5L, "y" -> 5L, "z" -> 5L)
+    val trueCounts = Map("v" -> 510L, "a" -> 50L, "b" -> 60L, "c" -> 70L,
+      "d" -> 80L, "e" -> 90L, "f" -> 100L, "g" -> 110L,
+      "x" -> 5L, "y" -> 5L, "z" -> 5L)
+    s1.merge(s2) // overflows: v (count 10) is trimmed here
+    s1.merge(s3) // v re-enters with a big count
+    s1.topK(cap).foreach { case (v, est, err) =>
+      val t = trueCounts(v)
+      assert(est >= t, s"$v: est $est undercounts true $t after merge trim")
+      assert(est - err <= t, s"$v: lower bound ${est - err} above true $t")
+    }
+    // the genuinely dominant value must survive and bound its true count
+    val top = s1.topK(1).head
+    assert(top._1 == "v" && top._2 >= 510L)
+  }
+
   test("driver entry q36 matches exact top-3 per bucket on sf0.001") {
     val df = graft.SparkEntry.queries("q36_topn_sketch")(spark, "/root/testdata/sf0.001")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

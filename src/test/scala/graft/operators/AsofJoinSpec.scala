@@ -68,6 +68,22 @@ class AsofJoinSpec extends SparkSpec {
       (3L, 50, None)))
   }
 
+  test("a matched row's NULL payload stays NULL — no back-fill from older rows") {
+    import spark.implicits._
+    // the matched (latest) quote has px = NULL; a naive per-column fill
+    // would inherit 100.0 from the older row
+    val q = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), 1L),
+      (1L, ts("2024-01-01 10:30:00"), None: Option[Double], 2L)
+    ).toDF("sym", "ts", "px", "qid")
+    val t = Seq((1L, ts("2024-01-01 10:31:00"), 1)).toDF("sym", "ts", "size")
+    val out = AsofJoin.backward(t, q, Seq("sym"), "ts", "ts",
+      payload = Seq("px", "qid"), toleranceSec = Some(300))
+    val row = out.head()
+    assert(row.isNullAt(3), s"NULL payload of the matched row leaked a stale value: $row")
+    assert(row.getLong(4) == 2L) // but the row IS the 10:30 match
+  }
+
   test("plan is a single window pass — no join node") {
     val out = AsofJoin.backward(trades, quotes, Seq("sym"), "ts", "ts",
       payload = Seq("px"))

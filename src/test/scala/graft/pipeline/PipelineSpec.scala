@@ -274,6 +274,24 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L).decoded) // corrupt payload: resilient, not fatal
   }
 
+  test("multimodal: 8-bit SIGNED audio (AIFF) decodes with the signed formula") {
+    import javax.sound.sampled._
+    // silence in 8-bit PCM_SIGNED is byte 0 — the old unsigned formula
+    // decoded it as -1.0 (rms 1.0 for silence)
+    val n = 800
+    val pcm = new Array[Byte](n) // all zeros = silence
+    val fmt = new AudioFormat(8000f, 8, 1, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.AIFF, bos)
+    val media = Multimodal.asMedia(
+      Seq((1L, bos.toByteArray)).toDF("id", "b"), "id", "b", "audio")
+    val a = Multimodal.audioFeatures(spark, media).collect().head
+    assert(a.decoded && a.n_frames == n)
+    assert(a.rms == 0.0 && a.peak == 0.0, s"silence decoded as rms=${a.rms} peak=${a.peak}")
+  }
+
   test("winnowing: shared substring >= w+k-1 guarantees a shared fingerprint") {
     val k = 8; val w = 4
     val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
