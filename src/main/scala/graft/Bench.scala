@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   *     silently recorded as a fast success;
   *   - MEDIAN of 3 timed passes per query (round-3 postmortem: a single
   *     pass recorded a 22x phantom regression on untouched code during a
-  *     burst of machine contention; the median absorbs one bad pass).
+  *     burst of machine contention; the median absorbs one bad pass);
+  *   - PASS-MAJOR timing (round-4 postmortem: with query-major reps the
+  *     first queries after the warmup pass — a01/c01 alphabetically —
+  *     absorbed post-warmup GC/JIT churn in ALL their reps and recorded
+  *     ~5x their clean single-query cost; interleaving whole passes makes
+  *     that churn land on at most one of a query's three samples, which
+  *     the median discards).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,21 +56,28 @@ object Bench {
 
     var errors = Map.empty[String, String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = ordered.map { case (name, fn) =>
-      var lastErr: Option[String] = None
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val err = runOnce(name, fn)
-        val sec = (System.nanoTime() - t0) / 1e9
-        err.foreach { m =>
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val lastErr = collection.mutable.Map.empty[String, String]
+    // Pass-major: each pass times every query once, so a burst of machine
+    // or GC contention is spread across queries instead of concentrated in
+    // all reps of whichever query is running when it hits.
+    for (_ <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      val err = runOnce(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      err match {
+        case Some(m) =>
           System.err.println(s"[bench] $name pass FAILED: $m")
-          lastErr = Some(m)
-        }
-        if (err.isEmpty) Some(sec) else None
+          lastErr(name) = m
+        case None => times(name) :+= sec
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = times(name)
       // a query is failed only when NO pass succeeded
-      if (times.isEmpty) lastErr.foreach(m => errors += (name -> m))
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      if (ts.isEmpty) lastErr.get(name).foreach(m => errors += (name -> m))
+      name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

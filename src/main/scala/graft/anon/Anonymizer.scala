@@ -79,6 +79,20 @@ object Anonymizer {
         ReservedIdentifiers.contains(id.toLowerCase)) id
     else sha8hex(id.toLowerCase)
 
+  /** `hashAlias` as a Catalyst Column expression — the form to use when
+    * anonymizing a COLUMN of identifiers (billions of rows): pure
+    * builtins (sha2/lower/substring), so it stays inside whole-stage
+    * codegen with no per-row UDF serialization. Kept value-identical to
+    * `hashAlias` (same digest prefix, reserved-id and min-length rules);
+    * AnonymizerSpec pins the equivalence.
+    */
+  def hashAliasCol(id: org.apache.spark.sql.Column, minLength: Int = 3): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(id.isNull.or(length(id) < minLength)
+        .or(lower(id).isInCollection(ReservedIdentifiers)), id)
+      .otherwise(substring(sha2(lower(id), 256), 1, HashBytes * 2))
+  }
+
   /** Stateful anonymization context (one per run; NOT thread safe —
     * mirror of the reference's global dict). */
   final class Context(

@@ -28,6 +28,13 @@ import graft.workload.{AuditLog, ReplayCodec}
   *             [--max-conn-idle-ms n] [--cluster <pool>]
   *   import    --db <db> --table <t> --data <csvDir> [--host h]
   *             [--http-port p] [--user u] [--password w] [--dry-run]
+  *   export    --tables <db.table,...> --url <template with {db}/{table}>
+  *             [--format csv|parquet|json] [--sep ☆] [--null-value \N]
+  *             [--max-records-per-file n] [--options k=v,k2=v2]
+  *             (reference: cmd/export.go:50-99 issues EXPORT statements and
+  *              polls Doris; in Spark each table export IS a distributed
+  *              write, so the verb reduces to URL templating + df.write —
+  *              executors stream partitions straight to the target store)
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
   *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
@@ -56,7 +63,7 @@ object Cli {
   }
 
   val usage: String =
-    "usage: graft.cli.Cli <dump|create|gendata|import|replay|diff|anonymize|stats|pipeline> [--flag value ...]"
+    "usage: graft.cli.Cli <dump|create|gendata|import|export|replay|diff|anonymize|stats|pipeline> [--flag value ...]"
 
   def parseFlags(args: Seq[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -191,6 +198,25 @@ object Cli {
         req(o, "data"))
       println(s"stream-loaded ${res.size} file(s), " +
         s"${res.map(_.rows).sum} row(s) into ${req(o, "db")}.${req(o, "table")}")
+
+    case "export" =>
+      val urlT = req(o, "url")
+      val opts = graft.io.Export.Options(
+        format = o.getOrElse("format", "csv"),
+        sep = o.getOrElse("sep", "☆"),
+        nullValue = o.getOrElse("null-value", "\\N"),
+        maxRecordsPerFile = o.getOrElse("max-records-per-file", "20000").toLong,
+        extra = o.get("options").map(_.split(",").map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"expected k=v in --options, got '$kv'\n$usage")
+          kv.take(i) -> kv.drop(i + 1)
+        }.toMap).getOrElse(Map.empty))
+      req(o, "tables").split(",").map(_.trim).filter(_.nonEmpty).foreach { t =>
+        val parts = t.split("\\.", 2)
+        require(parts.length == 2, s"invalid table format '$t', expected 'db.table'")
+        val url = graft.io.Export.export(spark.table(t), urlT, parts(0), parts(1), opts)
+        println(s"exported $t to $url")
+      }
 
     case "anonymize" =>
       val ctx = new Anonymizer.Context(

@@ -19,12 +19,14 @@ object AnonQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_anonymize_ids" -> ((s, _) => {
-      val anonUdf = udf((id: String) => Anonymizer.hashAlias(id, minLength = 3))
+      // Column-expression hash (no UDF): THE pattern for anonymizing a
+      // billions-row identifier column — codegen'd sha2/lower/substring.
       val ids = ReplayCodec.decode(s, q0)
         .select(col("db").as("id"))
         .union(ReplayCodec.decode(s, q0).select(col("user").as("id")))
         .distinct()
-      ids.select(col("id"), anonUdf(col("id")).as("alias")).orderBy("id")
+      ids.select(col("id"), Anonymizer.hashAliasCol(col("id")).as("alias"))
+        .orderBy("id")
     })
   )
 

@@ -68,6 +68,20 @@ class AnonPropertySpec extends SparkSpec {
     assert(twoLetter.forall(w => !aliases.contains(w)))
   }
 
+  test("hashAliasCol (codegen'd Column) is value-identical to hashAlias (driver)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (1 to 50).map(i => randIdent(rng(i))) ++
+      Seq("mysql", "GLOBAL", "information_schema", "ab", "x", null,
+        "MiXeD_Case", "__internal_schema")
+    val got = ids.toDF("id")
+      .select(col("id"), Anonymizer.hashAliasCol(col("id")).as("alias"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (id, alias) =>
+      assert(alias == Anonymizer.hashAlias(id), s"id=$id")
+    }
+  }
+
   test("idempotence: identity rewrite preserves the statement (modulo backtick strip)") {
     for (seed <- 1 to 50) {
       val r = rng(seed + 1000)

@@ -119,6 +119,27 @@ class CliSpec extends SparkSpec {
     assert(hits == Set(1L, 2L)) // the probe text appears in docs 1 and 2
   }
 
+  test("export verb writes each db.table through the URL template") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS cli_exp")
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("id", "v").createOrReplaceTempView("src_exp")
+    spark.sql("CREATE TABLE cli_exp.items USING parquet AS SELECT * FROM src_exp")
+    val root = Files.createTempDirectory("cli_export").toString
+    Cli.run(spark, "export", Map(
+      "tables" -> "cli_exp.items", "url" -> s"$root/{db}/{table}",
+      "format" -> "csv", "options" -> "header=false"))
+    val out = spark.read.option("sep", "☆").option("nullValue", "\\N")
+      .schema("id LONG, v STRING").csv(s"$root/cli_exp/items")
+    assert(out.count() == 3)
+    assert(out.where($"v".isNull).count() == 1)
+    // db.table without a dot is rejected
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, "export", Map("tables" -> "items", "url" -> s"$root/x"))
+    }
+    spark.sql("DROP DATABASE cli_exp CASCADE")
+  }
+
   test("unknown verb and missing flags error usefully") {
     val e1 = intercept[IllegalArgumentException] { Cli.run(spark, "nope", Map.empty) }
     assert(e1.getMessage.contains("unknown verb"))
