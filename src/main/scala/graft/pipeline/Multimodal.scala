@@ -212,6 +212,64 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private val Mask63 = (1L << 63) - 1
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The analytic aHash of `synthPng(id)`: ids share a FAMILY (id/4) whose
+    * 63-bit base pattern comes from a splitmix64 finalizer; variant id%4
+    * flips 0/1/2/8 nested bit positions, so within a family the pairwise
+    * Hamming distances are exactly (v0,v1)=1, (v0,v2)=2, (v1,v2)=1 and
+    * v3 is ≥6 from everything — three near-dup pairs per family at
+    * maxHamming=3, zero across families. Pure id arithmetic, so both a
+    * unit test and the m01 in-query guard can pin the REAL decode output
+    * bit-for-bit. */
+  def imagePattern(id: Long): Long = {
+    val f = id / 4
+    val v = (id % 4).toInt
+    var p = mix64(f) & Mask63
+    // degenerate all-dark / all-bright patterns would make the
+    // luma-vs-mean threshold meaningless; nudge them (never hit for the
+    // verified id range — pinned by the unit test — but kept total)
+    if (p == 0L) p = 1L
+    if (p == Mask63) p &= ~2L
+    val flips = if (v == 3) 8 else v
+    var k = 0
+    while (k < flips) { p ^= 1L << (((f + 17 * k) % 63).toInt); k += 1 }
+    p
+  }
+
+  /** Deterministic 64×64 PNG for `id`: an 8×8 grid of uniform 8px cells,
+    * cell i bright (220) iff bit i of `imagePattern(id)` — row-major,
+    * matching decodeImageBatch's getRGB(i%8, i/8) order. Uniform cells
+    * survive the decoder's bilinear 8×8 downscale exactly, so
+    * aHash(synthPng(id)) == imagePattern(id) through the REAL codec
+    * round-trip. Shared by PipelineSpec and the m01 verified query. */
+  def synthPng(id: Long): Array[Byte] = {
+    val p = imagePattern(id)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var py = 0
+    while (py < 64) {
+      var px = 0
+      while (px < 64) {
+        val bit = (py / 8) * 8 + (px / 8)
+        val luma = if (bit < 63 && ((p >>> bit) & 1L) == 1L) 220 else 30
+        img.setRGB(px, py, (luma << 16) | (luma << 8) | luma)
+        px += 1
+      }
+      py += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched per-partition audio decode — same plumbing as images. */
   def audioFeatures(spark: SparkSession, media: DataFrame,
                     batchSize: Int = 64): Dataset[AudioFeatures] = {

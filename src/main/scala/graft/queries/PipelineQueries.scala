@@ -342,6 +342,34 @@ object PipelineQueries extends QueryModule {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // ---- m01: REAL image decode (JDK codecs) on the verified path.
+    //      Deterministic PNGs (8×8 uniform-cell grids from an id-derived
+    //      63-bit pattern) go through the actual ImageIO decode +
+    //      bilinear-resize + aHash pipeline; an in-query guard pins the
+    //      decoded aHash bit-for-bit to the analytic pattern (a broken
+    //      decoder/resizer fails the gate), then the banded Hamming
+    //      near-dup pairs are value-verified by DuckDB from the LANDED
+    //      signatures — the p05 pattern -------------------------------
+    "m01_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long]
+        .map(id => (id, Multimodal.synthPng(id), Multimodal.imagePattern(id)))
+        .toDF("id", "png", "expected")
+      val feats = Multimodal.imageFeatures(s,
+        Multimodal.asMedia(media, "id", "png", "image"))
+      val checked = feats.join(
+        media.select(col("id").as("media_id"), col("expected")), "media_id")
+      val bad = checked.filter(!col("decoded") || col("width") =!= 64 ||
+        col("height") =!= 64 || col("ahash") =!= col("expected")).count()
+      require(bad == 0, s"image decode regression: $bad bad rows")
+      val sigs = checked.select(col("media_id").as("id"), col("ahash").as("sig"))
+      sigs.write.mode("overwrite").parquet(s"$outRoot/image_sigs")
+      val landed = s.read.parquet(s"$outRoot/image_sigs")
+      Dedup.simhashPairs(landed, maxHamming = 3).orderBy("i", "j")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -656,6 +684,14 @@ object PipelineQueries extends QueryModule {
       FROM t, e
       WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) >= 0.5
       ORDER BY train_id, eval_id""",
+
+    "m01_image_neardup" -> s"""
+      SELECT a.id AS i, b.id AS j,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM read_parquet('$outRoot/image_sigs/*.parquet') a,
+           read_parquet('$outRoot/image_sigs/*.parquet') b
+      WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY i, j""",
 
     "p21_audio_decode" -> """
       SELECT doc_id AS media_id,

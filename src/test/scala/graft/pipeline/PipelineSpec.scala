@@ -243,6 +243,28 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("multimodal: synthPng round-trips through the real decoder to its analytic aHash") {
+    // the m01 gate contract: aHash(decode(synthPng(id))) == imagePattern(id)
+    val ids = (0L until 40L) ++ Seq(196L, 197L, 198L, 199L)
+    val rows = ids.map(id => (id, Multimodal.synthPng(id)))
+    val media = Multimodal.asMedia(rows.toDF("id", "b"), "id", "b", "image")
+    val got = Multimodal.imageFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      assert(got(id).decoded && got(id).width == 64 && got(id).height == 64)
+      assert(got(id).ahash == Multimodal.imagePattern(id), s"id=$id")
+    }
+    // family structure: variants 0/1/2 pairwise within 3 bits, variant 3 far
+    for (f <- Seq(0L, 3L, 49L)) {
+      val Seq(p0, p1, p2, p3) = (0 to 3).map(v => Multimodal.imagePattern(f * 4 + v))
+      assert(java.lang.Long.bitCount(p0 ^ p1) == 1)
+      assert(java.lang.Long.bitCount(p0 ^ p2) == 2)
+      assert(java.lang.Long.bitCount(p1 ^ p2) == 1)
+      assert(java.lang.Long.bitCount(p0 ^ p3) == 8)
+      assert(java.lang.Long.bitCount(p2 ^ p3) == 6)
+    }
+  }
+
   test("multimodal: REAL audio decode (JDK WAV reader), signal features") {
     import javax.sound.sampled._
     // synthesize a 0.5 s, 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8 kHz

@@ -4,7 +4,10 @@ compare): reads each Verify output parquet, runs the matching oracle SQL
 in DuckDB over the same sf tables, sorts columns by name and rows by
 value, and diffs. Driver-side tooling only — not part of the library.
 
-Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Usage: check_oracle.py <verify_out_dir> <sf_dir> [name_prefix...]
+(prefixes restrict the check to matching queries — for use with a
+filtered Verify run; the FULL run must always be checked unfiltered,
+absence ≠ green)
 """
 import json, math, sys
 import duckdb
@@ -27,7 +30,7 @@ def canon(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -35,6 +38,8 @@ def main(outdir, sfdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         try:
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -67,4 +72,4 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
