@@ -40,6 +40,7 @@ object GraftExtensions {
       graft.functions.WinnowingExpr.register(session)
       graft.functions.BitmapExprs.register(session)
       graft.functions.TopKAgg.register(session)
+      graft.functions.FunnelAggs.register(session)
       graft.functions.DorisCompat.register(session)
       _ => () // the check itself never fails
     }

@@ -216,6 +216,41 @@ object SqlSurfaceQueries extends QueryModule {
           FROM events GROUP BY user_id % 10)
         LATERAL VIEW posexplode(top) t AS pos, c
         ORDER BY bucket, rank""")
+    }),
+
+    // Doris WINDOW_FUNNEL parity: max ordered-chain level per user within
+    // a sliding window, as ONE mergeable aggregate (state = the user's
+    // funnel-relevant (ts, condMask) pairs; the N-way self-join a SQL
+    // rewrite would need shuffles the fact table N times — the oracle
+    // below pays exactly that price to independently restate the
+    // semantics). Window 6h; strictly increasing ts; span ≤ window.
+    "q39_window_funnel" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.FunnelAggs.register(s)
+      s.sql("""
+        SELECT user_id,
+               CAST(graft_window_funnel(21600000000, ts,
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') AS BIGINT) AS funnel_level
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // Doris RETENTION parity: first-event-gated step flags per user.
+    // One Long bitmask of state per group, DeclarativeAggregate (fully
+    // codegen'd) — the scalar projections keep the driver-hashed output
+    // array-free.
+    "q40_retention" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.FunnelAggs.register(s)
+      s.sql("""
+        SELECT user_id, r[0] AS r_signup, r[1] AS r_purchase, r[2] AS r_error
+        FROM (
+          SELECT user_id, graft_retention(event_type = 'signup',
+                   event_type = 'purchase', event_type = 'error') AS r
+          FROM events GROUP BY user_id)
+        ORDER BY user_id""")
     })
   )
 
@@ -335,6 +370,36 @@ object SqlSurfaceQueries extends QueryModule {
                                   ORDER BY cnt DESC, value) AS rank
         FROM c)
       SELECT bucket, rank, value, cnt FROM r WHERE rank <= 3
-      ORDER BY bucket, rank"""
+      ORDER BY bucket, rank""",
+
+    "q39_window_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT user_id, CAST(CASE
+        WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+          WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+            AND c.user_id = u.user_id
+            AND a.event_type = 'view' AND b.event_type = 'click'
+            AND c.event_type = 'purchase'
+            AND b.t > a.t AND c.t > b.t
+            AND c.t - a.t <= 21600000000) THEN 3
+        WHEN EXISTS (SELECT 1 FROM e a, e b
+          WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+            AND a.event_type = 'view' AND b.event_type = 'click'
+            AND b.t > a.t AND b.t - a.t <= 21600000000) THEN 2
+        WHEN EXISTS (SELECT 1 FROM e a
+          WHERE a.user_id = u.user_id AND a.event_type = 'view') THEN 1
+        ELSE 0 END AS BIGINT) AS funnel_level
+      FROM u ORDER BY user_id""",
+
+    "q40_retention" -> """
+      SELECT user_id,
+             bool_or(event_type = 'signup') AS r_signup,
+             bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase')
+               AS r_purchase,
+             bool_or(event_type = 'signup') AND bool_or(event_type = 'error')
+               AS r_error
+      FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }
