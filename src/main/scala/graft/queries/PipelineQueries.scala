@@ -42,6 +42,15 @@ object PipelineQueries extends QueryModule {
         .orderBy("pred_lang", "source")
     }),
 
+    // ---- Gopher-style quality gate (repetition + lexical heuristics) ---
+    // Scan-local lexical metrics + two-level (doc, gram) aggregates for
+    // the repetition metrics; every formula restated by the DuckDB
+    // oracle. Line metrics are exercised by QualitySpec fixtures (the
+    // synthetic corpus is single-line, so they gate vacuously here).
+    "p24_quality_gopher" -> ((s, dir) => {
+      graft.pipeline.Quality.metrics(docs(s, dir)).orderBy("doc_id")
+    }),
+
     // ---- exact dedup by normalized fingerprint -------------------------
     "p03_exact_dedup" -> ((s, dir) => {
       val groups = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -428,6 +437,80 @@ object PipelineQueries extends QueryModule {
         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
       FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)
       ORDER BY doc_id""",
+
+    "p24_quality_gopher" -> s"""
+      WITH base AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+               $duckToks AS toks
+        FROM documents),
+      sl AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_txt,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS mean_tok_len,
+               CAST((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+                 AS BIGINT) AS n_symbols
+        FROM base),
+      la AS (
+        SELECT doc_id, SUM(cnt) AS line_occ, SUM(cnt) - COUNT(*) AS line_repeats,
+               SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars,
+               SUM(cnt * length(line)) AS tot_line_chars
+        FROM (SELECT doc_id, line, COUNT(*) AS cnt FROM (
+                SELECT doc_id, unnest(lines) AS line FROM base)
+              GROUP BY doc_id, line)
+        GROUP BY doc_id),
+      tb AS (
+        SELECT doc_id, CASE WHEN cnt > 1 THEN cnt * length(bigram)
+                            ELSE 0 END AS top_bigram_chars FROM (
+          SELECT doc_id, bigram, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, bigram) AS rn
+          FROM (SELECT doc_id, bigram, COUNT(*) AS cnt FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM base)
+                GROUP BY doc_id, bigram))
+        WHERE rn = 1),
+      tg AS (
+        SELECT doc_id,
+               SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_trigram_chars,
+               SUM(cnt * length(g)) AS tot_trigram_chars
+        FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+                FROM base)
+              GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      m AS (
+        SELECT sl.doc_id, sl.n_lines,
+          CAST(COALESCE(la.line_repeats, 0) AS DOUBLE)
+            / greatest(la.line_occ, 1) AS dup_line_frac,
+          CAST(COALESCE(la.dup_line_chars, 0) AS DOUBLE)
+            / greatest(la.tot_line_chars, 1) AS dup_line_char_frac,
+          CAST(sl.n_bullet AS DOUBLE) / greatest(sl.n_lines, 1) AS bullet_line_frac,
+          CAST(COALESCE(tb.top_bigram_chars, 0) AS DOUBLE)
+            / greatest(sl.n_chars_txt, 1) AS top_bigram_char_frac,
+          CAST(COALESCE(tg.dup_trigram_chars, 0) AS DOUBLE)
+            / greatest(COALESCE(tg.tot_trigram_chars, 0), 1) AS dup_trigram_char_frac,
+          CAST(sl.n_types AS DOUBLE) / greatest(sl.n_toks, 1) AS type_token_ratio,
+          sl.mean_tok_len,
+          CAST(sl.n_symbols AS DOUBLE) / greatest(sl.n_toks, 1) AS symbol_word_ratio
+        FROM sl
+        LEFT JOIN la ON sl.doc_id = la.doc_id
+        LEFT JOIN tb ON sl.doc_id = tb.doc_id
+        LEFT JOIN tg ON sl.doc_id = tg.doc_id)
+      SELECT *,
+        dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.30
+          AND bullet_line_frac <= 0.90 AND top_bigram_char_frac <= 0.10
+          AND dup_trigram_char_frac <= 0.10 AND type_token_ratio >= 0.35
+          AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+          AND symbol_word_ratio <= 0.10 AS keep
+      FROM m ORDER BY doc_id""",
 
     "p02_lang_id" -> s"""
       SELECT CASE WHEN CAST(len(list_filter(toks, t -> list_contains($duckStops, t))) AS DOUBLE)

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class QualitySpec extends SparkSpec {
+
+  private def metricsOf(texts: (Long, String)*): Map[Long, Row] = {
+    val s = spark
+    import s.implicits._
+    Quality.metrics(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("line repetition metrics (corpus is single-line; fixtures aren't)") {
+    val m = metricsOf(
+      1L -> "alpha beta\nalpha beta\ngamma delta\nalpha beta",
+      2L -> "one two\nthree four")
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_lines") == 4)
+    // "alpha beta" ×3 → 2 repeat occurrences of 4 total
+    assert(math.abs(r1.getAs[Double]("dup_line_frac") - 0.5) < 1e-9)
+    // dup chars = 3×10 of total 3×10+11
+    assert(math.abs(r1.getAs[Double]("dup_line_char_frac") - 30.0 / 41) < 1e-9)
+    val r2 = m(2L)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r2.getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("bullet-line fraction counts -, *, • lines after left-trim") {
+    val m = metricsOf(3L -> "- item one\n  * item two\nplain\n• dot")
+    assert(math.abs(m(3L).getAs[Double]("bullet_line_frac") - 0.75) < 1e-9)
+  }
+
+  test("top-bigram and duplicated-trigram char fractions") {
+    // "a b a b a b": bigrams a b(×3), b a(×2); trigrams a b a(×2), b a b(×2)
+    val m = metricsOf(4L -> "a b a b a b", 5L -> "u v w x y z")
+    val r4 = m(4L)
+    // top bigram "a b" ×3, len 3, text len 11
+    assert(math.abs(r4.getAs[Double]("top_bigram_char_frac") - 9.0 / 11) < 1e-9)
+    // all 4 trigrams are duplicated occurrences → fraction 1.0
+    assert(r4.getAs[Double]("dup_trigram_char_frac") == 1.0)
+    val r5 = m(5L)
+    assert(r5.getAs[Double]("dup_trigram_char_frac") == 0.0)
+    assert(r5.getAs[Double]("type_token_ratio") == 1.0)
+  }
+
+  test("symbol/word ratio counts # and non-overlapping ellipses") {
+    val m = metricsOf(6L -> "see #tag and more.... ok")
+    // '#'×1 + '....' → one '...' (non-overlapping) = 2 symbols / 5 tokens
+    assert(math.abs(m(6L).getAs[Double]("symbol_word_ratio") - 2.0 / 5) < 1e-9)
+  }
+
+  test("keep gate: repetitive and low-diversity docs are dropped") {
+    val m = metricsOf(
+      7L -> "the quick brown fox jumps over the lazy dog near banks today",
+      8L -> "spam spam spam spam spam spam spam spam spam spam")
+    assert(m(7L).getAs[Boolean]("keep"))
+    assert(!m(8L).getAs[Boolean]("keep"))   // ttr 0.1, top bigram mass high
+  }
+
+  test("degenerate inputs: empty and single-token docs don't divide by zero") {
+    val m = metricsOf(9L -> "", 10L -> "word")
+    Seq(9L, 10L).foreach { id =>
+      val r = m(id)
+      assert(r.getAs[Double]("top_bigram_char_frac") == 0.0)
+      assert(r.getAs[Double]("dup_trigram_char_frac") == 0.0)
+      assert(!r.getAs[Double]("type_token_ratio").isNaN)
+    }
+  }
+}
