@@ -78,45 +78,66 @@ object Quality {
       TextOps.meanTokenLen(toks).as("mean_tok_len"),
       (hashCount + ellipsisCount).as("n_symbols"))
 
-    // ---- line repetition: per-(doc, line) counts, then per-doc ----
-    val lineCounts = docs
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
-      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
-    val lineAgg = lineCounts.groupBy("doc_id").agg(
-      sum("cnt").as("line_occ"),
-      (sum("cnt") - count(lit(1))).as("line_repeats"),
-      sum(when(col("cnt") > 1, col("cnt") * length(col("line"))).otherwise(0L))
-        .as("dup_line_chars"),
-      sum(col("cnt") * length(col("line"))).as("tot_line_chars"))
+    // ---- repetition metrics: ONE scan, ONE two-level aggregate ----
+    // Lines, bigrams, and trigrams are tagged into a single exploded
+    // (doc_id, kind, gram) stream, so all three metrics share one text
+    // scan and one shuffle instead of three of each (at 100 TB the text
+    // column dominates IO — a branch per metric re-reads it). Level 1
+    // counts occurrences per (doc, kind, gram); level 2 folds each
+    // metric out of the counts with conditional aggregates.
+    // tag = one prefix char on the gram string (cheaper per element than
+    // struct-wrapping; a single concat per gram inside one transform)
+    def tagged(kind: String, arr: Column): Column =
+      transform(arr, g => concat(lit(kind), g))
+    // level 1 groups on the TAGGED string directly; kind/length unpack
+    // happens on the post-aggregate (already shrunk) rows. The bigram
+    // chain is materialized as a column and the trigram chain extends
+    // IT (one zip_with step), so the text is tokenized once per row —
+    // not once per n-gram order.
+    val gramCounts = docs
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        zip_with(col("toks"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)).as("g2raw"))
+      .select(col("doc_id"),
+        explode(concat(
+          tagged("l", split(col("text"), "\n")),
+          tagged("b", filter(col("g2raw"), g => g.isNotNull)),
+          tagged("t", filter(zip_with(col("g2raw"),
+            slice(col("toks"), lit(3), greatest(size(col("toks")) - 2, lit(0))),
+            (a, b) => concat(a, lit(" "), b)), g => g.isNotNull)))).as("kg"))
+      .groupBy("doc_id", "kg").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), substring(col("kg"), 1, 1).as("kind"),
+        col("kg"), col("cnt"))
 
-    // ---- top-bigram mass: (cnt desc, bigram asc) via min(struct) ----
-    val bigramCounts = docs
-      .select(col("doc_id"), explode(ngrams(TextOps.tokens(col("text")), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val isL = col("kind") === "l"
+    val isB = col("kind") === "b"
+    val isT = col("kind") === "t"
+    val mass = col("cnt") * (length(col("kg")) - 1)
     // a bigram seen once is not repetition — only cnt > 1 carries mass
     // (otherwise any short document's single top bigram trips the gate)
-    val topBigram = bigramCounts.groupBy("doc_id")
-      .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("t"))
-      .select(col("doc_id"),
-        when(-col("t.nc") > 1, (-col("t.nc")) * length(col("t.g")))
-          .otherwise(0L).cast("long").as("top_bigram_chars"))
-
-    // ---- duplicated-trigram mass ----
-    val trigramAgg = docs
-      .select(col("doc_id"), explode(ngrams(TextOps.tokens(col("text")), 3)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum(when(col("cnt") > 1, col("cnt") * length(col("g"))).otherwise(0L))
-          .as("dup_trigram_chars"),
-        sum(col("cnt") * length(col("g"))).as("tot_trigram_chars"))
+    val repAgg = gramCounts.groupBy("doc_id").agg(
+      sum(when(isL, col("cnt"))).as("line_occ"),
+      count(when(isL, lit(1))).as("line_vals"),
+      sum(when(isL && col("cnt") > 1, mass).otherwise(0L)).as("dup_line_chars"),
+      sum(when(isL, mass).otherwise(0L)).as("tot_line_chars"),
+      min(when(isB && col("cnt") > 1,
+        struct((-col("cnt")).as("nc"), col("kg").as("g")))).as("tb"),
+      sum(when(isT && col("cnt") > 1, mass).otherwise(0L)).as("dup_trigram_chars"),
+      sum(when(isT, mass).otherwise(0L)).as("tot_trigram_chars"))
+    val rep = repAgg.select(col("doc_id"),
+      col("line_occ"), (col("line_occ") - col("line_vals")).as("line_repeats"),
+      col("dup_line_chars"), col("tot_line_chars"),
+      coalesce((-col("tb.nc")) * (length(col("tb.g")) - 1), lit(0L))
+        .cast("long").as("top_bigram_chars"),
+      col("dup_trigram_chars"), col("tot_trigram_chars"))
 
     def ratio(num: Column, den: Column): Column =
       num.cast("double") / greatest(den, lit(1L)).cast("double")
 
     val m = base
-      .join(lineAgg, Seq("doc_id"), "left")
-      .join(topBigram, Seq("doc_id"), "left")
-      .join(trigramAgg, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_lines"),
