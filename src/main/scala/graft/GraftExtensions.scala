@@ -41,6 +41,7 @@ object GraftExtensions {
       graft.functions.BitmapExprs.register(session)
       graft.functions.TopKAgg.register(session)
       graft.functions.FunnelAggs.register(session)
+      graft.functions.SequenceMatch.register(session)
       graft.functions.DorisCompat.register(session)
       _ => () // the check itself never fails
     }

@@ -1,0 +1,307 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SEQUENCE_MATCH / SEQUENCE_COUNT — the event-pattern aggregates of the
+  * Doris/ClickHouse behavioral family (pattern syntax per the public
+  * ClickHouse `sequenceMatch` docs), completing the trio started by
+  * `graft_window_funnel`/`graft_retention` in [[FunnelAggs]].
+  *
+  * Supported pattern language:
+  *   - `(?N)`      an event satisfying condition N (anchors; 1-based)
+  *   - `.*`        any number of events (including none) between anchors
+  *   - `(?t OP n)` seconds between the two ADJACENT anchors around it
+  *                 satisfy `OP` ∈ {<, <=, >, >=, ==}; composes with an
+  *                 implied `.*` (per ClickHouse semantics)
+  * Without a separator, consecutive anchors must match CONSECUTIVE
+  * events of the group's condition-relevant sequence (rows matching no
+  * condition are skipped — also per the reference semantics).
+  *
+  * Matching is a set DP over the time-sorted events, one boolean set per
+  * anchor: `set(k) = {q : cond_k(q) ∧ ∃p ∈ set(k−1) allowed(p,q)}`.
+  * Because timestamps are sorted, a time window `t(q)−t(p) ≤ T` is
+  * witnessed by the LATEST p (and `> T` by the EARLIEST), so each
+  * transition evaluates with prefix min/max — O(anchors × events), no
+  * backtracking. State (like the funnel's) is the group's relevant
+  * (ts, condMask) pairs: mergeable by concatenation, O(matching events).
+  */
+object SequenceMatch {
+
+  // ------------------------------------------------------------- pattern
+
+  sealed trait Sep
+  case object Adjacent extends Sep
+  /** gap = `.*`; timeOp null means unconstrained. op: '<','≤','>','≥','=' */
+  final case class Gap(op: Char = 0, seconds: Long = 0L) extends Sep
+
+  /** (anchors, separators): anchors(i+1) relates to anchors(i) via seps(i). */
+  final case class Pattern(anchors: IndexedSeq[Int], seps: IndexedSeq[Sep])
+
+  private val AnchorRe = """\(\?(\d+)\)""".r
+  private val TimeRe = """\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)""".r
+
+  def parse(pattern: String): Pattern = {
+    var rest = pattern.trim
+    val anchors = ArrayBuffer.empty[Int]
+    val seps = ArrayBuffer.empty[Sep]
+    var pendingGap: Option[Gap] = None
+    var sawAny = false
+    while (rest.nonEmpty) {
+      AnchorRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val n = m.group(1).toInt
+          require(n >= 1 && n <= 31, s"condition index out of range: (?$n)")
+          if (sawAny) seps += pendingGap.getOrElse(Adjacent)
+          else require(pendingGap.isEmpty || pendingGap.get.op == 0,
+            "pattern cannot start with a time constraint")
+          anchors += n
+          pendingGap = None
+          sawAny = true
+          rest = rest.drop(m.matched.length)
+        case None if rest.startsWith(".*") =>
+          pendingGap = Some(pendingGap match {
+            case Some(g) => g                       // `.*(?t…)` / `(?t…).*` merge
+            case None => Gap()
+          })
+          rest = rest.drop(2)
+        case None =>
+          TimeRe.findPrefixMatchOf(rest) match {
+            case Some(m) =>
+              require(sawAny, "pattern cannot start with a time constraint")
+              val op = m.group(1) match {
+                case "<" => '<'; case "<=" => '≤'; case ">" => '>'
+                case ">=" => '≥'; case "==" => '='
+              }
+              // a time constraint implies a gap (ClickHouse: `(?t>n)` sits
+              // between anchors and composes with .*)
+              pendingGap = Some(Gap(op, m.group(2).toLong))
+              rest = rest.drop(m.matched.length)
+            case None =>
+              throw new IllegalArgumentException(
+                s"unsupported pattern at: '$rest' (supported: (?N) .* (?t OP n))")
+          }
+      }
+    }
+    require(anchors.nonEmpty, "pattern needs at least one (?N) anchor")
+    require(pendingGap.isEmpty, "pattern cannot end with a separator")
+    Pattern(anchors.toIndexedSeq, seps.toIndexedSeq)
+  }
+
+  // ------------------------------------------------------------ matching
+
+  private def tsOk(op: Char, deltaMicros: Long, seconds: Long): Boolean = {
+    val bound = seconds * 1000000L
+    op match {
+      case 0 => true
+      case '<' => deltaMicros < bound
+      case '≤' => deltaMicros <= bound
+      case '>' => deltaMicros > bound
+      case '≥' => deltaMicros >= bound
+      case '=' => deltaMicros == bound
+    }
+  }
+
+  /** earliest match END index (exclusive) of the full pattern over
+    * events[from..), or -1. ts/mask must be time-sorted. */
+  private def matchFrom(ts: Array[Long], mask: Array[Int], p: Pattern, from: Int): Int = {
+    val n = ts.length
+    var cur: Array[Boolean] = null // cur(q) = anchor k can match at q
+    var k = 0
+    while (k < p.anchors.length) {
+      val bit = 1 << (p.anchors(k) - 1)
+      val next = new Array[Boolean](n)
+      if (k == 0) {
+        var q = from
+        while (q < n) { next(q) = (mask(q) & bit) != 0; q += 1 }
+      } else p.seps(k - 1) match {
+        case Adjacent =>
+          var q = from + 1
+          while (q < n) {
+            next(q) = (mask(q) & bit) != 0 && cur(q - 1)
+            q += 1
+          }
+        case Gap(op, secs) =>
+          // prefix witnesses over cur: latest p (tight window) and
+          // earliest p (wide window); sorted ts make one of them optimal
+          var earliest = -1L; var hasE = false
+          var latest = -1L; var hasL = false
+          var q = from
+          while (q < n) {
+            if (q > from) {
+              // p candidates are indices < q
+              val pi = q - 1
+              if (cur(pi)) {
+                if (!hasE) { earliest = ts(pi); hasE = true }
+                latest = ts(pi); hasL = true
+              }
+            }
+            if ((mask(q) & bit) != 0 && hasE) {
+              next(q) = op match {
+                case 0 => true
+                case '<' | '≤' => tsOk(op, ts(q) - latest, secs)
+                case '>' | '≥' => tsOk(op, ts(q) - earliest, secs)
+                case '=' =>
+                  // equality has no monotone witness; scan (rare op)
+                  var pi = from; var ok = false
+                  while (pi < q && !ok) {
+                    ok = cur(pi) && ts(q) - ts(pi) == secs * 1000000L; pi += 1
+                  }
+                  ok
+              }
+            }
+            q += 1
+          }
+      }
+      cur = next
+      k += 1
+    }
+    var q = from
+    while (q < ts.length) { if (cur(q)) return q + 1; q += 1 }
+    -1
+  }
+
+  /** true iff the pattern matches anywhere in the group's sequence. */
+  def matches(ts: Array[Long], mask: Array[Int], p: Pattern): Boolean =
+    ts.nonEmpty && matchFrom(ts, mask, p, 0) >= 0
+
+  /** number of non-overlapping matches, scanning left to right (each
+    * match resumes after the previous match's last anchor event). */
+  def countMatches(ts: Array[Long], mask: Array[Int], p: Pattern): Int = {
+    var from = 0
+    var n = 0
+    while (from < ts.length) {
+      val end = matchFrom(ts, mask, p, from)
+      if (end < 0) return n
+      n += 1
+      from = end
+    }
+    n
+  }
+
+  /** Sort the buffered (ts, mask) pairs by ts. */
+  private def sorted(state: FunnelAggs.FunnelState): (Array[Long], Array[Int]) = {
+    val m = state.ts.length
+    val idx = (0 until m).sortBy(i => state.ts(i)).toArray
+    (idx.map(i => state.ts(i)), idx.map(i => state.mask(i)))
+  }
+
+  // ------------------------------------------------------------ aggregate
+
+  /** graft_sequence_match(pattern, ts, cond1, …) → boolean;
+    * graft_sequence_count(pattern, ts, cond1, …) → int. */
+  case class SequenceAggExpr(
+      pattern: String, tsExpr: Expression, conds: Seq[Expression],
+      countMode: Boolean,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[FunnelAggs.FunnelState] {
+
+    @transient private lazy val parsed = parse(pattern)
+    require(conds.nonEmpty && conds.size <= 31, "need 1..31 conditions")
+    require(parse(pattern).anchors.forall(_ <= conds.size),
+      s"pattern references a condition beyond the ${conds.size} supplied")
+
+    override def children: Seq[Expression] = tsExpr +: conds
+    override def dataType: DataType = if (countMode) IntegerType else BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String =
+      if (countMode) "graft_sequence_count" else "graft_sequence_match"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (tsExpr.dataType != TimestampType && tsExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          s"ts must be TIMESTAMP or BIGINT µs, got ${tsExpr.dataType}")
+      else if (!conds.forall(_.dataType == BooleanType))
+        TypeCheckResult.TypeCheckFailure("every condition must be BOOLEAN")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def createAggregationBuffer(): FunnelAggs.FunnelState =
+      new FunnelAggs.FunnelState
+
+    override def update(buffer: FunnelAggs.FunnelState, input: InternalRow): FunnelAggs.FunnelState = {
+      val t = tsExpr.eval(input)
+      if (t != null) {
+        var m = 0
+        var i = 0
+        while (i < conds.size) {
+          val c = conds(i).eval(input)
+          if (c != null && c.asInstanceOf[Boolean]) m |= 1 << i
+          i += 1
+        }
+        // rows matching no condition are skipped (reference semantics)
+        if (m != 0) { buffer.ts += t.asInstanceOf[Long]; buffer.mask += m }
+      }
+      buffer
+    }
+
+    override def merge(buffer: FunnelAggs.FunnelState, other: FunnelAggs.FunnelState): FunnelAggs.FunnelState = {
+      buffer.ts ++= other.ts; buffer.mask ++= other.mask; buffer
+    }
+
+    override def eval(buffer: FunnelAggs.FunnelState): Any = {
+      val (ts, mask) = sorted(buffer)
+      if (countMode) countMatches(ts, mask, parsed) else matches(ts, mask, parsed)
+    }
+
+    override def serialize(buffer: FunnelAggs.FunnelState): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buffer.ts.size)
+      var i = 0
+      while (i < buffer.ts.size) {
+        out.writeLong(buffer.ts(i)); out.writeInt(buffer.mask(i)); i += 1
+      }
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): FunnelAggs.FunnelState = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val s = new FunnelAggs.FunnelState
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { s.ts += in.readLong(); s.mask += in.readInt(); i += 1 }
+      s
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SequenceAggExpr =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SequenceAggExpr =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): SequenceAggExpr =
+      copy(tsExpr = newChildren.head, conds = newChildren.tail)
+  }
+
+  // --------------------------------------------------------- registration
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_sequence_match",
+      { exprs =>
+        require(exprs.length >= 3, "graft_sequence_match(pattern, ts, cond1, ...)")
+        SequenceAggExpr(litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
+          countMode = false).toAggregateExpression()
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_sequence_count",
+      { exprs =>
+        require(exprs.length >= 3, "graft_sequence_count(pattern, ts, cond1, ...)")
+        SequenceAggExpr(litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
+          countMode = true).toAggregateExpression()
+      }, "built-in")
+  }
+}

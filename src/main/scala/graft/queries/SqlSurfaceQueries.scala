@@ -251,6 +251,30 @@ object SqlSurfaceQueries extends QueryModule {
                    event_type = 'purchase', event_type = 'error') AS r
           FROM events GROUP BY user_id)
         ORDER BY user_id""")
+    }),
+
+    // Doris/ClickHouse SEQUENCE_MATCH / SEQUENCE_COUNT parity: pattern
+    // matching over each user's time-sorted relevant events, one
+    // mergeable aggregate per pattern (state = (ts, condMask) pairs of
+    // rows matching ≥1 condition — rows matching none are skipped, per
+    // the reference semantics, which is also what makes adjacency
+    // `(?1)(?2)` well-defined). The oracle restates each pattern
+    // relationally: EXISTS chains, NOT EXISTS for adjacency, and the
+    // lag-transition identity for the greedy non-overlapping count.
+    "q41_sequence_match" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.SequenceMatch.register(s)
+      s.sql("""
+        SELECT user_id,
+          graft_sequence_match('(?1)(?t<=7200)(?2)', ts,
+            event_type = 'signup', event_type = 'purchase') AS m_signup_purchase,
+          graft_sequence_match('(?1)(?2)', ts,
+            event_type = 'view', event_type = 'click') AS m_view_click_adj,
+          graft_sequence_match('(?1)(?t<=21600)(?2)', ts,
+            event_type = 'view', event_type = 'purchase') AS m_view_purchase_6h,
+          CAST(graft_sequence_count('(?1).*(?2)', ts,
+            event_type = 'view', event_type = 'purchase') AS BIGINT) AS c_view_purchase
+        FROM events GROUP BY user_id ORDER BY user_id""")
     })
   )
 
@@ -400,6 +424,44 @@ object SqlSurfaceQueries extends QueryModule {
                AS r_purchase,
              bool_or(event_type = 'signup') AND bool_or(event_type = 'error')
                AS r_error
-      FROM events GROUP BY user_id ORDER BY user_id"""
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q41_sequence_match" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      sp AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+             WHERE event_type IN ('signup', 'purchase')),
+      vc AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+             WHERE event_type IN ('view', 'click')),
+      vp AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+             WHERE event_type IN ('view', 'purchase')),
+      cnt AS (
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                 AND prev = 'view' THEN 1 ELSE 0 END), 0) AS c
+        FROM (SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY t) AS prev
+              FROM vp)
+        GROUP BY user_id)
+      SELECT u.user_id,
+        EXISTS (SELECT 1 FROM sp a, sp b
+                WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                  AND a.event_type = 'signup' AND b.event_type = 'purchase'
+                  AND b.t > a.t
+                  AND b.t - a.t <= 7200000000) AS m_signup_purchase,
+        EXISTS (SELECT 1 FROM vc a, vc b
+                WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                  AND a.event_type = 'view' AND b.event_type = 'click'
+                  AND b.t > a.t
+                  AND NOT EXISTS (SELECT 1 FROM vc x
+                    WHERE x.user_id = u.user_id
+                      AND x.t > a.t AND x.t < b.t)) AS m_view_click_adj,
+        EXISTS (SELECT 1 FROM vp a, vp b
+                WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                  AND a.event_type = 'view' AND b.event_type = 'purchase'
+                  AND b.t > a.t
+                  AND b.t - a.t <= 21600000000) AS m_view_purchase_6h,
+        COALESCE(cnt.c, 0) AS c_view_purchase
+      FROM u LEFT JOIN cnt ON cnt.user_id = u.user_id
+      ORDER BY u.user_id"""
   )
 }
