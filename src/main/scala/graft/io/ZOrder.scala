@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-column locality — the
+  * clustering technique behind Doris's/Delta's/Iceberg's multi-dim
+  * ordering: rows close in the interleaved key are close in EVERY
+  * participating column, so per-file min/max ranges stay tight on all of
+  * them and a predicate on ANY clustered column prunes files. A linear
+  * sort gives perfect pruning on the leading column and none on the
+  * rest; at 100 TB the difference is whether a two-column point query
+  * reads one file or every file.
+  *
+  * The interleave is pure 64-bit Column arithmetic (the classic
+  * magic-number bit spread), so it whole-stage-codegens and any engine
+  * can recompute it — the io02 oracle restates the identical shifts in
+  * DuckDB. Layout cost is ONE range shuffle on the z-value (the same
+  * price as a plain global sort) plus an in-partition sort.
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of `v` to the even bit positions of a long
+    * (0babab…a0b0 with b at bit 0): 5 shift-or-mask steps. */
+  def spread(v: Column): Column = {
+    val masks = Seq(
+      (16, 0x0000FFFF0000FFFFL),
+      (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL),
+      (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft(v.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+      case (acc, (s, m)) => (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** 64-bit Morton code of two columns, each clamped to its low
+    * `bits` ≤ 32 bits (callers normalize first — see [[normalized]]). */
+  def zValue2(a: Column, b: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "bits must be 1..32")
+    val mask = lit((1L << bits) - 1) // (1L<<32)-1 == 0xFFFFFFFFL, no overflow
+    spread(a.cast("long").bitwiseAND(mask))
+      .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
+  }
+
+  /** Rank-free min/max normalization of a numeric column into
+    * [0, 2^bits): one tiny stats collect (2 values per column — bounded
+    * driver metadata, same class as IVF centroids). Uniform enough for
+    * layout purposes; heavy skew calls for quantile boundaries, which
+    * `Stats.quantiles` can supply. */
+  def normalized(df: DataFrame, colName: String, bits: Int): Column = {
+    val r = df.agg(min(col(colName)).cast("double"),
+      max(col(colName)).cast("double")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements of
+    // this formula (io02's oracle) can write the same literal
+    val span = math.max(hi - lo, 1e-12)
+    least(floor((col(colName).cast("double") - lit(lo)) / lit(span)
+      * lit((1L << bits).toDouble)), lit((1L << bits) - 1.0)).cast("long")
+  }
+
+  /** Write `df` z-ordered on two columns: one range shuffle over the
+    * z-value into `nFiles` partitions, sort within each, drop the key.
+    * Every output file then holds a compact rectangle of (a, b) space —
+    * the file-skipping property ZOrderSpec measures. */
+  def write2(df: DataFrame, colA: String, colB: String, outPath: String,
+             nFiles: Int, bits: Int = 16): Unit = {
+    val z = zValue2(normalized(df, colA, bits), normalized(df, colB, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+  }
+}

@@ -49,6 +49,49 @@ object IoQueries extends QueryModule {
             element_at(col("f"), 3).cast("int").as("n_regionkey"))
           .orderBy("n_nationkey")
       } finally server.stop(0)
+    }),
+
+    // Z-order layout (io/ZOrder.scala) on the VERIFIED path: lineitem is
+    // laid out on the Morton code of (l_partkey, l_suppkey), landed, and
+    // read back. The in-query guard measures the file-skipping property
+    // itself — the mean per-file bounding-box area over BOTH clustered
+    // columns must be a small fraction of the full key space (a linear
+    // sort leaves the second column's boxes at ~full width; z-order
+    // keeps every file a compact rectangle). The oracle recomputes the
+    // exact interleave bit arithmetic in DuckDB on a key sample, so the
+    // z-values themselves — not just the layout — are cross-checked.
+    "io02_zorder_layout" -> ((s, dir) => {
+      import graft.io.ZOrder
+      // min/max-normalize both keys to the full 16-bit range before
+      // interleaving — an unnormalized Morton code is dominated by the
+      // wider-range column's high bits and degenerates to a linear sort
+      val li0 = Tables.t(s, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"), col("l_linenumber"),
+        ZOrder.normalized(li0, "l_partkey", 16).as("a"),
+        ZOrder.normalized(li0, "l_suppkey", 16).as("b"))
+      val out = s"${graft.Land.root}/zorder/lineitem"
+      li.withColumn("zv", ZOrder.zValue2(col("a"), col("b"), bits = 16))
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite").parquet(out)
+      val landed = s.read.parquet(out)
+      // locality guard: BOTH clustered columns' mean per-file spans must
+      // be a fraction of their global span (a linear sort can bound only
+      // one); spans are measured against the columns' actual ranges
+      val g = landed.agg(
+        (max(col("a")) - min(col("a"))).cast("double"),
+        (max(col("b")) - min(col("b"))).cast("double")).head()
+      val (gA, gB) = (math.max(g.getDouble(0), 1.0), math.max(g.getDouble(1), 1.0))
+      val spans = landed.groupBy(input_file_name().as("f")).agg(
+          ((max(col("a")) - min(col("a"))).cast("double") / gA).as("sa"),
+          ((max(col("b")) - min(col("b"))).cast("double") / gB).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).head()
+      val (sa, sb) = (spans.getDouble(0), spans.getDouble(1))
+      require(sa <= 0.75 && sb <= 0.75,
+        f"z-order locality regression: mean per-file spans ($sa%.3f, $sb%.3f)")
+      landed.filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zv"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -56,6 +99,43 @@ object IoQueries extends QueryModule {
     "io01_streamload_roundtrip" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS INT) AS n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // the same min/max normalization and magic-number Morton spread,
+    // step by step, in DuckDB (identical double arithmetic, so the
+    // z-values compare bit-for-bit)
+    "io02_zorder_layout" -> """
+      WITH st AS (
+        SELECT CAST(min(l_partkey) AS DOUBLE) AS alo,
+               greatest(CAST(max(l_partkey) AS DOUBLE)
+                        - CAST(min(l_partkey) AS DOUBLE), 1e-12) AS aspan,
+               CAST(min(l_suppkey) AS DOUBLE) AS blo,
+               greatest(CAST(max(l_suppkey) AS DOUBLE)
+                        - CAST(min(l_suppkey) AS DOUBLE), 1e-12) AS bspan
+        FROM lineitem),
+      src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(least(floor((CAST(l_partkey AS DOUBLE) - st.alo)
+                 / st.aspan * 65536.0), 65535.0) AS BIGINT) AS a,
+               CAST(least(floor((CAST(l_suppkey AS DOUBLE) - st.blo)
+                 / st.bspan * 65536.0), 65535.0) AS BIGINT) AS b
+        FROM lineitem, st WHERE l_orderkey <= 300),
+      s1 AS (SELECT l_orderkey, l_linenumber,
+               (a | (a << 16)) & 281470681808895 AS a1,
+               (b | (b << 16)) & 281470681808895 AS b1 FROM src),
+      s2 AS (SELECT l_orderkey, l_linenumber,
+               (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+               (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM s1),
+      s3 AS (SELECT l_orderkey, l_linenumber,
+               (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+               (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM s2),
+      s4 AS (SELECT l_orderkey, l_linenumber,
+               (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+               (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM s3),
+      s5 AS (SELECT l_orderkey, l_linenumber,
+               (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+               (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM s4)
+      SELECT l_orderkey, l_linenumber, a5 | (b5 << 1) AS zv
+      FROM s5 ORDER BY l_orderkey, l_linenumber"""
   )
 }
