@@ -86,6 +86,62 @@ object FunnelAggs {
     val mask: ArrayBuffer[Int] = ArrayBuffer.empty
   }
 
+  /** Greedy NON-OVERLAPPING complete-funnel matches over time-sorted
+    * events: each match is the earliest event completing a full N-step
+    * chain (span ≤ window), reported as (chainStartTs, endTs); matching
+    * resumes after the end event, consuming everything before it. The
+    * chain start is the LATEST feasible first-anchor (the DP's `best`
+    * witness). Same tie-batch rule as [[funnelLevel]]. ts/mask MUST be
+    * pre-sorted (streaming callers sort once per trigger). */
+  private[graft] def funnelMatches(ts: Array[Long], mask: Array[Int],
+                                   window: Long, steps: Int): Seq[(Long, Long)] = {
+    val m = ts.length
+    val best = Array.fill(steps + 1)(Long.MinValue)
+    val cand = Array.fill(steps + 1)(Long.MinValue)
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < m) {
+      val t = ts(i)
+      var j = i
+      var k = 1
+      while (k <= steps) { cand(k) = Long.MinValue; k += 1 }
+      var matched = false
+      while (j < m && ts(j) == t && !matched) {
+        val mk = mask(j)
+        k = 1
+        while (k <= steps && !matched) {
+          if ((mk & (1 << (k - 1))) != 0) {
+            if (k == 1) {
+              if (steps == 1) { out += ((t, t)); matched = true }
+              else if (t > cand(1)) cand(1) = t
+            } else if (best(k - 1) != Long.MinValue && t - best(k - 1) <= window) {
+              if (k == steps) {
+                out += ((best(k - 1), t))
+                matched = true // consume through this event, reset chains
+              } else if (best(k - 1) > cand(k)) cand(k) = best(k - 1)
+            }
+          }
+          k += 1
+        }
+        j += 1
+      }
+      if (matched) {
+        k = 1
+        while (k <= steps) { best(k) = Long.MinValue; k += 1 }
+        // a match consumes EVERY event with ts ≤ its end — including the
+        // rest of this tie-batch — so "survives iff ts > end" holds
+        // exactly for streaming callers that prune consumed state
+        while (j < m && ts(j) == t) j += 1
+        i = j
+      } else {
+        k = 1
+        while (k <= steps) { if (cand(k) > best(k)) best(k) = cand(k); k += 1 }
+        i = j
+      }
+    }
+    out.result()
+  }
+
   /** graft_window_funnel(windowMicros, ts, cond1, …, condN) → max level
     * reached (0..N). `ts` may be TIMESTAMP (internal µs long) or a LONG
     * already in µs; the window literal is µs. */

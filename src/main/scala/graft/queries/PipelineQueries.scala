@@ -51,6 +51,26 @@ object PipelineQueries extends QueryModule {
       graft.pipeline.Quality.metrics(docs(s, dir)).orderBy("doc_id")
     }),
 
+    // ---- streaming funnel completions, batch face ----------------------
+    // greedy non-overlapping complete chains (view→click→purchase, 6h
+    // span) via the SAME flatMapGroupsWithState operator the stream
+    // runs (StreamingSpec proves batch/stream equality). The oracle
+    // restates the two SQL-expressible facts: whether any chain exists,
+    // and the earliest completing event (greedy's first match end).
+    "p25_funnel_completions" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val matches = graft.streaming.EventStream.funnelCompletions(
+        ev, Seq("view", "click", "purchase"), windowMinutes = 360)
+      val per = matches.groupBy(col("userId"))
+        .agg(min(unix_micros(col("chainEnd"))).as("first_end_us"),
+          count(lit(1)).as("n"))
+      ev.select(col("user_id").as("userId")).distinct()
+        .join(per, Seq("userId"), "left")
+        .select(col("userId").as("user_id"),
+          col("n").isNotNull.as("has_funnel"), col("first_end_us"))
+        .orderBy("user_id")
+    }),
+
     // ---- exact dedup by normalized fingerprint -------------------------
     "p03_exact_dedup" -> ((s, dir) => {
       val groups = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -437,6 +457,22 @@ object PipelineQueries extends QueryModule {
         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
       FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)
       ORDER BY doc_id""",
+
+    "p25_funnel_completions" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      u AS (SELECT DISTINCT user_id FROM events),
+      fe AS (SELECT c.user_id, min(c.t) AS first_end_us
+             FROM e a, e b, e c
+             WHERE a.user_id = c.user_id AND b.user_id = c.user_id
+               AND a.event_type = 'view' AND b.event_type = 'click'
+               AND c.event_type = 'purchase'
+               AND b.t > a.t AND c.t > b.t
+               AND c.t - a.t <= 21600000000
+             GROUP BY c.user_id)
+      SELECT u.user_id, fe.user_id IS NOT NULL AS has_funnel, fe.first_end_us
+      FROM u LEFT JOIN fe ON fe.user_id = u.user_id
+      ORDER BY u.user_id""",
 
     "p24_quality_gopher" -> s"""
       WITH base AS (

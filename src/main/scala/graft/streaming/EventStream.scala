@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * one operator definition.
   */
 object EventStream extends Serializable {
+  // flatMapGroupsWithState state classes live at PACKAGE level (end of
+  // file), not nested private here: the streaming state-store encoder's
+  // generated Java cannot access private object-nested members (Janino
+  // "no applicable method found" on the field accessors).
 
   /** Tumbling-window per-type aggregate over (ts, event_type, value,
     * props). Window start aligns with date_trunc for whole-unit windows,
@@ -110,10 +114,6 @@ object EventStream extends Serializable {
                      sessionEnd: java.sql.Timestamp, nEvents: Long,
                      sumValue: Double, eventTypes: Map[String, Long])
 
-  // state times in MICROSECONDS — java.sql.Timestamp.getTime is
-  // millis-only and silently truncates the event time's micros
-  private case class SessionState(startUs: Long, lastUs: Long, n: Long,
-                                  sum: Double, types: Map[String, Long])
 
   private def usToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -135,16 +135,19 @@ object EventStream extends Serializable {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
+    // the watermarked ts COLUMN must survive projection — event-time
+    // timeout analysis requires it in the flatMapGroupsWithState child
+    // (unix_micros(ts) alone strips the watermark metadata)
     val typed = (if (streaming) events.withWatermark("ts", watermark) else events)
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+      .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")),
         col("event_type"), col("value").cast("double"))
-      .as[(Long, Long, String, Double)]
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
 
     def close(userId: Long, st: SessionState): Session =
       Session(userId, usToTs(st.startUs), usToTs(st.lastUs + gapUs),
         st.n, st.sum, st.types)
 
-    def fn(userId: Long, rows: Iterator[(Long, Long, String, Double)],
+    def fn(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
            state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val out = state.getOption.map(close(userId, _)).iterator
@@ -153,10 +156,10 @@ object EventStream extends Serializable {
       }
       // within one trigger the group's rows arrive unordered — sort here;
       // cross-trigger order is the watermark's job
-      val sorted = rows.toSeq.sortBy(_._2)
+      val sorted = rows.toSeq.sortBy(_._3)
       var st = state.getOption.orNull
       val closed = Seq.newBuilder[Session]
-      sorted.foreach { case (_, us, tpe, v) =>
+      sorted.foreach { case (_, _, us, tpe, v) =>
         if (st != null && us - st.lastUs >= gapUs) { closed += close(userId, st); st = null }
         st =
           if (st == null) SessionState(us, us, 1, v, Map(tpe -> 1L))
@@ -177,4 +180,87 @@ object EventStream extends Serializable {
         if (streaming) GroupStateTimeout.EventTimeTimeout()
         else GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** One completed funnel (greedy non-overlapping; see
+    * FunnelAggs.funnelMatches). */
+  case class FunnelMatch(userId: Long, chainStart: java.sql.Timestamp,
+                         chainEnd: java.sql.Timestamp)
+
+
+  /** Streaming funnel-completion detection (CEP-style): emits one row
+    * per COMPLETED ordered chain step1 < step2 < … < stepN with span ≤
+    * `windowMinutes`, greedy and non-overlapping per user — the same
+    * matches FunnelAggs.funnelMatches yields in batch, so backfill and
+    * live ingest agree exactly.
+    *
+    * Streaming finalization logic: a match may only be emitted once no
+    * late event can change it. Events with ts ≤ watermark are SEALED
+    * (nothing earlier can arrive); the matcher runs over sealed events
+    * only, so every emitted match is final, in batch-greedy order.
+    * Unconsumed sealed events expire once ts < watermark − window: such
+    * an event can sit at NO position of a future-completing chain (any
+    * later completion forces chain start ≥ watermark − window, and a
+    * chain's positions are start-to-start+window). State per user is
+    * therefore bounded by one window of funnel-relevant events plus the
+    * unsealed tail. An event-time timeout at lastTs + window flushes
+    * idle users' final matches and clears their state. */
+  def funnelCompletions(events: DataFrame, steps: Seq[String],
+                        windowMinutes: Long = 360,
+                        watermark: String = "2 hours",
+                        streaming: Boolean = false): org.apache.spark.sql.Dataset[FunnelMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.size <= 31 && steps.distinct == steps,
+      "steps must be distinct, 1..31")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowMinutes * 60000000L
+    val stepIdx = steps.zipWithIndex.toMap
+    // ts survives as a column: event-time timeout analysis requires the
+    // watermarked column in the flatMapGroupsWithState child
+    val typed = (if (streaming) events.withWatermark("ts", watermark) else events)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+
+    def fn(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+           state: GroupState[FunnelBuf]): Iterator[FunnelMatch] = {
+      // watermark 0 (first trigger) seals nothing — conservative: a match
+      // is only emitted once the watermark proves it final
+      val wmUs =
+        if (!streaming) Long.MaxValue
+        else state.getCurrentWatermarkMs() * 1000L
+      val held = state.getOption.getOrElse(FunnelBuf(Nil, Nil))
+      val fresh = rows.map { case (_, _, us, tpe) => (us, 1 << stepIdx(tpe)) }.toArray
+      val all = (held.ts.zip(held.mask) ++ fresh).sortBy(_._1).toArray
+      val (ripe, pending) = all.partition(_._1 <= wmUs)
+      val ts = ripe.map(_._1)
+      val mk = ripe.map(_._2)
+      val found = graft.functions.FunnelAggs.funnelMatches(ts, mk, windowUs, steps.size)
+      // survivors: sealed events after the last consumed one that can
+      // still chain with future events, plus everything unsealed
+      val lastEnd = if (found.isEmpty) Long.MinValue else found.last._2
+      val live = ripe.filter { case (t, _) =>
+        t > lastEnd && t >= wmUs - windowUs // wmUs = ∞ in batch → keep none
+      } ++ pending
+      if (streaming && live.nonEmpty) {
+        state.update(FunnelBuf(live.map(_._1), live.map(_._2)))
+        state.setTimeoutTimestamp(live.map(_._1).max / 1000L + windowMinutes * 60000L + 1L)
+      } else if (streaming) state.remove()
+      found.iterator.map { case (s, e) => FunnelMatch(userId, usToTs(s), usToTs(e)) }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
 }
+
+// state times in MICROSECONDS — java.sql.Timestamp.getTime is
+// millis-only and silently truncates the event time's micros
+private[streaming] case class SessionState(startUs: Long, lastUs: Long, n: Long,
+                                           sum: Double, types: Map[String, Long])
+
+/** Held funnel-relevant (tsMicros, condMask) pairs per user. */
+private[streaming] case class FunnelBuf(ts: Seq[Long], mask: Seq[Int])

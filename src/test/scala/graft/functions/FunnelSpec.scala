@@ -43,6 +43,38 @@ class FunnelSpec extends SparkSpec {
     assert(lvl(1, 2, (0L, 1), (2L, 2)) == 1)
   }
 
+  // ------------------------------------------------- funnelMatches (greedy)
+
+  private def fm(window: Long, steps: Int, evs: (Long, Int)*): Seq[(Long, Long)] =
+    FunnelAggs.funnelMatches(evs.map(_._1).toArray, evs.map(_._2).toArray, window, steps)
+
+  test("funnelMatches: greedy non-overlapping completions with spans") {
+    assert(fm(10, 3, (0L, 1), (1L, 2), (2L, 4)) == Seq((0L, 2L)))
+    // second chain after the first completes; events before an end are consumed
+    assert(fm(10, 2, (0L, 1), (1L, 2), (2L, 1), (3L, 2)) == Seq((0L, 1L), (2L, 3L)))
+    // VVPP consumes both V's at the first P: only ONE match
+    assert(fm(10, 2, (0L, 1), (1L, 1), (2L, 2), (3L, 2)) == Seq((1L, 2L)))
+    // window forces a restart; start is the LATEST feasible anchor
+    assert(fm(3, 3, (0L, 1), (1L, 2), (5L, 1), (6L, 2), (7L, 4)) == Seq((5L, 7L)))
+    assert(fm(10, 2, (0L, 2), (1L, 1)) == Nil)
+    // single-step funnel: every step-1 event is its own match
+    assert(fm(10, 1, (0L, 1), (1L, 1)) == Seq((0L, 0L), (1L, 1L)))
+  }
+
+  test("funnelMatches count agrees with the funnel level reaching N") {
+    // whenever level == N there is at least one match and vice versa
+    val cases = Seq(
+      Seq((0L, 1), (1L, 2), (2L, 4)),
+      Seq((0L, 1), (5L, 2), (20L, 4)),
+      Seq((0L, 4), (1L, 2), (2L, 1)),
+      Seq((0L, 1), (1L, 2)))
+    cases.foreach { evs =>
+      val lvl = FunnelAggs.funnelLevel(evs.map(_._1).toArray, evs.map(_._2).toArray, 10L, 3)
+      val n = fm(10, 3, evs: _*).size
+      assert((lvl == 3) == (n > 0), s"level $lvl vs $n matches for $evs")
+    }
+  }
+
   // --------------------------------------------------- aggregate (dataframe)
 
   test("graft_window_funnel merges partial states across partitions") {

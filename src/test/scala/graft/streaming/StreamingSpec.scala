@@ -9,6 +9,65 @@ import graft.{SparkSpec, Tables}
   * pipeline relies on. */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming funnel completions equal batch greedy matches") {
+    import spark.implicits._
+    val H = 3600000000L // 1 hour in µs
+    // real epoch base: a row with event time ≤ the current watermark is
+    // dropped as late BEFORE reaching state — ts 0 dies at watermark 0
+    val base = 1704067200000000L // 2024-01-01T00:00Z
+    def ev(u: Long, hour: Double, tpe: String): (Long, Long, String) =
+      (u, base + (hour * H).toLong, tpe)
+    // file 1: early events — chains IN PROGRESS at the first watermark
+    val early = Seq(
+      ev(1, 0.0, "view"), ev(1, 0.5, "click"),                      // completes in file 2
+      ev(2, 0.0, "view"), ev(2, 0.3, "view"), ev(2, 0.6, "click"),  // VVC…
+      ev(3, 0.0, "purchase"), ev(3, 0.5, "view"),                   // wrong order start
+      ev(4, 0.0, "view"), ev(4, 0.4, "click"), ev(4, 0.8, "purchase"), // full chain early
+      ev(5, 0.0, "view"))                                           // dies by window
+    // file 2: completions, a second chain, the too-late step, heartbeat
+    val late = Seq(
+      ev(1, 1.2, "purchase"),                                       // completes u1 (span 1.2h ≤ 2h)
+      ev(2, 1.0, "purchase"),                                       // completes u2
+      ev(2, 2.0, "view"), ev(2, 2.5, "click"), ev(2, 3.0, "purchase"), // u2 second chain
+      ev(3, 1.0, "click"), ev(3, 1.5, "purchase"),                  // u3 completes (V@0.5)
+      ev(5, 5.0, "purchase"),                                       // > window after V@0
+      // heartbeat that ADVANCES the final watermark past every user's
+      // timeout: it must be a step type — the step filter is pushed
+      // BELOW the watermark node, so a non-step event never reaches the
+      // event-time stats and would leave the watermark stalled
+      ev(99, 48.0, "view"))
+    def toDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("user_id", "us", "event_type")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+
+    val steps = Seq("view", "click", "purchase")
+    val batch = EventStream.funnelCompletions(
+        toDf(early ++ late), steps, windowMinutes = 120)
+      .collect().map(m => (m.userId, m.chainStart, m.chainEnd)).toSet
+    assert(batch.map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(batch.count(_._1 == 2L) == 2, s"u2 should complete twice: $batch")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("funnel_stream")
+    toDf(early).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    toDf(late).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
+    val schema = toDf(early).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/*")
+    val q = EventStream.funnelCompletions(streamIn, steps,
+        windowMinutes = 120, watermark = "1 minute", streaming = true)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_stream")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    // the hour-48 heartbeat drives the final watermark past every
+    // timeout, so the stream must flush EVERY batch match
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+  }
+
   test("streaming windowed agg (watermark, append) matches the batch result") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedAgg(Tables.t(spark, dir, "events"))
