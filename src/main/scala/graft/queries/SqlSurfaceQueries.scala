@@ -275,6 +275,29 @@ object SqlSurfaceQueries extends QueryModule {
           CAST(graft_sequence_count('(?1).*(?2)', ts,
             event_type = 'view', event_type = 'purchase') AS BIGINT) AS c_view_purchase
         FROM events GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // Doris JSON + ARRAY function surface: get_json_object (Doris
+    // json_extract) feeding aggregates, and the array-function family
+    // over collected lists. Every output is a SCALAR so the oracle can
+    // restate it relationally (DuckDB's bundled json extension extracts;
+    // list ops become DISTINCT/bool_or/min/max) — no JSON or array
+    // serialization format ever reaches the hash compare.
+    "q42_json_array_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH e AS (SELECT event_type,
+                          CAST(get_json_object(props, '$.k') AS INT) AS k,
+                          CAST(user_id % 5 AS INT) AS b
+                   FROM events)
+        SELECT event_type,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(size(array_distinct(collect_list(b))) AS BIGINT) AS n_buckets,
+               array_contains(collect_set(b), 0) AS has_b0,
+               CAST(array_max(collect_list(b)) AS BIGINT) AS b_max,
+               CAST(element_at(sort_array(collect_set(b)), 1) AS BIGINT) AS b_min
+        FROM e GROUP BY event_type ORDER BY event_type""")
     })
   )
 
@@ -462,6 +485,20 @@ object SqlSurfaceQueries extends QueryModule {
                   AND b.t - a.t <= 21600000000) AS m_view_purchase_6h,
         COALESCE(cnt.c, 0) AS c_view_purchase
       FROM u LEFT JOIN cnt ON cnt.user_id = u.user_id
-      ORDER BY u.user_id"""
+      ORDER BY u.user_id""",
+
+    "q42_json_array_funcs" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                        CAST(user_id % 5 AS INT) AS b
+                 FROM events)
+      SELECT event_type,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             CAST(MAX(k) AS BIGINT) AS max_k,
+             COUNT(DISTINCT b) AS n_buckets,
+             bool_or(b = 0) AS has_b0,
+             CAST(MAX(b) AS BIGINT) AS b_max,
+             CAST(MIN(b) AS BIGINT) AS b_min
+      FROM e GROUP BY event_type ORDER BY event_type"""
   )
 }
