@@ -43,21 +43,29 @@ object ZOrder {
       .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
   }
 
-  /** Rank-free min/max normalization of a numeric column into
-    * [0, 2^bits): one tiny stats collect (2 values per column — bounded
-    * driver metadata, same class as IVF centroids). Uniform enough for
-    * layout purposes; heavy skew calls for quantile boundaries, which
-    * `Stats.quantiles` can supply. */
-  def normalized(df: DataFrame, colName: String, bits: Int): Column = {
-    val r = df.agg(min(col(colName)).cast("double"),
-      max(col(colName)).cast("double")).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements of
-    // this formula (io02's oracle) can write the same literal
-    val span = math.max(hi - lo, 1e-12)
-    least(floor((col(colName).cast("double") - lit(lo)) / lit(span)
-      * lit((1L << bits).toDouble)), lit((1L << bits) - 1.0)).cast("long")
+  /** Rank-free min/max normalization of numeric columns into
+    * [0, 2^bits): ONE tiny stats collect for every column at once
+    * (2 doubles each — bounded driver metadata, same class as IVF
+    * centroids). Uniform enough for layout purposes; heavy skew calls
+    * for quantile boundaries, which `Stats.quantiles` can supply. */
+  def normalizedAll(df: DataFrame, colNames: Seq[String], bits: Int): Seq[Column] = {
+    val r = df.agg(
+      min(col(colNames.head)).cast("double"),
+      max(col(colNames.head)).cast("double") +:
+        colNames.tail.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+    colNames.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements
+      // of this formula (io02's oracle) can write the same literal
+      val span = math.max(hi - lo, 1e-12)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span)
+        * lit((1L << bits).toDouble)), lit((1L << bits) - 1.0)).cast("long")
+    }
   }
+
+  def normalized(df: DataFrame, colName: String, bits: Int): Column =
+    normalizedAll(df, Seq(colName), bits).head
 
   /** Write `df` z-ordered on two columns: one range shuffle over the
     * z-value into `nFiles` partitions, sort within each, drop the key.
@@ -65,7 +73,8 @@ object ZOrder {
     * the file-skipping property ZOrderSpec measures. */
   def write2(df: DataFrame, colA: String, colB: String, outPath: String,
              nFiles: Int, bits: Int = 16): Unit = {
-    val z = zValue2(normalized(df, colA, bits), normalized(df, colB, bits), bits)
+    val Seq(na, nb) = normalizedAll(df, Seq(colA, colB), bits)
+    val z = zValue2(na, nb, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -66,9 +66,9 @@ object IoQueries extends QueryModule {
       // interleaving — an unnormalized Morton code is dominated by the
       // wider-range column's high bits and degenerates to a linear sort
       val li0 = Tables.t(s, dir, "lineitem")
+      val Seq(na, nb) = ZOrder.normalizedAll(li0, Seq("l_partkey", "l_suppkey"), 16)
       val li = li0.select(col("l_orderkey"), col("l_linenumber"),
-        ZOrder.normalized(li0, "l_partkey", 16).as("a"),
-        ZOrder.normalized(li0, "l_suppkey", 16).as("b"))
+        na.as("a"), nb.as("b"))
       val out = s"${graft.Land.root}/zorder/lineitem"
       li.withColumn("zv", ZOrder.zValue2(col("a"), col("b"), bits = 16))
         .repartitionByRange(8, col("zv"))
