@@ -91,6 +91,19 @@ object DiffStatsQueries extends QueryModule {
           org.apache.spark.sql.types.StructField("exact_pct", org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("approx_ok", org.apache.spark.sql.types.BooleanType))))
         .orderBy("column", "q")
+    }),
+
+    // ---- equi-width column histograms: the deterministic cross-engine
+    //      face of histogram column stats (bounds and bucket assignment
+    //      are pure double arithmetic both engines restate verbatim;
+    //      equi-HEIGHT boundaries are s02's quantile-sketch territory) -
+    "s03_histogram" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      Stats.histogram(li, Seq("l_quantity", "l_extendedprice", "l_discount"), 8)
+        .select(col("column"), col("bucket"),
+          round(col("bucket_lo"), 6).as("bucket_lo"),
+          round(col("bucket_hi"), 6).as("bucket_hi"), col("cnt"))
+        .orderBy("column", "bucket")
     })
   )
 
@@ -180,6 +193,29 @@ object DiffStatsQueries extends QueryModule {
              round(qs[i], 6) AS exact_pct,
              TRUE AS approx_ok
       FROM qq CROSS JOIN (VALUES (1), (2), (3), (4)) t(i)
-      ORDER BY "column", q"""
+      ORDER BY "column", q""",
+
+    "s03_histogram" -> """
+      WITH v AS (
+        SELECT 'l_quantity' AS c, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+      st AS (
+        SELECT c, CAST(min(v) AS DOUBLE) AS lo,
+               greatest(CAST(max(v) AS DOUBLE) - CAST(min(v) AS DOUBLE), 1e-12) AS span
+        FROM v GROUP BY c),
+      b AS (
+        SELECT v.c,
+               CAST(least(floor((v.v - st.lo) / st.span * 8.0), 7.0) AS BIGINT) AS bucket,
+               st.lo, st.span
+        FROM v JOIN st ON v.c = st.c)
+      SELECT c AS "column", bucket,
+             round(lo + CAST(bucket AS DOUBLE) * span / 8, 6) AS bucket_lo,
+             round(lo + CAST(bucket + 1 AS DOUBLE) * span / 8, 6) AS bucket_hi,
+             COUNT(*) AS cnt
+      FROM b GROUP BY c, bucket, lo, span
+      ORDER BY "column", bucket"""
   )
 }

@@ -148,6 +148,50 @@ object Stats {
         col("exact_lo"), col("exact_hi"))
   }
 
+  /** Equi-WIDTH per-column histograms: `buckets` fixed-width bins over
+    * [min, max], one row per NON-EMPTY bin with its arithmetic bounds —
+    * the deterministic cross-engine face of histogram column stats
+    * (Doris's `histogram()` is equi-height; its boundaries come from a
+    * quantile sketch, which is `quantiles`' territory — equi-width is
+    * the variant two engines can reproduce bit-for-bit).
+    *
+    * Two passes: one tiny min/max aggregate per column (driver-bounded:
+    * 2 doubles each), then one bucket-count aggregate over exploded
+    * (column, value) pairs joined to the broadcast boundaries — both
+    * partial-aggregate map-side; no distinct shuffle, no Expand. */
+  def histogram(df: DataFrame, columns: Seq[String],
+                buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val statsRow = df.agg(
+      min(col(columns.head)).cast("double"),
+      max(col(columns.head)).cast("double") +:
+        columns.tail.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+    val bounds = columns.zipWithIndex.map { case (c, i) =>
+      val lo = statsRow.getDouble(2 * i)
+      val span = math.max(statsRow.getDouble(2 * i + 1) - lo, 1e-12)
+      (c, lo, span)
+    }.toDF("column", "lo", "span")
+    pairs.join(broadcast(bounds), Seq("column"))
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")) / col("span") * lit(buckets.toDouble)),
+          lit(buckets - 1.0)).cast("long"))
+      .groupBy("column", "bucket", "lo", "span")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("column"), col("bucket"),
+        (col("lo") + col("bucket").cast("double") * col("span") / buckets)
+          .as("bucket_lo"),
+        (col("lo") + (col("bucket") + lit(1)).cast("double") * col("span") / buckets)
+          .as("bucket_hi"),
+        col("cnt"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>

@@ -66,6 +66,26 @@ class DiffStatsSpec extends SparkSpec {
     assert(math.abs(st("s").getAs[Double]("avg_len") - (2 + 3 + 2) / 3.0) < 1e-9)
   }
 
+  test("equi-width histogram: bucket bounds, counts, clamping, empty bins skipped") {
+    val s = spark
+    import s.implicits._
+    // values 0..10: span 10, 5 buckets of width 2; 10 clamps into bucket 4
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val h = graft.stats.Stats.histogram(df, Seq("x"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.map(_.getAs[Long]("cnt")).toSeq == Seq(2L, 2L, 2L, 2L, 3L))
+    assert(h.head.getAs[Double]("bucket_lo") == 0.0)
+    assert(h.head.getAs[Double]("bucket_hi") == 2.0)
+    assert(h.last.getAs[Double]("bucket_hi") == 10.0)
+    // a hole in the data leaves its bin absent, not zero
+    val sparse = Seq(0.0, 9.0, 10.0).toDF("x")
+    val h2 = graft.stats.Stats.histogram(sparse, Seq("x"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(h2.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 4L))
+    assert(h2.map(_.getAs[Long]("cnt")).toSeq == Seq(1L, 2L))
+  }
+
   test("stats.yaml round-trip preserves the reference shape") {
     val ts = TableStats("employees", 8, Seq(
       ColumnStats("department_id", count = 8, ndv = 3, nullCount = 0,
