@@ -38,6 +38,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   diff      --left <resultDir> --right <resultDir> [--min-duration-diff ms]
   *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
+  *             [--exact] [--histogram col1,col2[:buckets]]
   *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
@@ -239,6 +240,23 @@ object Cli {
       o.get("out") match {
         case Some(p) => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
         case None    => println(yaml)
+      }
+      // --histogram col1,col2[:buckets] → equi-width histogram CSV beside
+      // the YAML (or stdout), the engine-side face of histogram stats
+      o.get("histogram").foreach { spec =>
+        val (colsPart, buckets) = spec.split(":") match {
+          case Array(cs, b) => (cs, b.toInt)
+          case Array(cs) => (cs, 8)
+        }
+        val h = Stats.histogram(df, colsPart.split(",").toSeq, buckets)
+          .orderBy("column", "bucket").collect()
+        val lines = "column,bucket,bucket_lo,bucket_hi,cnt" +: h.map(r =>
+          s"${r.get(0)},${r.get(1)},${r.get(2)},${r.get(3)},${r.get(4)}")
+        o.get("out") match {
+          case Some(p) => java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(p + ".hist.csv"), lines.mkString("\n"))
+          case None => lines.foreach(println)
+        }
       }
 
     case "pipeline" =>

@@ -46,6 +46,14 @@ class CliSpec extends SparkSpec {
     assert(tables.head.rowCount == 3)
     assert(tables.head.col("v").exists(_.nullCount == 1))
     assert(tables.head.col("id").exists(_.ndv == 3))
+
+    // --histogram col[:buckets] lands a CSV beside the YAML
+    Cli.run(spark, "stats", Map("table" -> data, "name" -> "t", "out" -> out,
+      "histogram" -> "id:2"))
+    val hist = Files.readString(Paths.get(out + ".hist.csv")).split("\n").toSeq
+    assert(hist.head == "column,bucket,bucket_lo,bucket_hi,cnt")
+    assert(hist.tail.map(_.split(",")(1)).toSeq == Seq("0", "1"))
+    assert(hist.tail.map(_.split(",")(4)).toSeq == Seq("1", "2"))
   }
 
   test("anonymize verb rewrites a SQL file and persists the minihash dict") {
