@@ -35,7 +35,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
                element_at(graft_topn(CAST(x AS STRING), 1, 4), 1).value AS tv,
                money_format(1234567.5) AS mf,
                size(graft_minhash_sig(array('a', 'b'), 4, 7)) AS mh,
-               size(graft_winnowing('abcdefghij abcdefghij', 4, 2)) > 0 AS wn
+               size(graft_winnowing('abcdefghij abcdefghij', 4, 2)) > 0 AS wn,
+               graft_window_funnel(100, x, x = 1, x = 2) AS wf,
+               graft_retention(x = 1, x = 2) AS ret,
+               graft_sequence_match('(?1).*(?2)', x, x = 1, x = 2) AS sm
         FROM VALUES (1L), (1L), (2L) t(x)""").head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getLong(1) == 2L)
@@ -43,6 +46,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getString(3) == "1,234,567.50")
       assert(row.getInt(4) == 4)
       assert(row.getBoolean(5))
+      assert(row.getInt(6) == 2)                       // funnel 1 → 2
+      assert(row.getSeq[Boolean](7) == Seq(true, true)) // retention gating
+      assert(row.getBoolean(8))                         // sequence match
       // newSession() forks see the functions too (replay scheduler path)
       val forked = spark.newSession()
       assert(forked.sql("SELECT money_format(1.0)").head().getString(0) == "1.00")
