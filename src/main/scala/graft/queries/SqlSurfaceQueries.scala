@@ -298,6 +298,37 @@ object SqlSurfaceQueries extends QueryModule {
                CAST(array_max(collect_list(b)) AS BIGINT) AS b_max,
                CAST(element_at(sort_array(collect_set(b)), 1) AS BIGINT) AS b_min
         FROM e GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // window-function family breadth beyond q07/q08's rank/lag/frames:
+    // ntile, percent_rank, cume_dist, first/nth/last value with explicit
+    // frames, and a sliding-frame average — one named WINDOW, unique
+    // tiebreak key so every function is deterministic cross-engine
+    "q43_window_breadth" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS nt,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS fv,
+               CAST(nth_value(o_totalprice, 2) OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS nv2,
+               CAST(last_value(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS DOUBLE) AS lv,
+               round(avg(CAST(o_totalprice AS DOUBLE)) OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mv3
+        FROM orders WHERE o_orderkey <= 500
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey""")
     })
   )
 
@@ -499,6 +530,30 @@ object SqlSurfaceQueries extends QueryModule {
              bool_or(b = 0) AS has_b0,
              CAST(MAX(b) AS BIGINT) AS b_max,
              CAST(MIN(b) AS BIGINT) AS b_min
-      FROM e GROUP BY event_type ORDER BY event_type"""
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q43_window_breadth" -> """
+      SELECT o_orderkey,
+             ntile(4) OVER w AS nt,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS fv,
+             CAST(nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS nv2,
+             CAST(last_value(o_totalprice) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS DOUBLE) AS lv,
+             round(avg(CAST(o_totalprice AS DOUBLE)) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mv3
+      FROM orders WHERE o_orderkey <= 500
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey"""
   )
 }
