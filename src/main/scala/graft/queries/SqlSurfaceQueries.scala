@@ -329,6 +329,33 @@ object SqlSurfaceQueries extends QueryModule {
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey""")
+    }),
+
+    // statistical aggregate family: correlation/covariance/variance and
+    // the regr_* linear-regression set, identical definitions in both
+    // engines (skewness/kurtosis stay OUT of the oracle set: Spark uses
+    // population moments, DuckDB bias-corrected sample moments)
+    "q44_stat_aggs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               round(corr(CAST(l_quantity AS DOUBLE),
+                          CAST(l_extendedprice AS DOUBLE)), 6) AS r,
+               round(covar_samp(CAST(l_quantity AS DOUBLE),
+                                CAST(l_extendedprice AS DOUBLE)), 6) AS cov_s,
+               round(covar_pop(CAST(l_quantity AS DOUBLE),
+                               CAST(l_extendedprice AS DOUBLE)), 6) AS cov_p,
+               round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS sd_s,
+               round(stddev_pop(CAST(l_extendedprice AS DOUBLE)), 6) AS sd_p,
+               round(var_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS v_s,
+               round(var_pop(CAST(l_extendedprice AS DOUBLE)), 6) AS v_p,
+               round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 6) AS slope,
+               round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                    CAST(l_quantity AS DOUBLE)), 6) AS icept,
+               round(regr_r2(CAST(l_extendedprice AS DOUBLE),
+                             CAST(l_quantity AS DOUBLE)), 6) AS r2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     })
   )
 
@@ -554,6 +581,26 @@ object SqlSurfaceQueries extends QueryModule {
       FROM orders WHERE o_orderkey <= 500
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "q44_stat_aggs" -> """
+      SELECT l_returnflag,
+             round(corr(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)), 6) AS r,
+             round(covar_samp(CAST(l_quantity AS DOUBLE),
+                              CAST(l_extendedprice AS DOUBLE)), 6) AS cov_s,
+             round(covar_pop(CAST(l_quantity AS DOUBLE),
+                             CAST(l_extendedprice AS DOUBLE)), 6) AS cov_p,
+             round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS sd_s,
+             round(stddev_pop(CAST(l_extendedprice AS DOUBLE)), 6) AS sd_p,
+             round(var_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS v_s,
+             round(var_pop(CAST(l_extendedprice AS DOUBLE)), 6) AS v_p,
+             round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                              CAST(l_quantity AS DOUBLE)), 6) AS slope,
+             round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                  CAST(l_quantity AS DOUBLE)), 6) AS icept,
+             round(regr_r2(CAST(l_extendedprice AS DOUBLE),
+                           CAST(l_quantity AS DOUBLE)), 6) AS r2
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
