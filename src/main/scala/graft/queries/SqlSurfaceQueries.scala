@@ -356,6 +356,23 @@ object SqlSurfaceQueries extends QueryModule {
                round(regr_r2(CAST(l_extendedprice AS DOUBLE),
                              CAST(l_quantity AS DOUBLE)), 6) AS r2
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // grouping()/grouping_id() introspection over ROLLUP plus the exact
+    // interpolated median / percentile_cont WITHIN GROUP — both engines
+    // share the interpolation definition
+    "q45_grouping_median" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               round(median(CAST(l_quantity AS DOUBLE)), 6) AS med,
+               round(percentile_cont(0.25) WITHIN GROUP
+                 (ORDER BY CAST(l_quantity AS DOUBLE)), 6) AS p25,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
     })
   )
 
@@ -601,6 +618,17 @@ object SqlSurfaceQueries extends QueryModule {
                                   CAST(l_quantity AS DOUBLE)), 6) AS icept,
              round(regr_r2(CAST(l_extendedprice AS DOUBLE),
                            CAST(l_quantity AS DOUBLE)), 6) AS r2
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q45_grouping_median" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             round(median(CAST(l_quantity AS DOUBLE)), 6) AS med,
+             round(percentile_cont(0.25) WITHIN GROUP
+               (ORDER BY CAST(l_quantity AS DOUBLE)), 6) AS p25,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
   )
 }
