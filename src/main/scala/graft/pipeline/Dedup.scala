@@ -240,4 +240,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming").distinct()
   }
+
+  /** Connected components over near-dup PAIRS → per-doc cluster labels
+    * (label = min doc id in the component) — the step that turns a pair
+    * report into actionable dedup: one canonical keep per cluster,
+    * everything else dropped. Min-label propagation: each round every
+    * node takes the min of its own and its neighbors' labels; rounds
+    * needed = component diameter, and near-dup components are
+    * SMALL-DIAMETER by construction (members all resemble the same
+    * text), so the loop converges in a handful of bounded-size joins —
+    * each one a skinny (node, label) shuffle. The driver-side `count`
+    * per round reads one aggregate, never data. (Web-scale graphs with
+    * long chains want large-star/small-star [Kiveris et al.]; for dedup
+    * clusters the simple propagation IS the right cost.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
+      .unionByName(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("v"))
+        .groupBy(edges("a").as("nv")).agg(min(col("lbl")).as("nmin"))
+      val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
+        .cache()
+      converged = updated.filter(col("lbl2") < col("lbl")).isEmpty
+      val old = labels
+      labels = updated.select(col("v"), col("lbl2").as("lbl")).cache()
+      old.unpersist()
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

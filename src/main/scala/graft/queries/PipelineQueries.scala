@@ -71,6 +71,22 @@ object PipelineQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // ---- near-dup clusters: pairs → connected components ---------------
+    // the step that makes a pair report actionable (one canonical doc
+    // kept per cluster); min-label propagation, diameter-bounded joins.
+    // The oracle recomputes components from the LANDED pairs with a
+    // recursive CTE, so the clustering itself is cross-engine-verified.
+    "p26_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      pairs.write.mode("overwrite").parquet(s"$outRoot/cc_pairs")
+      val landed = s.read.parquet(s"$outRoot/cc_pairs")
+      Dedup.connectedComponents(landed)
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("size"), max(col("v")).as("max_member"))
+        .orderBy("cluster")
+    }),
+
     // ---- exact dedup by normalized fingerprint -------------------------
     "p03_exact_dedup" -> ((s, dir) => {
       val groups = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -473,6 +489,18 @@ object PipelineQueries extends QueryModule {
       SELECT u.user_id, fe.user_id IS NOT NULL AS has_funnel, fe.first_end_us
       FROM u LEFT JOIN fe ON fe.user_id = u.user_id
       ORDER BY u.user_id""",
+
+    "p26_dedup_clusters" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT i, j FROM read_parquet('$outRoot/cc_pairs/*.parquet')),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(v, l) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+      lab AS (SELECT v, min(l) AS cluster FROM reach GROUP BY v)
+      SELECT cluster, COUNT(*) AS size, MAX(v) AS max_member
+      FROM lab GROUP BY cluster ORDER BY cluster""",
 
     "p24_quality_gopher" -> s"""
       WITH base AS (

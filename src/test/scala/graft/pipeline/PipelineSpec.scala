@@ -423,4 +423,25 @@ class PipelineSpec extends SparkSpec {
       assert(mae >= 0.0 && mae <= s / 2.0 + 1e-12, s"mae $mae vs scale $s")
     }
   }
+
+  test("connected components: chain, triangle, disjoint pair, convergence") {
+    val s2 = spark
+    import s2.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (+ redundant edge),
+    // disjoint pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+    // maxIter below the diameter leaves the far end unlabeled-minimal:
+    // the bound is honored, not silently exceeded
+    val partial = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("i", "j"), maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(8L) > 1L)
+  }
 }
