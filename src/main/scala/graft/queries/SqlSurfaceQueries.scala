@@ -373,6 +373,39 @@ object SqlSurfaceQueries extends QueryModule {
                COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // correlated EXISTS / NOT EXISTS through the SQL parser (q04/q05
+    // cover the same semantics via the Dataset semi/anti API; this is
+    // the replayed-statement path — Catalyst plans both as semi/anti
+    // joins, and the oracle runs the identical statement)
+    "q46_exists_correlated" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name,
+               (SELECT COUNT(*) FROM supplier
+                WHERE s_nationkey = n_nationkey) AS n_suppliers
+        FROM nation
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)
+          AND NOT EXISTS (SELECT 1 FROM supplier
+                          WHERE s_nationkey = n_nationkey
+                            AND s_acctbal < -990)
+        ORDER BY n_name""")
+    }),
+
+    // PIVOT through Spark's SQL clause; the oracle restates it as
+    // conditional aggregation (DuckDB's PIVOT is a statement, not a
+    // subquery clause — the CASE form is the portable meaning)
+    "q47_pivot" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DOUBLE) AS qty
+          FROM lineitem)
+        PIVOT (round(SUM(qty), 2) FOR l_linestatus IN ('F' AS f, 'O' AS o))
+        ORDER BY l_returnflag""")
     })
   )
 
@@ -629,6 +662,26 @@ object SqlSurfaceQueries extends QueryModule {
                (ORDER BY CAST(l_quantity AS DOUBLE)), 6) AS p25,
              COUNT(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q46_exists_correlated" -> """
+      SELECT n_name,
+             (SELECT COUNT(*) FROM supplier
+              WHERE s_nationkey = n_nationkey) AS n_suppliers
+      FROM nation
+      WHERE EXISTS (SELECT 1 FROM customer
+                    WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)
+        AND NOT EXISTS (SELECT 1 FROM supplier
+                        WHERE s_nationkey = n_nationkey
+                          AND s_acctbal < -990)
+      ORDER BY n_name""",
+
+    "q47_pivot" -> """
+      SELECT l_returnflag,
+             round(SUM(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(l_quantity AS DOUBLE) END), 2) AS f,
+             round(SUM(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(l_quantity AS DOUBLE) END), 2) AS o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
