@@ -88,10 +88,13 @@ object SqlSurfaceQueries extends QueryModule {
     "q35_mysql_datefmt" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(DorisSql.translate("""
-        SELECT date_format(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+        SELECT date_format(o_orderdate, '%Y-%m') AS ym,
+               date_format(date_add(o_orderdate, INTERVAL 1 MONTH), '%Y-%m') AS ym_next,
+               COUNT(*) AS n
         FROM orders
         WHERE o_orderdate >= str_to_date('1996-01-01', '%Y-%m-%d')
-        GROUP BY date_format(o_orderdate, '%Y-%m')
+        GROUP BY date_format(o_orderdate, '%Y-%m'),
+                 date_format(date_add(o_orderdate, INTERVAL 1 MONTH), '%Y-%m')
         ORDER BY ym"""))
     }),
 
@@ -459,10 +462,13 @@ object SqlSurfaceQueries extends QueryModule {
       ORDER BY nk""",
 
     "q35_mysql_datefmt" -> """
-      SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m') AS ym_next,
+             COUNT(*) AS n
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      GROUP BY strftime(o_orderdate, '%Y-%m')
+      GROUP BY strftime(o_orderdate, '%Y-%m'),
+               strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m')
       ORDER BY ym""",
 
     "q34_distribute_hints" -> """

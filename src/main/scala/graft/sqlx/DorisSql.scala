@@ -20,7 +20,24 @@ object DorisSql {
 
   def translate(sql: String): String =
     rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(
-      rewriteDateFormatPatterns(rewriteDistributeHints(rewriteGroupConcat(sql))))))
+      rewriteDateFormatPatterns(rewriteDateAddInterval(
+        rewriteDistributeHints(rewriteGroupConcat(sql)))))))
+
+  /** MySQL/Doris `DATE_ADD(expr, INTERVAL n unit)` (and DATE_SUB /
+    * ADDDATE / SUBDATE) → Spark's `expr ± INTERVAL n unit` arithmetic —
+    * Spark's parser accepts the two-arg day form of date_add but NOT
+    * the INTERVAL form, which is what replayed MySQL statements carry.
+    * The plain `date_add(d, n)` call is native and passes through. */
+  private val dateAddIntervalRe =
+    """(?i)\b(date_add|date_sub|adddate|subdate)\s*\(\s*((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)""".r
+
+  def rewriteDateAddInterval(sql: String): String =
+    dateAddIntervalRe.replaceAllIn(sql, m => {
+      val op = if (m.group(1).toLowerCase.startsWith("date_sub") ||
+                   m.group(1).equalsIgnoreCase("subdate")) "-" else "+"
+      java.util.regex.Matcher.quoteReplacement(
+        s"(${m.group(2)} $op INTERVAL ${m.group(3)} ${m.group(4)})")
+    })
 
   /** Doris/MySQL `GROUP_CONCAT` → Spark 4 `listagg`:
     *
@@ -100,8 +117,10 @@ object DorisSql {
     * `date_format(x, '%...')` / `str_to_date(x, '%...')`; str_to_date
     * itself becomes to_timestamp (its Spark equivalent). Only patterns
     * containing '%' are touched, so JDK-style patterns pass through. */
+  // first arg may carry ONE level of parentheses (e.g. the interval
+  // arithmetic rewriteDateAddInterval produces)
   private val dateFnRe =
-    """(?i)\b(date_format|str_to_date)\s*\(((?:[^()']|'[^']*')*?)'([^']*%[^']*)'\s*\)""".r
+    """(?i)\b(date_format|str_to_date)\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)'([^']*%[^']*)'\s*\)""".r
   private def rewriteDateFormatPatterns(sql: String): String =
     dateFnRe.replaceAllIn(sql, m => {
       val fn = if (m.group(1).equalsIgnoreCase("str_to_date")) "to_timestamp"

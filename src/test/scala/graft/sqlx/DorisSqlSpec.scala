@@ -49,6 +49,18 @@ class DorisSqlSpec extends AnyFunSuite {
       "SELECT date_format(d, 'yyyy-MM') FROM t")
   }
 
+  test("DATE_ADD/DATE_SUB INTERVAL forms become interval arithmetic") {
+    assert(DorisSql.rewriteDateAddInterval("SELECT date_add(d, INTERVAL 3 DAY) FROM t")
+      == "SELECT (d + INTERVAL 3 DAY) FROM t")
+    assert(DorisSql.rewriteDateAddInterval("SELECT DATE_SUB(ts, INTERVAL 12 HOUR)")
+      == "SELECT (ts - INTERVAL 12 HOUR)")
+    assert(DorisSql.rewriteDateAddInterval("SELECT subdate(f(x), INTERVAL 1 MONTH)")
+      == "SELECT (f(x) - INTERVAL 1 MONTH)")
+    // the plain two-arg day form is native Spark and must pass through
+    assert(DorisSql.rewriteDateAddInterval("SELECT date_add(d, 3)")
+      == "SELECT date_add(d, 3)")
+  }
+
   test("group_concat translates to listagg in every surface form") {
     // bare: Doris default separator ", "
     assert(DorisSql.translate("SELECT group_concat(x) FROM t")
