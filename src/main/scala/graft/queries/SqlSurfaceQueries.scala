@@ -409,6 +409,37 @@ object SqlSurfaceQueries extends QueryModule {
           FROM lineitem)
         PIVOT (round(SUM(qty), 2) FOR l_linestatus IN ('F' AS f, 'O' AS o))
         ORDER BY l_returnflag""")
+    }),
+
+    // UNPIVOT clause (wide → long); the oracle restates it as the
+    // portable UNION ALL of one SELECT per measure
+    "q48_unpivot" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                 CAST(p_retailprice AS DOUBLE) AS price
+          FROM part WHERE p_partkey <= 200)
+        UNPIVOT (val FOR metric IN (size, price))
+        ORDER BY p_partkey, metric""")
+    }),
+
+    // string-function breadth beyond q19: split_part, translate,
+    // levenshtein, repeat, lpad/rpad, reverse — shared definitions
+    // (split_part 1-based, same edit-distance) in both engines
+    "q49_string_breadth" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               translate(p_brand, '#', '-') AS brand_dash,
+               CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+               repeat(p_brand, 2) AS brand2,
+               lpad(p_brand, 12, '*') AS padded,
+               rpad(p_type, 15, '.') AS rpadded,
+               reverse(p_name) AS rev
+        FROM part WHERE p_partkey <= 300
+        ORDER BY p_partkey""")
     })
   )
 
@@ -688,6 +719,28 @@ object SqlSurfaceQueries extends QueryModule {
                             THEN CAST(l_quantity AS DOUBLE) END), 2) AS f,
              round(SUM(CASE WHEN l_linestatus = 'O'
                             THEN CAST(l_quantity AS DOUBLE) END), 2) AS o
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q48_unpivot" -> """
+      WITH src AS (
+        SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey <= 200)
+      SELECT p_partkey, 'size' AS metric, size AS val FROM src
+      UNION ALL
+      SELECT p_partkey, 'price', price FROM src
+      ORDER BY p_partkey, metric""",
+
+    "q49_string_breadth" -> """
+      SELECT p_partkey,
+             split_part(p_name, ' ', 1) AS first_word,
+             translate(p_brand, '#', '-') AS brand_dash,
+             CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+             repeat(p_brand, 2) AS brand2,
+             lpad(p_brand, 12, '*') AS padded,
+             rpad(p_type, 15, '.') AS rpadded,
+             reverse(p_name) AS rev
+      FROM part WHERE p_partkey <= 300
+      ORDER BY p_partkey"""
   )
 }
