@@ -245,8 +245,10 @@ object Cli {
       // the YAML (or stdout), the engine-side face of histogram stats
       o.get("histogram").foreach { spec =>
         val (colsPart, buckets) = spec.split(":") match {
-          case Array(cs, b) => (cs, b.toInt)
+          case Array(cs, b) if b.forall(_.isDigit) && b.nonEmpty => (cs, b.toInt)
           case Array(cs) => (cs, 8)
+          case _ => throw new IllegalArgumentException(
+            s"--histogram expects col1,col2[:buckets], got '$spec'")
         }
         val h = Stats.histogram(df, colsPart.split(",").toSeq, buckets)
           .orderBy("column", "bucket").collect()

@@ -80,10 +80,33 @@ object FunnelAggs {
   }
 
   /** Buffer: parallel (tsMicros, condMask) arrays. Merge = concat; the
-    * DP runs once at eval. */
+    * DP runs once at eval. ONE wire codec, shared by every aggregate
+    * that buffers this state (funnel + sequence) — two copies of the
+    * format would have to evolve in lockstep or corrupt shuffled
+    * partials. */
   final class FunnelState {
     val ts: ArrayBuffer[Long] = ArrayBuffer.empty
     val mask: ArrayBuffer[Int] = ArrayBuffer.empty
+  }
+
+  def serState(buffer: FunnelState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.ts.size)
+    var i = 0
+    while (i < buffer.ts.size) {
+      out.writeLong(buffer.ts(i)); out.writeInt(buffer.mask(i)); i += 1
+    }
+    bos.toByteArray
+  }
+
+  def deserState(bytes: Array[Byte]): FunnelState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new FunnelState
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { s.ts += in.readLong(); s.mask += in.readInt(); i += 1 }
+    s
   }
 
   /** Greedy NON-OVERLAPPING complete-funnel matches over time-sorted
@@ -195,25 +218,8 @@ object FunnelAggs {
     override def eval(buffer: FunnelState): Any =
       funnelLevel(buffer.ts.toArray, buffer.mask.toArray, window, conds.size)
 
-    override def serialize(buffer: FunnelState): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bos)
-      out.writeInt(buffer.ts.size)
-      var i = 0
-      while (i < buffer.ts.size) {
-        out.writeLong(buffer.ts(i)); out.writeInt(buffer.mask(i)); i += 1
-      }
-      bos.toByteArray
-    }
-
-    override def deserialize(bytes: Array[Byte]): FunnelState = {
-      val in = new DataInputStream(new ByteArrayInputStream(bytes))
-      val s = new FunnelState
-      val n = in.readInt()
-      var i = 0
-      while (i < n) { s.ts += in.readLong(); s.mask += in.readInt(); i += 1 }
-      s
-    }
+    override def serialize(buffer: FunnelState): Array[Byte] = serState(buffer)
+    override def deserialize(bytes: Array[Byte]): FunnelState = deserState(bytes)
 
     override def withNewMutableAggBufferOffset(newOffset: Int): WindowFunnelAggExpr =
       copy(mutableAggBufferOffset = newOffset)

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.SparkSession
@@ -112,7 +110,12 @@ object SequenceMatch {
   }
 
   /** earliest match END index (exclusive) of the full pattern over
-    * events[from..), or -1. ts/mask must be time-sorted. */
+    * events[from..), or -1. ts/mask must be (ts, mask)-sorted (the
+    * canonical order [[sorted]] produces). Transitions require STRICTLY
+    * increasing timestamps — equal-µs events cannot chain (same rule as
+    * the funnel DP): a prefix pointer folds a candidate into the
+    * earliest/latest witnesses only once the scan has moved past its
+    * timestamp, so a tie never witnesses its own batch. */
   private def matchFrom(ts: Array[Long], mask: Array[Int], p: Pattern, from: Int): Int = {
     val n = ts.length
     var cur: Array[Boolean] = null // cur(q) = anchor k can match at q
@@ -127,23 +130,24 @@ object SequenceMatch {
         case Adjacent =>
           var q = from + 1
           while (q < n) {
-            next(q) = (mask(q) & bit) != 0 && cur(q - 1)
+            next(q) = (mask(q) & bit) != 0 && cur(q - 1) && ts(q) > ts(q - 1)
             q += 1
           }
         case Gap(op, secs) =>
-          // prefix witnesses over cur: latest p (tight window) and
-          // earliest p (wide window); sorted ts make one of them optimal
+          // prefix witnesses over cur with ts STRICTLY below ts(q):
+          // latest p (tight window) and earliest p (wide window);
+          // sorted ts make one of them optimal
           var earliest = -1L; var hasE = false
-          var latest = -1L; var hasL = false
+          var latest = -1L
+          var fold = from // first index not yet folded into the witnesses
           var q = from
           while (q < n) {
-            if (q > from) {
-              // p candidates are indices < q
-              val pi = q - 1
-              if (cur(pi)) {
-                if (!hasE) { earliest = ts(pi); hasE = true }
-                latest = ts(pi); hasL = true
+            while (fold < q && ts(fold) < ts(q)) {
+              if (cur(fold)) {
+                if (!hasE) { earliest = ts(fold); hasE = true }
+                latest = ts(fold)
               }
+              fold += 1
             }
             if ((mask(q) & bit) != 0 && hasE) {
               next(q) = op match {
@@ -154,7 +158,9 @@ object SequenceMatch {
                   // equality has no monotone witness; scan (rare op)
                   var pi = from; var ok = false
                   while (pi < q && !ok) {
-                    ok = cur(pi) && ts(q) - ts(pi) == secs * 1000000L; pi += 1
+                    ok = cur(pi) && ts(pi) < ts(q) &&
+                      ts(q) - ts(pi) == secs * 1000000L
+                    pi += 1
                   }
                   ok
               }
@@ -188,10 +194,15 @@ object SequenceMatch {
     n
   }
 
-  /** Sort the buffered (ts, mask) pairs by ts. */
+  /** CANONICAL sort of the buffered pairs: by (ts, mask), so the result
+    * never depends on aggregation-buffer merge order. Equal-µs ties
+    * (the ns→µs truncation can produce them) order by mask — and since
+    * transitions require strictly increasing ts, tie order can only
+    * influence which same-ts event sits adjacent, never whether a
+    * time-gapped chain exists. */
   private def sorted(state: FunnelAggs.FunnelState): (Array[Long], Array[Int]) = {
     val m = state.ts.length
-    val idx = (0 until m).sortBy(i => state.ts(i)).toArray
+    val idx = (0 until m).sortBy(i => (state.ts(i), state.mask(i))).toArray
     (idx.map(i => state.ts(i)), idx.map(i => state.mask(i)))
   }
 
@@ -208,8 +219,6 @@ object SequenceMatch {
 
     @transient private lazy val parsed = parse(pattern)
     require(conds.nonEmpty && conds.size <= 31, "need 1..31 conditions")
-    require(parse(pattern).anchors.forall(_ <= conds.size),
-      s"pattern references a condition beyond the ${conds.size} supplied")
 
     override def children: Seq[Expression] = tsExpr +: conds
     override def dataType: DataType = if (countMode) IntegerType else BooleanType
@@ -223,6 +232,9 @@ object SequenceMatch {
           s"ts must be TIMESTAMP or BIGINT µs, got ${tsExpr.dataType}")
       else if (!conds.forall(_.dataType == BooleanType))
         TypeCheckResult.TypeCheckFailure("every condition must be BOOLEAN")
+      else if (!parsed.anchors.forall(_ <= conds.size))
+        TypeCheckResult.TypeCheckFailure(
+          s"pattern references a condition beyond the ${conds.size} supplied")
       else TypeCheckResult.TypeCheckSuccess
     }
 
@@ -254,25 +266,10 @@ object SequenceMatch {
       if (countMode) countMatches(ts, mask, parsed) else matches(ts, mask, parsed)
     }
 
-    override def serialize(buffer: FunnelAggs.FunnelState): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bos)
-      out.writeInt(buffer.ts.size)
-      var i = 0
-      while (i < buffer.ts.size) {
-        out.writeLong(buffer.ts(i)); out.writeInt(buffer.mask(i)); i += 1
-      }
-      bos.toByteArray
-    }
-
-    override def deserialize(bytes: Array[Byte]): FunnelAggs.FunnelState = {
-      val in = new DataInputStream(new ByteArrayInputStream(bytes))
-      val s = new FunnelAggs.FunnelState
-      val n = in.readInt()
-      var i = 0
-      while (i < n) { s.ts += in.readLong(); s.mask += in.readInt(); i += 1 }
-      s
-    }
+    override def serialize(buffer: FunnelAggs.FunnelState): Array[Byte] =
+      FunnelAggs.serState(buffer)
+    override def deserialize(bytes: Array[Byte]): FunnelAggs.FunnelState =
+      FunnelAggs.deserState(bytes)
 
     override def withNewMutableAggBufferOffset(newOffset: Int): SequenceAggExpr =
       copy(mutableAggBufferOffset = newOffset)

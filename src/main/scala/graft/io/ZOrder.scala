@@ -55,6 +55,8 @@ object ZOrder {
         colNames.tail.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
     colNames.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(2 * i),
+        s"z-order: column '$c' has no non-null values (empty table or all-null)")
       val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
       // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements
       // of this formula (io02's oracle) can write the same literal

@@ -253,7 +253,8 @@ object Dedup {
     * per round reads one aggregate, never data. (Web-scale graphs with
     * long chains want large-star/small-star [Kiveris et al.]; for dedup
     * clusters the simple propagation IS the right cost.) */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          allowPartial: Boolean = false): DataFrame = {
     val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .unionByName(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
       .distinct().cache()
@@ -271,10 +272,18 @@ object Dedup {
       converged = updated.filter(col("lbl2") < col("lbl")).isEmpty
       val old = labels
       labels = updated.select(col("v"), col("lbl2").as("lbl")).cache()
+      labels.count() // materialize before freeing what it reads
       old.unpersist()
+      updated.unpersist()
       it += 1
     }
     edges.unpersist()
+    // non-convergence means labels are WRONG (far ends of a >maxIter-
+    // diameter chain still carry non-minimal labels) — fail loudly
+    // unless the caller opted into the partial result
+    require(converged || allowPartial,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter); raise maxIter or pass allowPartial")
     labels
   }
 }

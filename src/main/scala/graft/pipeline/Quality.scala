@@ -27,18 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Non-distinct word n-grams joined by single spaces (cf.
-    * TextOps.shingles, which distincts — repetition metrics need the
-    * multiplicity). Trailing partials null out through concat and are
-    * filtered. */
-  def ngrams(toks: Column, n: Int): Column = {
-    val grams = (2 to n).foldLeft(toks) { (acc, i) =>
-      zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    filter(grams, g => g.isNotNull)
-  }
-
   /** Default keep-gate thresholds (Gopher's shape; values calibrated so
     * the synthetic corpus splits — the judge-graded point is the GATE
     * mechanics, a deployment tunes the numbers). */

@@ -31,13 +31,23 @@ object DorisSql {
   private val dateAddIntervalRe =
     """(?i)\b(date_add|date_sub|adddate|subdate)\s*\(\s*((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)""".r
 
-  def rewriteDateAddInterval(sql: String): String =
-    dateAddIntervalRe.replaceAllIn(sql, m => {
-      val op = if (m.group(1).toLowerCase.startsWith("date_sub") ||
-                   m.group(1).equalsIgnoreCase("subdate")) "-" else "+"
-      java.util.regex.Matcher.quoteReplacement(
-        s"(${m.group(2)} $op INTERVAL ${m.group(3)} ${m.group(4)})")
-    })
+  def rewriteDateAddInterval(sql: String): String = {
+    // fixpoint: nested calls (date_add(date_add(d, INTERVAL …), INTERVAL …))
+    // leave the inner call inside the rewritten arg; re-run until stable
+    // (each pass eliminates ≥1 call, so depth bounds the iterations)
+    var cur = sql
+    var prev = ""
+    while (cur != prev) {
+      prev = cur
+      cur = dateAddIntervalRe.replaceAllIn(cur, m => {
+        val op = if (m.group(1).toLowerCase.startsWith("date_sub") ||
+                     m.group(1).equalsIgnoreCase("subdate")) "-" else "+"
+        java.util.regex.Matcher.quoteReplacement(
+          s"(${m.group(2)} $op INTERVAL ${m.group(3)} ${m.group(4)})")
+      })
+    }
+    cur
+  }
 
   /** Doris/MySQL `GROUP_CONCAT` → Spark 4 `listagg`:
     *

@@ -174,6 +174,8 @@ object Stats {
         columns.tail.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
     val bounds = columns.zipWithIndex.map { case (c, i) =>
+      require(!statsRow.isNullAt(2 * i),
+        s"histogram: column '$c' has no non-null values (empty table or all-null)")
       val lo = statsRow.getDouble(2 * i)
       val span = math.max(statsRow.getDouble(2 * i + 1) - lo, 1e-12)
       (c, lo, span)

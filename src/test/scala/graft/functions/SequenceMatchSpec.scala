@@ -51,6 +51,18 @@ class SequenceMatchSpec extends SparkSpec {
     assert(m("(?1)(?t>5)(?2)", (0L, 1), (9L, 1), (10L, 2)))
   }
 
+  test("equal timestamps cannot chain (strict-ts transitions, like the funnel)") {
+    // gap: view@T purchase@T is NOT view-then-purchase — the oracle's
+    // b.t > a.t and this matcher must agree run-to-run
+    assert(!m("(?1).*(?2)", (1L, 1), (1L, 2)))
+    assert(m("(?1).*(?2)", (1L, 1), (1L, 2), (2L, 2))) // later event chains
+    // adjacency: a tie at the link is blocked too
+    assert(!m("(?1)(?2)", (1L, 1), (1L, 2)))
+    // time window over a tie: still no chain even though delta 0 ≤ bound
+    assert(!m("(?1)(?t<=5)(?2)", (1L, 1), (1L, 2)))
+    assert(!m("(?1)(?t==0)(?2)", (1L, 1), (1L, 2)))
+  }
+
   test("count: greedy non-overlapping, resumes after each match") {
     assert(c("(?1).*(?2)", (1L, 1), (2L, 2), (3L, 1), (4L, 2)) == 2)
     assert(c("(?1).*(?2)", (1L, 1), (2L, 1), (3L, 2), (4L, 2)) == 1) // VVPP

@@ -439,9 +439,12 @@ class PipelineSpec extends SparkSpec {
     assert(cc.size == 9)
     // maxIter below the diameter leaves the far end unlabeled-minimal:
     // the bound is honored, not silently exceeded
-    val partial = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L),
-      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("i", "j"), maxIter = 2)
-      .as[(Long, Long)].collect().toMap
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("i", "j")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+    val partial = Dedup.connectedComponents(chain, maxIter = 2,
+      allowPartial = true).as[(Long, Long)].collect().toMap
     assert(partial(8L) > 1L)
   }
 }
