@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Flat string→string map → JSON object text. JSON string escape covers
+  * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+  * builder-authored SQL would otherwise make the driver's json.load fail
+  * and silently zero the round's correctness. Shared by [[Verify]] (the
+  * driver artifact) and ContractSpec (the oracle-type gate), so the spec
+  * checks the exact bytes the driver will parse. */
+object OracleJson {
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  def apply(m: Map[String, String]): String =
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -58,24 +78,13 @@ object Verify {
         Files.writeString(dir.resolve("_ERROR"), msg)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = failed.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      OracleJson(SparkEntry.oracleSql))
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      OracleJson(failed.toSeq.sortBy(_._1).toMap))
+    // Which build produced this run (sha must NOT live inside
+    // oracle_sql.json: the driver iterates its keys as query names).
+    Files.writeString(Paths.get(s"$outDir/provenance.json"), Provenance.json)
     if (failed.nonEmpty) {
       System.err.println(
         s"[verify] ${failed.size}/${selected.size} queries FAILED: " +

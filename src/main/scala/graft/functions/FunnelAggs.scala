@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType
   * reference's replayed SQL can use (Doris docs: `WINDOW_FUNNEL`,
   * `RETENTION` — ClickHouse-lineage funnel/retention semantics).
   *
+  * Tie semantics: transitions require STRICTLY increasing timestamps,
+  * which corresponds to Doris/ClickHouse `strict_increase` MODE, not
+  * their default (the default allows equal-timestamp chaining). The
+  * strict mode is deliberate: it is the only choice whose result is a
+  * pure function of the (ts, mask) multiset — deterministic under
+  * partition-merge order and under the ns→µs truncation ties of the
+  * events table — and it is what every oracle states (`b.t > a.t`).
+  * A mode flag can widen this later if replayed SQL needs the default.
+  *
   * Scale properties (the reason these are aggregates, not self-joins):
   * a funnel over N steps via joins is N-way self-join of the events
   * table — at 100 TB that is N shuffles of the full fact table. As

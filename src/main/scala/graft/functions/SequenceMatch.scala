@@ -113,9 +113,11 @@ object SequenceMatch {
     * events[from..), or -1. ts/mask must be (ts, mask)-sorted (the
     * canonical order [[sorted]] produces). Transitions require STRICTLY
     * increasing timestamps — equal-µs events cannot chain (same rule as
-    * the funnel DP): a prefix pointer folds a candidate into the
-    * earliest/latest witnesses only once the scan has moved past its
-    * timestamp, so a tie never witnesses its own batch. */
+    * the funnel DP): for Gap, a prefix pointer folds a candidate into
+    * the earliest/latest witnesses only once the scan has moved past its
+    * timestamp, so a tie never witnesses its own batch; for Adjacent,
+    * the predecessor is the whole tie-group at the maximal ts strictly
+    * below — so array order inside a tie never decides a match. */
   private def matchFrom(ts: Array[Long], mask: Array[Int], p: Pattern, from: Int): Int = {
     val n = ts.length
     var cur: Array[Boolean] = null // cur(q) = anchor k can match at q
@@ -128,9 +130,25 @@ object SequenceMatch {
         while (q < n) { next(q) = (mask(q) & bit) != 0; q += 1 }
       } else p.seps(k - 1) match {
         case Adjacent =>
+          // "directly follows" is defined by TIMESTAMP, not array slot:
+          // q's predecessor is the tie-group holding the maximal ts
+          // strictly below ts(q), and the anchor chains iff ANY event of
+          // that group matched the previous anchor. Array order inside an
+          // equal-µs tie (possible after ns→µs truncation) therefore
+          // never decides a match, and the SQL statement of the same
+          // semantics is `b.t > a.t AND NOT EXISTS (x: a.t < x.t < b.t)`
+          // over the relevant events — exactly what the oracles state.
+          var anyCurPrev = false // any cur() in the predecessor tie-group
+          var groupStart = from  // start of the tie-group containing q
           var q = from + 1
           while (q < n) {
-            next(q) = (mask(q) & bit) != 0 && cur(q - 1) && ts(q) > ts(q - 1)
+            if (ts(q) != ts(q - 1)) {
+              anyCurPrev = false
+              var p = groupStart
+              while (p < q && !anyCurPrev) { anyCurPrev = cur(p); p += 1 }
+              groupStart = q
+            }
+            next(q) = (mask(q) & bit) != 0 && anyCurPrev
             q += 1
           }
         case Gap(op, secs) =>
@@ -197,9 +215,9 @@ object SequenceMatch {
   /** CANONICAL sort of the buffered pairs: by (ts, mask), so the result
     * never depends on aggregation-buffer merge order. Equal-µs ties
     * (the ns→µs truncation can produce them) order by mask — and since
-    * transitions require strictly increasing ts, tie order can only
-    * influence which same-ts event sits adjacent, never whether a
-    * time-gapped chain exists. */
+    * Gap transitions require strictly increasing ts and Adjacent treats
+    * the predecessor tie-group as a set, tie order influences NOTHING:
+    * the match result is a pure function of the (ts, mask) multiset. */
   private def sorted(state: FunnelAggs.FunnelState): (Array[Long], Array[Int]) = {
     val m = state.ts.length
     val idx = (0 until m).sortBy(i => (state.ts(i), state.mask(i))).toArray

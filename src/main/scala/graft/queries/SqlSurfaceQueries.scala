@@ -440,6 +440,23 @@ object SqlSurfaceQueries extends QueryModule {
                reverse(p_name) AS rev
         FROM part WHERE p_partkey <= 300
         ORDER BY p_partkey""")
+    }),
+
+    // QUALIFY inside a CTE body — exercises the RECURSIVE rewrite
+    // (reference grammar DorisParser.g4 querySpecification allows
+    // QUALIFY in any query block; round-5 gap: depth 0 only)
+    "q50_qualify_nested" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate("""
+        WITH top2 AS (
+          SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) <= 2)
+        SELECT o_custkey, COUNT(*) AS n_top,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS top_rev
+        FROM top2 GROUP BY o_custkey
+        ORDER BY o_custkey LIMIT 0, 100"""))
     })
   )
 
@@ -628,7 +645,7 @@ object SqlSurfaceQueries extends QueryModule {
                   AND a.event_type = 'view' AND b.event_type = 'purchase'
                   AND b.t > a.t
                   AND b.t - a.t <= 21600000000) AS m_view_purchase_6h,
-        COALESCE(cnt.c, 0) AS c_view_purchase
+        CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c_view_purchase
       FROM u LEFT JOIN cnt ON cnt.user_id = u.user_id
       ORDER BY u.user_id""",
 
@@ -741,6 +758,17 @@ object SqlSurfaceQueries extends QueryModule {
              rpad(p_type, 15, '.') AS rpadded,
              reverse(p_name) AS rev
       FROM part WHERE p_partkey <= 300
-      ORDER BY p_partkey"""
+      ORDER BY p_partkey""",
+
+    "q50_qualify_nested" -> """
+      WITH top2 AS (
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2)
+      SELECT o_custkey, COUNT(*) AS n_top,
+             CAST(SUM(o_totalprice) AS DOUBLE) AS top_rev
+      FROM top2 GROUP BY o_custkey
+      ORDER BY o_custkey LIMIT 100 OFFSET 0"""
   )
 }

@@ -6,7 +6,9 @@ package graft.sqlx
   *
   *   - `QUALIFY <pred>`        → wrap in a subquery computing the
   *                               predicate, filter, drop the helper col
-  *                               (Spark has no QUALIFY);
+  *                               (Spark has no QUALIFY) — applied to
+  *                               EVERY query block, recursing through
+  *                               CTE bodies and derived tables;
   *   - `LIMIT m, n`            → `LIMIT n OFFSET m`;
   *   - `MINUS`                 → `EXCEPT`;
   *   - `JOIN [broadcast] t` / `[shuffle]` distribute hints
@@ -214,16 +216,26 @@ object DorisSql {
   private def rewriteLimitCommaOffset(sql: String): String =
     limitCommaRe.replaceAllIn(sql, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
 
-  /** Top-level QUALIFY: inject the predicate as a helper column in the
-    * select list (it may reference window functions, so it must be
-    * computed inside), wrap, filter, and drop the helper:
+  /** QUALIFY at ANY query-block depth (the reference grammar,
+    * DorisParser.g4 querySpecification, allows it in every block —
+    * replayed logs do carry it inside CTE bodies and derived tables).
+    * Every parenthesized region is rewritten bottom-up first, then the
+    * outermost block; each block applies the depth-0 transform:
     *
     *   SELECT <list> FROM <rel> QUALIFY <pred> <tail>
     *   → SELECT * EXCEPT (__qualify)
     *     FROM (SELECT <list>, (<pred>) AS __qualify FROM <rel>)
     *     WHERE __qualify <tail>
-    */
-  private def rewriteQualify(sql: String): String = {
+    *
+    * Non-query paren groups (function args, IN-lists) contain no
+    * top-level QUALIFY token and pass through unchanged. Known limit:
+    * only the FIRST depth-0 QUALIFY of a block is rewritten, so
+    * `SELECT…QUALIFY… UNION SELECT…QUALIFY…` needs the second branch
+    * parenthesized (which is also the readable form). */
+  private def rewriteQualify(sql: String): String =
+    rewriteQualifyBlock(mapTopParens(sql)(rewriteQualify))
+
+  private def rewriteQualifyBlock(sql: String): String = {
     val toks = wordTokens(sql)
     toks.find(t => t._1 == "qualify" && t._4 == 0) match {
       case None => sql
@@ -240,5 +252,58 @@ object DorisSql {
         val tail = sql.substring(stop)
         s"SELECT * EXCEPT (__qualify) FROM ($selectList, ($pred) AS __qualify $rel) WHERE __qualify $tail"
     }
+  }
+
+  /** Applies f to the CONTENT of each outermost parenthesized region,
+    * string-literal/quoted-identifier/comment-aware. Unbalanced input
+    * passes through untouched (the right failure mode: Catalyst then
+    * reports the real syntax error). */
+  private def mapTopParens(sql: String)(f: String => String): String = {
+    val n = sql.length
+    // skip an opaque region starting at i (string/ident/comment); returns
+    // the index after it, or i if none starts here
+    def skipOpaque(i: Int): Int = {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < n && sql.charAt(j) != c) {
+          if (sql.charAt(j) == '\\') j += 1
+          j += 1
+        }
+        math.min(j + 1, n)
+      } else if (c == '`') {
+        var j = i + 1
+        while (j < n && sql.charAt(j) != '`') j += 1
+        math.min(j + 1, n)
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i); if (j < 0) n else j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i + 2); if (j < 0) n else j + 2
+      } else i
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val afterOpaque = skipOpaque(i)
+      if (afterOpaque > i) { sb.append(sql.substring(i, afterOpaque)); i = afterOpaque }
+      else if (sql.charAt(i) == '(') {
+        var depth = 1
+        var j = i + 1
+        while (j < n && depth > 0) {
+          val ao = skipOpaque(j)
+          if (ao > j) j = ao
+          else {
+            val cj = sql.charAt(j)
+            if (cj == '(') depth += 1 else if (cj == ')') depth -= 1
+            j += 1
+          }
+        }
+        if (depth == 0) {
+          sb.append('(').append(f(sql.substring(i + 1, j - 1))).append(')')
+          i = j
+        } else { sb.append(sql.substring(i)); i = n }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }

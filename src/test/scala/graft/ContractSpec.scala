@@ -22,6 +22,26 @@ class ContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-conforming query names: ${bad.toSeq.sorted}")
   }
 
+  test("every oracle's DuckDB result types are in the sanctioned set") {
+    // Round 5's one red row (q41) was an uncast DuckDB aggregate: DuckDB
+    // SUM(INTEGER) yields HUGEINT where Spark emits BIGINT, values match,
+    // the driver's type-sensitive hasher fails. This gate evaluates every
+    // oracle in DuckDB (plan only — LIMIT-0-equivalent types) and rejects
+    // any column type outside the driver-proven set. Cancels (not passes)
+    // if the local python/duckdb bridge is absent.
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ()))
+    assume(probe == 0, "python3+duckdb bridge not available")
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists, "testdata absent")
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/oracle_types.py", tmp.toString, sfDir))
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0, s"unsanctioned oracle result types:\n$out")
+  }
+
   test("no duplicate names across modules (Map.++ would silently drop one)") {
     val perModule = Seq(
       graft.queries.RelationalQueries, graft.queries.GendataQueries,

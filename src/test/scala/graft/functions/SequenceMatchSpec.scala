@@ -63,6 +63,20 @@ class SequenceMatchSpec extends SparkSpec {
     assert(!m("(?1)(?t==0)(?2)", (1L, 1), (1L, 2)))
   }
 
+  test("adjacency over ties: predecessor is the tie-GROUP, not the array slot") {
+    // view@1, click@1, click@2: the tied click occupies the adjacent
+    // array slot, but the oracle's NOT-EXISTS(a.t < x.t < b.t) sees
+    // view@1 → click@2 as adjacent (nothing STRICTLY between). The
+    // matcher must agree on any data draw (ADVICE r5, equal-µs ties).
+    assert(m("(?1)(?2)", (1L, 1), (1L, 2), (2L, 2)))
+    // but a relevant event at a strictly-between ts still blocks
+    assert(!m("(?1)(?2)", (1L, 1), (2L, 4), (3L, 2))) // cond3@2 blocks ts1→ts3
+    // tie INSIDE the predecessor group: any member matching suffices
+    assert(m("(?1)(?2)", (1L, 1), (1L, 4), (2L, 2)))
+    // tie at the successor: both tied events see the same predecessor
+    assert(m("(?1)(?2)", (1L, 1), (2L, 4), (2L, 2)))
+  }
+
   test("count: greedy non-overlapping, resumes after each match") {
     assert(c("(?1).*(?2)", (1L, 1), (2L, 2), (3L, 1), (4L, 2)) == 2)
     assert(c("(?1).*(?2)", (1L, 1), (2L, 1), (3L, 2), (4L, 2)) == 1) // VVPP

@@ -31,9 +31,29 @@ class DorisSqlSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE a > 1")
   }
 
-  test("QUALIFY inside subquery is left for that level (depth-0 only)") {
+  test("subquery without QUALIFY is untouched") {
     val sql = "SELECT * FROM (SELECT a FROM t) x WHERE a > 0"
     assert(DorisSql.translate(sql) == sql)
+  }
+
+  test("QUALIFY inside a derived table is rewritten (recursive)") {
+    val out = DorisSql.translate(
+      "SELECT x.a FROM (SELECT a, b FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1) x WHERE x.a > 0")
+    assert(out.contains("SELECT * EXCEPT (__qualify)"), out)
+    assert(out.contains("WHERE __qualify"), out)
+    // the OUTER block gained no qualify wrapper
+    assert(out.startsWith("SELECT x.a FROM ("), out)
+    assert(out.endsWith("WHERE x.a > 0"), out)
+  }
+
+  test("QUALIFY inside a CTE body is rewritten (recursive)") {
+    val out = DorisSql.translate(
+      "WITH top2 AS (SELECT a, b FROM t QUALIFY RANK() OVER (PARTITION BY a ORDER BY b DESC) <= 2) SELECT a, COUNT(*) AS n FROM top2 GROUP BY a")
+    assert(out.startsWith("WITH top2 AS (SELECT * EXCEPT (__qualify)"), out)
+    assert(out.endsWith("SELECT a, COUNT(*) AS n FROM top2 GROUP BY a"), out)
+    // a QUALIFY-looking word inside a string literal is opaque
+    val lit = "SELECT 'use QUALIFY here' AS s FROM t"
+    assert(DorisSql.translate(lit) == lit)
   }
 
   test("MySQL %-patterns in date_format/str_to_date become JDK patterns") {
