@@ -49,15 +49,20 @@ object ZOrder {
     * centroids). Uniform enough for layout purposes; heavy skew calls
     * for quantile boundaries, which `Stats.quantiles` can supply. */
   def normalizedAll(df: DataFrame, colNames: Seq[String], bits: Int): Seq[Column] = {
+    // cast BEFORE aggregating (same rationale as Stats.histogram): native
+    // min of a string column is lexicographic and casts to null
     val r = df.agg(
-      min(col(colNames.head)).cast("double"),
-      max(col(colNames.head)).cast("double") +:
+      min(col(colNames.head).cast("double")),
+      max(col(colNames.head).cast("double")) +:
         colNames.tail.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+          Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
     colNames.zipWithIndex.map { case (c, i) =>
       require(!r.isNullAt(2 * i),
-        s"z-order: column '$c' has no non-null values (empty table or all-null)")
+        s"z-order: column '$c' has no non-null numeric values " +
+          "(empty, all-null, or non-numeric column)")
       val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      require(!lo.isNaN && !hi.isNaN,
+        s"z-order: column '$c' contains NaN — filter NaN rows first")
       // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements
       // of this formula (io02's oracle) can write the same literal
       val span = math.max(hi - lo, 1e-12)

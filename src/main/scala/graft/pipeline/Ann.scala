@@ -122,14 +122,10 @@ object Ann {
     * `tables` to buy recall. */
   def cosineNearDupPairs(emb: DataFrame, dims: Int, threshold: Double,
                          planes: Int = 4, tables: Int = 32, seed: Long = 5): DataFrame = {
-    graft.functions.VectorExprs.register(emb.sparkSession)
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(call_function("graft_hyperplane_buckets",
-        col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
-        .as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("i"))
-    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("j"))
-    val candidates = a.join(b, Seq("table", "bucket"))
+    val bucketed = hyperplaneBucketed(emb, dims, planes, tables, seed)
+    val a = bucketed.select(col("bkt"), col("vec_id").as("i"))
+    val b = bucketed.select(col("bkt"), col("vec_id").as("j"))
+    val candidates = a.join(b, Seq("bkt"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     val va = emb.select(col("vec_id").as("i"), col("embedding").as("e_i"))
@@ -138,6 +134,22 @@ object Ann {
       .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
       .filter(col("cos_r") >= threshold)
       .select("i", "j", "cos_r")
+  }
+
+  /** Hyperplane-LSH (bucket, vec_id, embedding) postings — all tables'
+    * buckets from ONE compiled expression pass (HyperplaneBucketsExpr);
+    * candidates only ever form inside a (table, bucket) group, so
+    * Σ c·(c−1)/2 over bucket sizes is the family's candidate volume
+    * (what ScalingSpec guards). */
+  private[pipeline] def hyperplaneBucketed(emb: DataFrame, dims: Int, planes: Int,
+                                           tables: Int, seed: Long): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+      posexplode(call_function("graft_hyperplane_buckets",
+        col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
+        .as(Seq("table", "bucket")))
+      .select(struct(col("table"), col("bucket")).as("bkt"),
+        col("vec_id"), col("embedding"))
   }
 
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
@@ -151,14 +163,10 @@ object Ann {
     * (HyperplaneBucketsExpr). Returns (vec_id, neighbor_id, cos_r). */
   def lshNeighbors(emb: DataFrame, dims: Int, planes: Int = 6, tables: Int = 8,
                    seed: Long = 5): DataFrame = {
-    graft.functions.VectorExprs.register(emb.sparkSession)
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(call_function("graft_hyperplane_buckets",
-        col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
-        .as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"), col("vec_id"))
-    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
-    val candidates = a.join(b, Seq("table", "bucket"))
+    val bucketed = hyperplaneBucketed(emb, dims, planes, tables, seed)
+    val a = bucketed.select(col("bkt"), col("vec_id"))
+    val b = bucketed.select(col("bkt"), col("vec_id").as("neighbor_id"))
+    val candidates = a.join(b, Seq("bkt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id").distinct()
     // score candidates against the raw vectors (joined back by id so the

@@ -36,33 +36,41 @@ object Dedup {
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    // The exchange is load-bearing: it materializes each signature ONCE.
-    // Without it, projection collapse inlines the minhash expression into
-    // the banding lambda below and recomputes it per band element; with
-    // it, `sig` is a bound attribute, and ReuseExchange shares the
-    // shuffle between the two self-join branches. The signature itself is
-    // a native Catalyst expression (see MinHashSignatureExpr).
-    graft.functions.MinHashSignatureExpr.register(df.sparkSession)
-    val sigs = base
-      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k, $seed)"))
-      .select("id", "sig")
-      .repartition(col("id"))
-
-    // band hash per (doc, band): the r signature slots of the band hashed
-    // together — candidates are pairs sharing any (band, hash) bucket.
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
-        .as(Seq("band", "bandHash")))
-
-    val a = banded.select(col("band"), col("bandHash"), col("id").as("i"))
-    val b = banded.select(col("band"), col("bandHash"), col("id").as("j"))
-    val candidates = a.join(b, Seq("band", "bandHash"))
+    val banded = minhashPostings(base, k, bands, seed)
+    val a = banded.select(col("bkt"), col("id").as("i"))
+    val b = banded.select(col("bkt"), col("id").as("j"))
+    val candidates = a.join(b, Seq("bkt"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
 
     verifyJaccard(candidates, base, threshold)
+  }
+
+  /** MinHash (bucket, id) postings — candidates are the i<j pairs of a
+    * self-join on `bkt`, so Σ c·(c−1)/2 over bucket sizes IS the
+    * family's candidate volume (what ScalingSpec guards). The exchange
+    * is load-bearing: it materializes each signature ONCE. Without it,
+    * projection collapse inlines the minhash expression into the banding
+    * lambda below and recomputes it per band element; with it, `sig` is
+    * a bound attribute, and ReuseExchange shares the shuffle between the
+    * two self-join branches. The signature itself is a native Catalyst
+    * expression (see MinHashSignatureExpr). */
+  private[pipeline] def minhashPostings(base: DataFrame, k: Int, bands: Int,
+                                        seed: Long): DataFrame = {
+    val r = k / bands
+    graft.functions.MinHashSignatureExpr.register(base.sparkSession)
+    val sigs = base
+      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k, $seed)"))
+      .select("id", "sig")
+      .repartition(col("id"))
+    // band hash per (doc, band): the r signature slots of the band hashed
+    // together — candidates are pairs sharing any (band, hash) bucket.
+    sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
+        .as(Seq("band", "bandHash")))
+      .select(struct(col("band"), col("bandHash")).as("bkt"), col("id"))
   }
 
   /** Exact-Jaccard verification only on candidate (i, j) pairs — shingles
@@ -147,6 +155,14 @@ object Dedup {
     }
   }
 
+  /** Winnowing (bucket, id) postings — the fingerprint IS the bucket
+    * key; factored out so candidate volume is measurable (ScalingSpec). */
+  private[pipeline] def winnowingPostings(df: DataFrame, idCol: String,
+                                          textCol: String, k: Int = 24,
+                                          w: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("bkt"))
+
   /** Shingled (id, sh) projection shared by the Jaccard family. */
   private[pipeline] def shingled(df: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int = 3): DataFrame =
@@ -166,11 +182,10 @@ object Dedup {
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, k: Int = 24, w: Int = 8,
                      minShared: Int = 1): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("fp"))
-    val a = fps.select(col("fp"), col("id").as("i"))
-    val b = fps.select(col("fp"), col("id").as("j"))
-    val candidates = a.join(b, "fp")
+    val fps = winnowingPostings(df, idCol, textCol, k, w)
+    val a = fps.select(col("bkt"), col("id").as("i"))
+    val b = fps.select(col("bkt"), col("id").as("j"))
+    val candidates = a.join(b, "bkt")
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -214,31 +229,47 @@ object Dedup {
   }
 
   /** SimHash signatures (id, sig) — compiled single-pass kernel
-    * (one XXH64 per token + 63 affine sign votes, see SimHash64Expr). */
+    * (one XXH64 per feature + 63 affine sign votes, see SimHash64Expr).
+    * Features are word 3-SHINGLES, not unigram tokens: unigram features
+    * are dominated by the corpus's shared vocabulary, so unrelated docs
+    * get correlated signatures and band buckets cluster quadratically
+    * (measured on the testdata corpus: 315k candidate pairs at 5000 docs
+    * vs a 763-pair uniform-collision floor; shingle features put it back
+    * near the floor — ScalingSpec pins the model). Shingle features are
+    * the standard simhash practice for near-dup detection [Manku et al.,
+    * WWW'07 use weighted multi-word features for the same reason]. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         seed: Long = 11): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
     df.select(col(idCol).as("id"),
       call_function("graft_simhash64",
-        TextOps.tokens(col(textCol)), lit(seed)).as("sig"))
+        TextOps.shingles(TextOps.tokens(col(textCol)), 3), lit(seed)).as("sig"))
   }
 
   /** Near-duplicate pairs by Hamming distance over SimHash signatures;
     * exact for maxHamming ≤ 3 (4 bands, pigeonhole). Returns (i, j, hamming). */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val nBands = 4
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until nBands).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bandVal")))
-    val a = banded.select(col("band"), col("bandVal"), col("id").as("i"), col("sig").as("sig_i"))
-    val b = banded.select(col("band"), col("bandVal"), col("id").as("j"), col("sig").as("sig_j"))
-    a.join(b, Seq("band", "bandVal"))
+    val banded = simhashBanded(sigs)
+    val a = banded.select(col("bkt"), col("id").as("i"), col("sig").as("sig_i"))
+    val b = banded.select(col("bkt"), col("id").as("j"), col("sig").as("sig_j"))
+    a.join(b, Seq("bkt"))
       .filter(col("i") < col("j"))
       .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming").distinct()
+  }
+
+  /** SimHash (bucket, id, sig) postings: 4 × 16-bit bands (pigeonhole:
+    * any pair at hamming ≤ 3 agrees on ≥ 1 whole band) — factored out so
+    * candidate volume is measurable (ScalingSpec). */
+  private[pipeline] def simhashBanded(sigs: DataFrame): DataFrame = {
+    val nBands = 4
+    sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bandVal")))
+      .select(struct(col("band"), col("bandVal")).as("bkt"), col("id"), col("sig"))
   }
 
   /** Connected components over near-dup PAIRS → per-doc cluster labels
@@ -249,10 +280,12 @@ object Dedup {
     * needed = component diameter, and near-dup components are
     * SMALL-DIAMETER by construction (members all resemble the same
     * text), so the loop converges in a handful of bounded-size joins —
-    * each one a skinny (node, label) shuffle. The driver-side `count`
-    * per round reads one aggregate, never data. (Web-scale graphs with
-    * long chains want large-star/small-star [Kiveris et al.]; for dedup
-    * clusters the simple propagation IS the right cost.) */
+    * each one a skinny (node, label) shuffle. ONE action per round: the
+    * aggregate that reads the did-anything-improve bit also materializes
+    * the round's cache (r5 review: isEmpty + count was two jobs).
+    * (Web-scale graphs with long chains want large-star/small-star
+    * [Kiveris et al.]; for dedup clusters the simple propagation IS the
+    * right cost.) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
     val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
@@ -260,6 +293,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
+    var backing = labels // the cached plan the current `labels` reads from
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -269,12 +303,15 @@ object Dedup {
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
         .cache()
-      converged = updated.filter(col("lbl2") < col("lbl")).isEmpty
-      val old = labels
-      labels = updated.select(col("v"), col("lbl2").as("lbl")).cache()
-      labels.count() // materialize before freeing what it reads
+      // single action: materializes `updated`'s cache AND reads the
+      // improvement bit (max over booleans = "any label got smaller");
+      // null means zero rows, which is trivially converged
+      val row = updated.agg(max(col("lbl2") < col("lbl"))).head()
+      converged = row.isNullAt(0) || !row.getBoolean(0)
+      val old = backing
+      labels = updated.select(col("v"), col("lbl2").as("lbl"))
+      backing = updated
       old.unpersist()
-      updated.unpersist()
       it += 1
     }
     edges.unpersist()

@@ -29,7 +29,16 @@ object DorisSql {
     * ADDDATE / SUBDATE) → Spark's `expr ± INTERVAL n unit` arithmetic —
     * Spark's parser accepts the two-arg day form of date_add but NOT
     * the INTERVAL form, which is what replayed MySQL statements carry.
-    * The plain `date_add(d, n)` call is native and passes through. */
+    * The plain `date_add(d, n)` call is native and passes through.
+    *
+    * Known limits (consistent with the sibling regex rewrites, and
+    * acceptable for the replay corpus): the match is not string-literal
+    * aware at the OUTER level, so a quoted `'date_add(x, INTERVAL 1
+    * DAY)'` inside a VARCHAR literal would be rewritten inside the
+    * literal; and the first-arg pattern admits ONE level of nested
+    * parentheses, so `date_add(f(g(x)), INTERVAL …)` passes through
+    * untranslated and then fails loudly in Spark's parser — the right
+    * failure mode for an untranslatable statement. */
   private val dateAddIntervalRe =
     """(?i)\b(date_add|date_sub|adddate|subdate)\s*\(\s*((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)""".r
 

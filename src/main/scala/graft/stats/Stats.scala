@@ -168,16 +168,26 @@ object Stats {
         struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("kv"))
       .select(col("kv.column").as("column"), col("kv.v").as("v"))
       .filter(col("v").isNotNull)
+    // cast BEFORE aggregating: min on the native type would take the
+    // LEXICOGRAPHIC min of a string column and cast it to null, surfacing
+    // as the misleading all-null error below (ADVICE r5)
     val statsRow = df.agg(
-      min(col(columns.head)).cast("double"),
-      max(col(columns.head)).cast("double") +:
+      min(col(columns.head).cast("double")),
+      max(col(columns.head).cast("double")) +:
         columns.tail.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+          Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
     val bounds = columns.zipWithIndex.map { case (c, i) =>
       require(!statsRow.isNullAt(2 * i),
-        s"histogram: column '$c' has no non-null values (empty table or all-null)")
+        s"histogram: column '$c' has no non-null numeric values " +
+          "(empty, all-null, or non-numeric column)")
       val lo = statsRow.getDouble(2 * i)
-      val span = math.max(statsRow.getDouble(2 * i + 1) - lo, 1e-12)
+      val hi = statsRow.getDouble(2 * i + 1)
+      // Spark orders NaN above every double, so a single NaN poisons max
+      // (and then every bucket bound); engines disagree on NaN order, so
+      // fail fast instead of emitting engine-specific buckets
+      require(!lo.isNaN && !hi.isNaN,
+        s"histogram: column '$c' contains NaN — filter NaN rows first")
+      val span = math.max(hi - lo, 1e-12)
       (c, lo, span)
     }.toDF("column", "lo", "span")
     pairs.join(broadcast(bounds), Seq("column"))
