@@ -127,7 +127,7 @@ object ColumnGen {
 
   // ---- custom generators (G3 inc, G4 enum, G5 ref, G7 type, G9 expr) --
 
-  private val CustomGenKeys = Seq("inc", "enum", "enums", "ref", "type", "expr")
+  private val CustomGenKeys = Seq("inc", "enum", "enums", "ref", "type", "expr", "scala")
 
   private def customGen(dt: DType, gen: Rule, r: Rule, ctx: Ctx, env: GenRules.Env): Column = {
     val present = CustomGenKeys.filter(gen.contains)
@@ -139,6 +139,8 @@ object ColumnGen {
     else if (gen.contains("enum") || gen.contains("enums")) enumGen(dt, gen, r, ctx, env)
     else if (gen.contains("ref")) refGen(dt, gen, ctx)
     else if (gen.contains("type")) typeSubstGen(dt, gen, ctx, env)
+    else if (gen.contains("scala")) SnippetGen.column(gen("scala").toString)
+      .cast(DType.toSpark(dt))
     else exprGen(dt, gen)
   }
 
@@ -174,11 +176,12 @@ object ColumnGen {
     }
   }
 
-  /** G9: the Spark-native analog of the reference's user-code (`golang`)
-    * generator — an arbitrary SQL expression over the row-id column `id`
-    * (reference: src/generator/golang.go:26-65; arbitrary JVM code would
-    * need runtime compilation, and a SQL expression keeps the column
-    * codegen'd and distributed). */
+  /** G9 `expr`: the always-on half of the user-code story — an arbitrary
+    * SQL expression over the row-id column `id`, codegen'd and
+    * distributed with zero runtime compilation. The full analog of the
+    * reference's user-code (`golang`) generator
+    * (src/generator/golang.go:26-65) is the opt-in `scala` generator
+    * ([[SnippetGen]]: a runtime-compiled `(idx: Long) => Any` literal). */
   private def exprGen(dt: DType, gen: Rule): Column =
     expr(gen("expr").toString).cast(DType.toSpark(dt))
 
@@ -311,14 +314,14 @@ object ColumnGen {
   private val Currencies = Seq("USD", "EUR", "GBP", "JPY", "CNY", "INR",
     "BRL", "CAD", "AUD", "CHF")
 
-  private def pick(xs: Seq[String], purpose: String, ctx: Ctx): Column =
+  private[gen] def pick(xs: Seq[String], purpose: String, ctx: Ctx): Column =
     element_at(array(xs.map(lit(_)): _*),
       (ctx.uniform(purpose, 0, xs.size - 1) + lit(1)).cast("int"))
 
   /** Deterministic per-row draw for a named tag occurrence. A curated
     * registry standing in for the reference's reflected gofakeit tag set;
     * unknown tags error, mirroring "unknown format tag". */
-  private def fakerTag(tag: String, occ: Int, ctx: Ctx): Option[Column] = {
+  private[gen] def fakerTag(tag: String, occ: Int, ctx: Ctx): Option[Column] = {
     val p = s"tag.$tag.$occ"
     tag match {
       case "year"       => Some(ctx.uniform(p, 1900, 2025))
@@ -455,7 +458,8 @@ object ColumnGen {
       case "drink"          => Some(pick(Drinks, p, ctx))
       case "hobby"          => Some(pick(Hobbies, p, ctx))
       case "emoji"          => Some(pick(Emojis, p, ctx))
-      case _            => None
+      // the long tail of the README table lives in its own registry
+      case other        => FakerTags.gen(other, p, ctx)
     }
   }
 
