@@ -190,6 +190,44 @@ object GendataQueries extends QueryModule {
         min(col("as_int_str").cast("int")).as("int_str_min"),
         max(col("as_int_str").cast("int")).as("int_str_max"),
         sum(when(col("from_expr") % 10 === lit(7), 1L).otherwise(0L)).as("n_expr_ok"))
+    }),
+
+    // ---- G9 full user-code generator: a runtime-compiled Scala snippet
+    //      (SnippetGen); the oracle recomputes the snippet's semantics
+    //      independently from range(), so the whole compile-ship-execute
+    //      path is what's under test ---------------------------------------
+    "g06_gendata_scala" -> ((s, _) => {
+      val table = DorisDdl.parseCreateTable("""
+        CREATE TABLE usercode (
+          id bigint NOT NULL,
+          code varchar(16) NOT NULL,
+          num bigint NOT NULL
+        )""")
+      val conf = GenRules.parseYaml("""
+        tables:
+          - name: usercode
+            row_count: 1000
+            columns:
+              - {name: id, gen: {inc: 1}}
+              - name: code
+                gen: {scala: '(idx: Long) => "grp_" + (idx % 7)'}
+              - name: num
+                gen: {scala: '(idx: Long) => idx * idx % 101'}
+        """)
+      val env = GenRules.buildEnv(conf)
+      s.conf.set(graft.gen.SnippetGen.EnableKey, "true")
+      val landed = try {
+        val gen = TableGen.frame(s, table, TableGen.rowCount(table, env), seed = 16, env)
+        landAndRead(s, gen, "usercode")
+      } finally s.conf.unset(graft.gen.SnippetGen.EnableKey)
+      landed.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("code")).as("n_codes"),
+        sum(col("num")).as("sum_num"),
+        max(col("num")).as("max_num"),
+        // inc id = snippet idx + 1 links the two generators row-by-row
+        sum(when(col("code") === concat(lit("grp_"),
+          ((col("id") - 1) % 7).cast("string")), 1L).otherwise(0L)).as("n_linked"))
     })
   )
 
@@ -235,6 +273,19 @@ object GendataQueries extends QueryModule {
              MIN(CAST(as_int_str AS INT)) AS int_str_min,
              MAX(CAST(as_int_str AS INT)) AS int_str_max,
              CAST(SUM(CASE WHEN from_expr % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_expr_ok
-      FROM read_parquet('$outRoot/fmt/*.parquet')"""
+      FROM read_parquet('$outRoot/fmt/*.parquet')""",
+
+    "g06_gendata_scala" -> """
+      WITH g AS (SELECT CAST(i + 1 AS BIGINT) AS id,
+                        'grp_' || CAST(i % 7 AS VARCHAR) AS code,
+                        CAST(i * i % 101 AS BIGINT) AS num
+                 FROM range(1000) t(i))
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT code) AS n_codes,
+             CAST(SUM(num) AS BIGINT) AS sum_num,
+             CAST(MAX(num) AS BIGINT) AS max_num,
+             CAST(SUM(CASE WHEN code = 'grp_' || CAST((id - 1) % 7 AS VARCHAR)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_linked
+      FROM g"""
   )
 }
