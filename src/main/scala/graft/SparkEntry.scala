@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.AnonQueries,
     graft.queries.CreateQueries,
     graft.queries.SqlSurfaceQueries,
-    graft.queries.IoQueries
+    graft.queries.IoQueries,
+    graft.queries.CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

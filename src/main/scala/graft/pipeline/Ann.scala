@@ -152,6 +152,43 @@ object Ann {
         col("vec_id"), col("embedding"))
   }
 
+  /** KMeans cell assignment (cosine distance), the clustering step shared
+    * by IVF search and SemDeDup — a one-off fit whose model is tiny
+    * (nCells × dims floats on the driver), after which assignment is a
+    * scan-local transform. Returns (vec_id, cell). */
+  def kmeansCells(emb: DataFrame, nCells: Int, seed: Long = 1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fv)
+    model.transform(fv).select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
+  /** SemDeDup [Abbas et al. 2023]: semantic near-duplicate pairs found by
+    * clustering the embedding space and comparing cosines only WITHIN
+    * each cluster — the clustering is what makes semantic dedup tractable
+    * at corpus scale (all-pairs is O(n²); within-cell pairs are
+    * Σ c·(c−1)/2 with E[c] = n/nCells, so nCells is the knob that keeps
+    * candidate volume linear — grow it with n). Trades recall of
+    * CROSS-cell pairs for that bound, which is the published algorithm's
+    * deal, not an approximation of it: duplicates cluster together by
+    * construction. The self-join is keyed by cell (one shuffle); exact
+    * cosine verifies every candidate. Returns (cell, i, j, cos_r). */
+  def semDedupPairs(emb: DataFrame, cells: DataFrame,
+                    threshold: Double): DataFrame = {
+    val byCell = emb.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val a = byCell.select(col("cell"), col("vec_id").as("i"), col("embedding").as("e_i"))
+    val b = byCell.select(col("cell"), col("vec_id").as("j"), col("embedding").as("e_j"))
+    a.join(b, Seq("cell"))
+      .filter(col("i") < col("j"))
+      .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
+      .filter(col("cos_r") >= threshold)
+      .select("cell", "i", "j", "cos_r")
+  }
+
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
     * hyperplane LSH: `tables` independent hash tables of `planes` bits
     * each; candidates are vectors sharing a bucket in ANY table (recall

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2 — the
+  * heuristics used to distill Common Crawl into C4, plus RefinedWeb's
+  * within-document line dedup).
+  *
+  * Everything here is SCAN-LOCAL: each document is cleaned from its own
+  * text alone, so the operator is a single codegen'd projection — no
+  * shuffle, no state, embarrassingly parallel at 100 TB. (The one C4 rule
+  * that is NOT scan-local — dropping three-sentence spans repeated across
+  * the corpus — is the cross-document problem; see Dedup.dupSpanProfile.)
+  *
+  * Line rules, applied in precedence order (a line is counted under the
+  * FIRST rule it trips, so the per-rule counts partition the drops):
+  *   1. boilerplate  — contains a line-level boilerplate needle
+  *                     ("javascript", "cookie" — C4 drops any line with
+  *                     the word javascript)
+  *   2. too short    — fewer than `minWords` whitespace words (C4: 5)
+  *   3. no terminal  — does not end in . ! ? or " (C4's terminal-
+  *                     punctuation rule)
+  *   4. duplicate    — an earlier KEPT-ELIGIBLE line in the same document
+  *                     is identical (first occurrence wins; RefinedWeb-
+  *                     style within-doc dedup)
+  * Document rules: fewer than `minKeptLines` surviving lines, or the raw
+  * text contains a document-level needle ("lorem ipsum", "{" — C4 drops
+  * pages with code or placeholder text).
+  *
+  * The HOF-inlining discipline (see TextOps.shingles): `lines` and
+  * `pass3` are materialized as real columns in separate selects and each
+  * is referenced more than once downstream, which keeps CollapseProject
+  * from inlining the split/filter back into every lambda element.
+  */
+object Clean {
+
+  final case class C4Config(
+      minWords: Int = 5,
+      minKeptLines: Int = 3,
+      lineBoiler: Seq[String] = Seq("javascript", "cookie"),
+      docBoiler: Seq[String] = Seq("lorem ipsum", "{"))
+
+  /** Per-document cleaning report + cleaned-text fingerprint. Output:
+    * doc_id, n_lines, n_boiler, n_short, n_nopunct, n_dupline, n_kept,
+    * clean_chars, clean_md5, doc_keep. */
+  def c4Lines(docs: DataFrame, idCol: String, textCol: String,
+              cfg: C4Config = C4Config()): DataFrame = {
+    def hasNeedle(c: Column, needles: Seq[String]): Column =
+      needles.map(n => c.contains(n)).reduce(_ || _)
+    def boiler(l: Column): Column = hasNeedle(lower(l), cfg.lineBoiler)
+    def words(l: Column): Column = size(split(l, "\\s+"))
+    def punct(l: Column): Column = l.rlike("[.!?\"]$")
+
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lines"))
+      .select(
+        col("doc_id"),
+        hasNeedle(lower(col("text")), cfg.docBoiler).as("doc_boiler"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => boiler(l))).cast("long").as("n_boiler"),
+        size(filter(col("lines"), l => !boiler(l) && words(l) < cfg.minWords))
+          .cast("long").as("n_short"),
+        size(filter(col("lines"),
+          l => !boiler(l) && words(l) >= cfg.minWords && !punct(l)))
+          .cast("long").as("n_nopunct"),
+        filter(col("lines"),
+          l => !boiler(l) && words(l) >= cfg.minWords && punct(l)).as("pass3"))
+      .select(
+        col("doc_id"), col("doc_boiler"), col("n_lines"), col("n_boiler"),
+        col("n_short"), col("n_nopunct"), col("pass3"),
+        // first occurrence wins: a line survives iff its first index in
+        // pass3 is its own index (array_position returns the FIRST match)
+        filter(col("pass3"),
+          (l, i) => array_position(col("pass3"), l) === i + 1).as("kept"))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_boiler"), col("n_short"),
+        col("n_nopunct"),
+        (size(col("pass3")) - size(col("kept"))).cast("long").as("n_dupline"),
+        size(col("kept")).cast("long").as("n_kept"),
+        length(array_join(col("kept"), "\n")).cast("long").as("clean_chars"),
+        md5(array_join(col("kept"), "\n")).as("clean_md5"),
+        (size(col("kept")) >= cfg.minKeptLines && !col("doc_boiler"))
+          .as("doc_keep"))
+  }
+}

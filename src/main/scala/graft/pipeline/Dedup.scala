@@ -228,6 +228,99 @@ object Dedup {
       .select("train_id", "eval_id", "n_common", "overlap")
   }
 
+  /** BLOOM-PREFILTERED decontamination: same output as contaminationPairs
+    * (bloom filters have no false negatives, so the pair set is identical
+    * — the DuckDB oracle verifies that), but the train-side postings are
+    * screened against a broadcast Bloom filter of the probe's shingle
+    * hashes BEFORE the join. The 100 TB argument: the exact broadcast
+    * join must probe a hash map of every eval posting for every train
+    * posting; the bloom is a bit array `bitsPerKey` bits per eval shingle
+    * (~2 MB per million shingles at 16 bits) — 10-50× smaller than the
+    * posting map — and the 99%+ of train postings that match nothing are
+    * eliminated by `numHashes` codegen'd bit tests without touching the
+    * join at all. The filter is BUILT by a Spark aggregate (word-indexed
+    * bit_or) with the same xxhash64 double-hashing arithmetic the probe
+    * expression uses, so build and probe can never disagree; only the
+    * m/64-word bit table is collected. */
+  def bloomContaminationPairs(train: DataFrame, probe: DataFrame, idCol: String,
+                              textCol: String, threshold: Double = 0.5,
+                              shingleN: Int = 3, dfCap: Int = 1000,
+                              bitsPerKey: Int = 16, numHashes: Int = 5): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
+    val tBase = shingled(train, idCol, textCol, shingleN)
+    val pBase = shingled(probe, idCol, textCol, shingleN)
+    val pSized = pBase.select(col("id").as("eval_id"), size(col("sh")).as("n_e"))
+    val pPosts = shinglePostings(pBase, 0)
+      .select(col("sh_h"), col("id").as("eval_id"))
+    val pKeys = pPosts.select("sh_h").distinct().cache()
+    val nKeys = math.max(pKeys.count(), 1L)
+
+    // m = bits, power of two so `& (m-1)` replaces mod; the k probe
+    // indices are k INDEPENDENT hashes xxhash64(h, i) — re-hashing beats
+    // the classic h1+i·h2 double-hashing here because Spark 4 runs ANSI
+    // arithmetic (the multiply would overflow-error on uniform 64-bit
+    // values) and xxhash64 is one codegen'd call either way
+    val m = java.lang.Long.highestOneBit(
+      math.max(nKeys * bitsPerKey * 2 - 1, 64L))
+    def probeIdx(h: Column): Seq[Column] = (0 until numHashes).map(i =>
+      xxhash64(h, lit(i)).bitwiseAND(lit(m - 1L)))
+
+    val words = pKeys
+      .select(explode(array(probeIdx(col("sh_h")): _*)).as("idx"))
+      .select(expr("idx DIV 64").as("w"), expr("CAST(idx % 64 AS INT)").as("b"))
+      .groupBy("w").agg(expr("bit_or(shiftleft(1L, b))").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pKeys.unpersist()
+    val bitTable = Array.tabulate((m / 64).toInt)(i => words.getOrElse(i.toLong, 0L))
+    val bitsLit = lit(bitTable)
+    val pow2 = lit(Array.tabulate(64)(1L << _))
+    val mayMatch = probeIdx(col("sh_h")).map { ix =>
+      (element_at(bitsLit, (ix / 64).cast("long").cast("int") + 1)
+        .bitwiseAND(element_at(pow2, (ix % 64).cast("int") + 1))) =!= 0L
+    }.reduce(_ && _)
+
+    val tPosts = shinglePostings(tBase, dfCap)
+      .filter(mayMatch)
+      .select(col("sh_h"), col("id").as("train_id"))
+    val inter = tPosts.join(broadcast(pPosts), "sh_h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_common"))
+    inter.join(broadcast(pSized), "eval_id")
+      .withColumn("overlap",
+        col("n_common").cast("double") / col("n_e").cast("double"))
+      .filter(col("overlap") >= threshold)
+      .select("train_id", "eval_id", "n_common", "overlap")
+  }
+
+  /** Cross-document DUPLICATED-SPAN profile (the line-oriented cousin of
+    * Lee et al. 2022's suffix-array substring dedup, approximated at the
+    * token-window level so it distributes): every `window`-token sliding
+    * window is hashed, windows whose hash appears in ≥ 2 documents are
+    * "duplicated spans", and each document reports what fraction of its
+    * distinct windows is duplicated — the signal used to strip boilerplate
+    * and verbatim-copied passages from training corpora. Plan shape:
+    * explode → two skinny aggregates (per-window doc frequency, then
+    * per-doc rollup) — NO pair materialization anywhere, so unlike the
+    * pair-reporting dedup family this profile is linear in the corpus no
+    * matter how pathological the duplication is. Spark groups on the
+    * 64-bit xxhash64 of the window (a 100 TB shuffle carries 8-byte keys,
+    * not 8-gram strings); the oracle groups on the window string itself —
+    * the gate would catch a collision, and at 2^-64 per pair none occurs.
+    * Returns (id, n_windows, n_dup_windows, dup_frac). */
+  def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8): DataFrame = {
+    val posts = shingled(df, idCol, textCol, window)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("wh"))
+    // shingles are distinct per doc, so count = document frequency
+    val docFreq = posts.groupBy("wh").agg(count(lit(1)).as("ndocs"))
+    posts.join(docFreq, "wh")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac", col("n_dup_windows").cast("double") /
+        col("n_windows").cast("double"))
+  }
+
   /** SimHash signatures (id, sig) — compiled single-pass kernel
     * (one XXH64 per feature + 63 affine sign votes, see SimHash64Expr).
     * Features are word 3-SHINGLES, not unigram tokens: unigram features
@@ -321,6 +414,82 @@ object Dedup {
     require(converged || allowPartial,
       s"connectedComponents did not converge in $maxIter iterations " +
         "(component diameter exceeds maxIter); raise maxIter or pass allowPartial")
+    labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014] — the WEB-SCALE path that min-label propagation
+    * (connectedComponents above) is not: propagation needs one round per
+    * hop of component diameter, so a million-node chain needs a million
+    * rounds; star contraction rewires every node toward its neighborhood
+    * minimum and provably converges in O(log² n) rounds (O(log n) in
+    * practice) REGARDLESS of diameter. Use this when components can be
+    * long and stringy (web link graphs, co-citation chains); min-label
+    * stays the cheaper choice for small-diameter near-dup clusters.
+    *
+    * Both phases are one groupBy + one join on skinny (node, node) rows:
+    *   large-star: each node u points its LARGER neighbors at
+    *               m(u) = min(Γ(u) ∪ {u})
+    *   small-star: each node u points its SMALLER neighbors (and itself)
+    *               at the minimum of those
+    * Converged when the edge multiset is stable; then every edge is
+    * (v, component-min) — a star — and the labels fall out directly.
+    * Convergence is ONE action per round: the (count, hash-xor) signature
+    * of the new edge set, compared to the previous round's (xor is
+    * order-independent and cannot overflow; edges are distinct, so xor
+    * cancellation needs a full hash collision). */
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30,
+                                     allowPartial: Boolean = false): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a"), col("b"))
+        .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("a"), col("nmin")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo")).filter(col("hi") =!= col("lo"))
+        .distinct()
+      val mins = directed.groupBy("hi").agg(min(col("lo")).as("m"))
+      directed.join(mins, "hi")
+        .select(col("lo").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(mins.select(col("hi").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    // each phase references the edge set FOUR times (symmetrize + join
+    // back onto the per-node minima), so the logical plan grows ~16× per
+    // round — cache alone keeps the DATA but not the plan, and ten rounds
+    // of that OOMs the planner. localCheckpoint (eager) truncates lineage
+    // every round: executor-local blocks, no reliable-storage round trip;
+    // a multi-hour production run on preemptible executors would swap in
+    // checkpoint() against the cluster checkpoint dir — same plan shape.
+    var edges = pairs
+      .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var sig = (-1L, -1L)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val row = next.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      val nextSig = (row.getLong(0), row.getLong(1))
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    require(converged || allowPartial,
+      s"connectedComponentsAlternating did not converge in $maxIter rounds; " +
+        "raise maxIter or pass allowPartial")
+    // stars: every edge is (member, root); roots label themselves
+    val labels = edges.select(col("a").as("v"), col("b").as("lbl"))
+      .unionByName(edges.select(col("b").as("v"), col("b").as("lbl")))
+      .groupBy("v").agg(min(col("lbl")).as("lbl"))
     labels
   }
 }

@@ -34,6 +34,29 @@ object Mixing {
     * without a shuffle (scan-local, exactly reproducible). */
   def stratifiedKeep(u: Column, rate: Column): Column = u < rate
 
+  /** TEMPERATURE-WEIGHTED source mixing (the multilingual/multi-source
+    * sampling scheme of Lample & Conneau 2019 §3.1, used to rebalance
+    * training mixtures): source s gets mixture weight
+    * w_s = n_s^τ / Σ_t n_t^τ, and to realize a corpus of `targetFrac`·N
+    * documents each source keeps rate_s = min(1, targetFrac·N·w_s / n_s).
+    * τ < 1 UPSAMPLES small sources relative to their natural share
+    * (τ = 1 is proportional sampling, τ = 0 equalizes sources). The rate
+    * table is one tiny aggregate (|sources| rows — window functions over
+    * it are driver-trivial) broadcast back onto the corpus, where the
+    * keep decision is the same deterministic hashUnit test as
+    * stratifiedKeep — scan-local, reproducible, engine-portable.
+    * Input: (srcCol, nCol) per-source counts. Output: + (weight, rate). */
+  def temperatureRates(counts: DataFrame, srcCol: String, nCol: String,
+                       tau: Double, targetFrac: Double): DataFrame = {
+    val all = Window.partitionBy()
+    counts
+      .withColumn("w", pow(col(nCol).cast("double"), tau) /
+        sum(pow(col(nCol).cast("double"), tau)).over(all))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFrac) * sum(col(nCol)).over(all).cast("double") *
+          col("w") / col(nCol).cast("double")))
+  }
+
   /** Token-budget sequence packing (offset binning): docs are laid out in
     * a deterministic order per source and cut into `budget`-token
     * sequences; a doc belongs to the bin its FIRST token lands in. One

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.pipeline.{Ann, Clean, Dedup, Mixing}
+
+/** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
+  * prefiltered decontamination, SemDeDup, cross-document duplicated-span
+  * profiling, temperature-weighted source mixing, and web-scale
+  * (large-star/small-star) connected components. Same discipline as
+  * PipelineQueries: every entry is bucketed/broadcast/scan-local on the
+  * engine side — no O(n²) stage — while the DuckDB oracle may brute-force
+  * at sf0.01.
+  */
+object CurationQueries extends QueryModule {
+
+  private val outRoot = s"${graft.Land.root}/curation"
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+
+  /** The synthetic corpus is single-line and boilerplate-free, so the
+    * C4 query first AUGMENTS each doc with deterministic doc_id-derived
+    * lines that exercise every rule (the p16 PII pattern); the identical
+    * expression runs in the oracle. concat_ws skips the null branch. */
+  private def c4Aug = {
+    val lineA = concat(col("text"), lit("."))
+    val lineB = when(col("doc_id") % 3 === 0,
+      lit("please enable javascript and accept cookies to continue."))
+      .otherwise(lit("the quick brown fox jumps over the lazy dog."))
+    val lineC = when(col("doc_id") % 4 === 0, lit("click here now."))
+      .otherwise(lit("another perfectly reasonable sentence appears right here."))
+    val lineD = when(col("doc_id") % 5 === 0,
+      lit("this line has no terminal punctuation at all"))
+      .otherwise(lit("a final good line to close the document."))
+    val lineE = when(col("doc_id") % 2 === 0, lineA)
+      .otherwise(concat(lit("unique closing remark number "),
+        col("doc_id").cast("string"), lit(".")))
+    val lineF = when(col("doc_id") % 50 === 17, lit("lorem ipsum dolor sit amet."))
+    concat_ws("\n", lineA, lineB, lineC, lineD, lineE, lineF)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- C4-style line cleaning: scan-local, per-rule drop accounting,
+    //      within-doc first-occurrence line dedup, doc-level gates --------
+    "p27_c4_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Clean.c4Lines(d.select(col("doc_id"), c4Aug.as("text")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Bloom-prefiltered decontamination: identical pair set to exact
+    //      containment (no false negatives — the oracle brute-forces the
+    //      same containment), train postings screened by a broadcast bit
+    //      table before ever reaching the join ---------------------------
+    "p28_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probe = d.filter(col("doc_id") % 20 === 13)
+      val train = d.filter(col("doc_id") % 20 =!= 13)
+      Dedup.bloomContaminationPairs(train, probe, "doc_id", "text", threshold = 0.5)
+        .withColumn("overlap", round(col("overlap"), 6))
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // ---- SemDeDup: KMeans cells landed to parquet, within-cell cosine
+    //      pairs; the oracle recomputes the within-cell pair set and drop
+    //      counts from the LANDED assignments + raw embeddings -----------
+    "p29_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Ann.kmeansCells(e, nCells = 16)
+      cells.write.mode("overwrite").parquet(s"$outRoot/sem_cells")
+      val landed = s.read.parquet(s"$outRoot/sem_cells")
+      val pairs = Ann.semDedupPairs(e, landed, threshold = 0.45)
+      val perCell = landed.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val pairAgg = pairs.groupBy("cell").agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("j")).as("n_dropped"))
+      perCell.join(pairAgg, Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy("cell")
+    }),
+
+    // ---- duplicated-span profile: per-doc fraction of 8-token windows
+    //      appearing in ≥2 docs — two skinny aggregates, no pairs --------
+    "p30_dup_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prof = Dedup.dupSpanProfile(d, "doc_id", "text", window = 8)
+        .withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id")).join(prof, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          round(coalesce(col("dup_frac"), lit(0.0)), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- temperature-weighted source mixing: rate table from one tiny
+    //      aggregate, deterministic hashUnit keep decisions --------------
+    "p31_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val rates = Mixing.temperatureRates(counts, "source", "n_docs",
+        tau = 0.7, targetFrac = 0.5)
+      d.join(broadcast(rates.select("source", "rate")), "source")
+        .withColumn("u", Mixing.hashUnit(col("doc_id"), "graft-temp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(max(col("rate")), 9).as("rate"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("u") < col("rate"), col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy("source")
+    }),
+
+    // ---- web-scale connected components: consecutive-id chains of ~250
+    //      nodes (diameter FAR above min-label's practical round budget —
+    //      the case that NEEDS star contraction); the oracle derives the
+    //      same components analytically via gaps-and-islands -------------
+    "p32_cc_largestar" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id").as("j"))
+      val edges = d.filter(col("doc_id") % 250 =!= 249)
+        .select(col("doc_id").as("i"), (col("doc_id") + 1).as("j"))
+        .join(ids, Seq("j"), "left_semi")
+        .select("i", "j")
+      Dedup.connectedComponentsAlternating(edges)
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("size"), max(col("v")).as("max_member"))
+        .orderBy("cluster")
+    })
+  )
+
+  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** The c4Aug expression, restated in DuckDB SQL. */
+  private val duckAug = """
+      concat_ws(chr(10),
+        text || '.',
+        CASE WHEN doc_id % 3 = 0
+             THEN 'please enable javascript and accept cookies to continue.'
+             ELSE 'the quick brown fox jumps over the lazy dog.' END,
+        CASE WHEN doc_id % 4 = 0 THEN 'click here now.'
+             ELSE 'another perfectly reasonable sentence appears right here.' END,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'this line has no terminal punctuation at all'
+             ELSE 'a final good line to close the document.' END,
+        CASE WHEN doc_id % 2 = 0 THEN text || '.'
+             ELSE 'unique closing remark number ' || CAST(doc_id AS VARCHAR) || '.' END,
+        CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
+
+  val oracles: Map[String, String] = Map(
+    "p27_c4_clean" -> s"""
+      WITH a AS (SELECT doc_id, $duckAug AS aug FROM documents),
+      l AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines FROM a),
+      f AS (SELECT doc_id,
+              contains(lower(aug), 'lorem ipsum') OR contains(lower(aug), '{') AS doc_boiler,
+              len(lines) AS n_lines,
+              len(list_filter(lines, x ->
+                contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))) AS n_boiler,
+              len(list_filter(lines, x ->
+                NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
+                AND len(string_split_regex(x, '\\s+')) < 5)) AS n_short,
+              len(list_filter(lines, x ->
+                NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
+                AND len(string_split_regex(x, '\\s+')) >= 5
+                AND NOT regexp_matches(x, '[.!?"]$$'))) AS n_nopunct,
+              list_filter(lines, x ->
+                NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
+                AND len(string_split_regex(x, '\\s+')) >= 5
+                AND regexp_matches(x, '[.!?"]$$')) AS pass3
+            FROM l),
+      k AS (SELECT *, list_transform(
+              list_filter(range(1, len(pass3) + 1),
+                          i -> list_position(pass3, pass3[i]) = i),
+              i -> pass3[i]) AS kept
+            FROM f)
+      SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(n_boiler AS BIGINT) AS n_boiler,
+             CAST(n_short AS BIGINT) AS n_short,
+             CAST(n_nopunct AS BIGINT) AS n_nopunct,
+             CAST(len(pass3) - len(kept) AS BIGINT) AS n_dupline,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars,
+             md5(array_to_string(kept, chr(10))) AS clean_md5,
+             len(kept) >= 3 AND NOT doc_boiler AS doc_keep
+      FROM k ORDER BY doc_id""",
+
+    "p28_bloom_decontaminate" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      e AS (SELECT * FROM sh WHERE doc_id % 20 = 13),
+      t AS (SELECT * FROM sh WHERE doc_id % 20 <> 13)
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_common,
+             round(CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s), 6) AS overlap
+      FROM t, e
+      WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) >= 0.5
+      ORDER BY train_id, eval_id""",
+
+    "p29_semdedup" -> s"""
+      WITH c AS (SELECT vec_id, cell
+                 FROM read_parquet('$outRoot/sem_cells/*.parquet')),
+      v AS (SELECT c.cell, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM c JOIN embeddings e USING (vec_id)),
+      p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j
+            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45),
+      pc AS (SELECT cell, COUNT(*) AS n_pairs, COUNT(DISTINCT j) AS n_dropped
+             FROM p GROUP BY cell),
+      nc AS (SELECT cell, COUNT(*) AS n_vecs FROM c GROUP BY cell)
+      SELECT nc.cell, nc.n_vecs,
+             CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(pc.n_dropped, 0) AS BIGINT) AS n_dropped
+      FROM nc LEFT JOIN pc USING (cell) ORDER BY nc.cell""",
+
+    "p30_dup_spans" -> s"""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                      toks[i+6] || ' ' || toks[i+7])) AS ws
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+      posts AS (SELECT doc_id, unnest(ws) AS win FROM w),
+      df AS (SELECT win, COUNT(*) AS ndocs FROM posts GROUP BY win),
+      prof AS (SELECT p.doc_id, COUNT(*) AS n_windows,
+                      SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+               FROM posts p JOIN df USING (win) GROUP BY p.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(prof.n_windows, 0) AS BIGINT) AS n_windows,
+             CAST(COALESCE(prof.n_dup, 0) AS BIGINT) AS n_dup_windows,
+             round(COALESCE(CAST(prof.n_dup AS DOUBLE) / prof.n_windows, 0.0), 6)
+               AS dup_frac
+      FROM documents d LEFT JOIN prof USING (doc_id) ORDER BY d.doc_id""",
+
+    "p31_temperature_mix" -> """
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      r AS (SELECT source, n,
+              least(1.0, 0.5 * (SUM(n) OVER ()) *
+                (pow(n, 0.7) / (SUM(pow(n, 0.7)) OVER ())) / n) AS rate
+            FROM c),
+      b AS (SELECT d.doc_id, d.source, r.rate,
+              ('0x' || substr(md5('graft-temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 AS u
+            FROM documents d JOIN r USING (source))
+      SELECT source, COUNT(*) AS n_docs, round(MAX(rate), 9) AS rate,
+             CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      FROM b GROUP BY source ORDER BY source""",
+
+    "p32_cc_largestar" -> """
+      WITH ids AS (SELECT doc_id AS v FROM documents),
+      e AS (SELECT a.v AS i FROM ids a JOIN ids b ON b.v = a.v + 1
+            WHERE a.v % 250 <> 249),
+      isl AS (SELECT i, i - ROW_NUMBER() OVER (ORDER BY i) AS grp FROM e)
+      SELECT CAST(MIN(i) AS BIGINT) AS cluster,
+             CAST(MAX(i) - MIN(i) + 2 AS BIGINT) AS size,
+             CAST(MAX(i) + 1 AS BIGINT) AS max_member
+      FROM isl GROUP BY grp ORDER BY cluster"""
+  )
+}

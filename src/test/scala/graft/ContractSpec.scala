@@ -48,7 +48,8 @@ class ContractSpec extends AnyFunSuite {
       graft.queries.WorkloadQueries, graft.queries.DiffStatsQueries,
       graft.queries.PipelineQueries, graft.queries.AnonQueries,
       graft.queries.CreateQueries, graft.queries.SqlSurfaceQueries,
-      graft.queries.IoQueries).map(m => m.queries.keys.toSeq)
+      graft.queries.IoQueries, graft.queries.CurationQueries)
+      .map(m => m.queries.keys.toSeq)
     val all = perModule.flatten
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.toSeq.sorted}")

@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators: C4 line cleaning, bloom-prefiltered
+  * decontamination, SemDeDup, duplicated-span profile, temperature
+  * mixing, alternating-star connected components. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Clean.c4Lines ----------------------------------------------------
+
+  test("c4Lines applies rules in precedence order and counts partition drops") {
+    val doc = Seq(
+      "this is a perfectly fine first sentence.",   // kept
+      "please enable javascript to continue.",      // boiler (despite punct+words)
+      "too short.",                                  // short
+      "this long line is missing its terminal punctuation", // nopunct
+      "this is a perfectly fine first sentence.",   // dup of line 1
+      "a distinct closing line rounds out the doc." // kept
+    ).mkString("\n")
+    val out = Clean.c4Lines(Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(out.getAs[Long]("n_lines") === 6)
+    assert(out.getAs[Long]("n_boiler") === 1)
+    assert(out.getAs[Long]("n_short") === 1)
+    assert(out.getAs[Long]("n_nopunct") === 1)
+    assert(out.getAs[Long]("n_dupline") === 1)
+    assert(out.getAs[Long]("n_kept") === 2)
+    assert(out.getAs[Boolean]("doc_keep") === false) // 2 < minKeptLines
+  }
+
+  test("c4Lines doc-level gates: lorem ipsum and braces kill the doc") {
+    val good = (1 to 4).map(i =>
+      s"good sentence number $i with plenty of words present.").mkString("\n")
+    val df = Seq(
+      (1L, good),
+      (2L, good + "\nlorem ipsum dolor sit amet filler text here."),
+      (3L, good.replace("plenty", "{plenty}"))
+    ).toDF("doc_id", "text")
+    val keep = Clean.c4Lines(df, "doc_id", "text")
+      .select("doc_id", "doc_keep").as[(Long, Boolean)].collect().toMap
+    assert(keep(1L) === true)
+    assert(keep(2L) === false)
+    assert(keep(3L) === false)
+  }
+
+  test("c4Lines cleaned text keeps first occurrences in order") {
+    val doc = Seq(
+      "alpha line one has five words total.",
+      "beta line two also has enough words.",
+      "alpha line one has five words total.").mkString("\n")
+    val out = Clean.c4Lines(Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text").head()
+    val expected = "alpha line one has five words total.\n" +
+      "beta line two also has enough words."
+    assert(out.getAs[Long]("clean_chars") === expected.length.toLong)
+    assert(out.getAs[String]("clean_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  // ---- Dedup.bloomContaminationPairs -------------------------------------
+
+  private def corpus(n: Int) = {
+    val docs = (0 until n).map { i =>
+      val words = (0 until 30).map(w => s"w${(i * 31 + w * 7) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    // plant containment: doc n   = full copy of doc 0's text plus noise
+    val planted = (n.toLong, docs(0)._2 + " extra tail words here")
+    (docs :+ planted).toDF("doc_id", "text")
+  }
+
+  test("bloom prefilter returns the exact contamination pair set") {
+    val d = corpus(40)
+    val probe = d.filter(col("doc_id") % 10 === 0)
+    val train = d.filter(col("doc_id") % 10 =!= 0)
+    val exact = Dedup.contaminationPairs(train, probe, "doc_id", "text",
+      threshold = 0.3).orderBy("train_id", "eval_id").collect().toSeq
+    val bloomed = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
+      threshold = 0.3).orderBy("train_id", "eval_id").collect().toSeq
+    assert(exact.nonEmpty, "fixture must produce at least one contaminated pair")
+    assert(bloomed === exact)
+  }
+
+  test("bloom prefilter prunes nearly everything when probe is disjoint") {
+    val train = (0 until 200).map(i =>
+      (i.toLong, (0 until 20).map(w => s"t${i}x$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = Seq((9999L, (0 until 20).map(w => s"probeword$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
+      threshold = 0.1)
+    assert(out.count() === 0)
+  }
+
+  // ---- Dedup.dupSpanProfile ----------------------------------------------
+
+  test("dupSpanProfile flags cross-doc duplicated windows only") {
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " unique one tail of doc"),
+      (2L, "prefix words for doc two " + span),
+      (3L, (1 to 20).map(i => s"only$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val prof = Dedup.dupSpanProfile(df, "doc_id", "text", window = 8)
+      .orderBy("id").collect()
+    val byId = prof.map(r => r.getLong(0) -> r).toMap
+    // the 12 shared tokens give 5 shared 8-windows; both docs must flag ≥5
+    assert(byId(1L).getAs[Long]("n_dup_windows") >= 5)
+    assert(byId(2L).getAs[Long]("n_dup_windows") >= 5)
+    assert(byId(3L).getAs[Long]("n_dup_windows") === 0)
+    assert(byId(3L).getAs[Double]("dup_frac") === 0.0)
+  }
+
+  // ---- Ann.semDedupPairs ---------------------------------------------------
+
+  test("semDedup within-cell pairs match a brute force restricted to cells") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    // plant near-dups: vectors 100+i ≈ vectors i (tiny perturbation)
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val cells = Ann.kmeansCells(emb, nCells = 4, seed = 3)
+    val got = Ann.semDedupPairs(emb, cells, threshold = 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // brute force within cells
+    val cellMap = cells.as[(Long, Long)].collect().toMap
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val want = (for {
+      i <- vecs.keys; j <- vecs.keys
+      if i < j && cellMap(i) == cellMap(j)
+      if BigDecimal(cos(vecs(i), vecs(j))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.95
+    } yield (i, j)).toSet
+    assert(got === want)
+    // the planted dups must be found (same cell by construction of KMeans)
+    assert((0 until 5).count(i => got.contains((i.toLong, 100L + i))) >= 4)
+  }
+
+  // ---- Mixing.temperatureRates ---------------------------------------------
+
+  test("temperature tau=1 is proportional sampling: every rate = targetFrac") {
+    val counts = Seq(("a", 100L), ("b", 300L), ("c", 50L)).toDF("source", "n")
+    val r = Mixing.temperatureRates(counts, "source", "n", tau = 1.0, targetFrac = 0.5)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    r.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+  }
+
+  test("temperature tau=0 equalizes expected per-source volume") {
+    val counts = Seq(("a", 100L), ("b", 400L)).toDF("source", "n")
+    val r = Mixing.temperatureRates(counts, "source", "n", tau = 0.0, targetFrac = 0.4)
+      .select("source", "rate", "n").as[(String, Double, Long)].collect()
+    // expected kept = rate * n must be equal across sources (=f*N/S=100)
+    r.foreach { case (_, rate, n) => assert(math.abs(rate * n - 100.0) < 1e-9) }
+  }
+
+  test("temperature tau<1 upsamples small sources relative to large ones") {
+    val counts = Seq(("small", 100L), ("big", 10000L)).toDF("source", "n")
+    val r = Mixing.temperatureRates(counts, "source", "n", tau = 0.5, targetFrac = 0.3)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r("small") > r("big"))
+  }
+
+  // ---- Dedup.connectedComponentsAlternating --------------------------------
+
+  test("alternating CC matches min-label propagation on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 150).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("i", "j")
+    val alt = Dedup.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect().toMap
+    val ml = Dedup.connectedComponents(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(alt === ml)
+  }
+
+  test("alternating CC converges on a 200-node chain in few rounds") {
+    // diameter 199: min-label would need 199 rounds; star contraction
+    // must do it within the default budget (O(log n))
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = Dedup.connectedComponentsAlternating(pairs, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 === 0L))
+  }
+
+  test("alternating CC labels two disjoint chains by their minima") {
+    val pairs = ((0L until 49L).map(i => (i, i + 1)) ++
+      (100L until 149L).map(i => (i, i + 1))).toDF("i", "j")
+    val labels = Dedup.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(labels === Map(0L -> 50, 100L -> 50))
+  }
+}
