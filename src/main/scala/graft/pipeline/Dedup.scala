@@ -249,10 +249,14 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
     val tBase = shingled(train, idCol, textCol, shingleN)
     val pBase = shingled(probe, idCol, textCol, shingleN)
-    val pSized = pBase.select(col("id").as("eval_id"), size(col("sh")).as("n_e"))
+    // ONE cached probe posting set feeds everything probe-side (the bloom
+    // build's two actions, the containment join, and the per-doc shingle
+    // counts — shingles are distinct per doc, so count(postings) = |E|);
+    // without the cache each consumer re-scans and re-shingles the probe
     val pPosts = shinglePostings(pBase, 0)
-      .select(col("sh_h"), col("id").as("eval_id"))
-    val pKeys = pPosts.select("sh_h").distinct().cache()
+      .select(col("sh_h"), col("id").as("eval_id")).cache()
+    val pSized = pPosts.groupBy("eval_id").agg(count(lit(1)).as("n_e"))
+    val pKeys = pPosts.select("sh_h").distinct()
     val nKeys = math.max(pKeys.count(), 1L)
 
     // m = bits, power of two so `& (m-1)` replaces mod; the k probe
@@ -270,7 +274,6 @@ object Dedup {
       .select(expr("idx DIV 64").as("w"), expr("CAST(idx % 64 AS INT)").as("b"))
       .groupBy("w").agg(expr("bit_or(shiftleft(1L, b))").as("bits"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    pKeys.unpersist()
     val bitTable = Array.tabulate((m / 64).toInt)(i => words.getOrElse(i.toLong, 0L))
     val bitsLit = lit(bitTable)
     val pow2 = lit(Array.tabulate(64)(1L << _))
@@ -305,15 +308,21 @@ object Dedup {
     * 64-bit xxhash64 of the window (a 100 TB shuffle carries 8-byte keys,
     * not 8-gram strings); the oracle groups on the window string itself —
     * the gate would catch a collision, and at 2^-64 per pair none occurs.
-    * Returns (id, n_windows, n_dup_windows, dup_frac). */
+    * The doc frequency is a COUNT WINDOW over the posting partition, not
+    * a groupBy re-joined onto the postings: the join shape scans and
+    * re-builds the postings on both sides and shuffles three times
+    * (measured 6.5 s at sf0.1 vs 3.5 s for this shape) — the window
+    * needs the full posting rows shuffled by wh exactly once, which the
+    * per-doc rollup's id shuffle then consumes. Returns (id, n_windows,
+    * n_dup_windows, dup_frac). */
   def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 8): DataFrame = {
     val posts = shingled(df, idCol, textCol, window)
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("wh"))
-    // shingles are distinct per doc, so count = document frequency
-    val docFreq = posts.groupBy("wh").agg(count(lit(1)).as("ndocs"))
-    posts.join(docFreq, "wh")
+    // shingles are distinct per doc, so the partition count = doc frequency
+    val byWindow = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    posts.withColumn("ndocs", count(lit(1)).over(byWindow))
       .groupBy("id").agg(
         count(lit(1)).as("n_windows"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
