@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Clean, Dedup, Mixing}
+import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing}
 
 /** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
   * prefiltered decontamination, SemDeDup, cross-document duplicated-span
@@ -112,6 +112,23 @@ object CurationQueries extends QueryModule {
           sum(when(col("u") < col("rate"), col("doc_id")).otherwise(0L))
             .as("kept_id_sum"))
         .orderBy("source")
+    }),
+
+    // ---- BPE merge induction: corpus-wide adjacent pre-token pair
+    //      counts, global top-k over the aggregated pair table ----------
+    "p33_bpe_merges" -> ((s, dir) => {
+      Lm.bpeMergeCandidates(docs(s, dir), "text", k = 30).orderBy("rank")
+    }),
+
+    // ---- unigram-LM cross-entropy quality score (CCNet's perplexity
+    //      filter shape; the corpus's own unigram model stands in for
+    //      the external LM): model aggregate broadcast back over the
+    //      token stream, one per-doc rollup ------------------------------
+    "p34_unigram_nll" -> ((s, dir) => {
+      Lm.unigramNll(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .orderBy("doc_id")
     }),
 
     // ---- web-scale connected components: consecutive-id chains of ~250
@@ -254,6 +271,24 @@ object CurationQueries extends QueryModule {
              CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              CAST(SUM(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       FROM b GROUP BY source ORDER BY source""",
+
+    "p33_bpe_merges" -> s"""
+      WITH t AS (SELECT regexp_extract_all(lower(text),
+                   '${graft.pipeline.TextOps.BpePattern}') AS bt FROM documents),
+      p AS (SELECT unnest(list_transform(range(1, len(bt)),
+              i -> bt[i] || ' ' || bt[i+1])) AS pair FROM t),
+      c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+             pair, cnt
+      FROM c ORDER BY cnt DESC, pair LIMIT 30""",
+
+    "p34_unigram_nll" -> s"""
+      WITH posts AS (SELECT doc_id AS id, unnest($duckToks) AS tok FROM documents),
+      m AS (SELECT tok, COUNT(*) AS cnt FROM posts GROUP BY tok),
+      mt AS (SELECT tok, cnt, SUM(cnt) OVER () AS total FROM m)
+      SELECT p.id AS doc_id, COUNT(*) AS n_toks,
+             round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
+      FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
 
     "p32_cc_largestar" -> """
       WITH ids AS (SELECT doc_id AS v FROM documents),

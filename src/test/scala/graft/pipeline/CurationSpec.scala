@@ -172,6 +172,34 @@ class CurationSpec extends SparkSpec {
     assert(r("small") > r("big"))
   }
 
+  // ---- Lm.bpeMergeCandidates / unigramNll ----------------------------------
+
+  test("bpeMergeCandidates counts every adjacency and ranks deterministically") {
+    val df = Seq(
+      (1L, "ab ab ab"),   // pre-tokens: ab,ab,ab → pairs (ab ab) ×2
+      (2L, "ab cd ab cd") // pairs: (ab cd) ×2, (cd ab) ×1
+    ).toDF("doc_id", "text")
+    val top = Lm.bpeMergeCandidates(df, "text", k = 3)
+      .select("rank", "pair", "cnt")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(top === Seq((1L, "ab ab", 2L), (2L, "ab cd", 2L), (3L, "cd ab", 1L)))
+  }
+
+  test("unigramNll: uniform docs score ln(vocab), rare tokens raise the score") {
+    // 4 docs over 2 equally frequent tokens → p = 1/2 for both, nll = ln 2
+    val uniform = Seq((1L, "aa bb"), (2L, "bb aa"), (3L, "aa bb"), (4L, "bb aa"))
+      .toDF("doc_id", "text")
+    val u = Lm.unigramNll(uniform, "doc_id", "text")
+      .select("avg_nll").as[Double].collect()
+    u.foreach(v => assert(math.abs(v - math.log(2.0)) < 1e-9))
+    // a doc made of a rare token scores higher than one of a common token
+    val skewed = Seq((1L, "common common common common"), (2L, "rare"))
+      .toDF("doc_id", "text")
+    val s = Lm.unigramNll(skewed, "doc_id", "text")
+      .select("id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(s(2L) > s(1L))
+  }
+
   // ---- Dedup.connectedComponentsAlternating --------------------------------
 
   test("alternating CC matches min-label propagation on a random graph") {
