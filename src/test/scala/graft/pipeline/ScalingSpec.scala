@@ -151,6 +151,37 @@ class ScalingSpec extends SparkSpec {
       candVolume(Ann.hyperplaneBucketed(eL, 64, 4 + extra, 32, 5)))
   }
 
+  test("semdedup (p29) within-cell volume grows ~linearly under the nCells rule") {
+    assume(haveData, "testdata absent")
+    // SemDeDup's documented knob (Ann.semDedupPairs): within-cell volume
+    // is Σ c·(c−1)/2 with E[c] = n/nCells, so nCells must grow ∝ n to
+    // keep candidates linear — at FIXED nCells the volume is structurally
+    // quadratic. The spec scales cells with the corpus (500→16 cells,
+    // 2000→64) and asserts the rule delivers; KMeans imbalance makes the
+    // bound stochastic, hence the slightly looser exponent than the
+    // hash-bucket families.
+    val (eS, eL) = (embs(sfSmall), embs(sfLarge))
+    val (n1, n2) = (eS.count(), eL.count())
+    val cells1 = 16
+    val cells2 = math.max((cells1 * n2 / n1).toInt, cells1)
+    assertLinear("semdedup(p29)", 1.5, n1,
+      candVolume(Ann.kmeansCells(eS, cells1, seed = 1), "cell"), n2,
+      candVolume(Ann.kmeansCells(eL, cells2, seed = 1), "cell"))
+  }
+
+  test("dup-span profile (p30) posting volume is linear by construction") {
+    assume(haveData, "testdata absent")
+    // counts-only: no pair materialization exists to guard, so the only
+    // scale quantity is the posting count itself (windows per doc is
+    // bounded by doc length — independent of corpus size)
+    def postings(d: DataFrame): Long =
+      Dedup.shingled(d, "doc_id", "text", 8)
+        .select(explode(col("sh"))).count()
+    val (dS, dL) = (docs(sfSmall), docs(sfLarge))
+    assertLinear("dup-span(p30)", 1.1, dS.count(), postings(dS),
+      dL.count(), postings(dL))
+  }
+
   test("dfCap off + a planted ubiquitous shingle IS quadratic (guard fires)") {
     // boilerplate shared by every doc (the failure mode dfCap exists
     // for): 10 shared tokens → 8 shared 3-shingles, each with df = n,
