@@ -39,12 +39,17 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   anonymize --file <sqlFile> [--method hash|minihash] [--dict <yaml>]
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
   *             [--exact] [--histogram col1,col2[:buckets]]
-  *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate>
+  *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate|
+  *                   clean|spans|mix|merges|nll|cluster>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
-  *             [--source-col source]    (pack's per-stratum packing key)
+  *             [--source-col source]    (pack/mix's per-stratum key)
   *             [--probe <parquetDir>]   (decontaminate's benchmark set)
+  *             [--window 8]             (spans' token-window width)
+  *             [--tau 0.7] [--target-frac 0.5]  (mix's temperature)
+  *             [--k 100]                (merges' top-k)
+  *             (cluster expects (i, j) pair parquet, e.g. neardup output)
   *             (training-data ops over any parquet corpus — the verb
   *              face of graft.pipeline; beyond the reference surface)
   *
@@ -293,6 +298,29 @@ object Cli {
         case "decontaminate" =>
           graft.pipeline.Dedup.contaminationPairs(
             in, spark.read.parquet(req(o, "probe")), idCol, textCol, threshold)
+        case "clean" => // C4-style line-cleaning report (join on doc_keep to filter)
+          graft.pipeline.Clean.c4Lines(in, idCol, textCol)
+        case "spans" => // cross-doc duplicated-span profile
+          graft.pipeline.Dedup.dupSpanProfile(in, idCol, textCol,
+            o.getOrElse("window", "8").toInt)
+        case "mix" => // temperature-weighted source mixing: adds (rate, kept)
+          val srcCol = o.getOrElse("source-col", "source")
+          require(in.columns.contains(srcCol),
+            s"mix needs a per-source column '--source-col $srcCol' in the input")
+          val counts = in.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+          val rates = graft.pipeline.Mixing.temperatureRates(counts, srcCol, "n",
+            o.getOrElse("tau", "0.7").toDouble,
+            o.getOrElse("target-frac", "0.5").toDouble)
+          in.join(broadcast(rates.select(col(srcCol), col("rate"))), srcCol)
+            .withColumn("kept", graft.pipeline.Mixing.stratifiedKeep(
+              graft.pipeline.Mixing.hashUnit(col(idCol), "graft-temp"), col("rate")))
+        case "merges" => // top-k BPE merge candidates
+          graft.pipeline.Lm.bpeMergeCandidates(in, textCol,
+            o.getOrElse("k", "100").toInt)
+        case "nll" => // unigram-LM cross-entropy score per doc
+          graft.pipeline.Lm.unigramNll(in, idCol, textCol)
+        case "cluster" => // (i, j) pair parquet -> component labels
+          graft.pipeline.Dedup.connectedComponentsAlternating(in)
         case other => throw new IllegalArgumentException(
           s"unknown pipeline op '$other'\n$usage")
       }

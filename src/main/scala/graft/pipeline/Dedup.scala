@@ -228,6 +228,56 @@ object Dedup {
       .select("train_id", "eval_id", "n_common", "overlap")
   }
 
+  /** Landed MinHash posting INDEX of a corpus: the (band, band_hash, id)
+    * rows of minhashPostings flattened for parquet. The point is
+    * INCREMENTAL ingestion (see incrementalMinhashPairs): the existing
+    * corpus is signature-banded once, and every future batch dedups
+    * against the landed index without the corpus ever being re-scanned,
+    * re-shingled, or re-hashed. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                   seed: Long = 7): DataFrame =
+    minhashPostings(shingled(df, idCol, textCol, shingleN), k, bands, seed)
+      .select(col("bkt.band").as("band"), col("bkt.bandHash").as("band_hash"),
+        col("id"))
+
+  /** INCREMENTAL near-dup detection: a NEW batch checked against a
+    * landed minhashIndex of the existing corpus. Plan costs, in corpus
+    * terms: the new batch (a daily ingest, ≪ corpus) is the only side
+    * that gets scanned/shingled/signed in full; the candidate join keys
+    * the BATCH postings against the INDEX on (band, band_hash); and
+    * exact-Jaccard verification re-shingles only the OLD DOCS THAT
+    * APPEAR AS CANDIDATES (a semi-join prunes the corpus scan to them —
+    * column pruning + the pushed id filter mean the text column is read
+    * for candidate rows only). Same banding parameters MUST be used for
+    * index and batch (the signature seed is part of the index contract).
+    * Returns (new_id, old_id, jaccard ≥ threshold). */
+  def incrementalMinhashPairs(newDocs: DataFrame, index: DataFrame,
+                              oldDocs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5, shingleN: Int = 3,
+                              seed: Long = 7): DataFrame = {
+    val newBase = shingled(newDocs, idCol, textCol, shingleN)
+    val newPosts = minhashPostings(newBase, k, bands, seed)
+      .select(col("bkt.band").as("band"), col("bkt.bandHash").as("band_hash"),
+        col("id").as("new_id"))
+    val candidates = newPosts
+      .join(index.withColumnRenamed("id", "old_id"), Seq("band", "band_hash"))
+      .select("new_id", "old_id").distinct()
+    val oldCand = oldDocs.join(
+      candidates.select(col("old_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val oldSh = shingled(oldCand, idCol, textCol, shingleN)
+      .select(col("id").as("old_id"), col("sh").as("sh_o"))
+    val newSh = newBase.select(col("id").as("new_id"), col("sh").as("sh_n"))
+    candidates.join(newSh, "new_id").join(oldSh, "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** BLOOM-PREFILTERED decontamination: same output as contaminationPairs
     * (bloom filters have no false negatives, so the pair set is identical
     * — the DuckDB oracle verifies that), but the train-side postings are

@@ -114,6 +114,55 @@ object CurationQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // ---- incremental dedup: a "new batch" (doc_id % 3 == 2) checked
+    //      against a LANDED minhash index of the existing corpus — the
+    //      corpus is banded once, the batch is the only full scan, and
+    //      verification re-shingles candidate old docs only. Oracle =
+    //      brute-force cross-set Jaccard (planted dups are high-sim, so
+    //      banding recall is total — the p04 argument) ------------------
+    "p35_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldDocs = d.filter(col("doc_id") % 3 =!= 2)
+      val newDocs = d.filter(col("doc_id") % 3 === 2)
+      Dedup.minhashIndex(oldDocs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$outRoot/mh_index")
+      val index = s.read.parquet(s"$outRoot/mh_index")
+      Dedup.incrementalMinhashPairs(newDocs, index, oldDocs, "doc_id", "text",
+        threshold = 0.5)
+        .orderBy("new_id", "old_id")
+    }),
+
+    // ---- the END-TO-END curation story: C4 clean → exact-dedup
+    //      canonical keep → decontaminate vs a probe set → deterministic
+    //      split, folded to per-(source, split) corpus accounting — the
+    //      composition a real training-data run executes, as ONE lazy
+    //      plan (no landing between stages) ----------------------------
+    "p36_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.select(col("doc_id"), col("source"), c4Aug.as("text"))
+      val cleaned = Clean.c4Lines(aug, "doc_id", "text")
+        .filter(col("doc_keep")).select("doc_id")
+      // canonical keep: min doc_id per exact-duplicate group (on the RAW
+      // text so the aug lines don't mask planted duplicates)
+      val canonical = Dedup.exactGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      // decontamination: drop docs containing an eval probe (overlap ≥ 0.5
+      // vs the % 20 == 7 probe set, the p20 convention)
+      val probe = d.filter(col("doc_id") % 20 === 7)
+      val train = d.filter(col("doc_id") % 20 =!= 7)
+      val contaminated = Dedup.contaminationPairs(train, probe, "doc_id", "text",
+        threshold = 0.5).select(col("train_id").as("doc_id")).distinct()
+      d.join(cleaned, Seq("doc_id"), "left_semi")
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 20 =!= 7)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split", Mixing.splitAssign(
+          Mixing.hashUnit(col("doc_id"), "graft-split")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source", "split")
+    }),
+
     // ---- BPE merge induction: corpus-wide adjacent pre-token pair
     //      counts, global top-k over the aggregated pair table ----------
     "p33_bpe_merges" -> ((s, dir) => {
@@ -129,6 +178,24 @@ object CurationQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("n_toks"),
           round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact-k per-stratum sampling: keep EXACTLY 10 docs per source,
+    //      chosen by deterministic hash order (the fixed-size eval-set
+    //      builder; rate-based p18 can't hit an exact count). The
+    //      rank-limit filter compiles to a WindowGroupLimit below the
+    //      shuffle in Spark 4 (partial top-k per map partition), so the
+    //      sort never materializes a stratum ------------------------------
+    "p37_stratified_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("u"), col("doc_id"))
+      d.select(col("doc_id"), col("source"),
+          Mixing.hashUnit(col("doc_id"), "graft-sample").as("u"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
     }),
 
     // ---- web-scale connected components: consecutive-id chains of ~250
@@ -272,6 +339,63 @@ object CurationQueries extends QueryModule {
              CAST(SUM(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       FROM b GROUP BY source ORDER BY source""",
 
+    "p35_incremental_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      n AS (SELECT * FROM sh WHERE doc_id % 3 = 2),
+      o AS (SELECT * FROM sh WHERE doc_id % 3 <> 2)
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+             CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+               / len(list_distinct(n.s || o.s)) AS jaccard
+      FROM n, o
+      WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+              / len(list_distinct(n.s || o.s)) >= 0.5
+      ORDER BY new_id, old_id""",
+
+    "p36_curation_pipeline" -> s"""
+      WITH a AS (SELECT doc_id, source, text, $duckAug AS aug FROM documents),
+      l AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines FROM a),
+      f3 AS (SELECT doc_id,
+               contains(lower(aug), 'lorem ipsum') OR contains(lower(aug), '{') AS doc_boiler,
+               list_filter(lines, x ->
+                 NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
+                 AND len(string_split_regex(x, '\\s+')) >= 5
+                 AND regexp_matches(x, '[.!?"]$$')) AS pass3
+             FROM l),
+      ck AS (SELECT doc_id FROM f3
+             WHERE NOT doc_boiler
+               AND len(list_filter(range(1, len(pass3) + 1),
+                     i -> list_position(pass3, pass3[i]) = i)) >= 3),
+      canon AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+      shc AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      e AS (SELECT * FROM shc WHERE doc_id % 20 = 7),
+      t AS (SELECT * FROM shc WHERE doc_id % 20 <> 7),
+      cont AS (SELECT DISTINCT t.doc_id FROM t, e
+               WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) >= 0.5),
+      f AS (SELECT d.doc_id, d.source,
+              ('0x' || substr(md5('graft-split:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 AS u
+            FROM documents d
+            JOIN ck USING (doc_id)
+            JOIN canon USING (doc_id)
+            WHERE d.doc_id % 20 <> 7
+              AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+      SELECT source,
+             CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "p33_bpe_merges" -> s"""
       WITH t AS (SELECT regexp_extract_all(lower(text),
                    '${graft.pipeline.TextOps.BpePattern}') AS bt FROM documents),
@@ -289,6 +413,17 @@ object CurationQueries extends QueryModule {
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
              round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
       FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
+
+    "p37_stratified_topk" -> """
+      WITH b AS (SELECT doc_id, source,
+        ('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 AS u
+        FROM documents)
+      SELECT source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+               AS BIGINT) AS rk,
+             doc_id
+      FROM b QUALIFY rk <= 10 ORDER BY source, rk""",
 
     "p32_cc_largestar" -> """
       WITH ids AS (SELECT doc_id AS v FROM documents),

@@ -127,6 +127,57 @@ class CliSpec extends SparkSpec {
     assert(hits == Set(1L, 2L)) // the probe text appears in docs 1 and 2
   }
 
+  test("pipeline verb: clean / spans / mix / merges / nll / cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "a good enough sentence sits right here.\nplease enable javascript now today ok.", "s1"),
+      (2L, "another fine and complete sentence lives here.", "s1"),
+      (3L, "one two three four five six seven eight nine ten", "s2"),
+      (4L, "one two three four five six seven eight nine eleven", "s2")
+    ).toDF("doc_id", "text", "source")
+    val inDir = Files.createTempDirectory("cli_cur_in").toString
+    corpus.write.mode("overwrite").parquet(inDir)
+
+    val cleanOut = Files.createTempDirectory("cli_cur_clean").toString
+    Cli.run(spark, "pipeline", Map("op" -> "clean", "in" -> inDir, "out" -> cleanOut))
+    val c1 = spark.read.parquet(cleanOut).filter(col("doc_id") === 1L).head()
+    assert(c1.getAs[Long]("n_boiler") === 1 && c1.getAs[Long]("n_kept") === 1)
+
+    val spansOut = Files.createTempDirectory("cli_cur_spans").toString
+    Cli.run(spark, "pipeline", Map("op" -> "spans", "in" -> inDir,
+      "out" -> spansOut, "window" -> "9"))
+    val sp = spark.read.parquet(spansOut).select("id", "n_dup_windows")
+      .as[(Long, Long)].collect().toMap
+    assert(sp(3L) === 1 && sp(4L) === 1) // docs 3/4 share their 9-token prefix
+
+    val mixOut = Files.createTempDirectory("cli_cur_mix").toString
+    Cli.run(spark, "pipeline", Map("op" -> "mix", "in" -> inDir,
+      "out" -> mixOut, "tau" -> "1.0", "target-frac" -> "1.0"))
+    val mixed = spark.read.parquet(mixOut)
+    assert(mixed.filter(col("kept")).count() === 4) // tau=1,f=1 keeps all
+
+    val mergesOut = Files.createTempDirectory("cli_cur_merges").toString
+    Cli.run(spark, "pipeline", Map("op" -> "merges", "in" -> inDir,
+      "out" -> mergesOut, "k" -> "2"))
+    val m = spark.read.parquet(mergesOut).orderBy("rank")
+      .select("pair").as[String].collect()
+    assert(m.length === 2 && m.head.nonEmpty)
+
+    val nllOut = Files.createTempDirectory("cli_cur_nll").toString
+    Cli.run(spark, "pipeline", Map("op" -> "nll", "in" -> inDir, "out" -> nllOut))
+    assert(spark.read.parquet(nllOut).count() === 4)
+
+    val pairsDir = Files.createTempDirectory("cli_cur_pairs").toString
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+      .write.mode("overwrite").parquet(pairsDir)
+    val clusterOut = Files.createTempDirectory("cli_cur_cluster").toString
+    Cli.run(spark, "pipeline", Map("op" -> "cluster", "in" -> pairsDir,
+      "out" -> clusterOut))
+    val labels = spark.read.parquet(clusterOut).as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("export verb writes each db.table through the URL template") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_exp")

@@ -172,6 +172,32 @@ class CurationSpec extends SparkSpec {
     assert(r("small") > r("big"))
   }
 
+  // ---- Dedup.incrementalMinhashPairs ----------------------------------------
+
+  test("incremental dedup against a landed index equals batch cross-set pairs") {
+    // corpus(60) plants doc 60 ≈ doc 0; split so the pair CROSSES the
+    // boundary (0 is new, its copy 60 lives in the indexed corpus)
+    val d = corpus(60)
+    val oldDocs = d.filter(col("doc_id") >= 30)
+    val newDocs = d.filter(col("doc_id") < 30)
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    Dedup.minhashIndex(oldDocs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val inc = Dedup.incrementalMinhashPairs(newDocs, index, oldDocs,
+      "doc_id", "text", threshold = 0.3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // ground truth: full-corpus minhash pairs, restricted to cross-set
+    val full = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val want = full.collect {
+      case (i, j) if i < 30 && j >= 30 => (i, j)
+      case (i, j) if j < 30 && i >= 30 => (j, i)
+    }
+    assert(inc === want)
+    assert(inc.nonEmpty, "fixture must contain at least one cross-set pair")
+  }
+
   // ---- Lm.bpeMergeCandidates / unigramNll ----------------------------------
 
   test("bpeMergeCandidates counts every adjacency and ranks deterministically") {
@@ -198,6 +224,18 @@ class CurationSpec extends SparkSpec {
     val s = Lm.unigramNll(skewed, "doc_id", "text")
       .select("id", "avg_nll").as[(Long, Double)].collect().toMap
     assert(s(2L) > s(1L))
+  }
+
+  // ---- p37's scale claim: rank-limit pushed below the shuffle --------------
+
+  test("stratified top-k plans a WindowGroupLimit (partial per-partition top-k)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists, "testdata absent")
+    val plan = graft.SparkEntry.queries("p37_stratified_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k filter must compile to WindowGroupLimit — without it every " +
+        "stratum is fully sorted before the limit applies:\n" + plan)
   }
 
   // ---- Dedup.connectedComponentsAlternating --------------------------------
