@@ -300,9 +300,14 @@ object Cli {
             in, spark.read.parquet(req(o, "probe")), idCol, textCol, threshold)
         case "clean" => // C4-style line-cleaning report (join on doc_keep to filter)
           graft.pipeline.Clean.c4Lines(in, idCol, textCol)
-        case "spans" => // cross-doc duplicated-span profile
-          graft.pipeline.Dedup.dupSpanProfile(in, idCol, textCol,
+        case "spans" => // cross-doc duplicated-span profile — docs shorter
+          // than the window come back with zero counts, not silently absent
+          val prof = graft.pipeline.Dedup.dupSpanProfile(in, idCol, textCol,
             o.getOrElse("window", "8").toInt)
+            .withColumnRenamed("id", idCol)
+          in.select(col(idCol)).join(prof, Seq(idCol), "left")
+            .na.fill(0L, Seq("n_windows", "n_dup_windows"))
+            .na.fill(0.0, Seq("dup_frac"))
         case "mix" => // temperature-weighted source mixing: adds (rate, kept)
           val srcCol = o.getOrElse("source-col", "source")
           require(in.columns.contains(srcCol),

@@ -42,8 +42,9 @@ object Clean {
       docBoiler: Seq[String] = Seq("lorem ipsum", "{"))
 
   /** Per-document cleaning report + cleaned-text fingerprint. Output:
-    * doc_id, n_lines, n_boiler, n_short, n_nopunct, n_dupline, n_kept,
-    * clean_chars, clean_md5, doc_keep. */
+    * <idCol> (the caller's id column keeps its name, so the report joins
+    * back without renaming), n_lines, n_boiler, n_short, n_nopunct,
+    * n_dupline, n_kept, clean_chars, clean_md5, doc_keep. */
   def c4Lines(docs: DataFrame, idCol: String, textCol: String,
               cfg: C4Config = C4Config()): DataFrame = {
     def hasNeedle(c: Column, needles: Seq[String]): Column =
@@ -53,10 +54,10 @@ object Clean {
     def punct(l: Column): Column = l.rlike("[.!?\"]$")
 
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lines"))
+      .select(col(idCol), col(textCol).as("text"))
+      .select(col(idCol), col("text"), split(col("text"), "\n").as("lines"))
       .select(
-        col("doc_id"),
+        col(idCol),
         hasNeedle(lower(col("text")), cfg.docBoiler).as("doc_boiler"),
         size(col("lines")).cast("long").as("n_lines"),
         size(filter(col("lines"), l => boiler(l))).cast("long").as("n_boiler"),
@@ -68,14 +69,14 @@ object Clean {
         filter(col("lines"),
           l => !boiler(l) && words(l) >= cfg.minWords && punct(l)).as("pass3"))
       .select(
-        col("doc_id"), col("doc_boiler"), col("n_lines"), col("n_boiler"),
+        col(idCol), col("doc_boiler"), col("n_lines"), col("n_boiler"),
         col("n_short"), col("n_nopunct"), col("pass3"),
         // first occurrence wins: a line survives iff its first index in
         // pass3 is its own index (array_position returns the FIRST match)
         filter(col("pass3"),
           (l, i) => array_position(col("pass3"), l) === i + 1).as("kept"))
       .select(
-        col("doc_id"), col("n_lines"), col("n_boiler"), col("n_short"),
+        col(idCol), col("n_lines"), col("n_boiler"), col("n_short"),
         col("n_nopunct"),
         (size(col("pass3")) - size(col("kept"))).cast("long").as("n_dupline"),
         size(col("kept")).cast("long").as("n_kept"),

@@ -219,6 +219,14 @@ object Dedup {
       .select(col("sh_h"), col("id").as("train_id"))
     val pPosts = shinglePostings(pBase, 0)
       .select(col("sh_h"), col("id").as("eval_id"))
+    containmentTail(tPosts, pPosts, pSized, threshold)
+  }
+
+  /** Shared verify tail of the two contamination variants: candidate
+    * co-occurrence counts → containment score → threshold. Factored so
+    * the bloom path's "pair set ≡ exact" invariant cannot drift. */
+  private def containmentTail(tPosts: DataFrame, pPosts: DataFrame,
+                              pSized: DataFrame, threshold: Double): DataFrame = {
     val inter = tPosts.join(broadcast(pPosts), "sh_h")
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_common"))
     inter.join(broadcast(pSized), "eval_id")
@@ -229,17 +237,26 @@ object Dedup {
   }
 
   /** Landed MinHash posting INDEX of a corpus: the (band, band_hash, id)
-    * rows of minhashPostings flattened for parquet. The point is
-    * INCREMENTAL ingestion (see incrementalMinhashPairs): the existing
+    * rows of minhashPostings flattened for parquet, each row stamped with
+    * the banding parameters as a constant `params` struct (RLE/dictionary
+    * encoding makes the column ~free on disk). The stamp is the index's
+    * CONTRACT: a batch probed with different k/bands/seed/shingleN would
+    * silently produce disjoint band hashes and near-zero candidates, so
+    * incrementalMinhashPairs validates the stamp and fails loudly on a
+    * mismatch instead. The point is INCREMENTAL ingestion: the existing
     * corpus is signature-banded once, and every future batch dedups
     * against the landed index without the corpus ever being re-scanned,
     * re-shingled, or re-hashed. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-                   seed: Long = 7): DataFrame =
+                   seed: Long = 7): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
     minhashPostings(shingled(df, idCol, textCol, shingleN), k, bands, seed)
       .select(col("bkt.band").as("band"), col("bkt.bandHash").as("band_hash"),
-        col("id"))
+        col("id"),
+        struct(lit(k).as("k"), lit(bands).as("bands"),
+          lit(shingleN).as("shingle_n"), lit(seed).as("seed")).as("params"))
+  }
 
   /** INCREMENTAL near-dup detection: a NEW batch checked against a
     * landed minhashIndex of the existing corpus. Plan costs, in corpus
@@ -249,21 +266,36 @@ object Dedup {
     * exact-Jaccard verification re-shingles only the OLD DOCS THAT
     * APPEAR AS CANDIDATES (a semi-join prunes the corpus scan to them —
     * column pruning + the pushed id filter mean the text column is read
-    * for candidate rows only). Same banding parameters MUST be used for
-    * index and batch (the signature seed is part of the index contract).
-    * Returns (new_id, old_id, jaccard ≥ threshold). */
+    * for candidate rows only). The batch's banding parameters are checked
+    * against the index's embedded `params` stamp — a mismatch means the
+    * band hashes can never collide and the result would be silently
+    * empty, so it errors instead. Returns (new_id, old_id,
+    * jaccard ≥ threshold). */
   def incrementalMinhashPairs(newDocs: DataFrame, index: DataFrame,
                               oldDocs: DataFrame, idCol: String, textCol: String,
                               k: Int = 64, bands: Int = 16,
                               threshold: Double = 0.5, shingleN: Int = 3,
                               seed: Long = 7): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    index.select("params.k", "params.bands", "params.shingle_n", "params.seed")
+      .head(1).foreach { p =>
+        val stamped = (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+        require(stamped == ((k, bands, shingleN, seed)),
+          s"index was built with (k, bands, shingleN, seed) = $stamped but " +
+            s"the batch uses (${(k, bands, shingleN, seed)}) — band hashes " +
+            "would never collide; rebuild the index or match its parameters")
+      }
     val newBase = shingled(newDocs, idCol, textCol, shingleN)
     val newPosts = minhashPostings(newBase, k, bands, seed)
       .select(col("bkt.band").as("band"), col("bkt.bandHash").as("band_hash"),
         col("id").as("new_id"))
+    // candidates feed BOTH the old-doc semi-join and the final verify
+    // join; the eager localCheckpoint computes the index join + distinct
+    // ONCE (and truncates the plan) — its blocks are released by the
+    // ContextCleaner when the result is dropped
     val candidates = newPosts
       .join(index.withColumnRenamed("id", "old_id"), Seq("band", "band_hash"))
-      .select("new_id", "old_id").distinct()
+      .select("new_id", "old_id").distinct().localCheckpoint()
     val oldCand = oldDocs.join(
       candidates.select(col("old_id").as(idCol)).distinct(),
       Seq(idCol), "left_semi")
@@ -289,7 +321,7 @@ object Dedup {
     * posting map — and the 99%+ of train postings that match nothing are
     * eliminated by `numHashes` codegen'd bit tests without touching the
     * join at all. The filter is BUILT by a Spark aggregate (word-indexed
-    * bit_or) with the same xxhash64 double-hashing arithmetic the probe
+    * bit_or) with the same seeded-xxhash64 probe arithmetic the test
     * expression uses, so build and probe can never disagree; only the
     * m/64-word bit table is collected. */
   def bloomContaminationPairs(train: DataFrame, probe: DataFrame, idCol: String,
@@ -299,10 +331,13 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
     val tBase = shingled(train, idCol, textCol, shingleN)
     val pBase = shingled(probe, idCol, textCol, shingleN)
-    // ONE cached probe posting set feeds everything probe-side (the bloom
-    // build's two actions, the containment join, and the per-doc shingle
-    // counts — shingles are distinct per doc, so count(postings) = |E|);
-    // without the cache each consumer re-scans and re-shingles the probe
+    // ONE cached probe posting set feeds the bloom build's two actions
+    // and the returned plan's two probe-side consumers (the containment
+    // join and the per-doc shingle counts — shingles are distinct per
+    // doc, so count(postings) = |E|); the cache is RELEASED once the
+    // build's actions are done (the lazy result then re-derives the
+    // small-by-contract probe side rather than leaking a session-lifetime
+    // cache entry per call)
     val pPosts = shinglePostings(pBase, 0)
       .select(col("sh_h"), col("id").as("eval_id")).cache()
     val pSized = pPosts.groupBy("eval_id").agg(count(lit(1)).as("n_e"))
@@ -324,6 +359,7 @@ object Dedup {
       .select(expr("idx DIV 64").as("w"), expr("CAST(idx % 64 AS INT)").as("b"))
       .groupBy("w").agg(expr("bit_or(shiftleft(1L, b))").as("bits"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pPosts.unpersist()
     val bitTable = Array.tabulate((m / 64).toInt)(i => words.getOrElse(i.toLong, 0L))
     val bitsLit = lit(bitTable)
     val pow2 = lit(Array.tabulate(64)(1L << _))
@@ -335,13 +371,7 @@ object Dedup {
     val tPosts = shinglePostings(tBase, dfCap)
       .filter(mayMatch)
       .select(col("sh_h"), col("id").as("train_id"))
-    val inter = tPosts.join(broadcast(pPosts), "sh_h")
-      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_common"))
-    inter.join(broadcast(pSized), "eval_id")
-      .withColumn("overlap",
-        col("n_common").cast("double") / col("n_e").cast("double"))
-      .filter(col("overlap") >= threshold)
-      .select("train_id", "eval_id", "n_common", "overlap")
+    containmentTail(tPosts, pPosts, pSized, threshold)
   }
 
   /** Cross-document DUPLICATED-SPAN profile (the line-oriented cousin of
@@ -526,6 +556,13 @@ object Dedup {
     // every round: executor-local blocks, no reliable-storage round trip;
     // a multi-hour production run on preemptible executors would swap in
     // checkpoint() against the cluster checkpoint dir — same plan shape.
+    // The superseded round's checkpoint blocks are released explicitly
+    // (the eager checkpoint of `next` has already consumed them) so peak
+    // storage is two edge sets, not one per round.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
     var edges = pairs
       .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
@@ -537,6 +574,7 @@ object Dedup {
       val row = next.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
       val nextSig = (row.getLong(0), row.getLong(1))
+      releaseCheckpoint(edges)
       edges = next
       converged = nextSig == sig
       sig = nextSig

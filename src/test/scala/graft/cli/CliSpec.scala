@@ -147,9 +147,10 @@ class CliSpec extends SparkSpec {
     val spansOut = Files.createTempDirectory("cli_cur_spans").toString
     Cli.run(spark, "pipeline", Map("op" -> "spans", "in" -> inDir,
       "out" -> spansOut, "window" -> "9"))
-    val sp = spark.read.parquet(spansOut).select("id", "n_dup_windows")
+    val sp = spark.read.parquet(spansOut).select("doc_id", "n_dup_windows")
       .as[(Long, Long)].collect().toMap
     assert(sp(3L) === 1 && sp(4L) === 1) // docs 3/4 share their 9-token prefix
+    assert(sp(1L) === 0 && sp.size === 4) // short docs present with zero counts
 
     val mixOut = Files.createTempDirectory("cli_cur_mix").toString
     Cli.run(spark, "pipeline", Map("op" -> "mix", "in" -> inDir,

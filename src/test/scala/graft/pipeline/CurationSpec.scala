@@ -198,6 +198,17 @@ class CurationSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture must contain at least one cross-set pair")
   }
 
+  test("incremental dedup rejects an index built with different parameters") {
+    val d = corpus(20)
+    val dir = java.nio.file.Files.createTempDirectory("mh_index_mm").toString
+    Dedup.minhashIndex(d, "doc_id", "text", seed = 7).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashPairs(d, index, d, "doc_id", "text", seed = 8)
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+  }
+
   // ---- Lm.bpeMergeCandidates / unigramNll ----------------------------------
 
   test("bpeMergeCandidates counts every adjacency and ranks deterministically") {
