@@ -237,6 +237,36 @@ class CurationSpec extends SparkSpec {
     assert(s(2L) > s(1L))
   }
 
+  // ---- streaming face: the scan-local curation gate is stateless, so the
+  //      SAME composition (PII scrub → C4 clean → split assign) must run
+  //      unchanged as a streaming ingest gate in append mode -----------------
+
+  test("scan-local curation gate runs identically over a stream") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists, "testdata absent")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Clean.c4Lines(
+        df.select(col("doc_id"), TextOps.piiScrub(col("text")).as("text")),
+        "doc_id", "text")
+        .withColumn("split", Mixing.splitAssign(
+          Mixing.hashUnit(col("doc_id"), "graft-split")))
+    val batch = gate(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("cur_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = gate(spark.readStream.schema(schema).parquet(streamDir.toString))
+      .writeStream.format("memory").queryName("cur_gate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cur_gate").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   // ---- p37's scale claim: rank-limit pushed below the shuffle --------------
 
   test("stratified top-k plans a WindowGroupLimit (partial per-partition top-k)") {
