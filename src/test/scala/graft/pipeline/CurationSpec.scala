@@ -60,6 +60,44 @@ class CurationSpec extends SparkSpec {
         .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("c4Lines drop counts PARTITION the lines (property over random docs)") {
+    // every line lands in exactly one bucket: boiler | short | nopunct |
+    // dup | kept — so the five counts must always sum to n_lines
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val lineGen = Gen.oneOf(
+      Gen.const("a perfectly adequate sentence lives right here."),
+      Gen.const("please enable javascript to proceed further today."),
+      Gen.const("short one."),
+      Gen.const("this longer line carries no terminal punctuation at all"),
+      Gen.alphaLowerStr.map(s => s"generated $s words fill this line out."))
+    val docGen = Gen.nonEmptyListOf(lineGen).map(_.take(12).mkString("\n"))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(docGen).map(_.take(8))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Clean.c4Lines(df, "doc_id", "text").collect().forall { r =>
+        r.getAs[Long]("n_boiler") + r.getAs[Long]("n_short") +
+          r.getAs[Long]("n_nopunct") + r.getAs[Long]("n_dupline") +
+          r.getAs[Long]("n_kept") == r.getAs[Long]("n_lines")
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("alternating CC handles hub, complete, and self/duplicate-edge graphs") {
+    // hub: star already — must converge immediately and label by the hub min
+    val hub = (1L to 20L).map(v => (0L, v)).toDF("i", "j")
+    val hubLabels = Dedup.connectedComponentsAlternating(hub)
+      .as[(Long, Long)].collect()
+    assert(hubLabels.length === 21 && hubLabels.forall(_._2 === 0L))
+    // complete graph K8 (+ duplicate and self edges, which must be ignored)
+    val k8 = (for { i <- 0L until 8L; j <- 0L until 8L if i != j }
+      yield (i, j)) ++ Seq((3L, 3L), (1L, 2L), (1L, 2L))
+    val k8Labels = Dedup.connectedComponentsAlternating(k8.toDF("i", "j"))
+      .as[(Long, Long)].collect()
+    assert(k8Labels.length === 8 && k8Labels.forall(_._2 === 0L))
+  }
+
   // ---- Dedup.bloomContaminationPairs -------------------------------------
 
   private def corpus(n: Int) = {
