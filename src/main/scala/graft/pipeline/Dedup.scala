@@ -410,6 +410,47 @@ object Dedup {
         col("n_windows").cast("double"))
   }
 
+  /** DUPLICATED-SPAN REMOVAL — the enforcement half of Lee et al. 2022's
+    * substring dedup (dupSpanProfile is the measurement half): every
+    * token covered by a `window`-token span that appears in ≥ 2 documents
+    * is cut, and the document is rebuilt from the surviving tokens.
+    * Overlapping duplicated windows merge naturally (a token is removed
+    * if ANY covering window is duplicated). Plan: position-aligned window
+    * postings → distinct-doc frequency (two skinny aggregates, map-side
+    * partials) → per-doc duplicated-start lists (bounded by doc length)
+    * joined back → a scan-local indexed filter rebuilds the text. No pair
+    * materialization; linear in the corpus like the profile. Returns
+    * (id, n_toks, n_removed, clean_md5). */
+  def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // (id, pos, wh): pos is 1-based token position of the window start
+    val posts = base.select(col("id"),
+        posexplode(TextOps.shinglesRaw(col("toks"), window)).as(Seq("pos0", "w")))
+      .filter(col("w").isNotNull)
+      .select(col("id"), (col("pos0") + 1).as("pos"), xxhash64(col("w")).as("wh"))
+    // windows can repeat WITHIN a doc here, so doc frequency needs the
+    // distinct (id, wh) projection before counting
+    val docFreq = posts.select("id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("ndocs"))
+    val dupStarts = posts
+      .join(docFreq.filter(col("ndocs") > 1).select("wh"), "wh")
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("id"), col("toks"), col("starts"),
+        // token at 1-based position i+1 survives unless a duplicated
+        // window starting at s covers it (s ≤ i+1 < s+window)
+        filter(col("toks"), (t, i) => !exists(col("starts"),
+          s => s <= i + 1 && i + 1 < s + lit(window))).as("kept"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+  }
+
   /** SimHash signatures (id, sig) — compiled single-pass kernel
     * (one XXH64 per feature + 63 affine sign votes, see SimHash64Expr).
     * Features are word 3-SHINGLES, not unigram tokens: unigram features

@@ -36,13 +36,18 @@ object TextOps {
     * per row (this form: <1 s). `zip_with` pads the shorter side with
     * null and `concat` null-propagates, so the trailing (n-1) partial
     * grams come out null and are filtered. */
-  def shingles(toks: Column, n: Int = 3): Column = {
-    val grams = (2 to n).foldLeft(toks) { (acc, i) =>
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(filter(shinglesRaw(toks, n), g => g.isNotNull))
+
+  /** POSITION-ALIGNED raw shingles: element i (0-based) is the n-gram
+    * starting at token i, and the trailing n-1 slots are null — same
+    * zip_with construction as [[shingles]] but without the distinct/
+    * filter, for consumers that need where a gram sits (span removal). */
+  def shinglesRaw(toks: Column, n: Int): Column =
+    (2 to n).foldLeft(toks) { (acc, i) =>
       zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(filter(grams, g => g.isNotNull))
-  }
 
   // MinHash and SimHash signatures are compiled Catalyst expressions —
   // see graft.functions.{MinHashSignatureExpr, SimHash64Expr}. Their

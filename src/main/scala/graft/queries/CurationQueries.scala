@@ -180,6 +180,16 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- duplicated-span REMOVAL (enforcement half of p30's profile):
+    //      tokens under any cross-doc duplicated 8-window are cut and the
+    //      doc rebuilt; the oracle rebuilds set-based (NOT EXISTS over
+    //      duplicated window starts) and compares md5s -------------------
+    "p38_dup_span_removal" -> ((s, dir) => {
+      Dedup.dupSpanRemoval(docs(s, dir), "doc_id", "text", window = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- exact-k per-stratum sampling: keep EXACTLY 10 docs per source,
     //      chosen by deterministic hash order (the fixed-size eval-set
     //      builder; rate-based p18 can't hit an exact count). The
@@ -413,6 +423,34 @@ object CurationQueries extends QueryModule {
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
              round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
       FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
+
+    "p38_dup_span_removal" -> s"""
+      WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      wd AS (SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 6, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                      toks[i+6] || ' ' || toks[i+7]) AS ws
+             FROM base),
+      posts AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                       unnest(ws) AS w FROM wd),
+      freq AS (SELECT w, COUNT(DISTINCT doc_id) AS ndocs FROM posts GROUP BY w),
+      dupwin AS (SELECT p.doc_id, p.pos FROM posts p JOIN freq USING (w)
+                 WHERE freq.ndocs > 1),
+      tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                     unnest(toks) AS tok FROM base),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM dupwin d
+                 WHERE d.doc_id = t.doc_id
+                   AND t.pos BETWEEN d.pos AND d.pos + 7)),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+              FROM kept GROUP BY doc_id)
+      SELECT b.doc_id,
+             CAST(len(b.toks) AS BIGINT) AS n_toks,
+             CAST(len(b.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+             COALESCE(agg.clean_md5, md5('')) AS clean_md5
+      FROM base b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""",
 
     "p37_stratified_topk" -> """
       WITH b AS (SELECT doc_id, source,

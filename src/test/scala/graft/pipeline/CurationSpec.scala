@@ -152,6 +152,28 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L).getAs[Double]("dup_frac") === 0.0)
   }
 
+  test("dupSpanRemoval cuts exactly the tokens under cross-doc duplicated windows") {
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " " + (1 to 6).map(i => s"uone$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"utwo$i").mkString(" ") + " " + span),
+      (3L, (1 to 10).map(i => s"uthree$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemoval(df, "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the 12 shared tokens are fully covered by the 5 shared windows;
+    // boundary-spanning windows differ between docs, so nothing else goes
+    assert(out(1L).getAs[Long]("n_removed") === 12)
+    assert(out(2L).getAs[Long]("n_removed") === 12)
+    assert(out(3L).getAs[Long]("n_removed") === 0)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("clean_md5") ===
+      md5((1 to 6).map(i => s"uone$i").mkString(" ")))
+    assert(out(2L).getAs[String]("clean_md5") ===
+      md5((1 to 5).map(i => s"utwo$i").mkString(" ")))
+  }
+
   // ---- Ann.semDedupPairs ---------------------------------------------------
 
   test("semDedup within-cell pairs match a brute force restricted to cells") {
