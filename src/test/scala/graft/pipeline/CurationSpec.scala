@@ -327,6 +327,36 @@ class CurationSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  // ---- documented 100 TB plan shapes, pinned --------------------------------
+
+  test("bloom decontamination plans broadcast containment joins and a " +
+      "pre-join bit-test filter") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists, "testdata absent")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val probe = d.filter(col("doc_id") % 20 === 13)
+    val train = d.filter(col("doc_id") % 20 =!= 13)
+    val plan = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe side must broadcast — a shuffled containment join defeats the design")
+    // the bit-table tests sit in a Filter ABOVE the train scan, not after
+    // the join: the train postings that match nothing never reach it —
+    // element_at over the bit-table literal only exists in that filter
+    assert(plan.contains("element_at"),
+      "bloom bit-test filter missing from the plan:\n" + plan.take(3000))
+  }
+
+  test("incremental dedup plans a semi-join prune of the old-corpus scan") {
+    val d = corpus(30)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_plan").toString
+    Dedup.minhashIndex(d, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = Dedup.incrementalMinhashPairs(d, spark.read.parquet(dir), d,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "old docs must be pruned to candidates via a semi join before shingling")
+  }
+
   // ---- p37's scale claim: rank-limit pushed below the shuffle --------------
 
   test("stratified top-k plans a WindowGroupLimit (partial per-partition top-k)") {
