@@ -40,7 +40,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
   *             [--exact] [--histogram col1,col2[:buckets]]
   *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate|
-  *                   clean|spans|mix|merges|nll|cluster>
+  *                   clean|spans|mix|merges|encode|nll|cluster>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
@@ -49,6 +49,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *             [--window 8]             (spans' token-window width)
   *             [--tau 0.7] [--target-frac 0.5]  (mix's temperature)
   *             [--k 100]                (merges' top-k)
+  *             [--merges <parquetDir>]  (encode's merge table = merges' out)
   *             (cluster expects (i, j) pair parquet, e.g. neardup output)
   *             (training-data ops over any parquet corpus — the verb
   *              face of graft.pipeline; beyond the reference surface)
@@ -322,6 +323,11 @@ object Cli {
         case "merges" => // top-k BPE merge candidates
           graft.pipeline.Lm.bpeMergeCandidates(in, textCol,
             o.getOrElse("k", "100").toInt)
+        case "encode" => // apply a merges table (the `merges` op's output)
+          val merges = spark.read.parquet(req(o, "merges"))
+            .orderBy("rank").select("pair")
+            .collect().map(_.getString(0)).toSeq
+          graft.pipeline.Lm.bpeEncode(in, idCol, textCol, merges)
         case "nll" => // unigram-LM cross-entropy score per doc
           graft.pipeline.Lm.unigramNll(in, idCol, textCol)
         case "cluster" => // (i, j) pair parquet -> component labels

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-level language-model primitives for training-data pipelines:
@@ -40,6 +40,77 @@ object Lm {
       .select(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("pair"))).cast("long").as("rank"),
         col("pair"), col("cnt"))
+  }
+
+  /** Per-source token-distribution drift: KL(source ‖ corpus) over the
+    * unigram distributions — the standard corpus-monitoring statistic for
+    * spotting a source whose content shifted (scraper broke, boilerplate
+    * flood, language drift) without reading any documents. KL is finite
+    * here by construction: every source token is in the corpus by
+    * definition, so p(w) > 0 wherever p_s(w) > 0. Two skinny (token,
+    * count) aggregates — per-source and global — joined on token (the
+    * global side is the broadcast-size unigram vocab), then one per-source
+    * rollup. Returns (source, n_toks, kl). */
+  def sourceDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val posts = docs.select(col(srcCol).as("source"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val bySrc = posts.groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
+      .withColumn("n_s", sum(col("c_s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val global = posts.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    bySrc.join(broadcast(global), "tok")
+      .groupBy("source").agg(
+        max(col("n_s")).as("n_toks"),
+        sum((col("c_s").cast("double") / col("n_s").cast("double")) *
+          log((col("c_s").cast("double") / col("n_s").cast("double")) /
+            (col("c").cast("double") / col("n").cast("double")))).as("kl"))
+  }
+
+  /** Apply induced merges (bpeMergeCandidates output) to the corpus:
+    * classic greedy BPE encoding — repeatedly merge the adjacent pair
+    * with the best (lowest) merge rank until no rule applies. The merge
+    * CASCADE within one document is inherently sequential (each merge
+    * changes which pairs exist), which is the one loop shape declarative
+    * HOFs can't state — so this is an honest `mapPartitions` over
+    * (id, pre-tokens) with the ranked merge table broadcast (same
+    * justification as the multimodal codecs: per-row imperative work,
+    * corpus-parallel, tiny shared state). Spec-verified rather than
+    * oracle-gated: a per-document fixpoint loop is not SQL-expressible,
+    * and the INDUCTION that feeds it (p33) is oracle-gated. Returns
+    * (id, n_pre, n_encoded). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bRank = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs.select(col(idCol).cast("long").as("id"),
+        TextOps.bpeTokens(col(textCol)).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rank = bRank.value
+        it.map { case (id, toks) =>
+          val seq = scala.collection.mutable.ArrayBuffer(toks: _*)
+          var cont = seq.length > 1
+          while (cont) {
+            var bi = -1
+            var br = Int.MaxValue
+            var i = 0
+            while (i < seq.length - 1) {
+              val r = rank.getOrElse(seq(i) + " " + seq(i + 1), Int.MaxValue)
+              if (r < br) { br = r; bi = i }
+              i += 1
+            }
+            if (bi < 0) cont = false
+            else {
+              seq(bi) = seq(bi) + " " + seq(bi + 1)
+              seq.remove(bi + 1)
+            }
+          }
+          (id, toks.length.toLong, seq.length.toLong)
+        }
+      }.toDF("id", "n_pre", "n_encoded")
   }
 
   /** Per-document unigram cross-entropy: avg_nll = mean over tokens of

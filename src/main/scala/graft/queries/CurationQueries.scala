@@ -180,6 +180,15 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source distribution drift: KL(source ‖ corpus) over
+    //      unigram distributions — corpus monitoring without reading a
+    //      single document; two skinny aggregates + one broadcast join --
+    "p39_source_drift" -> ((s, dir) => {
+      Lm.sourceDrift(docs(s, dir), "source", "text")
+        .select(col("source"), col("n_toks"), round(col("kl"), 6).as("kl"))
+        .orderBy("source")
+    }),
+
     // ---- duplicated-span REMOVAL (enforcement half of p30's profile):
     //      tokens under any cross-doc duplicated 8-window are cut and the
     //      doc rebuilt; the oracle rebuilds set-based (NOT EXISTS over
@@ -423,6 +432,19 @@ object CurationQueries extends QueryModule {
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
              round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
       FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
+
+    "p39_source_drift" -> s"""
+      WITH posts AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+      s AS (SELECT source, tok, COUNT(*) AS c_s FROM posts GROUP BY 1, 2),
+      ss AS (SELECT source, tok, c_s,
+               SUM(c_s) OVER (PARTITION BY source) AS n_s FROM s),
+      g AS (SELECT tok, COUNT(*) AS c FROM posts GROUP BY tok),
+      gg AS (SELECT tok, c, SUM(c) OVER () AS n FROM g)
+      SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_toks,
+             round(SUM((CAST(c_s AS DOUBLE) / n_s)
+               * ln((CAST(c_s AS DOUBLE) / n_s) / (CAST(c AS DOUBLE) / n))), 6) AS kl
+      FROM ss JOIN gg USING (tok)
+      GROUP BY source ORDER BY source""",
 
     "p38_dup_span_removal" -> s"""
       WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),

@@ -169,6 +169,13 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, "pipeline", Map("op" -> "nll", "in" -> inDir, "out" -> nllOut))
     assert(spark.read.parquet(nllOut).count() === 4)
 
+    val encOut = Files.createTempDirectory("cli_cur_enc").toString
+    Cli.run(spark, "pipeline", Map("op" -> "encode", "in" -> inDir,
+      "out" -> encOut, "merges" -> mergesOut))
+    val enc = spark.read.parquet(encOut)
+    assert(enc.count() === 4 &&
+      enc.filter(col("n_encoded") > col("n_pre")).count() === 0)
+
     val pairsDir = Files.createTempDirectory("cli_cur_pairs").toString
     Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
       .write.mode("overwrite").parquet(pairsDir)

@@ -282,6 +282,33 @@ class CurationSpec extends SparkSpec {
     assert(top === Seq((1L, "ab ab", 2L), (2L, "ab cd", 2L), (3L, "cd ab", 1L)))
   }
 
+  test("bpeEncode applies merges greedily by rank to a fixpoint") {
+    val df = Seq(
+      (1L, "a b c"),      // "a b" (rank 0) fires first -> [a b, c] -> done
+      (2L, "b c a"),      // "b c" (rank 1) -> [b c, a]
+      (3L, "a b b c"),    // rank 0 at idx0, then rank 1 on the remainder
+      (4L, "x y z")       // no rule applies
+    ).toDF("doc_id", "text")
+    val out = Lm.bpeEncode(df, "doc_id", "text", Seq("a b", "b c"))
+      .select("id", "n_pre", "n_encoded").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((3L, 2L)))
+    assert(out(2L) === ((3L, 2L)))
+    assert(out(3L) === ((4L, 2L)))
+    assert(out(4L) === ((3L, 3L)))
+  }
+
+  test("merges induced by bpeMergeCandidates compress the corpus they came from") {
+    val df = (0L until 40L).map(i => (i, "the quick fox " + s"tail$i end"))
+      .toDF("doc_id", "text")
+    val merges = Lm.bpeMergeCandidates(df, "text", k = 3)
+      .orderBy("rank").select("pair").as[String].collect().toSeq
+    val enc = Lm.bpeEncode(df, "doc_id", "text", merges)
+    val ratio = enc.agg(sum("n_encoded"), sum("n_pre")).head()
+    assert(ratio.getLong(0) < ratio.getLong(1),
+      "applying the corpus's own top merges must shorten it")
+  }
+
   test("unigramNll: uniform docs score ln(vocab), rare tokens raise the score") {
     // 4 docs over 2 equally frequent tokens → p = 1/2 for both, nll = ln 2
     val uniform = Seq((1L, "aa bb"), (2L, "bb aa"), (3L, "aa bb"), (4L, "bb aa"))
