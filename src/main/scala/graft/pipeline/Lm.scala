@@ -132,4 +132,35 @@ object Lm {
         avg(-log(col("cnt").cast("double") / col("total").cast("double")))
           .as("avg_nll"))
   }
+
+  /** CCNet-style perplexity bucketing [Wenzek et al. 2020 §4.3]: score
+    * every document against a PER-GROUP unigram model (CCNet scores each
+    * language against that language's LM), then rank-split each group
+    * into `nBuckets` equal tertiles — head/middle/tail — by ascending
+    * NLL. The model is a (grp, token, count) aggregate (vocab-bounded ×
+    * groups, broadcast back); the per-doc rollup is one skinny shuffle;
+    * bucketing is a per-group window, parallel across groups. NLL is
+    * rounded to 1e-6 BEFORE ranking so the rank order (and the `id`
+    * tie-break) is engine-independent — fp summation-order noise sits
+    * ~9 orders of magnitude below the rounding grain. At web scale,
+    * where one group outgrows a sort partition, the drop-in swap is
+    * approx_percentile cutoffs broadcast into a scan-local bucket
+    * assignment; the rank form is kept here because CCNet defines
+    * buckets by rank thirds and it is exactly restatable as SQL NTILE.
+    * Returns (id, grp, nll, bucket ∈ 1..nBuckets). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, grpCol: String,
+                        textCol: String, nBuckets: Int): DataFrame = {
+    val posts = docs.select(col(idCol).as("id"), col(grpCol).as("grp"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val model = posts.groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+    val nll = posts.join(broadcast(model), Seq("grp", "tok"))
+      .groupBy("id", "grp").agg(
+        round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 6)
+          .as("nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("nll"), col("id"))
+    nll.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
 }

@@ -180,6 +180,18 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet-style perplexity bucketing: per-LANGUAGE unigram model,
+    //      per-doc NLL, rank-split each language into head/middle/tail
+    //      tertiles (NLL rounded to 1e-6 before ranking so rank order is
+    //      engine-independent); reported per (lang, bucket) -------------
+    "p40_perplexity_buckets" -> ((s, dir) => {
+      Lm.perplexityBuckets(docs(s, dir), "doc_id", "lang", "text", nBuckets = 3)
+        .groupBy(col("grp").as("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nll")), 6).as("bucket_nll"))
+        .orderBy("lang", "bucket")
+    }),
+
     // ---- per-source distribution drift: KL(source ‖ corpus) over
     //      unigram distributions — corpus monitoring without reading a
     //      single document; two skinny aggregates + one broadcast join --
@@ -432,6 +444,23 @@ object CurationQueries extends QueryModule {
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
              round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
       FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
+
+    "p40_perplexity_buckets" -> s"""
+      WITH posts AS (SELECT doc_id AS id, lang AS grp, unnest($duckToks) AS tok
+                     FROM documents),
+      m AS (SELECT grp, tok, COUNT(*) AS cnt FROM posts GROUP BY 1, 2),
+      mt AS (SELECT grp, tok, cnt, SUM(cnt) OVER (PARTITION BY grp) AS total
+             FROM m),
+      nll AS (SELECT p.id, p.grp,
+                     round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS nll
+              FROM posts p JOIN mt ON p.grp = mt.grp AND p.tok = mt.tok
+              GROUP BY p.id, p.grp),
+      b AS (SELECT grp, nll,
+                   NTILE(3) OVER (PARTITION BY grp ORDER BY nll, id) AS bucket
+            FROM nll)
+      SELECT grp AS lang, CAST(bucket AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs, round(AVG(nll), 6) AS bucket_nll
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "p39_source_drift" -> s"""
       WITH posts AS (SELECT source, unnest($duckToks) AS tok FROM documents),

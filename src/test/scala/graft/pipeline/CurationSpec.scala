@@ -337,6 +337,29 @@ class CurationSpec extends SparkSpec {
       "applying the corpus's own top merges must shorten it")
   }
 
+  test("perplexityBuckets: per-group model, rank tertiles, ntile sizing") {
+    // group g: doc1 all-common, doc2 mixed, doc3 all-rare → nll strictly
+    // ascending → buckets 1,2,3; group h has 2 docs → ntile(3) gives 1,2.
+    val df = Seq(
+      (1L, "g", "a a a a"), (2L, "g", "a a b b"), (3L, "g", "c d e f"),
+      (4L, "h", "x x"), (5L, "h", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val out = Lm.perplexityBuckets(df, "doc_id", "lang", "text", 3)
+      .select("id", "grp", "bucket").as[(Long, String, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === (("g", 1L)))
+    assert(out(2L) === (("g", 2L)))
+    assert(out(3L) === (("g", 3L)))
+    assert(out(4L) === (("h", 1L)))   // x x: all-common, lowest nll
+    assert(out(5L) === (("h", 2L)))
+    // per-GROUP model: token "a" frequent in g is absent from h's model —
+    // h's nll depends only on h's counts (x p=3/4, y p=1/4)
+    val nll = Lm.perplexityBuckets(df, "doc_id", "lang", "text", 3)
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    val expected5 = (-math.log(3.0 / 4) - math.log(1.0 / 4)) / 2
+    assert(math.abs(nll(5L) - expected5) < 1e-5)
+  }
+
   test("unigramNll: uniform docs score ln(vocab), rare tokens raise the score") {
     // 4 docs over 2 equally frequent tokens → p = 1/2 for both, nll = ln 2
     val uniform = Seq((1L, "aa bb"), (2L, "bb aa"), (3L, "aa bb"), (4L, "bb aa"))
