@@ -538,6 +538,26 @@ object Dedup {
     * (Web-scale graphs with long chains want large-star/small-star
     * [Kiveris et al.]; for dedup clusters the simple propagation IS the
     * right cost.) */
+  /** Canonical-keep — the DECISION half of near-dup dedup: given cluster
+    * labels (v, lbl) from connected components and a per-doc quality
+    * score, keep exactly one doc per cluster (best score, ties to the
+    * smallest id — the deterministic argmax). One skinny join to attach
+    * scores + one per-cluster window over (v, lbl, score) rows; dedup
+    * clusters are small by construction (they are near-DUPLICATES), so
+    * the window partitions stay tiny at any corpus size. Any scalar
+    * quality column plugs in as the score (length, Gopher keep-score,
+    * unigram NLL…). Returns (doc_id, cluster, score, keep). */
+  def canonicalKeep(labels: DataFrame, docs: DataFrame, idCol: String,
+                    scoreCol: String): DataFrame = {
+    val scored = labels.join(
+      docs.select(col(idCol).cast("long").as("v"),
+        col(scoreCol).cast("long").as("score")), "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lbl").orderBy(col("score").desc, col("v"))
+    scored.select(col("v").as("doc_id"), col("lbl").as("cluster"),
+      col("score"), (row_number().over(w) === 1).as("keep"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
     val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))

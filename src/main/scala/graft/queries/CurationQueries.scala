@@ -229,6 +229,22 @@ object CurationQueries extends QueryModule {
         .orderBy("source", "rk")
     }),
 
+    // ---- near-dup canonical keep: the full dedup decision — minhash
+    //      pairs (landed so the oracle sees the identical pair set) →
+    //      connected components → keep the best doc per cluster (score =
+    //      n_chars, ties to the smallest id). The oracle re-derives the
+    //      clusters with a recursive CTE and the keep with ROW_NUMBER ----
+    "p41_neardup_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      pairs.write.mode("overwrite").parquet(s"$outRoot/keep_pairs")
+      val landed = s.read.parquet(s"$outRoot/keep_pairs")
+      val labels = Dedup.connectedComponentsAlternating(landed)
+      Dedup.canonicalKeep(labels, d, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- web-scale connected components: consecutive-id chains of ~250
     //      nodes (diameter FAR above min-label's practical round budget —
     //      the case that NEEDS star contraction); the oracle derives the
@@ -522,6 +538,25 @@ object CurationQueries extends QueryModule {
       SELECT CAST(MIN(i) AS BIGINT) AS cluster,
              CAST(MAX(i) - MIN(i) + 2 AS BIGINT) AS size,
              CAST(MAX(i) + 1 AS BIGINT) AS max_member
-      FROM isl GROUP BY grp ORDER BY cluster"""
+      FROM isl GROUP BY grp ORDER BY cluster""",
+
+    "p41_neardup_keep" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT i, j FROM read_parquet('$outRoot/keep_pairs/*.parquet')),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(v, l) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v),
+      lab AS (SELECT v, min(l) AS cluster FROM reach GROUP BY v),
+      scored AS (SELECT lab.v AS doc_id, lab.cluster,
+                        CAST(d.n_chars AS BIGINT) AS score
+                 FROM lab JOIN documents d ON d.doc_id = lab.v),
+      k AS (SELECT doc_id, cluster, score,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM scored)
+      SELECT doc_id, cluster, score, (rk = 1) AS keep
+      FROM k ORDER BY doc_id"""
   )
 }

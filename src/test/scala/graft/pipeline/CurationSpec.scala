@@ -98,6 +98,21 @@ class CurationSpec extends SparkSpec {
     assert(k8Labels.length === 8 && k8Labels.forall(_._2 === 0L))
   }
 
+  test("canonicalKeep keeps best score per cluster, ties to smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("v", "lbl")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 7L), (5L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalKeep(labels, docs, "doc_id", "n_chars")
+      .select("doc_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(2L) === ((1L, true)))   // best score in cluster 1
+    assert(out(1L) === ((1L, false)) && out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true)))   // score tie → smaller id keeps
+    assert(out(5L) === ((4L, false)))
+    assert(out.size === 5)
+  }
+
   // ---- Dedup.bloomContaminationPairs -------------------------------------
 
   private def corpus(n: Int) = {
