@@ -71,4 +71,51 @@ object Mixing {
       .withColumn("bin",
         floor((col("cum") - col(toksCol)) / budget.toDouble).cast("long"))
   }
+
+  /** DSIR importance weights [Xie et al. 2023]: score every document by
+    * how target-like its hashed n-gram profile is,
+    * log w(doc) = Σ_f [ln p_target(bucket(f)) − ln p_raw(bucket(f))],
+    * with Laplace-smoothed bag-of-buckets multinomials over `buckets`
+    * hashed unigram+bigram features (the paper's hashed-ngram feature
+    * space). High-weight docs are the ones importance RESAMPLING keeps
+    * when fitting raw data to a target distribution (e.g. books/wiki).
+    *
+    * Shape: one feature explode (scan-local; the bucket hash is the
+    * engine-portable md5 arithmetic of [[hashUnit]], so any SQL engine
+    * re-derives identical buckets), ONE conditional-count aggregate over
+    * the B-bounded bucket space for both models at once, a window over
+    * those ≤B rows for the totals, then the log-ratio table — kilobytes
+    * at any corpus size — broadcast back over the feature stream for one
+    * per-doc rollup. No stage depends on corpus breadth beyond the two
+    * skinny shuffles. Tokens and bigrams can't collide as features
+    * (bigrams contain a space; tokens never do).
+    * Returns (id, n_feats, log_w rounded to 1e-6). */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), isTarget.as("is_target"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val bigrams = zip_with(col("t"),
+      slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = base
+      .select(col("id"), col("is_target"),
+        explode(concat(col("t"), bigrams)).as("f"))
+      .filter(col("f").isNotNull)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val b = lit(buckets.toDouble)
+    val model = feats.groupBy("bucket").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+      .withColumn("n_r", sum(col("c_r")).over(Window.partitionBy()))
+      .withColumn("n_t", sum(col("c_t")).over(Window.partitionBy()))
+      .withColumn("lr",
+        log((col("c_t") + lit(1.0)) / (col("n_t") + b)) -
+          log((col("c_r") + lit(1.0)) / (col("n_r") + b)))
+    feats.join(broadcast(model.select("bucket", "lr")), "bucket")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_feats"),
+        round(sum(col("lr")), 6).as("log_w"))
+  }
 }

@@ -229,6 +229,17 @@ object CurationQueries extends QueryModule {
         .orderBy("source", "rk")
     }),
 
+    // ---- DSIR importance weights: hashed unigram+bigram buckets,
+    //      target = English docs, Laplace-smoothed target/raw bucket
+    //      models, per-doc Σ log-ratio — the importance-resampling score
+    //      that fits a raw crawl to a target distribution -----------------
+    "p42_dsir_weights" -> ((s, dir) => {
+      Mixing.dsirLogWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feats"), col("log_w"))
+        .orderBy("doc_id")
+    }),
+
     // ---- near-dup canonical keep: the full dedup decision — minhash
     //      pairs (landed so the oracle sees the identical pair set) →
     //      connected components → keep the best doc per cluster (score =
@@ -539,6 +550,27 @@ object CurationQueries extends QueryModule {
              CAST(MAX(i) - MIN(i) + 2 AS BIGINT) AS size,
              CAST(MAX(i) + 1 AS BIGINT) AS max_member
       FROM isl GROUP BY grp ORDER BY cluster""",
+
+    "p42_dsir_weights" -> s"""
+      WITH base AS (SELECT doc_id, lang = 'en' AS is_target, $duckToks AS t
+                    FROM documents),
+      feats AS (SELECT doc_id, is_target,
+                       unnest(t || list_transform(range(1, greatest(len(t), 1)),
+                                i -> t[i] || ' ' || t[i+1])) AS f
+                FROM base),
+      fb AS (SELECT doc_id, is_target,
+                    (('0x' || substr(md5(f), 1, 8))::BIGINT) % 1024 AS bucket
+             FROM feats),
+      r AS (SELECT bucket, COUNT(*) AS c_r,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+            FROM fb GROUP BY bucket),
+      m AS (SELECT bucket, c_r, c_t, SUM(c_r) OVER () AS n_r,
+                   SUM(c_t) OVER () AS n_t FROM r),
+      lr AS (SELECT bucket,
+                    ln((c_t + 1.0) / (n_t + 1024)) -
+                    ln((c_r + 1.0) / (n_r + 1024)) AS lr FROM m)
+      SELECT fb.doc_id, COUNT(*) AS n_feats, round(SUM(lr.lr), 6) AS log_w
+      FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id ORDER BY fb.doc_id""",
 
     "p41_neardup_keep" -> s"""
       WITH RECURSIVE p AS (

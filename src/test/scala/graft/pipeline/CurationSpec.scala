@@ -98,6 +98,29 @@ class CurationSpec extends SparkSpec {
     assert(k8Labels.length === 8 && k8Labels.forall(_._2 === 0L))
   }
 
+  test("dsirLogWeights ranks target-profile docs above junk, by content") {
+    // target vocab {alpha beta} appears only in target docs; junk vocab
+    // {zzz yyy} only in raw. n_feats = tokens + bigrams.
+    val df = Seq(
+      (1L, true, "alpha beta alpha"), (2L, true, "beta alpha beta"),
+      (3L, false, "zzz yyy zzz"), (4L, false, "yyy zzz yyy"),
+      (5L, false, "alpha beta alpha")   // raw doc with target profile
+    ).toDF("doc_id", "tgt", "text")
+    val out = Mixing.dsirLogWeights(df, "doc_id", "text", $"tgt", buckets = 64)
+      .select("id", "n_feats", "log_w").as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L)._1 === 5L)           // 3 tokens + 2 bigrams
+    // the RANKING is the DSIR contract (absolute values carry the
+    // smoothing normalization): every target-profile doc outscores
+    // every junk doc
+    val tgtScores = Seq(out(1L)._2, out(2L)._2, out(5L)._2)
+    val junkScores = Seq(out(3L)._2, out(4L)._2)
+    assert(tgtScores.min > junkScores.max)
+    // importance weighting scores CONTENT, not the label: the raw doc
+    // with identical text to target doc 1 scores identically
+    assert(out(5L)._2 === out(1L)._2)
+  }
+
   test("canonicalKeep keeps best score per cluster, ties to smallest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
       .toDF("v", "lbl")
