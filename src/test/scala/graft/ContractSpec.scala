@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * narrows the gate (round-3 postmortem: a failing query vanished from
   * CORRECTNESS instead of erring). This spec makes any gap a compile-
   * adjacent failure instead of a missing row three rounds later. */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
@@ -34,6 +34,15 @@ class ContractSpec extends AnyFunSuite {
     assume(probe == 0, "python3+duckdb bridge not available")
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists, "testdata absent")
+    // Oracles that re-read query side outputs (`read_parquet(...)` — the
+    // driver exposes the base tables as views, so any read_parquet in an
+    // oracle is a side-output path) can only type-plan after the Spark
+    // query has landed them. Run exactly those queries first so the gate
+    // is hermetic: a clean /tmp otherwise turns ~16 rows into false
+    // "failed to plan" noise (bitten in round 6).
+    SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(_._2.contains("read_parquet("))
+      .foreach { case (n, _) => SparkEntry.queries(n)(spark, sfDir) }
     val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
     val out = new StringBuilder
