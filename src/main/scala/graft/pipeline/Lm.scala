@@ -163,4 +163,37 @@ object Lm {
       .partitionBy("grp").orderBy(col("nll"), col("id"))
     nll.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
   }
+
+  /** Per-document top-k TF-IDF keywords — the classic corpus term-
+    * weighting pass (smoothed idf = ln((N+1)/(df+1)) + 1, sklearn's
+    * formulation, so no term ever gets weight 0). Three skinny
+    * aggregates off one exploded token stream: (id, term, tf), per-doc
+    * totals, and the document-frequency vocab — all map-side-combinable;
+    * the df and N sides join back BROADCAST (a vocab is megabytes at any
+    * corpus size). Scores are rounded to 1e-6 BEFORE ranking, ties break
+    * on the term string, so any engine ranks identically (fp noise sits
+    * orders of magnitude below the rounding grain). The rank-limit
+    * filter compiles to WindowGroupLimit in Spark 4 — partial top-k per
+    * map partition, no full per-doc sort materializes.
+    * Returns (id, rk ∈ 1..k, term, tfidf). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val posts = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = posts.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("n_toks", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        (col("tf").cast("double") / col("n_toks").cast("double")) *
+          (log((col("n_docs").cast("double") + 1.0) /
+               (col("df").cast("double") + 1.0)) + 1.0), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk"), col("term"), col("tfidf"))
+  }
 }

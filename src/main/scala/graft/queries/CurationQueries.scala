@@ -271,6 +271,26 @@ object CurationQueries extends QueryModule {
         .groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("size"), max(col("v")).as("max_member"))
         .orderBy("cluster")
+    }),
+
+    // ---- sliding-window chunking: fixed-token-budget shards with
+    //      overlap (the pretraining/RAG chunk step). Chunk ids explode
+    //      BEFORE the token slice so the tokenizer runs once per doc,
+    //      not once per chunk (see Chunking's plan-shape note) ----------
+    "p44_chunk_overlap" -> ((s, dir) => {
+      graft.pipeline.Chunking.chunkSliding(docs(s, dir), "doc_id", "text",
+          window = 32, stride = 24)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- per-doc top-3 TF-IDF keywords: three skinny aggregates off
+    //      one token stream, vocab joins broadcast, score rounded to
+    //      1e-6 before ranking so engines rank identically --------------
+    "p45_tfidf_topk" -> ((s, dir) => {
+      Lm.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rk")
     })
   )
 
@@ -589,6 +609,36 @@ object CurationQueries extends QueryModule {
                                       ORDER BY score DESC, doc_id) AS rk
             FROM scored)
       SELECT doc_id, cluster, score, (rk = 1) AS keep
-      FROM k ORDER BY doc_id"""
+      FROM k ORDER BY doc_id""",
+
+    "p44_chunk_overlap" -> s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+              greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS k
+            FROM t),
+      e AS (SELECT doc_id,
+              unnest(list_transform(range(0, k), i -> struct_pack(
+                cid := i,
+                ch  := list_slice(toks, i * 24 + 1, i * 24 + 32)))) AS s
+            FROM c)
+      SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
+             CAST(len(s.ch) AS BIGINT) AS n_chunk_toks,
+             md5(array_to_string(s.ch, ' ')) AS chunk_md5
+      FROM e ORDER BY doc_id, chunk_id""",
+
+    "p45_tfidf_topk" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      n AS (SELECT doc_id, SUM(tf) AS n_toks FROM tf GROUP BY 1),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term,
+               round((CAST(tf AS DOUBLE) / n_toks)
+                 * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+             FROM tf JOIN n USING (doc_id) JOIN df USING (term) CROSS JOIN nd),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rk FROM sc)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
   )
 }

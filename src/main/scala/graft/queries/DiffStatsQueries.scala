@@ -104,6 +104,16 @@ object DiffStatsQueries extends QueryModule {
           round(col("bucket_lo"), 6).as("bucket_lo"),
           round(col("bucket_hi"), 6).as("bucket_hi"), col("cnt"))
         .orderBy("column", "bucket")
+    }),
+
+    // ---- pairwise correlation/covariance stats: all 6 co-moments of 4
+    //      lineitem numerics in ONE partial-aggregating scan, unpivoted
+    //      to rows with stack() (no driver collect) ----------------------
+    "s04_numeric_corr" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      Stats.corrMatrix(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -216,6 +226,18 @@ object DiffStatsQueries extends QueryModule {
              round(lo + CAST(bucket + 1 AS DOUBLE) * span / 8, 6) AS bucket_hi,
              COUNT(*) AS cnt
       FROM b GROUP BY c, bucket, lo, span
-      ORDER BY "column", bucket"""
+      ORDER BY "column", bucket""",
+
+    "s04_numeric_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |       round(corr($a, $b), 6) AS corr,
+           |       round(covar_samp($a, $b), 4) AS covar FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    }
   )
 }

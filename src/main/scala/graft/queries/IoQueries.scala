@@ -92,6 +92,32 @@ object IoQueries extends QueryModule {
       landed.filter(col("l_orderkey") <= 300)
         .select(col("l_orderkey"), col("l_linenumber"), col("zv"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // JSONL corpus sink/source roundtrip: documents go out through
+    // Spark's line-delimited JSON writer (per-partition streaming — no
+    // driver funnel; the interchange format every curation pipeline
+    // exports to), come back through the JSON reader with the ORIGINAL
+    // schema pinned (no sampling inference at scale), and the query
+    // output is a per-source digest of the re-read rows. The DuckDB
+    // oracle reads the SAME landed .json files with its own newline-
+    // delimited reader, so escaping, unicode, null encoding, and
+    // lost/duplicated partitions all break the compare — a true
+    // cross-engine wire-format check, not a self-roundtrip.
+    "io03_jsonl_roundtrip" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val out = s"${graft.Land.root}/io/jsonl_docs"
+      d.write.mode("overwrite").json(out)
+      s.read.schema(d.schema).json(out)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
     })
   )
 
@@ -136,6 +162,24 @@ object IoQueries extends QueryModule {
                (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
                (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM s4)
       SELECT l_orderkey, l_linenumber, a5 | (b5 << 1) AS zv
-      FROM s5 ORDER BY l_orderkey, l_linenumber"""
+      FROM s5 ORDER BY l_orderkey, l_linenumber""",
+
+    // reads the Spark-landed .json files with DuckDB's own ndjson
+    // reader (types pinned — DuckDB SUM(BIGINT) widens to HUGEINT, so
+    // every SUM is cast back to the sanctioned BIGINT)
+    "io03_jsonl_roundtrip" -> s"""
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+             MIN(md5(text)) AS min_md5,
+             MAX(md5(text)) AS max_md5,
+             MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id
+      FROM read_json('${graft.Land.root}/io/jsonl_docs/*.json',
+             format = 'newline_delimited',
+             columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+                        source: 'VARCHAR', n_chars: 'BIGINT'})
+      GROUP BY source ORDER BY source"""
   )
 }

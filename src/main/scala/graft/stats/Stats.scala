@@ -204,6 +204,35 @@ object Stats {
         col("cnt"))
   }
 
+  /** Pairwise Pearson correlation + sample covariance over the given
+    * numeric columns — the column-dependence face of table statistics
+    * (optimizer CE and data-drift monitoring both consume it). ONE
+    * aggregation pass computes all k·(k−1)/2 co-moments (each `corr`/
+    * `covar_samp` is a partial-aggregating DeclarativeAggregate, so the
+    * scan stays single and map-side-combined at any scale); the stack()
+    * unpivot of the 1-row result into (col_a, col_b, corr, covar) rows
+    * is driver-free. Rounded so cross-engine/merge-order fp noise (≥9
+    * orders below the grain) can't flip a compare. */
+  def corrMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    // corr is derived as covar_samp/(sd_a·sd_b) rather than corr():
+    // identical value (the (n−1) factors cancel; correlation is scale-
+    // invariant), but a zero-variance column yields NULL via try_divide
+    // where ANSI-mode corr() raises DIVIDE_BY_ZERO mid-aggregate — and
+    // k stddevs + k(k−1)/2 covars is fewer buffers than 2·k(k−1)/2 aggs.
+    val aggs = columns.map(c => stddev_samp(col(c)).as(s"sd_$c")) ++
+      pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"cov_${a}_$b") }
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', round(try_divide(`cov_${a}_$b`, `sd_$a` * `sd_$b`), 6), " +
+        s"round(`cov_${a}_$b`, 4)" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr, covar)"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>

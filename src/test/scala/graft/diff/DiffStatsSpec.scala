@@ -103,4 +103,22 @@ class DiffStatsSpec extends SparkSpec {
       custom = Map.empty, notNull = false)
     assert(rule("min") == "10" && rule("max") == "30")
   }
+
+  test("corrMatrix: known correlations in one pass, all pairs emitted") {
+    val s = spark
+    import s.implicits._
+    // y = 2x (corr exactly 1), z anti-correlated with x (corr -1),
+    // w constant (corr null — zero variance)
+    val df = (1 to 100).map(i =>
+      (i.toDouble, 2.0 * i, 101.0 - i, 5.0)).toDF("x", "y", "z", "w")
+    val m = Stats.corrMatrix(df, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.size === 6)
+    assert(m(("x", "y")).getDouble(2) === 1.0)
+    assert(m(("x", "z")).getDouble(2) === -1.0)
+    assert(m(("y", "z")).getDouble(2) === -1.0)
+    assert(m(("x", "w")).isNullAt(2)) // zero variance → corr undefined
+    // covar_samp(x, 2x) = 2 * var_samp(x); var_samp(1..100) = 841.666...
+    assert(math.abs(m(("x", "y")).getDouble(3) - 2 * 841.6667) < 1e-3)
+  }
 }

@@ -517,4 +517,61 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.length).toMap
     assert(labels === Map(0L -> 50, 100L -> 50))
   }
+
+  // ---- Chunking.chunkSliding -------------------------------------------
+
+  test("chunkSliding: stride/window arithmetic, full coverage, short docs") {
+    // 80 tokens, w=32 s=24: chunks at 0,24,48 cover [0,80) with the last
+    // chunk exactly [48,80) — ceil((80-32)/24)+1 = 3
+    val doc80 = (0 until 80).map(i => s"t$i").mkString(" ")
+    val out = Chunking.chunkSliding(
+        Seq((1L, doc80), (2L, "just three tokens"), (3L, "")).toDF("id", "text"),
+        "id", "text", window = 32, stride = 24)
+      .orderBy("id", "chunk_id")
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
+    assert(byDoc(1L).map(_.getLong(1)) === Seq(0L, 1L, 2L))
+    assert(byDoc(1L).map(_.getLong(2)) === Seq(32L, 32L, 32L))
+    // every doc yields at least one chunk; short docs are one partial
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2))) === Seq((0L, 3L)))
+    assert(byDoc(3L).size === 1)
+    // 81 tokens forces a fourth, 9-token tail chunk [72,81)
+    val doc81 = (0 until 81).map(i => s"t$i").mkString(" ")
+    val tail = Chunking.chunkSliding(
+        Seq((1L, doc81)).toDF("id", "text"), "id", "text", 32, 24)
+      .orderBy("chunk_id").collect()
+    assert(tail.map(_.getLong(2)).toSeq === Seq(32L, 32L, 32L, 9L))
+  }
+
+  test("chunkSliding: consecutive chunks overlap by window - stride tokens") {
+    val doc = (0 until 56).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunkSliding(
+        Seq((1L, doc)).toDF("id", "text"), "id", "text", 32, 24)
+      .orderBy("chunk_id").collect()
+    assert(out.length === 2)
+    // chunk 1 starts at token 24 — the 8-token overlap means md5s differ
+    // but both chunks are full windows
+    assert(out.map(_.getLong(2)).toSeq === Seq(32L, 32L))
+    assert(out(0).getString(3) !== out(1).getString(3))
+  }
+
+  // ---- Lm.tfidfTopK ----------------------------------------------------
+
+  test("tfidfTopK: rare terms outrank ubiquitous ones, k and ties honored") {
+    // 'common' appears in every doc (df=4 → low idf); each doc also has a
+    // unique term (df=1 → high idf) that must rank first
+    val docs = Seq(
+      (1L, "common alpha alpha common common"),
+      (2L, "common beta beta"),
+      (3L, "common gamma gamma"),
+      (4L, "common delta delta")).toDF("doc_id", "text")
+    val out = Lm.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rk").collect()
+    val top = out.filter(_.getLong(1) == 1L).map(r => (r.getLong(0), r.getString(2)))
+    assert(top.toSeq === Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+    // every doc emits exactly k rows with ranks 1..k
+    assert(out.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(1)).toSeq == Seq(1L, 2L)))
+    // the ubiquitous term still carries weight > 0 (smoothed idf)
+    assert(out.filter(_.getString(2) == "common").forall(_.getDouble(3) > 0))
+  }
 }
