@@ -43,6 +43,7 @@ object GraftExtensions {
       graft.functions.FunnelAggs.register(session)
       graft.functions.SequenceMatch.register(session)
       graft.functions.DorisCompat.register(session)
+      graft.functions.NormalizeExprs.register(session)
       _ => () // the check itself never fails
     }
 }

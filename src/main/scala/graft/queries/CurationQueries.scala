@@ -291,6 +291,47 @@ object CurationQueries extends QueryModule {
       Lm.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rk")
+    }),
+
+    // ---- Unicode canonicalization (graft_nfc / graft_strip_accents
+    //      compiled kernels): the same logical text arrives composed AND
+    //      decomposed from the web; un-normalized it fingerprints as two
+    //      documents. The ASCII corpus is augmented with a deterministic
+    //      accent suffix (one precomposed, one decomposed variant) so
+    //      the kernels' composition/strip behavior is actually exercised
+    //      and cross-checked against DuckDB's nfc_normalize/strip_accents
+    "p46_unicode_norm" -> ((s, dir) => {
+      graft.functions.NormalizeExprs.register(s)
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,                     // precomposed \u00e9
+            lit(" caf\u00e9 touch\u00e9"))
+          .when(col("doc_id") % 3 === 1,                  // e + combining \u0301
+            lit(" cafe\u0301 touche\u0301"))
+          .otherwise(lit(" plain ascii")))
+      docs(s, dir).select(col("doc_id"),
+          aug.as("aug"),
+          call_function("graft_nfc", aug).as("nfc"))
+        .select(col("doc_id"),
+          md5(col("nfc")).as("nfc_md5"),
+          (col("aug") =!= col("nfc")).as("changed_nfc"),
+          md5(call_function("graft_strip_accents", col("aug"))).as("ascii_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- weighted epoch resampling: keep each doc with probability
+    //      proportional to its weight (here n_chars — token-budget
+    //      sampling; swap in a DSIR/quality weight unchanged), capped at
+    //      1, decided by the same salted unit hash as p18 — scan-local
+    //      except one broadcast scalar (Σ weight), exactly reproducible
+    "p47_weighted_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tot = d.agg(sum(col("n_chars")).cast("double").as("tot"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("p",
+          least(lit(1.0), lit(100.0) * col("n_chars").cast("double") / col("tot")))
+        .filter(Mixing.hashUnit(col("doc_id"), "graft-resample") < col("p"))
+        .select(col("doc_id"), round(col("p"), 6).as("p_keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -639,6 +680,34 @@ object CurationQueries extends QueryModule {
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                         ORDER BY tfidf DESC, term) AS rk FROM sc)
       SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
-      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // the accent suffix is rebuilt from code points (chr(233) = é,
+    // chr(769) = combining acute) so no literal encoding ambiguity can
+    // creep in between the Scala source, the JSON dump, and DuckDB
+    "p46_unicode_norm" -> """
+      WITH a AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' caf' || chr(233) || ' touch' || chr(233)
+               WHEN doc_id % 3 = 1
+               THEN ' cafe' || chr(769) || ' touche' || chr(769)
+               ELSE ' plain ascii' END AS aug
+        FROM documents)
+      SELECT doc_id,
+             md5(nfc_normalize(aug)) AS nfc_md5,
+             aug <> nfc_normalize(aug) AS changed_nfc,
+             md5(strip_accents(aug)) AS ascii_md5
+      FROM a ORDER BY doc_id""",
+
+    "p47_weighted_resample" -> """
+      WITH t AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents),
+      u AS (SELECT doc_id,
+              ('0x' || substr(md5('graft-resample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 AS u,
+              least(1.0, 100.0 * n_chars / tot) AS p
+            FROM documents, t)
+      SELECT doc_id, round(p, 6) AS p_keep
+      FROM u WHERE u < p ORDER BY doc_id"""
   )
 }

@@ -337,6 +337,32 @@ object RelationalQueries extends QueryModule {
           (count(lit(1)) > lit(0.05 * total) && count(lit(1)) < lit(0.15 * total)).as("frac_ok"))
     }),
 
+    // ---- TPC-H Q5-shaped 6-table star: the canonical multi-join agg
+    //      stress. lineitem⋈orders is the fact-fact edge (left to AQE —
+    //      sort-merge + skew-split at real sizes); supplier joins on the
+    //      compound (l_suppkey, c_nationkey=s_nationkey) edge;
+    //      nation⋈region prejoined and broadcast as one true dim.
+    //      Revenue rounded to cents — 7+ orders above fp merge noise ----
+    "q51_join_star_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val nr = t(s, dir, "nation").join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(nr), su("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -570,6 +596,21 @@ object RelationalQueries extends QueryModule {
              {'x': o_orderkey, 'y': o_orderstatus}.y AS st_y
       FROM orders
       WHERE o_orderkey <= 200
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "q51_join_star_revenue" -> """
+      SELECT n_name,
+             round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
   )
 }
