@@ -85,4 +85,51 @@ object Clean {
         (size(col("kept")) >= cfg.minKeptLines && !col("doc_boiler"))
           .as("doc_keep"))
   }
+
+  /** GLOBAL line dedup — the cross-document complement to [[c4Lines]]
+    * (RefinedWeb §G / FineWeb's line-dedup pass): a line that occurs in
+    * at least `maxDocs` DISTINCT documents is corpus boilerplate
+    * (headers, footers, cookie banners) and is removed from every
+    * document that carries it.
+    *
+    * Plan shape, 100 TB lens: one posexplode scan (output ∝ corpus
+    * lines); distinct (line-hash, doc) pairs collapse within-doc
+    * repeats BEFORE counting, so the count aggregate sees skinny
+    * (32-char hash, id) rows with map-side partials; only the HOT
+    * subset (n_docs ≥ maxDocs — a tiny fraction of the line vocabulary)
+    * flows into the join back against the line stream, left as a
+    * declarative left join so AQE broadcasts it when it fits and falls
+    * back to a skinny hash join when a pathological corpus makes it
+    * big. The rebuild is per-doc: sort_array over kept (pos, line)
+    * structs — state bounded by one document's line count.
+    *
+    * Returns (<idCol>, n_lines, n_removed, n_kept, clean_md5). */
+  def globalLineDedup(docs: DataFrame, idCol: String, textCol: String,
+                      maxDocs: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val hot = lines.select(col("lh"), col("id")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select(col("lh"), lit(true).as("hot"))
+    lines.join(hot, Seq("lh"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_removed"),
+        // when() without otherwise is null on hot lines and collect_list
+        // drops nulls — the kept array holds only surviving lines; the
+        // struct sort key leads with pos, restoring document order
+        // regardless of collect_list's arrival order
+        sort_array(collect_list(when(col("hot").isNull,
+          struct(col("pos"), col("line"))))).as("kept"))
+      .select(col("id").as(idCol),
+        col("n_lines"),
+        col("n_removed"),
+        (col("n_lines") - col("n_removed")).as("n_kept"),
+        md5(array_join(transform(col("kept"), k => k.getField("line")), "\n"))
+          .as("clean_md5"))
+  }
 }

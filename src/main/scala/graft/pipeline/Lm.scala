@@ -133,6 +133,47 @@ object Lm {
           .as("avg_nll"))
   }
 
+  /** Interpolated BIGRAM cross-entropy (the KenLM-lite upgrade of
+    * [[unigramNll]], Jelinek-Mercer smoothing):
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N
+    *
+    * — never zero because the unigram back-off covers every observed
+    * token. Plan shape, 100 TB lens: the bigram stream is the same
+    * position-aligned zip_with as bpeMergeCandidates (one scan, output
+    * ∝ tokens); the bigram model joins back on the (w1, w2) pair key as
+    * a SHUFFLE join — a corpus bigram table is NOT broadcast-safe,
+    * unlike the unigram vocab, which joins back broadcast twice (c(w1)
+    * and c(w2) sides). One per-doc rollup ends the plan.
+    * Returns (id, n_bigrams, avg_nll); docs with <2 tokens emit no row. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.7): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val pairs = base.select(col("id"),
+        explode(zip_with(col("t"),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"), col("n"))),
+        Seq("w2"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(-log(
+          lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+          lit(1.0 - lambda) * col("c2").cast("double") / col("n").cast("double")))
+          .as("avg_nll"))
+  }
+
   /** CCNet-style perplexity bucketing [Wenzek et al. 2020 §4.3]: score
     * every document against a PER-GROUP unigram model (CCNet scores each
     * language against that language's LM), then rank-split each group

@@ -332,8 +332,42 @@ object CurationQueries extends QueryModule {
         .filter(Mixing.hashUnit(col("doc_id"), "graft-resample") < col("p"))
         .select(col("doc_id"), round(col("p"), 6).as("p_keep"))
         .orderBy("doc_id")
+    }),
+
+    // ---- GLOBAL line dedup (RefinedWeb/FineWeb's cross-corpus
+    //      boilerplate pass — the complement of p27's within-doc rules):
+    //      a line in ≥5 distinct docs is removed everywhere. Skinny
+    //      (line-hash, doc) distinct → count → hot-only join back ------
+    "p48_global_line_dedup" -> ((s, dir) => {
+      Clean.globalLineDedup(
+          docs(s, dir).select(col("doc_id"), lineAug.as("text")),
+          "doc_id", "text", maxDocs = 5)
+        .orderBy("doc_id")
+    }),
+
+    // ---- interpolated bigram-LM cross-entropy (KenLM-lite upgrade of
+    //      p34): bigram model shuffle-joined on the pair key, unigram
+    //      back-off broadcast; <2-token docs emit no row on BOTH sides --
+    "p49_bigram_nll" -> ((s, dir) => {
+      Lm.bigramNll(docs(s, dir), "doc_id", "text", lambda = 0.7)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .orderBy("doc_id")
     })
   )
+
+  /** p48's line augment: the synthetic corpus is single-line, so each
+    * doc gets four lines of known cross-corpus frequency — a universal
+    * footer (hot at every sf), the doc's own text (hot only where the
+    * corpus planted near-identical docs), one of 25 rotating footer
+    * variants (hot once the corpus outgrows 25·maxDocs docs — a
+    * scale-dependent decision the oracle recomputes identically), and a
+    * never-hot unique line. */
+  private def lineAug = concat_ws("\n",
+    lit("all rights reserved worldwide."),
+    col("text"),
+    concat(lit("footer variant "), (col("doc_id") % 25).cast("string"), lit(".")),
+    concat(lit("unique remark "), col("doc_id").cast("string"), lit(".")))
 
   private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -708,6 +742,48 @@ object CurationQueries extends QueryModule {
               least(1.0, 100.0 * n_chars / tot) AS p
             FROM documents, t)
       SELECT doc_id, round(p, 6) AS p_keep
-      FROM u WHERE u < p ORDER BY doc_id"""
+      FROM u WHERE u < p ORDER BY doc_id""",
+
+    "p48_global_line_dedup" -> """
+      WITH d AS (SELECT doc_id,
+              concat_ws(chr(10),
+                'all rights reserved worldwide.',
+                text,
+                'footer variant ' || CAST(doc_id % 25 AS VARCHAR) || '.',
+                'unique remark ' || CAST(doc_id AS VARCHAR) || '.') AS text
+            FROM documents),
+      l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+                   unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+      c AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM l GROUP BY line),
+      f AS (SELECT l.doc_id, l.pos, l.line, (c.n_docs >= 5) AS hot
+            FROM l JOIN c USING (line))
+      SELECT doc_id,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(COUNT(*) - SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             md5(COALESCE(string_agg(CASE WHEN NOT hot THEN line END,
+                                     chr(10) ORDER BY pos), '')) AS clean_md5
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "p49_bigram_nll" -> s"""
+      WITH t AS (SELECT doc_id AS id, $duckToks AS t FROM documents),
+      pairs AS (SELECT id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                  unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+                FROM t),
+      uni AS (SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+      un AS (SELECT w, c, SUM(c) OVER () AS n FROM uni),
+      bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2)
+      SELECT p.id AS doc_id, COUNT(*) AS n_bigrams,
+             round(AVG(-ln(
+               0.7 * CAST(bi.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE) +
+               0.3 * CAST(u2.c AS DOUBLE) / CAST(u2.n AS DOUBLE))), 6) AS avg_nll
+      FROM pairs p
+      JOIN bi USING (w1, w2)
+      JOIN un u1 ON p.w1 = u1.w
+      JOIN un u2 ON p.w2 = u2.w
+      GROUP BY p.id ORDER BY doc_id"""
   )
 }

@@ -440,6 +440,28 @@ object PipelineQueries extends QueryModule {
       Dedup.simhashPairs(landed, maxHamming = 3).orderBy("i", "j")
     }),
 
+    // ---- m02: video frame-sample plumbing. No JVM video codec exists,
+    //      so the payload is a deterministic raw-frame layout and the
+    //      slicing body is the documented codec seam — but the engine
+    //      GENUINELY slices frames out of binary payloads through the
+    //      batched mapPartitions pipeline, samples every 3rd frame, and
+    //      the oracle recomputes every sampled frame's statistic from
+    //      the id arithmetic --------------------------------------------
+    "m02_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 100)
+        .as[Long]
+        .map(id => (id, Multimodal.synthVideo(id)))
+        .toDF("id", "video")
+      Multimodal.videoFrameSamples(s,
+          Multimodal.asMedia(media, "id", "video", "video"),
+          frameBytes = 64, stride = 3)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -910,6 +932,18 @@ object PipelineQueries extends QueryModule {
            read_parquet('$outRoot/image_sigs/*.parquet') b
       WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY i, j""",
+
+    "m02_video_frames" -> """
+      WITH m AS (SELECT doc_id AS media_id, 10 + doc_id % 7 AS nf
+                 FROM documents WHERE doc_id < 100),
+      f AS (SELECT media_id, nf, unnest(range(0, nf, 3)) AS frame_idx FROM m),
+      b AS (SELECT media_id, nf, frame_idx, unnest(range(0, 64)) AS i FROM f)
+      SELECT media_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(frame_idx AS BIGINT) AS frame_idx,
+             round(AVG(CAST((media_id * 31 + frame_idx * 7 + i) % 256 AS DOUBLE)), 4)
+               AS mean_byte
+      FROM b GROUP BY 1, 2, 3 ORDER BY media_id, frame_idx""",
 
     "p21_audio_decode" -> """
       SELECT doc_id AS media_id,

@@ -84,6 +84,77 @@ class CurationSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- Clean.globalLineDedup -------------------------------------------
+
+  test("globalLineDedup removes lines in >= maxDocs distinct docs, keeps order") {
+    val footer = "all rights reserved."
+    val df = Seq(
+      (1L, s"alpha unique one\n$footer\nomega unique one"),
+      (2L, s"$footer\nbeta unique two"),
+      (3L, s"gamma unique three\n$footer"),
+      // doc 4 repeats the footer twice WITHIN the doc: still one distinct
+      // doc for the count, and both copies are removed
+      (4L, s"$footer\ndelta unique four\n$footer")
+    ).toDF("doc_id", "text")
+    val out = Clean.globalLineDedup(df, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") === 1)
+    assert(out(1L).getAs[Long]("n_kept") === 2)
+    assert(out(4L).getAs[Long]("n_removed") === 2)
+    assert(out(4L).getAs[Long]("n_kept") === 1)
+    def md5of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("clean_md5") ===
+      md5of("alpha unique one\nomega unique one"))
+    assert(out(4L).getAs[String]("clean_md5") === md5of("delta unique four"))
+  }
+
+  test("globalLineDedup: below-threshold lines survive; all-hot doc hashes empty") {
+    val shared = "shared by exactly two docs"
+    val df = Seq(
+      (1L, s"$shared\nmine alone one"),
+      (2L, s"$shared\nmine alone two"),
+      (3L, shared) // with maxDocs=3 the 3-doc line IS hot; doc 3 empties
+    ).toDF("doc_id", "text")
+    val out = Clean.globalLineDedup(df, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") === 1)
+    assert(out(3L).getAs[Long]("n_kept") === 0)
+    def md5of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(3L).getAs[String]("clean_md5") === md5of(""))
+    // two-doc line survives when threshold is 3
+    val out2 = Clean.globalLineDedup(
+      df.filter(col("doc_id") < 3L), "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out2(1L).getAs[Long]("n_removed") === 0)
+  }
+
+  // ---- Lm.bigramNll ------------------------------------------------------
+
+  test("bigramNll matches the hand-computed interpolated probability") {
+    // corpus: "a b" and "a b a" → unigrams: a=3, b=2, N=5
+    // bigrams: (a,b)=2, (b,a)=1
+    val df = Seq((1L, "a b"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = Lm.bigramNll(df, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val pAB = 0.7 * 2.0 / 3.0 + 0.3 * 2.0 / 5.0 // p(b|a)
+    val pBA = 0.7 * 1.0 / 2.0 + 0.3 * 3.0 / 5.0 // p(a|b)
+    assert(out(1L).getAs[Long]("n_bigrams") === 1)
+    assert(math.abs(out(1L).getAs[Double]("avg_nll") - (-math.log(pAB))) < 1e-12)
+    assert(out(2L).getAs[Long]("n_bigrams") === 2)
+    val expected = (-math.log(pAB) - math.log(pBA)) / 2.0
+    assert(math.abs(out(2L).getAs[Double]("avg_nll") - expected) < 1e-12)
+  }
+
+  test("bigramNll: single-token docs emit no row; nll is always positive here") {
+    val df = Seq((1L, "lonely"), (2L, "two words")).toDF("doc_id", "text")
+    val out = Lm.bigramNll(df, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("id")).toSet === Set(2L))
+    // interpolated p < 1 strictly when the vocabulary has >1 type
+    assert(out.head.getAs[Double]("avg_nll") > 0.0)
+  }
+
   test("alternating CC handles hub, complete, and self/duplicate-edge graphs") {
     // hub: star already — must converge immediately and label by the hub min
     val hub = (1L to 20L).map(v => (0L, v)).toDF("i", "j")

@@ -290,6 +290,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: video frame sampling slices, strides, and drops torn frames") {
+    // payload with a torn trailing half-frame: decode must drop it
+    val full = Multimodal.synthVideo(5L) // 10 + 5%7 = 15 frames of 64 bytes
+    val torn = full ++ Array.fill(30)(0x7f.toByte)
+    val media = Multimodal.asMedia(
+      Seq((5L, torn)).toDF("id", "v"), "id", "v", "video")
+    val frames = Multimodal.videoFrameSamples(spark, media,
+      frameBytes = 64, stride = 3).collect().sortBy(_.frame_idx)
+    assert(frames.forall(_.n_frames == 15L))
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 3L, 6L, 9L, 12L))
+    // analytic mean of frame f: avg over i of (5*31 + f*7 + i) mod 256
+    frames.foreach { fr =>
+      val exp = (0 until 64).map(i => (5L * 31 + fr.frame_idx * 7 + i) % 256)
+        .sum.toDouble / 64
+      assert(math.abs(fr.mean_byte - exp) < 1e-12, s"frame ${fr.frame_idx}")
+    }
+    // empty payload: zero frames, zero rows — never an exception
+    val empty = Multimodal.asMedia(
+      Seq((9L, Array.emptyByteArray)).toDF("id", "v"), "id", "v", "video")
+    assert(Multimodal.videoFrameSamples(spark, empty).count() === 0L)
+  }
+
   test("multimodal: REAL audio decode (JDK WAV reader), signal features") {
     import javax.sound.sampled._
     // synthesize a 0.5 s, 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8 kHz
