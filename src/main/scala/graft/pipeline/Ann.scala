@@ -136,6 +136,47 @@ object Ann {
       .select("i", "j", "cos_r")
   }
 
+  /** Metadata-FILTERED ANN top-k — the RAG-retrieval shape: each query's
+    * k nearest neighbors live AMONG the vectors satisfying the query's
+    * predicate (here: equal `labelCol` — a tenant, language, or shard
+    * key). The filter composes into the INDEX KEY — postings and probes
+    * bucket on (label, table, bucket) — rather than post-filtering an
+    * unfiltered top-k, which silently loses recall exactly when the
+    * filter is selective (the true filtered neighbors never enter the
+    * unfiltered shortlist). Candidates only form inside (label, table,
+    * bucket) groups — lshNeighbors' bounded-bucket discipline, sharded
+    * further by the filter column, so a selective filter makes buckets
+    * SMALLER, never bigger; exact cosine then ranks the candidates, ids
+    * only through the bucket shuffle, embeddings joined back by key.
+    * Returns (query_id, label, rank, neighbor_id, cos_r). */
+  def filteredTopK(emb: DataFrame, queries: DataFrame, labelCol: String,
+                   dims: Int, k: Int, planes: Int = 4, tables: Int = 16,
+                   seed: Long = 7): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    def bucketed(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs), col(labelCol).as("lbl"),
+          posexplode(call_function("graft_hyperplane_buckets",
+            col("embedding"), lit(dims), lit(planes), lit(tables), lit(seed)))
+            .as(Seq("table", "bucket")))
+        .select(struct(col("lbl"), col("table"), col("bucket")).as("bkt"),
+          col(idAs))
+    val cand = bucketed(queries, "query_id")
+      .join(bucketed(emb, "neighbor_id"), Seq("bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("label"), col("embedding").as("q_emb"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_r").desc, col("neighbor_id"))
+    cand.join(qv, "query_id").join(nv, "neighbor_id")
+      .withColumn("cos_r", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "label", "rank", "neighbor_id", "cos_r")
+  }
+
   /** Hyperplane-LSH (bucket, vec_id, embedding) postings — all tables'
     * buckets from ONE compiled expression pass (HyperplaneBucketsExpr);
     * candidates only ever form inside a (table, bucket) group, so

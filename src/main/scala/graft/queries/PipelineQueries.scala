@@ -144,6 +144,37 @@ object PipelineQueries extends QueryModule {
       landed.orderBy("vec_id")
     }),
 
+    // ---- metadata-FILTERED ANN (the RAG shape): top-3 cosine neighbors
+    //      WITHIN the query's label stratum; the filter composes into
+    //      the LSH index key ((label, table, bucket) postings) instead
+    //      of post-filtering an unfiltered top-k. Oracle recomputes every
+    //      reported cosine AND enforces the label constraint (a cross-
+    //      label neighbor drops the row → count mismatch); in-query
+    //      guard requires near-optimal top-1 vs label-constrained brute
+    //      force over a 50-query probe set --------------------------------
+    "p50_filtered_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 100)
+      Ann.filteredTopK(e, q, "label", dims = 64, k = 3)
+        .write.mode("overwrite").parquet(s"$outRoot/filtered_ann")
+      val landed = s.read.parquet(s"$outRoot/filtered_ann")
+      val nProbe = 50L
+      val probe = e.filter(col("vec_id") < nProbe)
+      val bf = e.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("ne"))
+        .join(broadcast(probe.select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("qe"))), Seq("label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id")
+        .agg(max(round(Ann.cosine(col("qe"), col("ne")), 6)).as("bf_cos"))
+      val hits = landed.filter(col("rank") === 1 && col("query_id") < nProbe)
+        .join(bf, "query_id")
+        .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
+      require(hits >= (0.6 * nProbe).toLong,
+        s"filtered-ANN recall regression: $hits/$nProbe probes near-optimal")
+      landed.orderBy("query_id", "rank")
+    }),
+
     // ---- PQ ANN [Jégou et al. 2011]: per-subspace KMeans codebooks
     //      (landed — the oracle re-derives every code AND every ADC
     //      distance from them, full hash equality), m-byte codes, ADC
@@ -685,6 +716,17 @@ object PipelineQueries extends QueryModule {
       JOIN embeddings a ON a.vec_id = p.vec_id
       JOIN embeddings b ON b.vec_id = p.neighbor_id
       ORDER BY p.vec_id""",
+
+    "p50_filtered_ann" -> s"""
+      SELECT p.query_id, CAST(a.label AS INTEGER) AS label, p.rank,
+             p.neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      FROM read_parquet('$outRoot/filtered_ann/*.parquet') p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.neighbor_id
+      WHERE a.label = b.label
+      ORDER BY p.query_id, p.rank""",
 
     "p08_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -363,6 +363,43 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q8-shaped market share: the two-level conditional
+    //      aggregate over a 7-table join — share of NATION_1 suppliers
+    //      in AMERICA-region customers' STANDARD-part revenue per order
+    //      year. True dims (both nation roles, region) broadcast; the
+    //      part and supplier edges stay declarative for AQE (broadcast
+    //      at toy sizes, shuffle at real ones — part filtered to 1/6 is
+    //      still billions of rows at 100 TB, NOT broadcast-safe to pin).
+    //      Share = ratio of two same-group sums, rounded to 1e-6 (the
+    //      ratio's fp noise is ~1e-10 relative); volume to cents --------
+    "q52_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val custNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNations = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(custNations), c("c_nationkey") === col("cn_key"))
+        .join(p, li("l_partkey") === col("p_partkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(suppNations), su("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_1", vol)
+              .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"),
+          round(sum(vol), 2).as("total_vol"))
+        .orderBy("o_year")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -611,6 +648,24 @@ object RelationalQueries extends QueryModule {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY n_name
-      ORDER BY revenue DESC, n_name"""
+      ORDER BY revenue DESC, n_name""",
+
+    "q52_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             round(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END)
+                   / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+             round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+      GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -129,6 +129,30 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall $recall%.3f too low")
   }
 
+  test("filteredTopK: neighbors never cross the label boundary; planted dup found") {
+    // id 0 (label 0) and id 1 (label 1) are EXACTLY identical vectors —
+    // the filter must keep them apart; id 2 (label 0) is a light
+    // perturbation of id 0 — the true same-label neighbor
+    val r = new scala.util.Random(11)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    val base = vec()
+    val rows = Seq(
+      (0L, base, 0), (1L, base, 1),
+      (2L, base.map(x => x + 0.02f * r.nextGaussian().toFloat), 0)) ++
+      (10L until 60L).map(i => (i, vec(), (i % 2).toInt))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val out = Ann.filteredTopK(df, df, "label", dims = 64, k = 3,
+      planes = 4, tables = 16)
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    out.select("query_id", "neighbor_id").collect().foreach { row =>
+      assert(labels(row.getLong(0)) === labels(row.getLong(1)),
+        s"cross-label neighbor: ${row.getLong(0)} -> ${row.getLong(1)}")
+    }
+    val top0 = out.filter(col("query_id") === 0L && col("rank") === 1L)
+      .select("neighbor_id").head().getLong(0)
+    assert(top0 === 2L, s"query 0's same-label near-dup should win, got $top0")
+  }
+
   test("embedding-cosine near-dup: planted duplicate detection") {
     // validate the cosine op on self-similarity...
     val self = embs.limit(5)
