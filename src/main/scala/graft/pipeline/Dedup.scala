@@ -310,6 +310,24 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  /** Right-to-be-forgotten RETRACTION: delete a document set from a
+    * LANDED minhashIndex without re-signing the surviving corpus — the
+    * index is the only artifact rewritten, and the cost is one skinny
+    * anti-join on id (the delete list is a takedown/GDPR batch, ≪
+    * corpus, and broadcastable when small — left declarative for AQE).
+    * The params stamp rides through untouched, so incremental ingest
+    * against the retained index keeps working. The caller lands the
+    * result and verifies no deleted id survives (the p52 query does,
+    * loudly). */
+  def retractFromIndex(index: DataFrame, deletes: DataFrame,
+                       idCol: String): DataFrame =
+    index.join(deletes.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_anti")
+      // the join hoists the key column to the front; restore the index's
+      // own column order so the rewritten artifact is schema-identical to
+      // the one it replaces (readers pin positions as well as names)
+      .select(index.columns.map(col).toIndexedSeq: _*)
+
   /** foreachBatch-compatible INCREMENTAL INGEST: dedup an arriving batch
     * against the landed corpus index, append the pair report, then grow
     * the index and corpus store with the batch itself — the maintenance

@@ -41,6 +41,43 @@ object Quality {
       maxMeanTokLen: Double = 10.0,
       maxSymbolWordRatio: Double = 0.10)
 
+  /** Model-based quality scoring — the FineWeb-Edu / DCLM-baseline shape
+    * (Penedo et al. 2024 §3.3; Li et al. 2024: score every document with
+    * a classifier, gate the corpus on a score threshold). Production
+    * runs a fastText / linear-probe model; the model here IS linear —
+    * fixed, versioned weights over engineered row-local features — so
+    * the whole scorer stays ONE scan-local codegen'd projection,
+    * score = σ(w·x), that any engine recomputes from the formula (the
+    * p51 oracle does, term for term). Learned weights — or an ONNX batch
+    * scorer via the Multimodal mapPartitions seam — swap in without
+    * changing the plan shape. The keep gate compares the 1e-6-ROUNDED
+    * score on both sides, so the decision can never flip on
+    * sub-rounding fp noise between engines (exp/ln differ in the last
+    * ulp across libm implementations; the gate lives 10 orders above
+    * that).
+    * Returns (doc_id, n_toks, score, keep). */
+  def classifierScore(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      TextOps.tokens(col("text")).as("t"))
+    def charCount(re: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), re, "")))
+        .cast("double")
+    val nToks = greatest(size(col("t")), lit(1)).cast("double")
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val z = lit(-2.0) +
+      lit(0.15) * log(lit(1.0) + size(col("t")).cast("double")) +
+      lit(0.35) * TextOps.meanTokenLen(col("t")) +
+      lit(3.0) * TextOps.stopwordRatio(col("t")) -
+      lit(8.0) * (TextOps.punctCount(col("text")).cast("double") / nToks) -
+      lit(6.0) * (charCount("[0-9]") / nChars) -
+      lit(2.0) * (charCount("[A-Z]") / nChars) +
+      lit(1.5) * (size(array_distinct(col("t"))).cast("double") / nToks)
+    base.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_toks"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Per-document quality metrics + keep flag. Output: doc_id, n_lines,
     * dup_line_frac, dup_line_char_frac, bullet_line_frac,
     * top_bigram_char_frac, dup_trigram_char_frac, type_token_ratio,

@@ -345,6 +345,30 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- right-to-be-forgotten retraction: delete a takedown batch
+    //      from the LANDED minhash index by one skinny anti-join — the
+    //      index is the only artifact rewritten; a loud in-query guard
+    //      proves no deleted id survives, and the oracle re-derives the
+    //      retained per-band accounting from the ORIGINAL landed index
+    //      plus the delete predicate --------------------------------------
+    "p52_index_retraction" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashIndex(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$outRoot/retr_index")
+      val index = s.read.parquet(s"$outRoot/retr_index")
+      val deletes = d.filter(col("doc_id") % 10 === 3).select("doc_id")
+      Dedup.retractFromIndex(index, deletes, "doc_id")
+        .write.mode("overwrite").parquet(s"$outRoot/retr_retained")
+      val landed = s.read.parquet(s"$outRoot/retr_retained")
+      val leaked = landed.join(deletes.withColumnRenamed("doc_id", "id"),
+        Seq("id"), "left_semi").count()
+      require(leaked == 0, s"retraction leak: $leaked index rows for deleted docs")
+      landed.groupBy("band")
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("id")).as("n_docs"))
+        .orderBy("band")
+    }),
+
     // ---- interpolated bigram-LM cross-entropy (KenLM-lite upgrade of
     //      p34): bigram model shuffle-joined on the pair key, unigram
     //      back-off broadcast; <2-token docs emit no row on BOTH sides --
@@ -765,6 +789,12 @@ object CurationQueries extends QueryModule {
              md5(COALESCE(string_agg(CASE WHEN NOT hot THEN line END,
                                      chr(10) ORDER BY pos), '')) AS clean_md5
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "p52_index_retraction" -> s"""
+      SELECT band, COUNT(*) AS n_entries, COUNT(DISTINCT id) AS n_docs
+      FROM read_parquet('$outRoot/retr_index/*.parquet')
+      WHERE id % 10 <> 3
+      GROUP BY band ORDER BY band""",
 
     "p49_bigram_nll" -> s"""
       WITH t AS (SELECT doc_id AS id, $duckToks AS t FROM documents),

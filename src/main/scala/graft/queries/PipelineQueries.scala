@@ -144,6 +144,16 @@ object PipelineQueries extends QueryModule {
       landed.orderBy("vec_id")
     }),
 
+    // ---- model-based quality gate (FineWeb-Edu/DCLM shape): a linear
+    //      classifier over row-local features, σ(w·x) score, threshold
+    //      keep — ONE scan-local codegen'd projection; the keep gate
+    //      compares the 1e-6-rounded score on both sides so libm ulp
+    //      noise can never flip it --------------------------------------
+    "p51_classifier_quality" -> ((s, dir) => {
+      graft.pipeline.Quality.classifierScore(docs(s, dir), threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- metadata-FILTERED ANN (the RAG shape): top-3 cosine neighbors
     //      WITHIN the query's label stratum; the filter composes into
     //      the LSH index key ((label, table, bucket) postings) instead
@@ -716,6 +726,27 @@ object PipelineQueries extends QueryModule {
       JOIN embeddings a ON a.vec_id = p.vec_id
       JOIN embeddings b ON b.vec_id = p.neighbor_id
       ORDER BY p.vec_id""",
+
+    "p51_classifier_quality" -> s"""
+      WITH f AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+      z AS (SELECT doc_id, len(toks) AS n_toks,
+        -2.0 + 0.15 * ln(1.0 + len(toks))
+        + 0.35 * (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                  / greatest(len(toks), 1))
+        + 3.0 * (CAST(len(list_filter(toks, t -> list_contains($duckStops, t))) AS DOUBLE)
+                 / greatest(len(toks), 1))
+        - 8.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+                 / greatest(len(toks), 1))
+        - 6.0 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1))
+        - 2.0 * (CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1))
+        + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) AS z
+      FROM f)
+      SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+             round(1.0 / (1.0 + exp(-z)), 6) AS score,
+             round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+      FROM z ORDER BY doc_id""",
 
     "p50_filtered_ann" -> s"""
       SELECT p.query_id, CAST(a.label AS INTEGER) AS label, p.rank,

@@ -130,6 +130,25 @@ class CurationSpec extends SparkSpec {
     assert(out2(1L).getAs[Long]("n_removed") === 0)
   }
 
+  // ---- Dedup.retractFromIndex -------------------------------------------
+
+  test("retractFromIndex removes exactly the deleted ids, keeps the params stamp") {
+    val df = (0L until 20L).map(i =>
+      (i, s"document number $i carries some shared words plus token$i here"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(df, "doc_id", "text")
+    val deletes = Seq(3L, 7L, 3L).toDF("doc_id") // duplicate delete is fine
+    val retained = Dedup.retractFromIndex(index, deletes, "doc_id")
+    val ids = retained.select("id").distinct().as[Long].collect().toSet
+    assert(!ids.contains(3L) && !ids.contains(7L))
+    assert(ids === (0L until 20L).toSet -- Set(3L, 7L))
+    // surviving rows are byte-identical to the original index rows
+    assert(retained.exceptAll(index.filter(!col("id").isin(3L, 7L))).isEmpty)
+    // params stamp survives → incremental ingest still accepts the index
+    val p = retained.select("params.k", "params.bands").distinct().head()
+    assert(p.getInt(0) === 64 && p.getInt(1) === 16)
+  }
+
   // ---- Lm.bigramNll ------------------------------------------------------
 
   test("bigramNll matches the hand-computed interpolated probability") {

@@ -68,4 +68,25 @@ class QualitySpec extends SparkSpec {
       assert(!r.getAs[Double]("type_token_ratio").isNaN)
     }
   }
+
+  test("classifierScore: fluent prose outranks digit/symbol soup; gate uses rounded score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog are friends in this story of the meadow"),
+      (2L, "8x9!!! 77##&& 0101 ??? !!! 4442 ### 9999 !!!! 00"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Quality.classifierScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("score") > out(2L).getAs[Double]("score"))
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep"))
+    // degenerate doc scores finite and gates deterministically
+    val s3 = out(3L).getAs[Double]("score")
+    assert(!s3.isNaN && s3 >= 0.0 && s3 <= 1.0)
+    // keep is exactly (rounded score >= threshold) — the cross-engine
+    // contract the oracle relies on
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("score") >= 0.5))
+    }
+  }
 }
