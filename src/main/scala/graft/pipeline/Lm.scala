@@ -205,6 +205,54 @@ object Lm {
     nll.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
   }
 
+  /** BM25 top-k document retrieval (Robertson–Spärck Jones weighting,
+    * Lucene's idf formulation ln(1 + (N − df + ½)/(df + ½))) for a
+    * SMALL fixed query set — the lexical corpus-search/RAG-retrieval
+    * baseline next to the ANN family. Plan shape, 100 TB lens: one
+    * exploded scan feeds the (id, term, tf) aggregate with a per-doc
+    * length window; the QUERY term table (a handful of rows) joins the
+    * posting stream BROADCAST and prunes it to query-vocabulary matches
+    * — the scored stream is a tiny fraction of the corpus — then df and
+    * the (N, avgdl) scalars join back broadcast, one per-(query, doc)
+    * rollup sums term contributions, and per-query top-k compiles to
+    * WindowGroupLimit. Scores round to 1e-6 BEFORE ranking, ties break
+    * on id, so any engine ranks identically.
+    * Returns (query_id, rk ∈ 1..k, id, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.trim.toLowerCase.split("\\s+").map(qid -> _) }
+      .toDF("query_id", "term")
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val tf = base.select(col("id"), explode(col("t")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      avg(size(col("t")).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", termScore)
+      .groupBy("query_id", "id").agg(round(sum(col("s")), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("id"), col("score"))
+  }
+
   /** Per-document top-k TF-IDF keywords — the classic corpus term-
     * weighting pass (smoothed idf = ln((N+1)/(df+1)) + 1, sklearn's
     * formulation, so no term ever gets weight 0). Three skinny

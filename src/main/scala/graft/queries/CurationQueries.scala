@@ -345,6 +345,20 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25 top-k retrieval (lexical corpus search, the RAG baseline
+    //      beside the ANN family): postings pruned by the broadcast
+    //      query vocabulary, df/N/avgdl broadcast back, one per-(query,
+    //      doc) rollup, WindowGroupLimit top-10; score rounded to 1e-6
+    //      before ranking, ties to id ----------------------------------
+    "p53_bm25_topk" -> ((s, dir) => {
+      Lm.bm25TopK(docs(s, dir), "doc_id", "text",
+          queries = Seq(1 -> "hash join", 2 -> "fast scan filter",
+            3 -> "window agg customer"),
+          k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("query_id", "rk")
+    }),
+
     // ---- right-to-be-forgotten retraction: delete a takedown batch
     //      from the LANDED minhash index by one skinny anti-join — the
     //      index is the only artifact rewritten; a loud in-query guard
@@ -789,6 +803,36 @@ object CurationQueries extends QueryModule {
              md5(COALESCE(string_agg(CASE WHEN NOT hot THEN line END,
                                      chr(10) ORDER BY pos), '')) AS clean_md5
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "p53_bm25_topk" -> s"""
+      WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+      tf AS (SELECT id, tok AS term, COUNT(*) AS tf
+             FROM (SELECT id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      dl AS (SELECT id, len(toks) AS dl FROM d),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+      q AS (SELECT * FROM (VALUES (1, 'hash'), (1, 'join'),
+                                  (2, 'fast'), (2, 'scan'), (2, 'filter'),
+                                  (3, 'window'), (3, 'agg'), (3, 'customer'))
+            AS t(query_id, term)),
+      s AS (SELECT q.query_id, tf.id,
+              ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                       / (CAST(df.df AS DOUBLE) + 0.5)) *
+              (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+              (CAST(tf.tf AS DOUBLE) +
+               CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl ON tf.id = dl.id, st),
+      agg AS (SELECT query_id, id, round(SUM(s), 6) AS score
+              FROM s GROUP BY 1, 2)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, id) AS BIGINT) AS rk,
+             id AS doc_id, score
+      FROM agg
+      QUALIFY rk <= 10
+      ORDER BY query_id, rk""",
 
     "p52_index_retraction" -> s"""
       SELECT band, COUNT(*) AS n_entries, COUNT(DISTINCT id) AS n_docs

@@ -144,6 +144,17 @@ object PipelineQueries extends QueryModule {
       landed.orderBy("vec_id")
     }),
 
+    // ---- SLIDING-window aggregate (overlapping windows — the trend/
+    //      moving-rate shape; p08 is the tumbling counterpart): Spark's
+    //      window(ts, 10m, 5m) replicates each event into both
+    //      containing windows before a normal partial aggregate; the
+    //      oracle unrolls the same two epoch-aligned starts ------------
+    "p54_sliding_window" -> ((s, dir) => {
+      graft.streaming.EventStream.slidingAgg(Tables.t(s, dir, "events"),
+          width = "10 minutes", slide = "5 minutes")
+        .orderBy("win_start", "event_type")
+    }),
+
     // ---- model-based quality gate (FineWeb-Edu/DCLM shape): a linear
     //      classifier over row-local features, σ(w·x) score, threshold
     //      keep — ONE scan-local codegen'd projection; the keep gate
@@ -726,6 +737,16 @@ object PipelineQueries extends QueryModule {
       JOIN embeddings a ON a.vec_id = p.vec_id
       JOIN embeddings b ON b.vec_id = p.neighbor_id
       ORDER BY p.vec_id""",
+
+    "p54_sliding_window" -> """
+      WITH w AS (SELECT event_type, value,
+                   unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts)
+                             - INTERVAL 5 MINUTE]) AS win_start
+                 FROM events)
+      SELECT win_start, event_type, COUNT(*) AS n,
+             round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "p51_classifier_quality" -> s"""
       WITH f AS (SELECT doc_id, text, $duckToks AS toks FROM documents),

@@ -400,6 +400,28 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_year")
     }),
 
+    // ---- TPC-H Q3-shaped unshipped-order top-k: segment-filtered
+    //      3-table join, per-order revenue rollup, global top-10 — the
+    //      filter+join+agg+TakeOrdered staple. The LIMIT compiles to
+    //      TakeOrderedAndProject (per-partition partial top-k, no global
+    //      sort materializes); revenue to cents, full tie-break chain so
+    //      engines order identically -----------------------------------
+    "q53_topk_unshipped" -> ((s, dir) => {
+      val cutoff = lit("1998-06-15").cast("timestamp")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -666,6 +688,19 @@ object RelationalQueries extends QueryModule {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation sn ON s_nationkey = sn.n_nationkey
       WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "q53_topk_unshipped" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-15'
+        AND l_shipdate  > TIMESTAMP '1998-06-15'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""
   )
 }

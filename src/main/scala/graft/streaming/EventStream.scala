@@ -39,6 +39,33 @@ object EventStream extends Serializable {
                         watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
 
+  /** SLIDING-window per-type aggregate — the overlapping-window
+    * counterpart of [[windowedAgg]] (each event lands in width/slide
+    * windows; the trend/moving-rate query shape). Spark's `window(ts,
+    * width, slide)` replicates the row into every containing window
+    * BEFORE the aggregate — output ∝ events·(width/slide), each window
+    * a normal partial-aggregating group, so the plan scales exactly
+    * like the tumbling one at a constant factor. Windows align to the
+    * epoch (floor(ts/slide)·slide and its predecessors), so any engine
+    * can recompute membership analytically. Same operator runs under
+    * Structured Streaming via [[slidingAggStream]]. */
+  def slidingAgg(events: DataFrame, width: String = "10 minutes",
+                 slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")).cast("double"), 4).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming flavor of [[slidingAgg]] (watermark bounds state; append
+    * emits each overlapping window once sealed). */
+  def slidingAggStream(events: DataFrame, width: String = "10 minutes",
+                       slide: String = "5 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    slidingAgg(events.withWatermark("ts", watermark), width, slide)
+
   /** Per-user SESSIONIZATION: maximal event runs with inter-event gap
     * < `gap`, via the built-in `session_window` — the declarative
     * Catalyst path (merging-window aggregate, shuffle keyed by user),

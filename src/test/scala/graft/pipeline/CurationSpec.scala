@@ -130,6 +130,31 @@ class CurationSpec extends SparkSpec {
     assert(out2(1L).getAs[Long]("n_removed") === 0)
   }
 
+  // ---- Lm.bm25TopK -------------------------------------------------------
+
+  test("bm25TopK matches the hand-computed score and ranks rare-term docs first") {
+    // corpus: d1 has the rare term once; d2 has the common term; both len 4
+    val df = Seq(
+      (1L, "rare aaa bbb ccc"),
+      (2L, "common aaa bbb ccc"),
+      (3L, "common common aaa bbb"),
+      (4L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    val out = Lm.bm25TopK(df, "doc_id", "text",
+      queries = Seq(1 -> "rare", 2 -> "common"), k = 10)
+      .collect().groupBy(_.getAs[Int]("query_id"))
+    // q1: only d1 matches; hand-compute Lucene-BM25 with N=4, df=1,
+    // tf=1, dl=4, avgdl=4, k1=1.2, b=0.75
+    val idfRare = math.log(1.0 + (4.0 - 1.0 + 0.5) / 1.5)
+    val expected1 = idfRare * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0))
+    val q1 = out(1)
+    assert(q1.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    assert(math.abs(q1.head.getAs[Double]("score") -
+      (math.rint(expected1 * 1e6) / 1e6)) < 1e-9)
+    // q2: d3 (tf=2) outranks d2 (tf=1); d1/d4 don't match
+    val q2 = out(2).sortBy(_.getAs[Long]("rk"))
+    assert(q2.map(_.getAs[Long]("id")).toSeq === Seq(3L, 2L))
+  }
+
   // ---- Dedup.retractFromIndex -------------------------------------------
 
   test("retractFromIndex removes exactly the deleted ids, keeps the params stamp") {

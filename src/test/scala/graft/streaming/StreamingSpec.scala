@@ -104,6 +104,42 @@ class StreamingSpec extends SparkSpec {
       s"stream closed too few windows: ${streamed.length} vs batch ${batch.length}")
   }
 
+  test("streaming SLIDING-window agg matches batch; every event lands in width/slide windows") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.t(spark, dir, "events")
+    val batch = EventStream.slidingAgg(events)
+      .orderBy("win_start", "event_type").collect()
+    // membership arithmetic: Σ window counts == events × (width/slide)
+    val total = batch.map(_.getAs[Long]("n")).sum
+    assert(total === events.count() * 2,
+      s"each event must appear in exactly 2 overlapping windows, got $total")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("ev_slide")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStream.slidingAggStream(streamIn)
+      .writeStream.format("memory").queryName("ev_slide_agg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_slide_agg")
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.nonEmpty, "stream emitted nothing")
+    val batchByKey = batch.map(r => (r.get(0), r.get(1)) -> r.toSeq).toMap
+    streamed.foreach { r =>
+      val k = (r.get(0), r.get(1))
+      assert(batchByKey.contains(k), s"stream emitted unknown window $k")
+      assert(batchByKey(k) == r.toSeq, s"window $k differs")
+    }
+    assert(streamed.length >= batch.length - 16,
+      s"stream closed too few windows: ${streamed.length} vs batch ${batch.length}")
+  }
+
   test("custom-state sessionization equals the declarative session_window path") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.t(spark, dir, "events")
