@@ -40,16 +40,24 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   stats     --table <parquetPath> --name <table> --out <yamlFile>
   *             [--exact] [--histogram col1,col2[:buckets]]
   *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate|
-  *                   clean|spans|mix|merges|encode|nll|cluster>
+  *                   clean|spans|mix|merges|encode|nll|cluster|lines|
+  *                   bigram-nll|classify|bm25|retract|chunk|keywords>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
   *             [--source-col source]    (pack/mix's per-stratum key)
   *             [--probe <parquetDir>]   (decontaminate's benchmark set)
-  *             [--window 8]             (spans' token-window width)
+  *             [--window 8]             (spans' token-window width;
+  *                                       chunk's token budget)
+  *             [--stride 384]           (chunk's slide)
   *             [--tau 0.7] [--target-frac 0.5]  (mix's temperature)
-  *             [--k 100]                (merges' top-k)
+  *             [--k 100]                (merges'/bm25's/keywords' top-k)
   *             [--merges <parquetDir>]  (encode's merge table = merges' out)
+  *             [--max-docs 5]           (lines' global hot-line threshold)
+  *             [--lambda 0.7]           (bigram-nll's interpolation)
+  *             [--query 'hash join']    (bm25's query terms)
+  *             [--deletes <parquetDir>] (retract's takedown id list;
+  *                                       --in is the landed minhash index)
   *             (cluster expects (i, j) pair parquet, e.g. neardup output)
   *             (training-data ops over any parquet corpus — the verb
   *              face of graft.pipeline; beyond the reference surface)
@@ -332,6 +340,28 @@ object Cli {
           graft.pipeline.Lm.unigramNll(in, idCol, textCol)
         case "cluster" => // (i, j) pair parquet -> component labels
           graft.pipeline.Dedup.connectedComponentsAlternating(in)
+        case "lines" => // GLOBAL cross-corpus boilerplate-line dedup report
+          graft.pipeline.Clean.globalLineDedup(in, idCol, textCol,
+            o.getOrElse("max-docs", "5").toInt)
+        case "bigram-nll" => // interpolated bigram-LM cross-entropy per doc
+          graft.pipeline.Lm.bigramNll(in, idCol, textCol,
+            o.getOrElse("lambda", "0.7").toDouble)
+        case "classify" => // linear classifier quality gate (score + keep)
+          graft.pipeline.Quality.classifierScore(in, idCol, textCol, threshold)
+        case "bm25" => // --query 'terms...' (repeatable queries unsupported;
+          // one query per invocation keeps the flag surface flat)
+          graft.pipeline.Lm.bm25TopK(in, idCol, textCol,
+            Seq(1 -> req(o, "query")), o.getOrElse("k", "10").toInt)
+        case "retract" => // delete --deletes ids from a landed minhash index
+          graft.pipeline.Dedup.retractFromIndex(in,
+            spark.read.parquet(req(o, "deletes")), idCol)
+        case "chunk" => // sliding-window token shards
+          graft.pipeline.Chunking.chunkSliding(in, idCol, textCol,
+            o.getOrElse("window", "512").toInt,
+            o.getOrElse("stride", "384").toInt)
+        case "keywords" => // per-doc top-k TF-IDF keywords
+          graft.pipeline.Lm.tfidfTopK(in, idCol, textCol,
+            o.getOrElse("k", "3").toInt)
         case other => throw new IllegalArgumentException(
           s"unknown pipeline op '$other'\n$usage")
       }

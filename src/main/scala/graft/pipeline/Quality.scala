@@ -56,9 +56,11 @@ object Quality {
     * ulp across libm implementations; the gate lives 10 orders above
     * that).
     * Returns (doc_id, n_toks, score, keep). */
-  def classifierScore(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"),
-      TextOps.tokens(col("text")).as("t"))
+  def classifierScore(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("text"),
+      TextOps.tokens(col(textCol)).as("t"))
     def charCount(re: String) =
       (length(col("text")) - length(regexp_replace(col("text"), re, "")))
         .cast("double")
@@ -72,7 +74,7 @@ object Quality {
       lit(6.0) * (charCount("[0-9]") / nChars) -
       lit(2.0) * (charCount("[A-Z]") / nChars) +
       lit(1.5) * (size(array_distinct(col("t"))).cast("double") / nToks)
-    base.select(col("doc_id"),
+    base.select(col(idCol),
         size(col("t")).cast("long").as("n_toks"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
       .withColumn("keep", col("score") >= threshold)

@@ -118,6 +118,34 @@ object IoQueries extends QueryModule {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy("source")
+    }),
+
+    // Hive-style PARTITIONED layout (the 100 TB default for time/
+    // language/source-sliced corpora): documents land partitioned by
+    // lang, the read-back filter must prune at the DIRECTORY level —
+    // the in-query guard asserts the scan carries a lang partition
+    // filter (not a post-scan one), i.e. the 'en' query never opens the
+    // other languages' files. The oracle recomputes the same accounting
+    // from the unpartitioned source table.
+    "io04_partitioned_layout" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val out = s"${graft.Land.root}/io/part_docs"
+      d.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val filtered = s.read.parquet(out).filter(col("lang") === "en")
+      val scans = filtered.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "partitioned read planned no file scan")
+      require(scans.head.partitionFilters
+          .exists(_.references.exists(_.name == "lang")),
+        "lang filter did not reach the scan's PARTITION filters — " +
+          "the layout is not pruning directories")
+      filtered.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
     })
   )
 
@@ -180,6 +208,16 @@ object IoQueries extends QueryModule {
              format = 'newline_delimited',
              columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
                         source: 'VARCHAR', n_chars: 'BIGINT'})
+      GROUP BY source ORDER BY source""",
+
+    "io04_partitioned_layout" -> """
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id
+      FROM documents
+      WHERE lang = 'en'
       GROUP BY source ORDER BY source"""
   )
 }

@@ -186,6 +186,64 @@ class CliSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pipeline verb: lines / bigram-nll / classify / bm25 / chunk / keywords / retract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val footer = "all rights reserved."
+    val corpus = Seq(
+      (1L, s"the rare word appears here once today\n$footer", "s1"),
+      (2L, s"the common words appear here again now\n$footer", "s1"),
+      (3L, s"more common words fill this line out\n$footer", "s2")
+    ).toDF("doc_id", "text", "source")
+    val inDir = Files.createTempDirectory("cli_r6_in").toString
+    corpus.write.mode("overwrite").parquet(inDir)
+
+    val linesOut = Files.createTempDirectory("cli_r6_lines").toString
+    Cli.run(spark, "pipeline", Map("op" -> "lines", "in" -> inDir,
+      "out" -> linesOut, "max-docs" -> "3"))
+    val ln = spark.read.parquet(linesOut).select("doc_id", "n_removed")
+      .as[(Long, Long)].collect().toMap
+    assert(ln.values.forall(_ === 1L)) // the shared footer dies everywhere
+
+    val bnOut = Files.createTempDirectory("cli_r6_bn").toString
+    Cli.run(spark, "pipeline", Map("op" -> "bigram-nll", "in" -> inDir, "out" -> bnOut))
+    assert(spark.read.parquet(bnOut).count() === 3)
+
+    val clsOut = Files.createTempDirectory("cli_r6_cls").toString
+    Cli.run(spark, "pipeline", Map("op" -> "classify", "in" -> inDir, "out" -> clsOut))
+    val cls = spark.read.parquet(clsOut)
+    assert(cls.count() === 3 && cls.columns.contains("keep"))
+
+    val bmOut = Files.createTempDirectory("cli_r6_bm").toString
+    Cli.run(spark, "pipeline", Map("op" -> "bm25", "in" -> inDir,
+      "out" -> bmOut, "query" -> "rare", "k" -> "5"))
+    val bm = spark.read.parquet(bmOut).orderBy("rk")
+    assert(bm.head().getAs[Long]("id") === 1L) // only doc 1 has the term
+
+    val chunkOut = Files.createTempDirectory("cli_r6_chunk").toString
+    Cli.run(spark, "pipeline", Map("op" -> "chunk", "in" -> inDir,
+      "out" -> chunkOut, "window" -> "4", "stride" -> "3"))
+    assert(spark.read.parquet(chunkOut).count() > 3) // docs shard into >1 chunk
+
+    val kwOut = Files.createTempDirectory("cli_r6_kw").toString
+    Cli.run(spark, "pipeline", Map("op" -> "keywords", "in" -> inDir,
+      "out" -> kwOut, "k" -> "2"))
+    assert(spark.read.parquet(kwOut).filter(col("rk") <= 2L).count() === 6)
+
+    // retract: --in is the landed index, --deletes the takedown ids
+    val idxDir = Files.createTempDirectory("cli_r6_idx").toString
+    graft.pipeline.Dedup.minhashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val delDir = Files.createTempDirectory("cli_r6_del").toString
+    Seq(2L).toDF("doc_id").write.mode("overwrite").parquet(delDir)
+    val retrOut = Files.createTempDirectory("cli_r6_retr").toString
+    Cli.run(spark, "pipeline", Map("op" -> "retract", "in" -> idxDir,
+      "out" -> retrOut, "deletes" -> delDir))
+    val ids = spark.read.parquet(retrOut).select("id").distinct()
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("export verb writes each db.table through the URL template") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_exp")
