@@ -144,6 +144,22 @@ object PipelineQueries extends QueryModule {
       landed.orderBy("vec_id")
     }),
 
+    // ---- LEFT-OUTER attribution (unattributed conversions): every
+    //      purchase emits, null click columns when no qualifying click —
+    //      in streaming this is the watermarked stream-stream OUTER join
+    //      (state held until the watermark seals the join window);
+    //      batch/stream parity pinned in StreamingSpec -------------------
+    "p55_attribution_outer" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      graft.streaming.EventStream.attributionOuter(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .select(col("purchase_id"), col("user_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("click_id"), col("gap_s"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- SLIDING-window aggregate (overlapping windows — the trend/
     //      moving-rate shape; p08 is the tumbling counterpart): Spark's
     //      window(ts, 10m, 5m) replicates each event into both
@@ -737,6 +753,16 @@ object PipelineQueries extends QueryModule {
       JOIN embeddings a ON a.vec_id = p.vec_id
       JOIN embeddings b ON b.vec_id = p.neighbor_id
       ORDER BY p.vec_id""",
+
+    "p55_attribution_outer" -> """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts, c.event_id AS click_id,
+             CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) / 1000000 AS gap_s
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY purchase_id, click_id""",
 
     "p54_sliding_window" -> """
       WITH w AS (SELECT event_type, value,

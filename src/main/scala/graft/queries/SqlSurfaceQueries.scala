@@ -442,6 +442,45 @@ object SqlSurfaceQueries extends QueryModule {
         ORDER BY p_partkey""")
     }),
 
+    // second tranche of MySQL/Doris scalar-function breadth for the
+    // replay dialect: substring_index / elt / conv / bin / locate /
+    // instr / hex / space — every one a Spark builtin; the oracle
+    // restates each with DuckDB primitives (string_split indexing,
+    // to_hex, position) so the SEMANTICS are pinned, not just the name
+    "q54_mysql_fn_breadth2" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+               substring_index(o_orderpriority, '-', 1) AS pri_code,
+               elt(CAST(o_orderkey % 3 + 1 AS INT), 'low', 'mid', 'high') AS bucket,
+               conv(o_orderkey, 10, 16) AS okey_hex,
+               bin(o_orderkey % 16) AS okey_bin,
+               CAST(locate('URGENT', o_orderpriority) AS BIGINT) AS loc_urgent,
+               CAST(instr(o_orderstatus, 'O') AS BIGINT) AS ins_o,
+               hex(o_orderstatus) AS st_hex,
+               concat('[', space(2), ']') AS spaced
+        FROM orders WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""")
+    }),
+
+    // RANGE frames over event time (the moving-window-by-INTERVAL shape
+    // replay logs carry): frame membership is defined on the µs epoch on
+    // BOTH engines — equal-ts peers all join the frame, so the summed SET
+    // is engine-independent even under tie-order differences
+    "q55_range_frame" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT user_id, event_id,
+               CAST(ts AS TIMESTAMP_NTZ) AS ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               ROUND(SUM(value) OVER w, 4) AS sum_1h
+        FROM events
+        WHERE user_id <= 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")
+    }),
+
     // QUALIFY inside a CTE body — exercises the RECURSIVE rewrite
     // (reference grammar DorisParser.g4 querySpecification allows
     // QUALIFY in any query block; round-5 gap: depth 0 only)
@@ -769,6 +808,29 @@ object SqlSurfaceQueries extends QueryModule {
       SELECT o_custkey, COUNT(*) AS n_top,
              CAST(SUM(o_totalprice) AS DOUBLE) AS top_rev
       FROM top2 GROUP BY o_custkey
-      ORDER BY o_custkey LIMIT 100 OFFSET 0"""
+      ORDER BY o_custkey LIMIT 100 OFFSET 0""",
+
+    "q54_mysql_fn_breadth2" -> """
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-')[1] AS pri_code,
+             (['low', 'mid', 'high'])[CAST(o_orderkey % 3 + 1 AS INT)] AS bucket,
+             upper(to_hex(o_orderkey)) AS okey_hex,
+             bin(o_orderkey % 16) AS okey_bin,
+             CAST(position('URGENT' IN o_orderpriority) AS BIGINT) AS loc_urgent,
+             CAST(instr(o_orderstatus, 'O') AS BIGINT) AS ins_o,
+             hex(o_orderstatus) AS st_hex,
+             '[' || repeat(' ', 2) || ']' AS spaced
+      FROM orders WHERE o_orderkey <= 300
+      ORDER BY o_orderkey""",
+
+    "q55_range_frame" -> """
+      SELECT user_id, event_id, ts,
+             COUNT(*) OVER w AS n_1h,
+             ROUND(CAST(SUM(value) OVER w AS DOUBLE), 4) AS sum_1h
+      FROM events
+      WHERE user_id <= 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""
   )
 }

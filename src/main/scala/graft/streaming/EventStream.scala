@@ -136,6 +136,38 @@ object EventStream extends Serializable {
         ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L).as("gap_s"))
   }
 
+  /** LEFT-OUTER attribution — the "unattributed conversions" flavor of
+    * [[attribution]]: every purchase emits, with null click columns when
+    * no qualifying click exists. In batch this is an ordinary left outer
+    * interval join; under Structured Streaming (streaming = true) it is
+    * the watermarked stream-stream OUTER join — Spark holds a purchase in
+    * state until the click-side watermark passes the end of its join
+    * window, and only then emits the null-padded row (the semantics that
+    * make outer results correct rather than racy). `gap_s` is null
+    * exactly on unattributed rows, giving downstream a sargable flag. */
+  def attributionOuter(purchases: DataFrame, clicks: DataFrame,
+                       windowMinutes: Long = 30,
+                       watermark: String = "2 hours",
+                       streaming: Boolean = false): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val (p, c) =
+      if (streaming) (p0.withWatermark("purchase_ts", watermark),
+        c0.withWatermark("click_ts", watermark))
+      else (p0, c0)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L)
+          .as("gap_s"))
+  }
+
   /** One closed session from the custom-state path. */
   case class Session(userId: Long, sessionStart: java.sql.Timestamp,
                      sessionEnd: java.sql.Timestamp, nEvents: Long,

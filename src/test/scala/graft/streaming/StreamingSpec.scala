@@ -226,6 +226,51 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("stream-stream LEFT-OUTER attribution: matched rows exact, null rows sealed by watermark") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.t(spark, dir, "events")
+    val batch = EventStream.attributionOuter(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+    val batchRows = batch.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val batchNulls = batchRows.count(_._2 == -1L)
+    assert(batchNulls > 0, "fixture has no unattributed purchases — test is vacuous")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("attro_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def streamIn = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStream.attributionOuter(
+      streamIn.filter(col("event_type") === "purchase"),
+      streamIn.filter(col("event_type") === "click"),
+      streaming = true)
+      .writeStream.format("memory").queryName("attro_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("attro_out").select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // every emitted row must exist in the batch result (no spurious nulls:
+    // a null row emitted while a matching click could still arrive would
+    // violate outer-join semantics), and the matched subset must be exact;
+    // null rows for tail purchases the final watermark never sealed may be
+    // withheld — that is the one legitimate delta
+    assert(streamed.subsetOf(batchRows),
+      s"stream emitted rows not in batch: ${(streamed -- batchRows).take(5)}")
+    val batchMatched = batchRows.filter(_._2 != -1L)
+    val streamMatched = streamed.filter(_._2 != -1L)
+    assert(streamMatched == batchMatched,
+      s"matched pairs differ: stream ${streamMatched.size} vs batch ${batchMatched.size}")
+    assert(streamed.count(_._2 == -1L) > 0,
+      "watermark sealed no unattributed purchases — outer path never exercised")
+  }
+
   test("streaming dedup (watermark-bounded state) equals batch dedup") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.t(spark, dir, "events")
