@@ -345,6 +345,37 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus snapshot DELTA (dataset versioning: what changed
+    //      between two corpus versions): full-outer join on id comparing
+    //      content fingerprints → added/removed/changed/same accounting.
+    //      The fingerprint join carries (id, 32-char md5) rows only —
+    //      never text — so the diff costs two fingerprint scans plus one
+    //      skinny shuffle at any corpus size -----------------------------
+    "p56_corpus_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // deterministic synthetic v2: drop doc_id%17==3, modify %17==5,
+      // add shifted ids above the max — the oracle applies the same edits
+      val v1 = d.select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val f1 = v1.select(col("doc_id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp1"))
+      val f2 = v2.select(col("doc_id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp2"))
+      f1.join(f2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("status")
+    }),
+
     // ---- BM25 top-k retrieval (lexical corpus search, the RAG baseline
     //      beside the ANN family): postings pruned by the broadcast
     //      query vocabulary, df/N/avgdl broadcast back, one per-(query,
@@ -803,6 +834,29 @@ object CurationQueries extends QueryModule {
              md5(COALESCE(string_agg(CASE WHEN NOT hot THEN line END,
                                      chr(10) ORDER BY pos), '')) AS clean_md5
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "p56_corpus_delta" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 5 THEN text || ' v2 edit' ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 17 = 7),
+      f1 AS (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp1 FROM v1),
+      f2 AS (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp2 FROM v2),
+      j AS (SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id,
+                   CASE WHEN f1.fp1 IS NULL THEN 'added'
+                        WHEN f2.fp2 IS NULL THEN 'removed'
+                        WHEN f1.fp1 <> f2.fp2 THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+      SELECT status, COUNT(*) AS n_docs,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM j GROUP BY status ORDER BY status""",
 
     "p53_bm25_topk" -> s"""
       WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),

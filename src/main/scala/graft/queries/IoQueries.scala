@@ -146,6 +146,31 @@ object IoQueries extends QueryModule {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy("source")
+    }),
+
+    // SCHEMA EVOLUTION across landed batches (the 100 TB reality:
+    // yesterday's shards lack the column added today): two batches with
+    // different column sets, read back under mergeSchema — the union
+    // schema must surface, absent columns as nulls. The guard pins the
+    // merged schema; DuckDB reads the SAME landed files with its own
+    // union_by_name reader, so both engines' null semantics agree.
+    "io05_schema_evolution" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val root = s"${graft.Land.root}/io/evolve"
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$root/batch_a")
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/batch_b")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/batch_a", s"$root/batch_b")
+      require(merged.columns.toSet ==
+          Set("doc_id", "text", "lang", "source", "n_chars"),
+        s"mergeSchema lost columns: ${merged.columns.mkString(",")}")
+      merged.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -218,6 +243,16 @@ object IoQueries extends QueryModule {
              MAX(doc_id) AS max_id
       FROM documents
       WHERE lang = 'en'
-      GROUP BY source ORDER BY source"""
+      GROUP BY source ORDER BY source""",
+
+    "io05_schema_evolution" -> s"""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id
+      FROM read_parquet(
+             ['${graft.Land.root}/io/evolve/batch_a/*.parquet',
+              '${graft.Land.root}/io/evolve/batch_b/*.parquet'],
+             union_by_name = true)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
