@@ -72,6 +72,29 @@ object Mixing {
         floor((col("cum") - col(toksCol)) / budget.toDouble).cast("long"))
   }
 
+  /** Per-domain char-budget cap (greedy knapsack per source): docs are
+    * ranked inside each source by descending quality proxy (here:
+    * length, id tie-break) and kept while the running char total stays
+    * inside `budget` — the "no single domain dominates the mixture"
+    * guard every web-corpus recipe applies (C4 caps per-URL, RefinedWeb
+    * per-domain). The cumulative sum is monotone, so `cum <= budget`
+    * keeps an exact prefix of each source's ranking.
+    *
+    * Shape: ONE window shuffle keyed by source (the same
+    * single-shuffle-per-source shape as [[packBins]]); the partition key
+    * bounds skew because a source's docs land on one reducer only for
+    * ranking, never for the full corpus. All-integer arithmetic — no fp
+    * in the keep decision, so any engine re-derives the identical cut.
+    * Emits the input columns + (cum_chars, kept). */
+  def charBudgetCap(df: DataFrame, sourceCol: String, charsCol: String,
+                    idCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(charsCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_chars", sum(col(charsCol)).over(w))
+      .withColumn("kept", col("cum_chars") <= budget)
+  }
+
   /** DSIR importance weights [Xie et al. 2023]: score every document by
     * how target-like its hashed n-gram profile is,
     * log w(doc) = Σ_f [ln p_target(bucket(f)) − ln p_raw(bucket(f))],

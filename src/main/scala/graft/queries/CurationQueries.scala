@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing}
+import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing, Rank}
 
 /** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
   * prefiltered decontamination, SemDeDup, cross-document duplicated-span
@@ -374,6 +374,48 @@ object CurationQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("status")
+    }),
+
+    // ---- per-domain char-budget cap (greedy knapsack per source): the
+    //      "no domain dominates" guard (C4 per-URL, RefinedWeb per-
+    //      domain) — rank docs inside each source by length desc, keep
+    //      while the running char total fits the budget. ONE window
+    //      shuffle keyed by source, all-integer keep decision, then the
+    //      per-source accounting aggregate ------------------------------
+    "p57_domain_budget_cap" -> ((s, dir) => {
+      val capped = Mixing.charBudgetCap(
+        docs(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", budget = 4000L)
+      capped.groupBy("source")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy("source")
+    }),
+
+    // ---- PageRank centrality weighting (fixed 3-round power iteration
+    //      over a deterministic doc_id-derived link graph — Common Crawl
+    //      publishes exactly this kind of rank for corpus filtering).
+    //      Engine: Rank.pageRank's iterative skinny shuffles; oracle:
+    //      the SAME three rounds unrolled as chained CTEs. Dangling mass
+    //      leaks by pinned semantics; scores rounded to 1e-9 (fp noise
+    //      from cross-engine sum order is ~1e-18) and ranked by the
+    //      ROUNDED score + id so ordering cannot diverge ----------------
+    "p58_pagerank_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val nodes = d.select(col("doc_id").as("id"))
+      val raw = Seq((31L, 1L), (131L, 2L), (211L, 3L))
+        .map { case (p, k) =>
+          nodes.select(col("id").as("src"), ((col("id") * p + k) % n).as("dst")) }
+        .reduce(_ unionByName _)
+      val edges = raw.filter(col("src") =!= col("dst"))
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .distinct()
+      Rank.pageRank(nodes, edges, iters = 3)
+        .select(col("id").as("doc_id"), round(col("score"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+        .limit(20)
     }),
 
     // ---- BM25 top-k retrieval (lexical corpus search, the RAG baseline
@@ -857,6 +899,64 @@ object CurationQueries extends QueryModule {
       SELECT status, COUNT(*) AS n_docs,
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM j GROUP BY status ORDER BY status""",
+
+    "p57_domain_budget_cap" -> """
+      WITH r AS (
+        SELECT source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM documents)
+      SELECT source,
+             CAST(SUM(CASE WHEN cum_chars <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN cum_chars <= 4000 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN cum_chars <= 4000 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM r GROUP BY source ORDER BY source""",
+
+    "p58_pagerank_weights" -> """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      prm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      e0 AS (
+        SELECT id AS src, (id*31 + 1) % (SELECT n FROM prm) AS dst FROM nodes
+        UNION ALL
+        SELECT id, (id*131 + 2) % (SELECT n FROM prm) FROM nodes
+        UNION ALL
+        SELECT id, (id*211 + 3) % (SELECT n FROM prm) FROM nodes),
+      edges AS (
+        SELECT DISTINCT src, dst FROM e0
+        WHERE src <> dst AND dst IN (SELECT id FROM nodes)),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      s0 AS (SELECT id, CAST(1.0 AS DOUBLE)/(SELECT n FROM prm) AS score
+             FROM nodes),
+      it1 AS (
+        SELECT nd.id,
+               (CAST(1.0 AS DOUBLE)-CAST(0.85 AS DOUBLE))/(SELECT n FROM prm)
+               + CAST(0.85 AS DOUBLE)*COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS score
+        FROM nodes nd
+        LEFT JOIN (SELECT e.dst, SUM(s.score / d.deg) AS mass
+                   FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN s0 s ON s.id = e.src GROUP BY e.dst) m
+          ON m.dst = nd.id),
+      it2 AS (
+        SELECT nd.id,
+               (CAST(1.0 AS DOUBLE)-CAST(0.85 AS DOUBLE))/(SELECT n FROM prm)
+               + CAST(0.85 AS DOUBLE)*COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS score
+        FROM nodes nd
+        LEFT JOIN (SELECT e.dst, SUM(s.score / d.deg) AS mass
+                   FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN it1 s ON s.id = e.src GROUP BY e.dst) m
+          ON m.dst = nd.id),
+      it3 AS (
+        SELECT nd.id,
+               (CAST(1.0 AS DOUBLE)-CAST(0.85 AS DOUBLE))/(SELECT n FROM prm)
+               + CAST(0.85 AS DOUBLE)*COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS score
+        FROM nodes nd
+        LEFT JOIN (SELECT e.dst, SUM(s.score / d.deg) AS mass
+                   FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN it2 s ON s.id = e.src GROUP BY e.dst) m
+          ON m.dst = nd.id)
+      SELECT id AS doc_id, round(score, 9) AS pr
+      FROM it3 ORDER BY pr DESC, id LIMIT 20""",
 
     "p53_bm25_topk" -> s"""
       WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),

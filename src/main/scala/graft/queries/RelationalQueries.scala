@@ -422,6 +422,64 @@ object RelationalQueries extends QueryModule {
         .limit(10)
     }),
 
+    // ---- TPC-H Q21-shaped "only late supplier" (multi-correlated
+    //      EXISTS / NOT EXISTS): the decorrelation stress test — Catalyst
+    //      must rewrite both subqueries into a LeftSemi and a LeftAnti
+    //      join on l_orderkey (plus the non-equality l_suppkey<>
+    //      residual), NOT a per-row re-scan of lineitem. The `late` CTE
+    //      is the adaptation for this schema (no l_receiptdate /
+    //      l_commitdate column): late = shipped >60 days after the order
+    //      date, computed ONCE in the CTE so both subqueries correlate
+    //      only on l_orderkey — the exact Q21 shape. At 100 TB all three
+    //      lineitem legs shuffle on l_orderkey, so AQE can reuse one
+    //      exchange; nothing is broadcast (lineitem is the fact) --------
+    "q56_late_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL '60' DAY AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier JOIN late l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10""")
+    }),
+
+    // ---- TPC-H Q17-shaped small-quantity revenue (scalar per-key AVG
+    //      threshold): the classic "subquery avg per part" is expressed
+    //      as ONE window pass — restrict lineitem to the filtered parts
+    //      first (the per-part average only matters for parts that
+    //      survive the brand/size filter), then AVG OVER (PARTITION BY
+    //      l_partkey) on the restricted set = one shuffle on partkey,
+    //      no second lineitem scan and no groupBy+self-join. l_quantity
+    //      values are exact small integers in doubles, so sum/count/
+    //      *0.2 are bit-identical across engines and the threshold
+    //      comparison cannot flip on fp noise ---------------------------
+    "q57_avg_yearly" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+        .select("p_partkey")
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      val w = Window.partitionBy(col("l_partkey"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -701,6 +759,38 @@ object RelationalQueries extends QueryModule {
         AND l_shipdate  > TIMESTAMP '1998-06-15'
       GROUP BY 1, 2, 3
       ORDER BY revenue DESC, o_orderdate, l_orderkey
-      LIMIT 10"""
+      LIMIT 10""",
+
+    "q56_late_supplier" -> """
+      WITH late AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier JOIN late l1 ON s_suppkey = l1.l_suppkey
+      WHERE l1.is_late
+        AND EXISTS (SELECT 1 FROM late l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.is_late)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10""",
+
+    "q57_avg_yearly" -> """
+      WITH lip AS (
+        SELECT l_extendedprice, l_quantity,
+               AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 5)
+      SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0, 2) AS avg_yearly,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lip
+      WHERE l_quantity < 0.2 * avg_qty"""
   )
 }

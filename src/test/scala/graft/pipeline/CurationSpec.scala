@@ -689,4 +689,44 @@ class CurationSpec extends SparkSpec {
     // the ubiquitous term still carries weight > 0 (smoothed idf)
     assert(out.filter(_.getString(2) == "common").forall(_.getDouble(3) > 0))
   }
+
+  // ---- Mixing.charBudgetCap --------------------------------------------
+
+  test("charBudgetCap keeps an exact quality-ranked prefix per source") {
+    val docs = Seq(
+      // srcA ranked by chars desc, id asc: 5(300), 1(200), 2(200), 3(100)
+      (1L, "srcA", 200L), (2L, "srcA", 200L), (3L, "srcA", 100L), (5L, "srcA", 300L),
+      // srcB: single doc larger than the budget → nothing kept
+      (6L, "srcB", 900L),
+      // srcC: exact fit at the boundary (<= keeps it)
+      (7L, "srcC", 500L), (8L, "srcC", 100L)).toDF("doc_id", "source", "n_chars")
+    val kept = Mixing.charBudgetCap(docs, "source", "n_chars", "doc_id", budget = 600L)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // srcA: 300+200 = 500 ok, +200 = 700 > 600 stops the prefix there;
+    // the tie between ids 1 and 2 breaks on doc_id, so 1 is in, 2 is out
+    assert(kept === Set(5L, 1L, 7L, 8L))
+  }
+
+  // ---- Rank.pageRank ----------------------------------------------------
+
+  test("pageRank: symmetric cycle stays uniform, mass conserves, hub wins") {
+    // 2-cycle: perfectly symmetric — every iteration must return 1/2 each
+    val nodes2 = Seq(0L, 1L).toDF("id")
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val pr2 = Rank.pageRank(nodes2, cyc, iters = 4).orderBy("id")
+      .select("score").as[Double].collect()
+    assert(pr2.forall(s => math.abs(s - 0.5) < 1e-12))
+
+    // star 1..4 → 0: the hub must outrank the leaves; leaves (in-degree 0,
+    // out-degree 1, no dangling) hold exactly the teleport floor
+    val nodes5 = (0L to 4L).toDF("id")
+    val star = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val pr5 = Rank.pageRank(nodes5, star, iters = 3).orderBy("id")
+      .select("score").as[Double].collect()
+    assert(pr5(0) > pr5(1))
+    assert((1 to 4).forall(i => math.abs(pr5(i) - 0.15 / 5) < 1e-12))
+    // the hub is dangling (no out-edges): its damped mass leaks by the
+    // pinned semantics, so totals stay BELOW 1 but above the teleport sum
+    assert(pr5.sum < 1.0 && pr5.sum > 0.15)
+  }
 }
