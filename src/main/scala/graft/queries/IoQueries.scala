@@ -171,6 +171,43 @@ object IoQueries extends QueryModule {
           coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
           min(col("doc_id")).as("min_id"))
         .orderBy("lang", "source")
+    }),
+
+    // SMALL-FILE COMPACTION (the lakehouse maintenance op every 100 TB
+    // table needs: streaming ingest leaves thousands of KB-sized files,
+    // and scan cost is dominated by file-open overhead): land the corpus
+    // deliberately shattered (64 round-robin shards), then rewrite at a
+    // target file size — file count = ceil(bytes/target), sized from the
+    // LANDED bytes, never a guess. The result row cross-proves the
+    // rewrite in both engines: Spark counts distinct input_file_name()
+    // per layout, DuckDB counts distinct filenames reading the SAME
+    // landed dirs, and rows/char-mass must survive the rewrite exactly.
+    "io06_compaction" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val root = s"${graft.Land.root}/io/compact"
+      d.repartition(64).write.mode("overwrite").parquet(s"$root/small")
+      val smallBytes = new java.io.File(s"$root/small").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+      val target = 128L * 1024
+      val nOut = math.max(1, math.ceil(smallBytes.toDouble / target).toInt)
+      // round-robin repartition: even output sizes regardless of key skew
+      // (compaction has no co-location contract to preserve)
+      s.read.parquet(s"$root/small").repartition(nOut)
+        .write.mode("overwrite").parquet(s"$root/compacted")
+      val small = s.read.parquet(s"$root/small")
+        .select(col("_metadata.file_path").as("fname"))
+        .agg(countDistinct(col("fname")).as("n_files_small"),
+          count(lit(1)).as("n_rows_small"))
+      val compacted = s.read.parquet(s"$root/compacted")
+        .select(col("_metadata.file_path").as("fname"), col("n_chars"))
+        .agg(countDistinct(col("fname")).as("n_files_compacted"),
+          count(lit(1)).as("n_rows_compacted"),
+          sum(col("n_chars")).as("sum_chars"))
+      val out = small.crossJoin(compacted)
+      val r = out.head()
+      require(r.getAs[Long]("n_files_compacted") < r.getAs[Long]("n_files_small"),
+        "compaction did not reduce the file count")
+      out
     })
   )
 
@@ -253,6 +290,24 @@ object IoQueries extends QueryModule {
              ['${graft.Land.root}/io/evolve/batch_a/*.parquet',
               '${graft.Land.root}/io/evolve/batch_b/*.parquet'],
              union_by_name = true)
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "io06_compaction" -> s"""
+      SELECT
+        (SELECT CAST(COUNT(DISTINCT filename) AS BIGINT)
+         FROM read_parquet('${graft.Land.root}/io/compact/small/*.parquet',
+                           filename = true)) AS n_files_small,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM read_parquet('${graft.Land.root}/io/compact/small/*.parquet'))
+          AS n_rows_small,
+        (SELECT CAST(COUNT(DISTINCT filename) AS BIGINT)
+         FROM read_parquet('${graft.Land.root}/io/compact/compacted/*.parquet',
+                           filename = true)) AS n_files_compacted,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM read_parquet('${graft.Land.root}/io/compact/compacted/*.parquet'))
+          AS n_rows_compacted,
+        (SELECT CAST(SUM(n_chars) AS BIGINT)
+         FROM read_parquet('${graft.Land.root}/io/compact/compacted/*.parquet'))
+          AS sum_chars"""
   )
 }

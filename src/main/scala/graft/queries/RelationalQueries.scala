@@ -480,6 +480,26 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("n_items"))
     }),
 
+    // ---- TPC-H Q11-shaped share-of-total filter: per-part value from
+    //      one shuffle on partkey; the GRAND total is a second aggregate
+    //      over the per-part table (tiny — |parts| rows) broadcast back
+    //      as a ONE-ROW build side, NOT a Window.partitionBy() (an empty
+    //      partitionBy funnels the whole table through one reducer).
+    //      Both sides of the threshold compare 2-decimal-rounded values,
+    //      so the cut cannot flip on cross-engine sum-order noise -------
+    "q58_important_parts" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val pv = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(vol), 2).as("value"))
+      val total = pv.agg(round(sum(col("value")), 2).as("grand_total"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value") > col("grand_total") * 0.0005)
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+        .limit(15)
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -791,6 +811,18 @@ object RelationalQueries extends QueryModule {
                    / 7.0, 2) AS avg_yearly,
              CAST(COUNT(*) AS BIGINT) AS n_items
       FROM lip
-      WHERE l_quantity < 0.2 * avg_qty"""
+      WHERE l_quantity < 0.2 * avg_qty""",
+
+    "q58_important_parts" -> """
+      WITH pv AS (
+        SELECT l_partkey,
+               round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS value
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT round(SUM(value), 2) AS grand_total FROM pv)
+      SELECT l_partkey, value
+      FROM pv, tot
+      WHERE value > grand_total * CAST(0.0005 AS DOUBLE)
+      ORDER BY value DESC, l_partkey
+      LIMIT 15"""
   )
 }
