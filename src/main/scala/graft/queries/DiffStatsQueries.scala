@@ -114,6 +114,24 @@ object DiffStatsQueries extends QueryModule {
       Stats.corrMatrix(li,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+
+    // ---- per-group EXACT quantiles (the per-language length profile a
+    //      mixture recipe reads): one partial-aggregating scan; exact
+    //      percentile state is a value→count map, memory ∝ DISTINCT
+    //      values per group — right for bounded domains like doc length;
+    //      s02's sketch path is the unbounded-domain alternative. Both
+    //      engines interpolate linearly; 1e-6 rounding absorbs the
+    //      a+(b−a)·f vs (1−f)·a+f·b ulp split -------------------------
+    "s05_group_quantiles" -> ((s, dir) => {
+      Tables.t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     })
   )
 
@@ -238,6 +256,14 @@ object DiffStatsQueries extends QueryModule {
            |       round(corr($a, $b), 6) AS corr,
            |       round(covar_samp($a, $b), 4) AS covar FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
-    }
+    },
+
+    "s05_group_quantiles" -> """
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.25), 6) AS p25,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

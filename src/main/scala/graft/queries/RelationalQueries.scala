@@ -500,6 +500,26 @@ object RelationalQueries extends QueryModule {
         .limit(15)
     }),
 
+    // ---- TPC-H Q20-shaped nested-IN semi chain: part filter feeds the
+    //      inner IN, the (supp, part) HAVING aggregate feeds the outer
+    //      IN — Catalyst turns both into LeftSemi joins (no correlated
+    //      re-scan). The part-filter leg is a dim after its LIKE filter
+    //      (broadcastable); the aggregate leg shuffles on suppkey only —
+    //      exactly the legs Q20 would shuffle at 100 TB -----------------
+    "q59_strong_suppliers" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 60)
+        ORDER BY s_name""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -823,6 +843,17 @@ object RelationalQueries extends QueryModule {
       FROM pv, tot
       WHERE value > grand_total * CAST(0.0005 AS DOUBLE)
       ORDER BY value DESC, l_partkey
-      LIMIT 15"""
+      LIMIT 15""",
+
+    "q59_strong_suppliers" -> """
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 60)
+      ORDER BY s_name"""
   )
 }
