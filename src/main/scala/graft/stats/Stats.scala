@@ -225,12 +225,17 @@ object Stats {
     // k stddevs + k(k−1)/2 covars is fewer buffers than 2·k(k−1)/2 aggs.
     val aggs = columns.map(c => stddev_samp(col(c)).as(s"sd_$c")) ++
       pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"cov_${a}_$b") }
+    // covar is magnitude-unbounded, so it is compared at RELATIVE (6
+    // significant digits) precision as a (mantissa, exponent) pair —
+    // an absolute grain is fp-noise-fragile above it and ±0.0-fragile
+    // below it (see graft.sqlx.Sig).
     val stacked = pairs.map { case (a, b) =>
-      s"'$a', '$b', round(try_divide(`cov_${a}_$b`, `sd_$a` * `sd_$b`), 6), " +
-        s"round(`cov_${a}_$b`, 4)" }.mkString(", ")
+      val cv = s"`cov_${a}_$b`"
+      s"'$a', '$b', round(try_divide($cv, `sd_$a` * `sd_$b`), 6), " +
+        s"${graft.sqlx.Sig.mant(cv)}, ${graft.sqlx.Sig.exp(cv)}" }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(
-        s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr, covar)"))
+        s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr, covar_mant, covar_exp)"))
   }
 
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
