@@ -14,15 +14,33 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
-      // natively; `spark.sql.legacy.parquet.nanosAsLong=true` (set ONCE at
-      // session build in Verify/Bench/tests — a per-read toggle here was a
-      // thread-safety hazard) surfaces it as a nanos long, which we
-      // truncate to micros — the same truncation DuckDB applies. Testdata
-      // timestamps are post-1970, so DIV truncation == floor.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations, so dispatch on the
+      // type actually read rather than assuming one. NANOS: Spark refuses
+      // to read it natively; `spark.sql.legacy.parquet.nanosAsLong=true`
+      // (set ONCE at session build in Verify/Bench/tests — a per-read
+      // toggle here was a thread-safety hazard) surfaces it as a nanos
+      // long, which we truncate to micros — the same truncation DuckDB
+      // applies (post-1970 data, so DIV truncation == floor). MICROS
+      // (isAdjustedToUTC=false) reads as TIMESTAMP_NTZ; sessions run in
+      // UTC, so the cast to TimestampType preserves the wall clock and
+      // keeps every downstream query on one timestamp type.
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType (micros),
+    * whichever physical form the testdata generation shipped. Also used
+    * by streaming specs whose file source reads events.parquet raw. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Register every table as a temp view (for the spark.sql surface).
     * Memoized per (session, dir): many queries call this and re-reading

@@ -251,10 +251,15 @@ object DiffStatsQueries extends QueryModule {
       val pairs = for {
         i <- cols.indices; j <- (i + 1) until cols.size
       } yield (cols(i), cols(j))
+      // covar is magnitude-unbounded, so it's compared as a (mantissa,
+      // exponent) pair at relative precision — the SAME Sig SQL text the
+      // Spark side embeds (see graft.sqlx.Sig), so the engines can't drift.
       pairs.map { case (a, b) =>
+        val cv = s"covar_samp($a, $b)"
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
            |       round(corr($a, $b), 6) AS corr,
-           |       round(covar_samp($a, $b), 4) AS covar FROM lineitem""".stripMargin
+           |       ${graft.sqlx.Sig.mant(cv)} AS covar_mant,
+           |       ${graft.sqlx.Sig.exp(cv)} AS covar_exp FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
 

@@ -119,6 +119,10 @@ class DiffStatsSpec extends SparkSpec {
     assert(m(("y", "z")).getDouble(2) === -1.0)
     assert(m(("x", "w")).isNullAt(2)) // zero variance → corr undefined
     // covar_samp(x, 2x) = 2 * var_samp(x); var_samp(1..100) = 841.666...
-    assert(math.abs(m(("x", "y")).getDouble(3) - 2 * 841.6667) < 1e-3)
+    // covar is emitted as a (mantissa, exponent) pair (relative precision
+    // — see corrMatrix doc comment); reconstruct and compare at the
+    // 5-significant-digit grain the mantissa carries.
+    val covar = m(("x", "y")).getDouble(3) * math.pow(10, m(("x", "y")).getLong(4))
+    assert(math.abs(covar - 2 * 841.66667) < 0.01)
   }
 }

@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamIn = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.windowedAggStream(streamIn)
       .writeStream.format("memory").queryName("ev_agg")
       .outputMode("append")
@@ -120,7 +120,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamIn = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.slidingAggStream(streamIn)
       .writeStream.format("memory").queryName("ev_slide_agg")
       .outputMode("append")
@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamIn = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.sessionizeStream(streamIn)
       .writeStream.format("memory").queryName("sess_agg")
       .outputMode("append")
@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def streamIn = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.attribution(
       streamIn.filter(col("event_type") === "purchase"),
       streamIn.filter(col("event_type") === "click"),
@@ -243,7 +243,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def streamIn = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.attributionOuter(
       streamIn.filter(col("event_type") === "purchase"),
       streamIn.filter(col("event_type") === "click"),
@@ -290,7 +290,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1) // force the dup into a LATER batch
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = EventStream.dedup(streamIn, streaming = true)
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append")
