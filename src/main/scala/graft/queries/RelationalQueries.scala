@@ -520,6 +520,105 @@ object RelationalQueries extends QueryModule {
         ORDER BY s_name""")
     }),
 
+    // ---- TPC-H Q13-shaped order-count distribution: the left-outer-
+    //      join-then-double-aggregate shape. The priority filter is
+    //      applied to ORDERS BEFORE the left join (Q13's ON-clause
+    //      placement — a post-join WHERE would silently turn the join
+    //      inner and drop zero-order customers, the rows Q13 exists to
+    //      count). The join and the first aggregate share the custkey
+    //      key, so at 100 TB they ride one exchange; the second
+    //      aggregate sees one row per distinct count — trivial ----------
+    "q60_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q18-shaped large-volume orders: the per-order quantity
+    //      sum is computed ONCE (one lineitem shuffle on orderkey) and
+    //      reused as BOTH the HAVING filter and the output measure —
+    //      never two lineitem scans. The qualifying set is the >99th
+    //      percentile of orders (tiny at any scale), so it is the
+    //      BROADCAST side of the orders join; customer then joins on
+    //      custkey against a result that is already top-k-bounded ------
+    "q61_big_orders" -> ((s, dir) => {
+      val oq = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 230)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(broadcast(oq), col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q22-shaped lapsed high-balance customers: a global
+    //      scalar threshold (avg positive balance — ONE row, broadcast;
+    //      never an empty-partitionBy window) plus NOT EXISTS against
+    //      recent orders, which Catalyst decorrelates into a LeftAnti
+    //      shuffle on custkey. The recent-orders leg is date-pruned at
+    //      the parquet scan BEFORE the anti-join, so the build side is a
+    //      sliver of orders. Both engines compare the threshold at
+    //      round-4 grain, so avg merge-order noise cannot flip
+    //      membership (c_acctbal is 0.01-grained — 1e-4 is 100× below
+    //      the data grain and ~8 orders above double noise) ------------
+    "q62_lapsed_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select(col("o_custkey"))
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- TPC-H Q7-shaped bilateral shipping volume: the symmetric
+    //      nation-pair OR predicate. Nation broadcasts twice (25 rows);
+    //      supplier and customer pre-join their nation and are pruned to
+    //      the 2 named nations BEFORE touching the fact, so the only
+    //      fact-fact shuffle (lineitem↔orders on orderkey) carries just
+    //      surviving rows. Decimal sums keep the rollup order-exact;
+    //      the year is cast BIGINT on both engines ---------------------
+    "q63_nation_volume" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice, l_discount
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -854,6 +953,57 @@ object RelationalQueries extends QueryModule {
                             WHERE p_name LIKE 'red%')
         GROUP BY l_suppkey, l_partkey
         HAVING SUM(l_quantity) > 60)
-      ORDER BY s_name"""
+      ORDER BY s_name""",
+
+    "q60_custdist" -> """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q61_big_orders" -> """
+      WITH oq AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 230)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM orders
+      JOIN oq ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 20""",
+
+    "q62_lapsed_customers" -> """
+      WITH ab AS (SELECT round(AVG(c_acctbal), 4) AS avg_bal
+                  FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer, ab
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q63_nation_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE) AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""
   )
 }
