@@ -151,6 +151,33 @@ object VectorKernels {
     if (n == 0) 0.0 else s / n
   }
 
+  /** Content-defined chunk boundaries: 0-based END positions i (i ≥ w−1)
+    * where the w-char window hash H(i) = Σ_{j<w} c_{i−j}·base^j (mod M)
+    * satisfies H % div == 0. Maintained incrementally (one mul-add and
+    * one mul-sub per char, O(n) total), with every intermediate reduced
+    * into [0, M) — so the rolling value equals the term-wise-mod sum a
+    * SQL oracle can restate without bignum arithmetic. `bw` is
+    * base^(w−1) mod M, owned by the caller. */
+  def cdcBoundaries(input: UTF8String, w: Int, base: Long, mod: Long,
+                    div: Long, bw: Long): ArrayData = {
+    val s = input.toString
+    val n = s.length
+    if (n < w) return new GenericArrayData(Array.empty[Int])
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * base + s.charAt(i)) % mod; i += 1 }
+    if (h % div == 0) out += (w - 1)
+    i = w
+    while (i < n) {
+      h = (((h - s.charAt(i - w) * bw) % mod + mod) % mod * base
+            + s.charAt(i)) % mod
+      if (h % div == 0) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private final val B = 0x100000001b3L // rolling base (FNV prime)
 
   /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes, sliding

@@ -236,6 +236,45 @@ object Dedup {
       .select("train_id", "eval_id", "n_common", "overlap")
   }
 
+  /** Content-defined chunking (CDC): split every document at positions
+    * where the trailing w-char window's rolling hash hits `H % div == 0`
+    * (CdcBoundariesExpr — one compiled O(n) pass). Boundaries are
+    * decided by CONTENT, not offset: an insertion early in a document
+    * shifts every fixed-size chunk after it, but perturbs only the CDC
+    * chunks whose windows overlap the edit — which is what makes
+    * chunk-level dedup (shared-boilerplate detection, storage dedup)
+    * robust to edits. Expected chunk length ≈ div chars.
+    *
+    * Scan-local end to end: boundary detection, chunk slicing, and
+    * hashing all happen inside the row — NOTHING shuffles until a
+    * consumer aggregates by chunk_md5, and that shuffle carries only
+    * (md5, len) skinny rows if the consumer drops the text first.
+    * Returns (doc_id, chunk_id, chunk_start, chunk_len, chunk_md5);
+    * empty documents produce no rows, documents shorter than w produce
+    * exactly one whole-document chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 16, div: Long = 64): DataFrame = {
+    graft.functions.CdcBoundariesExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("bs",
+        call_function("graft_cdc_boundaries", col("t"), lit(w), lit(div)))
+      // starts = 0 :: (b+1 for each boundary); ends = boundaries :: n-1.
+      // The final (start > end) pair — text ending exactly on a boundary,
+      // or an empty document — is filtered before explode.
+      .withColumn("s_arr", concat(array(lit(0)), transform(col("bs"), _ + 1)))
+      .withColumn("e_arr", concat(col("bs"), array(length(col("t")) - 1)))
+      .withColumn("pr", filter(arrays_zip(col("s_arr"), col("e_arr")),
+        p => p.getField("s_arr") <= p.getField("e_arr")))
+      .select(col("doc_id"), col("t"), posexplode(col("pr")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.s_arr").cast("long").as("chunk_start"),
+        (col("col.e_arr") - col("col.s_arr") + 1).cast("long").as("chunk_len"),
+        md5(expr("substring(t, col.s_arr + 1, col.e_arr - col.s_arr + 1)"))
+          .as("chunk_md5"))
+  }
+
   /** Landed MinHash posting INDEX of a corpus: the (band, band_hash, id)
     * rows of minhashPostings flattened for parquet, each row stamped with
     * the banding parameters as a constant `params` struct (RLE/dictionary

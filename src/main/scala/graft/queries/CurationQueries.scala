@@ -464,6 +464,26 @@ object CurationQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")
+    }),
+
+    // ---- content-defined chunking dedup: boundaries from a compiled
+    //      rolling-window hash (scan-local; nothing shuffles until the
+    //      skinny (md5, len) aggregate), chunk-level duplicate mass
+    //      accounting. total_chars doubles as the reconstruction proof:
+    //      it must equal the corpus character count, and the oracle
+    //      recomputes every boundary, slice, and hash from raw text ----
+    "p59_cdc_chunk_dedup" -> ((s, dir) => {
+      val ch = Dedup.cdcChunks(docs(s, dir), "doc_id", "text")
+      val per = ch.groupBy("chunk_md5", "chunk_len")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      per.agg(
+        sum(col("cnt")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("cnt") - 1).as("dup_occurrences"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("cross_doc_chunks"),
+        sum((col("cnt") - 1) * col("chunk_len")).as("dup_chars"),
+        sum(col("cnt") * col("chunk_len")).as("total_chars"))
     })
   )
 
@@ -499,6 +519,48 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
 
   val oracles: Map[String, String] = Map(
+    // Full restatement of cdcChunks: powers of B mod M built by a
+    // recursive CTE, every window hash recomputed term-wise-mod (equal
+    // to the engine's rolling form because both stay in [0, M)), chunks
+    // sliced and md5'd from raw text. ASCII corpus ⇒ ord() == Java char.
+    "p59_cdc_chunk_dedup" -> """
+      WITH RECURSIVE pw(j, p) AS (
+        SELECT 0, CAST(1 AS BIGINT) UNION ALL
+        SELECT j + 1, (p * 257) % 1000003 FROM pw WHERE j < 15),
+      pl AS (SELECT list(p ORDER BY j) AS ps FROM pw),
+      d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      pos AS (SELECT doc_id, text, n, unnest(range(15, n)) AS i FROM d WHERE n >= 16),
+      h AS (SELECT doc_id, i,
+              list_sum(list_transform(range(0, 16),
+                j -> (ord(text[CAST(i - j + 1 AS INT)]) * ps[CAST(j + 1 AS INT)]) % 1000003)) % 1000003 AS hh
+            FROM pos, pl),
+      b AS (SELECT doc_id, list_sort(list(i)) AS bs FROM h WHERE hh % 64 = 0 GROUP BY doc_id),
+      cb AS (SELECT d.doc_id, d.text,
+               list_prepend(0, list_transform(coalesce(b.bs, []), x -> x + 1)) AS st,
+               list_append(coalesce(b.bs, []), d.n - 1) AS en
+             FROM d LEFT JOIN b USING (doc_id)
+             WHERE d.n > 0),
+      chz AS (SELECT doc_id, text,
+                unnest(list_filter(
+                  list_transform(range(1, len(st) + 1),
+                    k -> [st[CAST(k AS INT)], en[CAST(k AS INT)]]),
+                  z -> z[1] <= z[2])) AS p
+              FROM cb),
+      ch AS (SELECT doc_id,
+               md5(text[CAST(p[1] + 1 AS INT):CAST(p[2] + 1 AS INT)]) AS chunk_md5,
+               p[2] - p[1] + 1 AS chunk_len
+             FROM chz),
+      per AS (SELECT chunk_md5, chunk_len, COUNT(*) AS cnt,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM ch GROUP BY 1, 2)
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+             CAST(SUM(cnt - 1) AS BIGINT) AS dup_occurrences,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_chunks,
+             CAST(SUM((cnt - 1) * chunk_len) AS BIGINT) AS dup_chars,
+             CAST(SUM(cnt * chunk_len) AS BIGINT) AS total_chars
+      FROM per""",
+
     "p27_c4_clean" -> s"""
       WITH a AS (SELECT doc_id, $duckAug AS aug FROM documents),
       l AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines FROM a),

@@ -729,4 +729,56 @@ class CurationSpec extends SparkSpec {
     // pinned semantics, so totals stay BELOW 1 but above the teleport sum
     assert(pr5.sum < 1.0 && pr5.sum > 0.15)
   }
+
+  // ---- Dedup.cdcChunks --------------------------------------------------
+
+  test("cdcChunks reconstructs every document exactly, in order") {
+    // varied (non-periodic) text: a periodic string repeats the same
+    // window hashes, so it legitimately may produce zero boundaries
+    val base = (1 to 12).map(i =>
+      s"sentence number $i carries some distinct words.").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "short"),            // shorter than the window -> one chunk
+      (3L, ""),                 // empty -> no chunks
+      (4L, base.substring(0, 100))).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+    // per-doc char mass conserves and chunk ids tile [0, n) contiguously
+    val per = ch.groupBy("doc_id")
+      .agg(sum("chunk_len").as("chars"), count(lit(1)).as("n"),
+        min("chunk_id").as("lo"), max("chunk_id").as("hi"),
+        min("chunk_start").as("first_start"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(!per.contains(3L)) // empty doc yields no rows
+    for ((id, txt) <- Seq(1L -> base, 2L -> "short", 4L -> base.substring(0, 100))) {
+      val (chars, n, lo, hi, first) = per(id)
+      assert(chars === txt.length.toLong, s"doc $id mass")
+      assert(lo === 0L && hi === n - 1 && first === 0L, s"doc $id tiling")
+    }
+    // adjacent chunks abut: start(k+1) = start(k) + len(k)
+    val rows = ch.filter(col("doc_id") === 1L).orderBy("chunk_id")
+      .select("chunk_start", "chunk_len").as[(Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array((s0, l0), (s1, _)) => assert(s1 === s0 + l0)
+      case _ =>
+    }
+    assert(rows.length > 3, "expected several chunks from a 400+ char doc")
+  }
+
+  test("cdcChunks boundaries are content-defined: a prefix edit leaves the tail chunks intact") {
+    val base = (1 to 60).map(i => s"sentence number $i carries some distinct words.").mkString(" ")
+    val edited = "XYZZY INSERTED PREFIX " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+    val a = ch.filter(col("doc_id") === 1L).select("chunk_md5").as[String].collect().toSet
+    val b = ch.filter(col("doc_id") === 2L).select("chunk_md5").as[String].collect().toSet
+    // fixed-size chunking would share ZERO chunks after a prefix insert;
+    // CDC must re-converge right after the first boundary past the edit
+    val shared = a.intersect(b).size
+    assert(shared >= a.size - 2,
+      s"only $shared of ${a.size} original chunks survived a prefix edit")
+    assert(a.size > 5, "base doc should split into several chunks")
+  }
 }
