@@ -208,6 +208,46 @@ object IoQueries extends QueryModule {
       require(r.getAs[Long]("n_files_compacted") < r.getAs[Long]("n_files_small"),
         "compaction did not reduce the file count")
       out
+    }),
+
+    // TOTAL-ORDER (range-partitioned) layout — the terasort shape and
+    // io02's single-key complement: repartitionByRange samples boundary
+    // keys and performs ONE range exchange (no single-reducer global
+    // sort), each task writes a sorted run, and because equal keys never
+    // split across range partitions the per-file [min,max] key envelopes
+    // are pairwise DISJOINT — which is exactly what lets a reader prune
+    // whole files on a range predicate. The result IS the proof: both
+    // engines read the same landed files and recompute per-file
+    // envelopes, ranks, and the strict prev.max < cur.min law; rows are
+    // conserved by an in-query guard. Skew note: a single hot key stays
+    // in one file by design (co-location beats balance for pruning).
+    "io07_range_layout" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/range"
+      val li = Tables.t(s, dir, "lineitem")
+      val nSrc = li.count()
+      li.repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(root)
+      val per = s.read.parquet(root)
+        .select(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("fname"),
+          col("l_shipdate"))
+        .groupBy("fname")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("key_min"),
+          max(col("l_shipdate")).as("key_max"))
+      // the proof table is one row per FILE (~16) — the window is tiny
+      val w = org.apache.spark.sql.expressions.Window.orderBy("key_min", "fname")
+      val out = per.select(
+        row_number().over(w).cast("long").as("file_rank"),
+        col("n_rows"), col("key_min"), col("key_max"),
+        coalesce(lag(col("key_max"), 1).over(w) < col("key_min"), lit(true))
+          .as("range_ok"))
+        .orderBy("file_rank")
+      val bad = out.filter(!col("range_ok")).count()
+      require(bad == 0, s"$bad file ranges overlap — total order broken")
+      val tot = out.agg(sum(col("n_rows"))).head().getLong(0)
+      require(tot == nSrc, s"row conservation broken: $tot != $nSrc")
+      out
     })
   )
 
@@ -308,6 +348,21 @@ object IoQueries extends QueryModule {
           AS n_rows_compacted,
         (SELECT CAST(SUM(n_chars) AS BIGINT)
          FROM read_parquet('${graft.Land.root}/io/compact/compacted/*.parquet'))
-          AS sum_chars"""
+          AS sum_chars""",
+
+    // same landed files, same per-file envelope/rank/disjointness law
+    "io07_range_layout" -> s"""
+      WITH per AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_shipdate) AS key_min, MAX(l_shipdate) AS key_max
+        FROM read_parquet('${graft.Land.root}/io/range/*.parquet',
+                          filename = true)
+        GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY key_min, fname) AS BIGINT) AS file_rank,
+             n_rows, key_min, key_max,
+             coalesce(lag(key_max) OVER (ORDER BY key_min, fname) < key_min, TRUE)
+               AS range_ok
+      FROM per ORDER BY file_rank"""
   )
 }

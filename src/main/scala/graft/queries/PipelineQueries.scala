@@ -326,6 +326,24 @@ object PipelineQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // ---- time-series gap fill (resample + forward fill): per-user
+    //      hourly grid over each user's own [first, last] span — rows
+    //      EXIST for hours with no events, carrying the last observed
+    //      value forward. Bucket arg-max is (ts, event_id)-deterministic
+    //      so cross-engine merge order cannot pick a different row; the
+    //      fill is ONE per-key window. Restricted to user_id < 30 to
+    //      bound the grid the oracle re-derives (~21k rows) -------------
+    "p60_gap_fill" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events").filter(col("user_id") < 30)
+      graft.operators.GapFill.forwardFillGrid(ev,
+          keyCol = "user_id", tsCol = "ts", valCol = "value",
+          tieCol = "event_id")
+        .select(col("user_id"),
+          col("bucket_ts").cast("timestamp_ntz").as("bucket_ts"),
+          round(col("value_ff"), 6).as("value_ff"), col("had_event"))
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // ---- PII scrubbing: typed-tag redaction of emails/phones/IPv4s.
     //      The synthetic corpus carries no PII, so the query first
     //      AUGMENTS each doc with deterministic doc_id-derived PII (the
@@ -944,6 +962,26 @@ object PipelineQueries extends QueryModule {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",
+
+    "p60_gap_fill" -> """
+      WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value
+                 FROM events WHERE user_id < 30),
+      hv AS (SELECT user_id, hr, value AS v FROM (
+               SELECT user_id, hr, value,
+                      row_number() OVER (PARTITION BY user_id, hr
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM e) WHERE rn = 1),
+      span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+               FROM span),
+      j AS (SELECT g.user_id, g.hr, hv.v
+            FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hr = hv.hr)
+      SELECT user_id, hr AS bucket_ts,
+             round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ff,
+             v IS NOT NULL AS had_event
+      FROM j ORDER BY user_id, bucket_ts""",
 
     "p15_asof_join" -> """
       WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
