@@ -619,6 +619,137 @@ object RelationalQueries extends QueryModule {
         ORDER BY supp_nation, cust_nation, l_year""")
     }),
 
+    // ---- TPC-H Q5-shaped local-supplier volume: the join CYCLE (the
+    //      c_nationkey = s_nationkey closing edge makes it a cyclic
+    //      query graph, not a star). nation/region broadcast; the cycle
+    //      edge is a post-join filter on two already-present dim keys,
+    //      so no extra shuffle; orders is date-pruned at the scan ------
+    "q64_local_volume" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
+    // ---- TPC-H Q10-shaped returned-item ranking: quarter-pruned orders
+    //      join the returnflag-filtered fact, customer + nation attach
+    //      AFTER the per-customer rollup conceptually — here the group
+    //      keys carry them through one aggregate; top-20 via
+    //      TakeOrderedAndProject, ties broken on custkey ----------------
+    "q65_returned_items" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
+    // ---- TPC-H Q12-shaped late-shipment priority counts: one fact-fact
+    //      join on orderkey, the WHERE keeps only late lines, and the
+    //      aggregate is a pair of CASE-conditional counts — the shape
+    //      where the measure dimension (priority) pivots into columns --
+    "q66_late_priority" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL '90' DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    }),
+
+    // ---- TPC-H Q19-shaped OR-of-ANDs predicate: the disjunctive
+    //      pushdown stress. Each disjunct pairs a part attribute with a
+    //      lineitem attribute, so no single-table residual can express
+    //      it — the optimizer must still push the common p/l conjuncts
+    //      (brand set, size floor, quantity range hull) below the join
+    //      and keep ONE equi-join on partkey (never a nested loop) -----
+    "q67_disjunct_baskets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    }),
+
+    // ---- TPC-H Q14-shaped promo share: conditional-over-total ratio
+    //      from ONE month-pruned scan; both sums stay exact decimal and
+    //      cast to double only at the final division, so the ratio is
+    //      bit-identical cross-engine; round-4 grain on top ------------
+    "q68_promo_share" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT round(100.0 *
+                 CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE), 4) AS promo_share
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'""")
+    }),
+
+    // ---- TPC-H Q16-shaped supplier diversity: COUNT(DISTINCT) per
+    //      group after a NOT IN exclusion — Catalyst plans the NOT IN as
+    //      a null-aware LeftAnti against a 6-row broadcast (s_suppkey is
+    //      non-null, so no null-check explosion); the distinct rides the
+    //      (brand, size) group-by exchange -----------------------------
+    "q69_supplier_diversity" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type <> 'PROMO'
+          AND p_size <= 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 20""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1004,6 +1135,90 @@ object RelationalQueries extends QueryModule {
       WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
       GROUP BY 1, 2, 3
-      ORDER BY 1, 2, 3"""
+      ORDER BY 1, 2, 3""",
+
+    "q64_local_volume" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE c_nationkey = s_nationkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q65_returned_items" -> """
+      SELECT c_custkey, c_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate <  TIMESTAMP '1996-10-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q66_late_priority" -> """
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+
+    "q67_disjunct_baskets" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q68_promo_share" -> """
+      SELECT round(100.0 *
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DOUBLE), 4) AS promo_share
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+
+    "q69_supplier_diversity" -> """
+      SELECT p_brand, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type <> 'PROMO'
+        AND p_size <= 25
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size
+      LIMIT 20"""
   )
 }
