@@ -466,6 +466,49 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- hybrid retrieval with reciprocal-rank fusion: the production
+    //      RAG shape — a lexical BM25 list and a vector cosine list for
+    //      the SAME queries (query docs double as query vectors through
+    //      the aligned doc_id/vec_id space), fused by Σ 1/(60 + rank).
+    //      Rank lists are position-based, so the fusion needs no score
+    //      calibration between the two retrievers — that is RRF's whole
+    //      point — and each fused score is a sum of two exact small
+    //      rationals, so the cross-engine compare is noise-free.
+    //      Self-hits are excluded from BOTH lists (lexical side fetches
+    //      k+1 then re-ranks). Driver-side collect = 3 query texts ------
+    "p61_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir); val e = embs(s, dir)
+      val qids = Seq(1L, 2L, 3L)
+      val qtexts = d.filter(col("doc_id").isin(qids: _*))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0).toInt ->
+          r.getString(1).trim.toLowerCase.split("\\s+").distinct.mkString(" "))
+        .toSeq.sortBy(_._1)
+      val bm = Lm.bm25TopK(d, "doc_id", "text", qtexts, k = 11)
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("r_lex", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("id")))
+          .cast("long"))
+        .filter(col("r_lex") <= 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("id").as("doc_id"), col("r_lex"))
+      val vec = Ann.bruteForceTopK(e, e.filter(col("vec_id").isin(qids: _*)), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("r_vec"))
+      bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("query_id", "rk")
+    }),
+
     // ---- content-defined chunking dedup: boundaries from a compiled
     //      rolling-window hash (scan-local; nothing shuffles until the
     //      skinny (md5, len) aggregate), chunk-level duplicate mass
@@ -519,6 +562,59 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
 
   val oracles: Map[String, String] = Map(
+    // BM25 leg restated from the p53 machinery with the query vocab
+    // drawn from the query docs themselves; cosine leg from the p06
+    // machinery; RRF fused over a full outer join of the two rank lists.
+    "p61_hybrid_rrf" -> s"""
+      WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+      tf AS (SELECT id, tok AS term, COUNT(*) AS tf
+             FROM (SELECT id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      dl AS (SELECT id, len(toks) AS dl FROM d),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+      q AS (SELECT id AS query_id, unnest(list_distinct(toks)) AS term
+            FROM d WHERE id IN (1, 2, 3)),
+      s AS (SELECT q.query_id, tf.id,
+              ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                       / (CAST(df.df AS DOUBLE) + 0.5)) *
+              (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+              (CAST(tf.tf AS DOUBLE) +
+               CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl ON tf.id = dl.id, st),
+      agg AS (SELECT query_id, id, round(SUM(s), 6) AS score
+              FROM s GROUP BY 1, 2),
+      bm0 AS (SELECT query_id, id, score,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, id) AS BIGINT) AS rk
+              FROM agg QUALIFY rk <= 11),
+      bm AS (SELECT query_id, id AS doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, id) AS BIGINT) AS r_lex
+             FROM bm0 WHERE id <> query_id QUALIFY r_lex <= 10),
+      vec AS (SELECT query_id, doc_id, r_vec FROM (
+                SELECT qe.vec_id AS query_id, e.vec_id AS doc_id,
+                       CAST(row_number() OVER (PARTITION BY qe.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 8) DESC,
+                                  e.vec_id) AS BIGINT) AS r_vec
+                FROM embeddings qe, embeddings e
+                WHERE qe.vec_id IN (1, 2, 3) AND e.vec_id <> qe.vec_id)
+              WHERE r_vec <= 10),
+      fused AS (SELECT query_id, doc_id,
+                  coalesce(1.0 / (60.0 + r_lex), 0.0)
+                    + coalesce(1.0 / (60.0 + r_vec), 0.0) AS rrf
+                FROM bm FULL JOIN vec USING (query_id, doc_id))
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+             doc_id, round(rrf, 9) AS rrf
+      FROM fused
+      QUALIFY rk <= 10
+      ORDER BY query_id, rk""",
+
     // Full restatement of cdcChunks: powers of B mod M built by a
     // recursive CTE, every window hash recomputed term-wise-mod (equal
     // to the engine's rolling form because both stay in [0, M)), chunks
