@@ -199,4 +199,40 @@ class ScalingSpec extends SparkSpec {
     val eCap = growthExponent(n1, volume(c1, 100), n2, volume(c2, 100))
     assert(eCap <= 1.35, f"dfCap=100 should restore linearity, got $eCap%.2f")
   }
+
+  test("cdc chunks (p59): chunk count linear; pair-join needs the hot-group cap") {
+    assume(haveData, "testdata absent")
+    // Chunking itself is scan-local and chunk count is ∝ corpus chars
+    // (boundary density 1/div). The GROUP structure is a different law:
+    // with a constant duplication fraction, a boilerplate chunk shared
+    // by f·n docs forms (f·n)²/2 pairs — structurally QUADRATIC. That is
+    // WHY p59 aggregates per-group counts (Σ(c−1), linear) and never
+    // self-joins chunk_md5 raw; this test measures both sides of that
+    // design: the uncapped pair volume really is superlinear on the
+    // shipped corpus, and a hot-group cut (the dfCap analog a pair
+    // consumer would need) restores linearity.
+    val (dS, dL) = (docs(sfSmall), docs(sfLarge))
+    def chunks(d: DataFrame) = Dedup.cdcChunks(d, "doc_id", "text").cache()
+    val (cS, cL) = (chunks(dS), chunks(dL))
+    try {
+      val (chS, chL) = (cS.count(), cL.count())
+      val (charS, charL) = (
+        dS.agg(sum(length(col("text")))).head().getLong(0),
+        dL.agg(sum(length(col("text")))).head().getLong(0))
+      assertLinear("cdc-chunks(p59)", 1.1, charS, chS, charL, chL)
+      def cappedVolume(c: DataFrame, cap: Long): Long =
+        c.groupBy(col("chunk_md5")).agg(count(lit(1)).as("c"))
+          .filter(col("c") <= cap)
+          .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+          .head().getLong(0)
+      val eRaw = growthExponent(chS, candVolume(cS, "chunk_md5"),
+        chL, candVolume(cL, "chunk_md5"))
+      assert(eRaw > 1.35,
+        f"raw md5 pair volume should be superlinear here (got $eRaw%.2f) — " +
+          "if this starts passing, the corpus lost its boilerplate and the cap demo is dead")
+      val eCap = growthExponent(chS, cappedVolume(cS, 10), chL, cappedVolume(cL, 10))
+      assert(eCap <= 1.35,
+        f"hot-group cap (c<=10) should restore linearity, got $eCap%.2f")
+    } finally { cS.unpersist(); cL.unpersist() }
+  }
 }
