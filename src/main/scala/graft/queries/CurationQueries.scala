@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing, Rank}
+import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing, Rank, TextOps}
 
 /** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
   * prefiltered decontamination, SemDeDup, cross-document duplicated-span
@@ -466,6 +466,31 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- vocabulary coverage / OOV audit: fix a top-V corpus vocab
+    //      (frequency-ranked, ties on the token string so any engine
+    //      draws the same boundary), then measure per-source coverage —
+    //      the tokenizer-health check run before committing a vocab to
+    //      training. The vocab is a BROADCAST (top-V is bounded by
+    //      construction); token postings never self-join ---------------
+    "p62_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .filter(col("rk") <= 500)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("in_vocab").isNull, col("tok"))).as("distinct_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("source")
+    }),
+
     // ---- hybrid retrieval with reciprocal-rank fusion: the production
     //      RAG shape — a lexical BM25 list and a vector cosine list for
     //      the SAME queries (query docs double as query vectors through
@@ -562,6 +587,24 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
 
   val oracles: Map[String, String] = Map(
+    "p62_vocab_coverage" -> s"""
+      WITH toks AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+      vocab AS (SELECT tok FROM (
+                  SELECT tok, COUNT(*) AS c,
+                         row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+                  FROM toks GROUP BY tok)
+                WHERE rk <= 500),
+      j AS (SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN tok END) AS BIGINT)
+               AS distinct_oov,
+             round(CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS oov_rate
+      FROM j GROUP BY source ORDER BY source""",
+
     // BM25 leg restated from the p53 machinery with the query vocab
     // drawn from the query docs themselves; cosine leg from the p06
     // machinery; RRF fused over a full outer join of the two rank lists.

@@ -750,6 +750,76 @@ object RelationalQueries extends QueryModule {
         LIMIT 20""")
     }),
 
+    // ---- TPC-H Q4-shaped priority check: EXISTS against the fact →
+    //      LeftSemi on orderkey (each order counted ONCE however many
+    //      late lines it has — the bug a plain join+distinct invites);
+    //      orders quarter-pruned at the scan ---------------------------
+    "q70_priority_check" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    // ---- TPC-H Q15-shaped top supplier: the aggregate feeding a
+    //      scalar-MAX-of-itself filter. The rev CTE is computed ONCE
+    //      (one lineitem shuffle on suppkey); the max is a one-row
+    //      broadcast; equality compares exact decimal sums, so no fp
+    //      tie ambiguity exists to break -------------------------------
+    "q71_top_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey""")
+    }),
+
+    // ---- TPC-H Q2-shaped min-cost supplier: the correlated scalar-MIN
+    //      subquery over the same derived table (supply cost ≈ per-
+    //      (part, supp) MIN price — exact, no fp aggregation ambiguity).
+    //      Catalyst decorrelates the inner MIN into an aggregate-join on
+    //      p_partkey — the pc table is scanned twice but shuffled on the
+    //      same keys, never re-derived per row -------------------------
+    "q72_min_cost_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH pc AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        FROM part
+        JOIN pc       ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND cost = (SELECT MIN(pc2.cost)
+                      FROM pc pc2
+                      JOIN supplier s2 ON s2.s_suppkey = pc2.l_suppkey
+                      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                      WHERE pc2.l_partkey = p_partkey
+                        AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 10""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1219,6 +1289,52 @@ object RelationalQueries extends QueryModule {
                               WHERE s_acctbal < 0)
       GROUP BY p_brand, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_size
-      LIMIT 20"""
+      LIMIT 20""",
+
+    "q70_priority_check" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q71_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s_suppkey""",
+
+    "q72_min_cost_supplier" -> """
+      WITH pc AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, cost
+      FROM part
+      JOIN pc       ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        AND cost = (SELECT MIN(pc2.cost)
+                    FROM pc pc2
+                    JOIN supplier s2 ON s2.s_suppkey = pc2.l_suppkey
+                    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                    WHERE pc2.l_partkey = p_partkey
+                      AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 10"""
   )
 }
