@@ -820,6 +820,39 @@ object RelationalQueries extends QueryModule {
         LIMIT 10""")
     }),
 
+    // ---- recursive CTE (new SQL surface in Spark 4.x): a bounded
+    //      transitive walk over a derived successor function, grouped to
+    //      first-reach depth. Recursion depth is CAPPED in the predicate
+    //      (depth < 8) — the shape that stays safe on any engine --------
+    "q73_recursive_walk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH RECURSIVE reach(k, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT (k * 3 + 1) % 25, depth + 1 FROM reach WHERE depth < 8)
+        SELECT r.k, MIN(r.depth) AS first_depth, n.n_name
+        FROM reach r JOIN nation n ON n.n_nationkey = r.k
+        GROUP BY r.k, n.n_name
+        ORDER BY first_depth, k""")
+    }),
+
+    // ---- LATERAL correlated subquery in FROM (per-key top-k as the
+    //      user writes it): Catalyst rewrites the correlated LIMIT
+    //      subquery into a window-ranked join, not a per-row re-scan ----
+    "q74_lateral_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+        WHERE c_custkey <= 50
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1335,6 +1368,26 @@ object RelationalQueries extends QueryModule {
                     WHERE pc2.l_partkey = p_partkey
                       AND r2.r_name = 'EUROPE')
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-      LIMIT 10"""
+      LIMIT 10""",
+
+    "q73_recursive_walk" -> """
+      WITH RECURSIVE reach(k, depth) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT (k * 3 + 1) % 25, depth + 1 FROM reach WHERE depth < 8)
+      SELECT r.k, MIN(r.depth) AS first_depth, n.n_name
+      FROM reach r JOIN nation n ON n.n_nationkey = r.k
+      GROUP BY r.k, n.n_name
+      ORDER BY first_depth, k""",
+
+    "q74_lateral_topk" -> """
+      SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) o
+      WHERE c_custkey <= 50
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
   )
 }
