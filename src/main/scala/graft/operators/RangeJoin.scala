@@ -42,4 +42,33 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair whose closed
+    * intervals intersect ([ls,le] ∩ [rs,re] ≠ ∅), matching extra equi
+    * `keys` exactly. Both sides replicate into their covered buckets,
+    * so a true pair can meet in SEVERAL buckets; instead of a distinct
+    * (a shuffle over the full pair set), each pair is emitted only from
+    * its canonical bucket — the bucket of max(ls, rs), the first bucket
+    * the pair shares — making the output exactly-once by construction.
+    * Same scale levers as pointInInterval: bucket near the typical
+    * interval length, salt hot buckets upstream. Column names must be
+    * disjoint apart from `keys`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      keys: Seq[String] = Nil,
+                      bucketSeconds: Long = 600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val usPerBucket = bucketSeconds * 1000000L
+    def buckets(s: String, e: String) = explode(sequence(
+      floor(unix_micros(col(s)) / usPerBucket),
+      floor(unix_micros(col(e)) / usPerBucket)))
+    val lb = left.withColumn("__bucket", buckets(lStart, lEnd))
+    val rb = right.withColumn("__bucket", buckets(rStart, rEnd))
+    lb.join(rb, Seq("__bucket") ++ keys)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") ===
+        floor(unix_micros(greatest(col(lStart), col(rStart))) / usPerBucket))
+      .drop("__bucket")
+  }
 }

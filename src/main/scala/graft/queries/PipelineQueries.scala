@@ -344,6 +344,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- interval-OVERLAP join (co-presence analytics): per-(user,day)
+    //      activity intervals self-joined for overlapping user pairs.
+    //      Both sides bucketize; a pair meeting in several buckets is
+    //      emitted only from the bucket of max(start, start) — exactly
+    //      once by construction, no distinct over the pair set. Overlap
+    //      mass sums exact integer microseconds DIV'd to seconds -------
+    "p63_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val iv = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val a = iv.select(col("day"), col("user_id").as("u1"),
+        col("s").as("s1"), col("e").as("e1"))
+      val b = iv.select(col("day"), col("user_id").as("u2"),
+        col("s").as("s2"), col("e").as("e2"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "s1", "e1", "s2", "e2", keys = Seq("day"), bucketSeconds = 6 * 3600)
+        .filter(col("u1") < col("u2"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("""(least(unix_micros(e1), unix_micros(e2))
+                       - greatest(unix_micros(s1), unix_micros(s2))) DIV 1000000"""))
+            .as("overlap_s"))
+        .select(col("day").cast("date").as("day"),
+          col("n_pairs"), col("overlap_s"))
+        .orderBy("day")
+    }),
+
     // ---- PII scrubbing: typed-tag redaction of emails/phones/IPv4s.
     //      The synthetic corpus carries no PII, so the query first
     //      AUGMENTS each doc with deterministic doc_id-derived PII (the
@@ -962,6 +989,18 @@ object PipelineQueries extends QueryModule {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",
+
+    "p63_interval_overlap" -> """
+      WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+                         min(ts) AS s, max(ts) AS e
+                  FROM events GROUP BY 1, 2)
+      SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(date_diff('microsecond', greatest(a.s, b.s),
+                                least(a.e, b.e)) // 1000000) AS BIGINT) AS overlap_s
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id < b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY a.day ORDER BY a.day""",
 
     "p60_gap_fill" -> """
       WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value

@@ -61,4 +61,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.length > 0 && rows.length <= 20)
     assert(rows.forall(_.getLong(1) >= 1)) // n_events >= 1 (the error event itself)
   }
+
+  test("intervalOverlap: exactly-once pairs equal the brute-force theta join") {
+    // long intervals spanning MANY 600s buckets — a pair shares dozens of
+    // buckets, so any double emission would show immediately
+    val a = Seq(
+      (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 06:00:00")),
+      (2L, ts("2024-01-01 05:59:00"), ts("2024-01-01 07:00:00")),
+      (3L, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"))  // degenerate point
+    ).toDF("aid", "s1", "e1")
+    val b = Seq(
+      (10L, ts("2024-01-01 03:00:00"), ts("2024-01-01 09:00:00")), // overlaps all three
+      (20L, ts("2024-01-01 06:30:00"), ts("2024-01-01 06:40:00")), // only aid 2
+      (30L, ts("2024-01-01 09:30:00"), ts("2024-01-01 09:40:00"))  // none
+    ).toDF("bid", "s2", "e2")
+    val got = RangeJoin.intervalOverlap(a, b, "s1", "e1", "s2", "e2")
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val want = a.crossJoin(b)
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(want === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 10L)))
+  }
+
+  test("intervalOverlap honors extra equi keys") {
+    val a = Seq(("k1", 1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      ("k2", 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("k", "aid", "s1", "e1")
+    val b = Seq(("k1", 10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")))
+      .toDF("k", "bid", "s2", "e2")
+    val got = RangeJoin.intervalOverlap(a, b, "s1", "e1", "s2", "e2", keys = Seq("k"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L))) // k2's identical interval is keyed away
+  }
 }
