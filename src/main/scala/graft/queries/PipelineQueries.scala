@@ -344,6 +344,25 @@ object PipelineQueries extends QueryModule {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- split-leakage audit: near-dup pairs that CROSS the train/val/
+    //      test boundary — the QA gate run after any split, because a
+    //      random split of a corpus with near-dups leaks eval into train
+    //      no matter how good the split hash is. Composes the banded
+    //      minhash pair generator with the split assignment (skinny
+    //      (id, split) joins onto the pair set); the oracle brute-forces
+    //      exact Jaccard AND recomputes the split from the same md5 ----
+    "p64_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val split = d.select(col("doc_id"),
+        Mixing.splitAssign(Mixing.hashUnit(col("doc_id"), "graft-split")).as("split"))
+      Dedup.minhashPairs(d, "doc_id", "text", k = 64, bands = 16, threshold = 0.5)
+        .join(split.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+        .join(split.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+        .filter(col("split_i") =!= col("split_j"))
+        .select(col("i"), col("j"), col("split_i"), col("split_j"), col("jaccard"))
+        .orderBy("i", "j")
+    }),
+
     // ---- interval-OVERLAP join (co-presence analytics): per-(user,day)
     //      activity intervals self-joined for overlapping user pairs.
     //      Both sides bucketize; a pair meeting in several buckets is
@@ -986,6 +1005,33 @@ object PipelineQueries extends QueryModule {
                / len(list_distinct(a.s || b.s)) AS jaccard
       FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY i, j""",
+
+    "p64_split_leakage" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 AS u
+              FROM documents))
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             sa.split AS split_i, sb.split AS split_j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a, sh b, sp sa, sp sb
+      WHERE a.doc_id < b.doc_id
+        AND sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id
+        AND sa.split <> sb.split
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",

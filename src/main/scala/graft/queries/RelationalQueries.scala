@@ -853,6 +853,25 @@ object RelationalQueries extends QueryModule {
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
     }),
 
+    // ---- aggregate FILTER clause + NULLS ordering surface: per-group
+    //      conditional aggregates the way ANSI writes them (FILTER, not
+    //      CASE), with an empty-filter SUM yielding NULL — surfaced
+    //      through explicit NULLS LAST ordering on both engines --------
+    "q75_filter_clause" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) FILTER (WHERE o_totalprice > 250000) AS BIGINT) AS n_big,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderstatus = 'NOPE') AS DOUBLE) AS rev_none
+          FROM orders GROUP BY o_orderpriority)
+        SELECT * FROM g
+        ORDER BY rev_none DESC NULLS LAST, rev_f DESC, o_orderpriority""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1388,6 +1407,18 @@ object RelationalQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 2) o
       WHERE c_custkey <= 50
-      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q75_filter_clause" -> """
+      WITH g AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 250000) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'NOPE') AS DOUBLE) AS rev_none
+        FROM orders GROUP BY o_orderpriority)
+      SELECT * FROM g
+      ORDER BY rev_none DESC NULLS LAST, rev_f DESC, o_orderpriority"""
   )
 }
