@@ -41,7 +41,8 @@ import graft.workload.{AuditLog, ReplayCodec}
   *             [--exact] [--histogram col1,col2[:buckets]]
   *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate|
   *                   clean|spans|mix|merges|encode|nll|cluster|lines|
-  *                   bigram-nll|classify|bm25|retract|chunk|keywords>
+  *                   bigram-nll|classify|bm25|retract|chunk|keywords|
+  *                   cdc|leakage>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
@@ -362,6 +363,18 @@ object Cli {
         case "keywords" => // per-doc top-k TF-IDF keywords
           graft.pipeline.Lm.tfidfTopK(in, idCol, textCol,
             o.getOrElse("k", "3").toInt)
+        case "cdc" => // content-defined chunk table (storage/boilerplate dedup)
+          graft.pipeline.Dedup.cdcChunks(in, idCol, textCol,
+            o.getOrElse("window", "16").toInt,
+            o.getOrElse("div", "64").toLong)
+        case "leakage" => // near-dup pairs crossing the train/val/test split
+          val split = in.select(col(idCol),
+            graft.pipeline.Mixing.splitAssign(
+              graft.pipeline.Mixing.hashUnit(col(idCol), "graft-split")).as("split"))
+          graft.pipeline.Dedup.minhashPairs(in, idCol, textCol, threshold = threshold)
+            .join(split.select(col(idCol).as("i"), col("split").as("split_i")), "i")
+            .join(split.select(col(idCol).as("j"), col("split").as("split_j")), "j")
+            .filter(col("split_i") =!= col("split_j"))
         case other => throw new IllegalArgumentException(
           s"unknown pipeline op '$other'\n$usage")
       }

@@ -242,6 +242,23 @@ class CliSpec extends SparkSpec {
     val ids = spark.read.parquet(retrOut).select("id").distinct()
       .as[Long].collect().toSet
     assert(ids === Set(1L, 3L))
+
+    // cdc: chunk table conserves per-doc char mass
+    val cdcOut = Files.createTempDirectory("cli_r6_cdc").toString
+    Cli.run(spark, "pipeline", Map("op" -> "cdc", "in" -> inDir, "out" -> cdcOut))
+    val mass = spark.read.parquet(cdcOut).groupBy("doc_id")
+      .agg(sum("chunk_len").as("n")).as[(Long, Long)].collect().toMap
+    val want = corpus.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(mass === want)
+
+    // leakage: cross-split near-dup pairs carry both split labels
+    val leakOut = Files.createTempDirectory("cli_r6_leak").toString
+    Cli.run(spark, "pipeline", Map("op" -> "leakage", "in" -> inDir,
+      "out" -> leakOut, "threshold" -> "0.1"))
+    val leak = spark.read.parquet(leakOut)
+    assert(leak.columns.toSet.contains("split_i") && leak.columns.contains("split_j"))
+    assert(leak.filter(col("split_i") === col("split_j")).count() === 0)
   }
 
   test("export verb writes each db.table through the URL template") {
