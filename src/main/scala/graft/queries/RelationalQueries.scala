@@ -872,6 +872,45 @@ object RelationalQueries extends QueryModule {
         ORDER BY rev_none DESC NULLS LAST, rev_f DESC, o_orderpriority""")
     }),
 
+    // ---- multiset set-ops (INTERSECT ALL / EXCEPT ALL keep
+    //      multiplicities — the bag semantics q09/q30's DISTINCT
+    //      variants drop) + GROUP BY ALL shorthand ---------------------
+    "q76_setops_all" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey <= 2000),
+             b AS (SELECT l_suppkey AS k FROM lineitem
+                   WHERE l_orderkey > 1000 AND l_orderkey <= 3000)
+        SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        GROUP BY ALL
+        UNION ALL
+        SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        GROUP BY ALL
+        ORDER BY op, k""")
+    }),
+
+    // ---- cohort retention matrix: first-activity-day cohorts × week
+    //      offsets × distinct active users — the product-analytics
+    //      complement to the RETENTION aggregate (q40). Two aggregates:
+    //      per-user min (shuffle on user), then the matrix rollup; the
+    //      week offset is day-arithmetic DIV 7 so both engines bucket
+    //      identically (no engine-specific week-boundary semantics) ----
+    "q77_cohort_matrix" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+                   FROM events GROUP BY user_id)
+        SELECT f.cohort,
+               CAST(DATEDIFF(CAST(e.ts AS DATE), f.cohort) DIV 7 AS BIGINT)
+                 AS week_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1419,6 +1458,30 @@ object RelationalQueries extends QueryModule {
                     FILTER (WHERE o_orderstatus = 'NOPE') AS DOUBLE) AS rev_none
         FROM orders GROUP BY o_orderpriority)
       SELECT * FROM g
-      ORDER BY rev_none DESC NULLS LAST, rev_f DESC, o_orderpriority"""
+      ORDER BY rev_none DESC NULLS LAST, rev_f DESC, o_orderpriority""",
+
+    "q76_setops_all" -> """
+      WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey <= 2000),
+           b AS (SELECT l_suppkey AS k FROM lineitem
+                 WHERE l_orderkey > 1000 AND l_orderkey <= 3000)
+      SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      GROUP BY ALL
+      UNION ALL
+      SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      GROUP BY ALL
+      ORDER BY op, k""",
+
+    "q77_cohort_matrix" -> """
+      WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+                 FROM events GROUP BY user_id)
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+               AS week_offset,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM events e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""
   )
 }
