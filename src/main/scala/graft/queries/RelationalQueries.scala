@@ -911,6 +911,55 @@ object RelationalQueries extends QueryModule {
         ORDER BY 1, 2""")
     }),
 
+    // ---- TPC-H Q6-shaped forecasting revenue: the pure scan-aggregate —
+    //      every predicate pushes to the parquet scan, no join, one
+    //      map-side-combined sum. Completes the 22/22 TPC-H shape sweep
+    //      together with q79 -------------------------------------------
+    "q78_forecast_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // ---- TPC-H Q9-shaped product profit by nation × year: the 5-table
+    //      profit rollup, with supply cost standing in as the per-
+    //      (part, supplier) MIN price (this schema has no partsupp —
+    //      same derived table q72 uses, exact and fp-unambiguous). The
+    //      pc aggregate and the fact share the (partkey, suppkey)
+    //      shuffle family; part is LIKE-filtered then broadcast --------
+    "q79_product_profit" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH pc AS (
+          SELECT l_partkey AS pc_partkey, l_suppkey AS pc_suppkey,
+                 MIN(l_extendedprice) AS supp_cost
+          FROM lineitem GROUP BY 1, 2)
+        SELECT n_name AS nation, o_year,
+               CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 - CAST(supp_cost AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2)) AS amount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN pc       ON pc_partkey = l_partkey AND pc_suppkey = l_suppkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%')
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC""")
+    }),
+
     // ---- INTERVAL / array / map / struct literals (X-SQL gap) ----------
     "q33_literals" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1482,6 +1531,39 @@ object RelationalQueries extends QueryModule {
              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
       FROM events e JOIN f ON e.user_id = f.user_id
       GROUP BY 1, 2
-      ORDER BY 1, 2"""
+      ORDER BY 1, 2""",
+
+    "q78_forecast_revenue" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q79_product_profit" -> """
+      WITH pc AS (
+        SELECT l_partkey AS pc_partkey, l_suppkey AS pc_suppkey,
+               MIN(l_extendedprice) AS supp_cost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT n_name AS nation, o_year,
+             CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               - CAST(supp_cost AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN pc       ON pc_partkey = l_partkey AND pc_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%')
+      GROUP BY n_name, o_year
+      ORDER BY nation, o_year DESC"""
   )
 }
