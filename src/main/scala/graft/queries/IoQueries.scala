@@ -248,6 +248,30 @@ object IoQueries extends QueryModule {
       val tot = out.agg(sum(col("n_rows"))).head().getLong(0)
       require(tot == nSrc, s"row conservation broken: $tot != $nSrc")
       out
+    }),
+
+    // ORC round-trip (second columnar format beside parquet): lineitem
+    // lands as ORC and is read BACK for the aggregate, while the oracle
+    // computes the same aggregate from the original parquet — hash
+    // equality proves type fidelity (longs, doubles, strings, µs
+    // timestamps) across the format boundary. Decimal-exact sums, so
+    // any value corruption (not just dropped rows) breaks the compare.
+    "io08_orc_roundtrip" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/orc"
+      Tables.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+        .write.mode("overwrite").orc(root)
+      s.read.orc(root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_shipdate")).cast("timestamp_ntz").as("first_ship"),
+          max(col("l_shipdate")).cast("timestamp_ntz").as("last_ship"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -363,6 +387,20 @@ object IoQueries extends QueryModule {
              n_rows, key_min, key_max,
              coalesce(lag(key_max) OVER (ORDER BY key_min, fname) < key_min, TRUE)
                AS range_ok
-      FROM per ORDER BY file_rank"""
+      FROM per ORDER BY file_rank""",
+
+    // the SAME aggregate from the original parquet — equality proves the
+    // ORC write+read preserved every value
+    "io08_orc_roundtrip" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             MIN(l_orderkey) AS min_key,
+             MAX(l_orderkey) AS max_key,
+             MIN(l_shipdate) AS first_ship,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
