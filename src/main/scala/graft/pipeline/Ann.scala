@@ -230,6 +230,45 @@ object Ann {
       .select("cell", "i", "j", "cos_r")
   }
 
+  /** Bitext mining, CCMatrix/LASER-style margin scoring: for each vector
+    * on side A, its best side-B neighbor scored by
+    * `cos(a,b) / (0.5·mean(top-k cos(a,·)) + 0.5·mean(top-k cos(·,b)))`
+    * — the margin normalizes away "hub" vectors that are close to
+    * everything, which raw cosine thresholds cannot. Returns
+    * (a_id, b_id, cos_r, margin, accepted).
+    *
+    * This entry point is the exact form: side A broadcasts against side
+    * B (bounded |A|·|B| scoring, fine when one side is a query batch).
+    * At corpus scale both top-k lists come from the LSH/IVF index
+    * instead (filteredTopK's (label, table, bucket) postings) — the
+    * margin arithmetic is unchanged, only candidate generation swaps.
+    * Cosines are rounded to 1e-8 before ranking and the margin to 1e-6
+    * before the accept compare, so merge-order fp noise (≥9 orders
+    * below either grain) cannot flip a rank or the decision. */
+  def bitextMargin(a: DataFrame, b: DataFrame, k: Int = 4,
+                   acceptMargin: Double = 1.2): DataFrame = {
+    val aa = broadcast(a.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")))
+    val bb = b.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val scored = bb.crossJoin(aa)
+      .withColumn("cos_r", round(cosine(col("a_emb"), col("b_emb")), 8))
+      .select("a_id", "b_id", "cos_r")
+    val wA = Window.partitionBy("a_id").orderBy(col("cos_r").desc, col("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(col("cos_r").desc, col("a_id"))
+    val fwd = scored.withColumn("rk", row_number().over(wA))
+    val aStats = fwd.filter(col("rk") <= k)
+      .groupBy("a_id").agg(avg(col("cos_r")).as("ma"))
+    val bStats = scored.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+      .groupBy("b_id").agg(avg(col("cos_r")).as("mb"))
+    fwd.filter(col("rk") === 1).drop("rk")
+      .join(aStats, "a_id")
+      .join(bStats, "b_id")
+      .withColumn("margin",
+        round(col("cos_r") / (lit(0.5) * col("ma") + lit(0.5) * col("mb")), 6))
+      .withColumn("accepted", col("margin") > acceptMargin)
+      .select("a_id", "b_id", "cos_r", "margin", "accepted")
+  }
+
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
     * hyperplane LSH: `tables` independent hash tables of `planes` bits
     * each; candidates are vectors sharing a bucket in ANY table (recall

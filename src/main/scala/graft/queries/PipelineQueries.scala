@@ -344,6 +344,17 @@ object PipelineQueries extends QueryModule {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- bitext mining (CCMatrix-style margin scoring): best cross-set
+    //      neighbor normalized by both sides' top-k neighborhoods, so
+    //      hub vectors can't pass on raw cosine alone. Exact form here
+    //      (label-0 side broadcasts); at corpus scale candidates come
+    //      from the (label, table, bucket) LSH postings instead --------
+    "p65_bitext_margin" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.bitextMargin(e.filter(col("label") === 0), e.filter(col("label") === 1))
+        .orderBy("a_id")
+    }),
+
     // ---- split-leakage audit: near-dup pairs that CROSS the train/val/
     //      test boundary — the QA gate run after any split, because a
     //      random split of a corpus with near-dups leaks eval into train
@@ -1008,6 +1019,32 @@ object PipelineQueries extends QueryModule {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY i, j""",
+
+    "p65_bitext_margin" -> """
+      WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb
+                 FROM embeddings WHERE label = 0),
+      b AS (SELECT vec_id AS b_id, embedding AS b_emb
+            FROM embeddings WHERE label = 1),
+      sc AS (SELECT a_id, b_id,
+               round(list_cosine_similarity(CAST(a_emb AS DOUBLE[]),
+                                            CAST(b_emb AS DOUBLE[])), 8) AS cos_r
+             FROM a, b),
+      fwd AS (SELECT a_id, b_id, cos_r,
+                row_number() OVER (PARTITION BY a_id
+                                   ORDER BY cos_r DESC, b_id) AS rk
+              FROM sc),
+      ma AS (SELECT a_id, AVG(cos_r) AS ma FROM fwd WHERE rk <= 4 GROUP BY a_id),
+      rev AS (SELECT b_id, cos_r,
+                row_number() OVER (PARTITION BY b_id
+                                   ORDER BY cos_r DESC, a_id) AS rk
+              FROM sc),
+      mb AS (SELECT b_id, AVG(cos_r) AS mb FROM rev WHERE rk <= 4 GROUP BY b_id)
+      SELECT a_id, b_id, cos_r,
+             round(cos_r / (0.5 * ma + 0.5 * mb), 6) AS margin,
+             round(cos_r / (0.5 * ma + 0.5 * mb), 6) > 1.2 AS accepted
+      FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
+      JOIN ma USING (a_id) JOIN mb USING (b_id)
+      ORDER BY a_id""",
 
     "p64_split_leakage" -> s"""
       WITH sh AS (
