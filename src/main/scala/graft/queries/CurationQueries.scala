@@ -466,6 +466,42 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- URL → registrable-domain (eTLD+1) accounting: the grouping
+    //      step every web-curation pipeline keys on (per-domain budgets,
+    //      blocklists, dedup scopes group by eTLD+1, never raw host).
+    //      The corpus has no URLs, so each doc gets a deterministic
+    //      doc_id-derived URL (the p16 augment pattern, identical
+    //      expression in the oracle); the operator under test is the
+    //      host parse + multi-label public-suffix split + blocklist
+    //      anti-join — all scan-local string expressions + one skinny
+    //      aggregate on the domain key ---------------------------------
+    "p66_url_domains" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tld = element_at(array(lit(".com"), lit(".org"), lit(".net"),
+        lit(".co.uk"), lit(".io")), (col("doc_id") % 5 + 1).cast("int"))
+      val sub = when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 7 === 0, lit("cdn.static."))
+        .otherwise(lit(""))
+      val url = concat(lit("https://"), sub,
+        lit("site"), (col("doc_id") % 40).cast("string"), tld,
+        lit("/p/"), col("doc_id").cast("string"))
+      val host = regexp_extract(url, "^https?://([^/]+)", 1)
+      val parts = split(host, "\\.")
+      val n = size(parts)
+      // two-label public suffix (co.uk) keeps 3 labels, else keep 2
+      val etld1 = when(host.endsWith(".co.uk"),
+        concat_ws(".", element_at(parts, n - 2), lit("co"), lit("uk")))
+        .otherwise(concat_ws(".", element_at(parts, n - 1), element_at(parts, n)))
+      val blocklist = Seq("site7.com", "site13.org")
+      d.select(col("doc_id"), col("n_chars"), host.as("host"), etld1.as("domain"))
+        .filter(!col("domain").isin(blocklist: _*))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
+    }),
+
     // ---- vocabulary coverage / OOV audit: fix a top-V corpus vocab
     //      (frequency-ranked, ties on the token string so any engine
     //      draws the same boundary), then measure per-source coverage —
@@ -587,6 +623,37 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
 
   val oracles: Map[String, String] = Map(
+    "p66_url_domains" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               'https://' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                    WHEN doc_id % 7 = 0 THEN 'cdn.static.' ELSE '' END ||
+               'site' || CAST(doc_id % 40 AS VARCHAR) ||
+               list_extract(['.com', '.org', '.net', '.co.uk', '.io'],
+                            CAST(doc_id % 5 + 1 AS INT)) ||
+               '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      h AS (SELECT doc_id, n_chars,
+              regexp_extract(url, '^https?://([^/]+)', 1) AS host
+            FROM u),
+      e AS (SELECT doc_id, n_chars, host,
+              CASE WHEN host LIKE '%.co.uk'
+                   THEN list_extract(string_split(host, '.'),
+                          len(string_split(host, '.')) - 2) || '.co.uk'
+                   ELSE list_extract(string_split(host, '.'),
+                          len(string_split(host, '.')) - 1) || '.' ||
+                        list_extract(string_split(host, '.'),
+                          len(string_split(host, '.')))
+              END AS domain
+            FROM h)
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+      FROM e
+      WHERE domain NOT IN ('site7.com', 'site13.org')
+      GROUP BY domain ORDER BY domain""",
+
     "p62_vocab_coverage" -> s"""
       WITH toks AS (SELECT source, unnest($duckToks) AS tok FROM documents),
       vocab AS (SELECT tok FROM (
