@@ -518,4 +518,31 @@ class PipelineSpec extends SparkSpec {
       allowPartial = true).as[(Long, Long)].collect().toMap
     assert(partial(8L) > 1L)
   }
+
+  // ---- Ann.bitextMargin --------------------------------------------------
+
+  test("bitextMargin: every A row pairs once; an isolated twin outranks a uniform-field match") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val r = 1.0 / math.sqrt(2)
+    // a1/b1: isolated near-identical twin. a2: sits in a uniform field of
+    // four equidistant b's — its margin must be strictly below the twin's
+    // (the hub/field normalization raw cosine lacks).
+    val a = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, v(0.995, 0.0999, 0, 0)),
+      (20L, v(0, r, r, 0)), (21L, v(0, r, -r, 0)),
+      (22L, v(0, r, 0, r)), (23L, v(0, r, 0, -r)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.bitextMargin(a, b, k = 4, acceptMargin = 1.2)
+      .orderBy("a_id")
+      .select("a_id", "b_id", "margin", "accepted")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length === 2) // exactly one row per A vector
+    val Array((a1, b1, m1, acc1), (a2, b2, m2, _)) = out
+    assert(a1 === 1L && b1 === 10L, "twin must be a1's best match")
+    assert(a2 === 2L && Set(20L, 21L, 22L, 23L).contains(b2))
+    assert(m1 > m2, f"twin margin $m1%.3f should beat field margin $m2%.3f")
+    assert(acc1, "the isolated twin must clear the accept threshold")
+  }
 }
