@@ -109,6 +109,30 @@ object DiffStatsQueries extends QueryModule {
     // ---- pairwise correlation/covariance stats: all 6 co-moments of 4
     //      lineitem numerics in ONE partial-aggregating scan, unpivoted
     //      to rows with stack() (no driver collect) ----------------------
+    // ---- categorical frequent-values profile: top-3 values per string
+    //      column (the histogram complement for non-numeric columns —
+    //      optimizer CE and drift monitors both consume most-common-
+    //      value lists). One skinny groupBy per column, rank ties broken
+    //      on the value string so any engine draws the same top-3 ------
+    "s06_frequent_values" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cols = Seq(
+        ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+        ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+        ("customer", "c_mktsegment"))
+      cols.map { case (tbl, c) =>
+        Tables.t(s, dir, tbl).groupBy(col(c).as("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(tbl).as("tbl"), lit(c).as("column"),
+            col("value"), col("cnt"))
+      }.reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("tbl", "column")
+            .orderBy(col("cnt").desc, col("value"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("tbl", "column", "rk")
+    }),
+
     "s04_numeric_corr" -> ((s, dir) => {
       val li = Tables.t(s, dir, "lineitem")
       Stats.corrMatrix(li,
@@ -245,6 +269,26 @@ object DiffStatsQueries extends QueryModule {
              COUNT(*) AS cnt
       FROM b GROUP BY c, bucket, lo, span
       ORDER BY "column", bucket""",
+
+    "s06_frequent_values" -> {
+      val cols = Seq(
+        ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+        ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+        ("customer", "c_mktsegment"))
+      cols.map { case (tbl, c) =>
+        s"""SELECT '$tbl' AS tbl, '$c' AS "column", $c AS value,
+           |       CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM $tbl GROUP BY $c""".stripMargin
+      }.mkString(
+        "WITH u AS (\n", "\nUNION ALL\n", s"""
+        |)
+        |SELECT tbl, "column", value, cnt,
+        |       CAST(row_number() OVER (PARTITION BY tbl, "column"
+        |              ORDER BY cnt DESC, value) AS BIGINT) AS rk
+        |FROM u
+        |QUALIFY rk <= 3
+        |ORDER BY tbl, "column", rk""".stripMargin)
+    },
 
     "s04_numeric_corr" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -250,6 +250,54 @@ object IoQueries extends QueryModule {
       out
     }),
 
+    // DYNAMIC partition overwrite — the incremental re-land every
+    // partitioned 100 TB table depends on: rewriting one partition must
+    // not touch (or even list-rewrite) the others. Full land, then a
+    // modified lang=en batch overwritten with the WRITER-level
+    // partitionOverwriteMode=dynamic option (no session-conf mutation —
+    // Verify shares the session across queries). Proof, in-query:
+    // (1) every non-en partition's file set is BYTE-IDENTICAL (names +
+    // sizes) before and after; (2) en's values moved by exactly the
+    // transformation. The emitted rows come from reading the final tree,
+    // which DuckDB re-reads hive-partitioned for the hash compare.
+    "io09_dynamic_overwrite" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/dynover"
+      val d = Tables.t(s, dir, "documents")
+      d.write.mode("overwrite").partitionBy("lang").parquet(root)
+      def fileSet(): Map[String, Set[(String, Long)]] = {
+        val base = new java.io.File(root)
+        base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+          .map(p => p.getName ->
+            p.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.length)).toSet).toMap
+      }
+      val before = fileSet()
+      val origEn = d.filter(col("lang") === "en")
+        .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+        .head()
+      d.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(root)
+      val after = fileSet()
+      for ((part, files) <- before if part != "lang=en")
+        require(after.get(part).contains(files),
+          s"dynamic overwrite disturbed untouched partition $part")
+      val out = s.read.parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+      val en = out.filter(col("lang") === "en")
+        .select("n_docs", "sum_chars").head()
+      require(en.getLong(0) == origEn.getLong(0) &&
+        en.getLong(1) == origEn.getLong(1) + 1000000L * origEn.getLong(0),
+        "en partition does not carry exactly the rewritten batch")
+      out
+    }),
+
     // ORC round-trip (second columnar format beside parquet): lineitem
     // lands as ORC and is read BACK for the aggregate, while the oracle
     // computes the same aggregate from the original parquet — hash
@@ -388,6 +436,17 @@ object IoQueries extends QueryModule {
              coalesce(lag(key_max) OVER (ORDER BY key_min, fname) < key_min, TRUE)
                AS range_ok
       FROM per ORDER BY file_rank""",
+
+    // DuckDB re-reads the final landed tree hive-partitioned: matching
+    // hashes prove both engines see the post-overwrite state (in-query
+    // guards prove that state IS "original others + rewritten en")
+    "io09_dynamic_overwrite" -> s"""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id
+      FROM read_parquet('${graft.Land.root}/io/dynover/*/*.parquet',
+                        hive_partitioning = true)
+      GROUP BY lang ORDER BY lang""",
 
     // the SAME aggregate from the original parquet — equality proves the
     // ORC write+read preserved every value
