@@ -466,6 +466,41 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- LSH banding planner: the S-curve P(candidate|s) = 1−(1−s^r)^b
+    //      for every (bands, rows) split of the k=64 signature, its
+    //      closed-form balance point s* (P=0.5), and the integrated
+    //      false-positive / false-negative masses around the 0.5 target
+    //      — the decision table that justifies minhashPairs' bands=16
+    //      default (s*≈0.546, the fp/fn knee on this grid). Pure
+    //      computation, identical arithmetic on both engines; rounded to
+    //      1e-6 so libm pow ulp differences cannot surface -------------
+    "p67_lsh_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy("bands")
+      Seq(4, 8, 16, 32).toDF("bands")
+        .crossJoin((1 to 19).toDF("i"))
+        .select(col("bands").cast("long").as("bands"),
+          (lit(64) / col("bands")).cast("long").as("r"),
+          (col("i") / lit(20.0)).as("sim"))
+        .withColumn("p_cand",
+          lit(1.0) - pow(lit(1.0) - pow(col("sim"), col("r")), col("bands")))
+        .withColumn("s_star",
+          pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("bands")),
+            lit(1.0) / col("r")))
+        .withColumn("fp_mass", sum(
+          when(col("sim") < 0.5, col("p_cand") / 20.0).otherwise(0.0)).over(w))
+        .withColumn("fn_mass", sum(
+          when(col("sim") >= 0.5, (lit(1.0) - col("p_cand")) / 20.0)
+            .otherwise(0.0)).over(w))
+        .select(col("bands"), col("r"), round(col("sim"), 6).as("sim"),
+          round(col("p_cand"), 6).as("p_cand"),
+          round(col("s_star"), 6).as("s_star"),
+          round(col("fp_mass"), 6).as("fp_mass"),
+          round(col("fn_mass"), 6).as("fn_mass"))
+        .orderBy("bands", "sim")
+    }),
+
     // ---- URL → registrable-domain (eTLD+1) accounting: the grouping
     //      step every web-curation pipeline keys on (per-domain budgets,
     //      blocklists, dedup scopes group by eTLD+1, never raw host).
@@ -623,6 +658,22 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
 
   val oracles: Map[String, String] = Map(
+    "p67_lsh_plan" -> """
+      WITH b AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS bands),
+      g AS (SELECT unnest(range(1, 20)) AS i),
+      rows_ AS (SELECT bands, CAST(64 / bands AS BIGINT) AS r, i / 20.0 AS sim
+                FROM b, g),
+      c AS (SELECT bands, r, sim,
+              1 - power(1 - power(sim, r), bands) AS p_cand
+            FROM rows_)
+      SELECT bands, r, round(sim, 6) AS sim, round(p_cand, 6) AS p_cand,
+             round(power(1 - power(0.5, 1.0 / bands), 1.0 / r), 6) AS s_star,
+             round(SUM(CASE WHEN sim < 0.5 THEN p_cand / 20.0 ELSE 0 END)
+                     OVER (PARTITION BY bands), 6) AS fp_mass,
+             round(SUM(CASE WHEN sim >= 0.5 THEN (1 - p_cand) / 20.0 ELSE 0 END)
+                     OVER (PARTITION BY bands), 6) AS fn_mass
+      FROM c ORDER BY bands, sim""",
+
     "p66_url_domains" -> """
       WITH u AS (
         SELECT doc_id, n_chars,
