@@ -496,6 +496,60 @@ object SqlSurfaceQueries extends QueryModule {
                CAST(SUM(o_totalprice) AS DOUBLE) AS top_rev
         FROM top2 GROUP BY o_custkey
         ORDER BY o_custkey LIMIT 0, 100"""))
+    }),
+
+    // Spark 4 VARIANT surface: semi-structured shredding without a fixed
+    // schema — text JSON is built per row (nested object + array + an
+    // explicit null tag), parsed ONCE to the binary VARIANT encoding, and
+    // every downstream access is a typed path extraction (variant_get /
+    // try_variant_get / is_variant_null). At scale this is the shape that
+    // replaces per-access get_json_object re-parses: one parse, many
+    // O(log fields) binary lookups, all scan-local. The column pins:
+    // typed nested/array paths (sum_k, sum_a), try_variant_get returning
+    // NULL on an impossible cast instead of failing the scan (n_bad_cast
+    // = 0), the VARIANT-null vs SQL-null distinction (n_null_tag counts
+    // "n":null as variant null; n_missing shows an absent path is SQL
+    // NULL), and a lossless string round-trip (n_e_match). The
+    // schema_of_variant guard proves the binary encoding is uniform
+    // across all rows — the precondition for columnar variant shredding.
+    "q80_variant_shred" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val shredded = s.sql("""
+        WITH j AS (
+          SELECT event_id, event_type,
+                 parse_json(concat(
+                   '{"u":', CAST(user_id AS STRING),
+                   ',"e":"', event_type,
+                   '","m":{"k":', get_json_object(props, '$.k'),
+                   ',"n":null},"a":[', CAST(user_id % 7 AS STRING),
+                   ',', CAST(event_id % 5 AS STRING), ']}')) AS v
+          FROM events),
+        sh AS (
+          SELECT event_type,
+                 variant_get(v, '$.u', 'bigint') AS u,
+                 variant_get(v, '$.m.k', 'bigint') AS k,
+                 variant_get(v, '$.a[0]', 'bigint') AS a0,
+                 variant_get(v, '$.a[1]', 'bigint') AS a1,
+                 try_variant_get(v, '$.e', 'bigint') AS e_as_num,
+                 is_variant_null(variant_get(v, '$.m.n')) AS n_is_null,
+                 variant_get(v, '$.missing', 'bigint') AS missing,
+                 CAST(variant_get(v, '$.e') AS STRING) AS e_str,
+                 schema_of_variant(v) AS sch
+          FROM j)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS sum_u,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(SUM(a0 * 10 + a1) AS BIGINT) AS sum_a,
+               CAST(COUNT(e_as_num) AS BIGINT) AS n_bad_cast,
+               CAST(SUM(CASE WHEN n_is_null THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_tag,
+               CAST(COUNT(missing) AS BIGINT) AS n_missing,
+               CAST(SUM(CASE WHEN e_str = event_type THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_e_match,
+               CAST(COUNT(DISTINCT sch) AS BIGINT) AS n_schemas
+        FROM sh GROUP BY event_type ORDER BY event_type""")
+      shredded
     })
   )
 
@@ -831,6 +885,27 @@ object SqlSurfaceQueries extends QueryModule {
       WHERE user_id <= 50
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, event_id"""
+      ORDER BY user_id, event_id""",
+
+    // Restates the variant semantics on the RAW columns: the data-bearing
+    // aggregates (n, sum_u, sum_k, sum_a) are recomputed from the same
+    // inputs the JSON was built from, and the semantics pins are the
+    // independently-derived expected values — try_variant_get of a word
+    // to BIGINT is NULL for every row (0), "n":null is variant null on
+    // every row (n), an absent path is SQL NULL (0), the string round
+    // trip is lossless (n), and the per-row variant schema is uniform (1)
+    "q80_variant_shred" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS sum_u,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             CAST(SUM((user_id % 7) * 10 + (event_id % 5)) AS BIGINT) AS sum_a,
+             CAST(0 AS BIGINT) AS n_bad_cast,
+             CAST(COUNT(*) AS BIGINT) AS n_null_tag,
+             CAST(0 AS BIGINT) AS n_missing,
+             CAST(COUNT(*) AS BIGINT) AS n_e_match,
+             CAST(1 AS BIGINT) AS n_schemas
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
