@@ -109,6 +109,33 @@ object Ann {
       .select("i", "j", "cos_r")
   }
 
+  /** Cross-set SEMANTIC decontamination — the embedding-space complement
+    * of the n-gram containment (p20) and bloom (p28) passes, catching
+    * paraphrased benchmark leakage those token-level passes miss. A train
+    * vector is contaminated when its cosine to ANY eval vector clears the
+    * threshold. Eval sets are benchmarks, not corpora — small by
+    * construction — so the eval side broadcasts and the whole pass is ONE
+    * scan of train: per-row work |eval|·dims, the per-train max a
+    * map-side partial aggregate, no shuffle of embeddings at all (only
+    * the skinny (train_id, max) rows). When the eval set outgrows a
+    * broadcast, lshNeighbors bounds the per-row constant; this exact form
+    * is the oracle-checkable contract. Arg-max ties break to the LOWEST
+    * eval_id via ordered-struct max, so output is engine-independent. */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double): DataFrame = {
+    val ev = broadcast(eval.select(col("vec_id").as("eval_id"),
+      col("embedding").as("e_emb")))
+    train.select(col("vec_id").as("train_id"), col("embedding"))
+      .crossJoin(ev)
+      .withColumn("cos_r", round(cosine(col("embedding"), col("e_emb")), 6))
+      .groupBy("train_id")
+      .agg(max(struct(col("cos_r").as("c"), (-col("eval_id")).as("ni"))).as("m"))
+      .select(col("train_id"),
+        col("m.c").as("max_sim"),
+        (-col("m.ni")).cast("bigint").as("eval_id"),
+        (col("m.c") >= threshold).as("contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold)
     * via the same multi-table hyperplane-LSH bucketing as lshNeighbors —
     * candidates only ever form inside (table, bucket) groups, then exact

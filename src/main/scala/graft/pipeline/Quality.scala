@@ -41,6 +41,38 @@ object Quality {
       maxMeanTokLen: Double = 10.0,
       maxSymbolWordRatio: Double = 0.10)
 
+  /** Declarative data-quality expectation suite — the Deequ / DLT
+    * "expectations" shape: a named list of row-level violation
+    * predicates plus dataset-level uniqueness checks, ALL evaluated in
+    * ONE scan. Each row rule compiles to a conditional-count aggregate
+    * column and each uniqueness check to a count-distinct inside the
+    * SAME aggregate, so the suite costs one pass over the data no
+    * matter how many rules it carries — the property that makes a
+    * 50-rule contract affordable on a 100 TB table (Deequ's core
+    * design; Schelter et al., VLDB 2018). The per-rule fan-out happens
+    * on the one-row aggregate result (array + explode), not on the
+    * data. Returns one row per rule: (rule, n_rows, n_violations,
+    * pass), ordered by rule name. */
+  def expectations(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    val aggs =
+      rowRules.map { case (n, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"rr_$n") } ++
+      uniqueCols.map(c => countDistinct(col(c)).as(s"uq_$c"))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val ruleRows =
+      rowRules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col(s"rr_$n").as("n_violations")) } ++
+      uniqueCols.map { c =>
+        struct(lit(s"unique_$c").as("rule"),
+          (col("n_rows") - col(s"uq_$c")).as("n_violations")) }
+    one.select(col("n_rows"), explode(array(ruleRows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
   /** Model-based quality scoring — the FineWeb-Edu / DCLM-baseline shape
     * (Penedo et al. 2024 §3.3; Li et al. 2024: score every document with
     * a classifier, gate the corpus on a score threshold). Production

@@ -320,6 +320,97 @@ object IoQueries extends QueryModule {
           min(col("l_shipdate")).cast("timestamp_ntz").as("first_ship"),
           max(col("l_shipdate")).cast("timestamp_ntz").as("last_ship"))
         .orderBy("l_returnflag")
+    }),
+
+    // Bucketed co-located join layout: both sides land bucketed AND
+    // sorted on the join key (external tables, so the files live under
+    // Land.root where the oracle reads them), and the join then runs
+    // with ZERO exchanges — the scan itself carries the co-location
+    // contract. This is the 100 TB lever for repeated fact-fact joins:
+    // pay the key shuffle ONCE at land time, amortize it over every
+    // later join on that key. Pre-repartitioning on the bucket column
+    // with the bucket count gives one file per bucket (Spark's
+    // repartition hash == its bucket hash), so the landed sort order
+    // also satisfies the merge-join's ordering requirement. The
+    // in-query guard asserts the executed join plan is a SortMergeJoin
+    // with NO Exchange anywhere; broadcast is disabled for the check so
+    // toy-scale table sizes can't route around the claim being proven.
+    "io10_bucketed_join" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/bucketed"
+      val nb = 8
+      s.sql("DROP TABLE IF EXISTS io10_cust")
+      s.sql("DROP TABLE IF EXISTS io10_ord")
+      Tables.t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .repartition(nb, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$root/cust").saveAsTable("io10_cust")
+      Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(nb, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$root/ord").saveAsTable("io10_ord")
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bare = s.table("io10_cust")
+          .join(s.table("io10_ord"), col("c_custkey") === col("o_custkey"))
+        val plan = bare.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"bucketed join must sort-merge:\n${plan.take(2000)}")
+        require(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n${plan.take(2000)}")
+        bare.groupBy(col("c_nationkey").cast("bigint").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"),
+            countDistinct(col("c_custkey")).as("n_custs"))
+          .orderBy("c_nationkey")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }),
+
+    // CSV round-trip fidelity on the HARD cases: values with embedded
+    // quotes, separators, and newlines, plus a distinguishable null
+    // encoding (`\N`, the same wire convention as the reference's CSV
+    // sink — S10). Spark lands RFC-4180-style CSV (escape = quote, so
+    // quotes double instead of backslash-escaping, the dialect every
+    // other engine parses), reads it back with multiLine=true, and the
+    // oracle parses the SAME files with DuckDB's CSV reader — the
+    // decimal-exact sums and per-row char accounting break on any
+    // quoting, escaping, newline, null, or date formatting divergence.
+    "io11_csv_roundtrip" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/csv"
+      Tables.t(s, dir, "orders")
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          concat(lit("v\""), col("o_orderpriority"), lit(",x"),
+            when(col("o_orderkey") % 3 === 0, lit("\nNL")).otherwise(lit("")))
+            .as("tricky"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("maybe_null"),
+          col("o_totalprice"), col("o_orderdate"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(root)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .option("nullValue", "\\N").option("multiLine", "true")
+        .schema("o_orderkey BIGINT, tricky STRING, maybe_null STRING, " +
+          "o_totalprice DOUBLE, o_orderdate DATE")
+        .csv(root)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("tricky"))).as("sum_tricky_chars"),
+          sum(when(col("tricky").contains("\n"), 1L).otherwise(0L))
+            .as("n_embedded_nl"),
+          sum(when(col("maybe_null").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("maybe_null")).as("n_statuses"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
     })
   )
 
@@ -460,6 +551,41 @@ object IoQueries extends QueryModule {
              MIN(l_shipdate) AS first_ship,
              MAX(l_shipdate) AS last_ship
       FROM lineitem
-      GROUP BY l_returnflag ORDER BY l_returnflag"""
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Replays the join over the LANDED bucketed files (the bucket layout
+    // is transparent parquet) — row loss, duplication, or key corruption
+    // in the bucketed land path breaks the compare
+    "io10_bucketed_join" -> s"""
+      SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs
+      FROM read_parquet('${graft.Land.root}/io/bucketed/cust/*.parquet') c
+      JOIN read_parquet('${graft.Land.root}/io/bucketed/ord/*.parquet') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB parses the SAME landed CSV files (RFC quoting, \N nulls,
+    // embedded newlines) — both engines must read identical values
+    "io11_csv_roundtrip" -> s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(length(tricky)) AS BIGINT) AS sum_tricky_chars,
+             CAST(SUM(CASE WHEN tricky LIKE '%' || chr(10) || '%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded_nl,
+             CAST(SUM(CASE WHEN maybe_null IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT maybe_null) AS BIGINT) AS n_statuses,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_orderdate) AS first_date,
+             MAX(o_orderdate) AS last_date
+      FROM read_csv('${graft.Land.root}/io/csv/*.csv', header = true,
+                    quote = '"', escape = '"', nullstr = '\\N',
+                    columns = {'o_orderkey': 'BIGINT', 'tricky': 'VARCHAR',
+                               'maybe_null': 'VARCHAR',
+                               'o_totalprice': 'DOUBLE',
+                               'o_orderdate': 'DATE'})"""
   )
 }

@@ -645,6 +645,38 @@ object PipelineQueries extends QueryModule {
         coalesce(sum(when(col("cos_r") < 0.45, 1L).otherwise(0L)), lit(0L)).as("n_below"),
         coalesce(min(col("cos_r")), lit(0.0)).as("min_cos"))
         .withColumn("n_true_probe", lit(nTrueProbe))
+    }),
+
+    // ---- semantic decontamination (Ann.semanticContamination): the
+    //      embedding-space cross-set pass — eval stratum broadcast, one
+    //      train scan, per-train max cosine with lowest-eval-id argmax.
+    //      Output is EVERY train row's nearest-eval account, so the
+    //      oracle re-derives the full field, not just the flagged tail --
+    "p68_semantic_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val ev = e.filter(col("vec_id") % 10 === 7)
+      val tr = e.filter(col("vec_id") % 10 =!= 7)
+      Ann.semanticContamination(tr, ev, threshold = 0.45)
+        .orderBy("train_id")
+    }),
+
+    // ---- data-quality expectation suite (Quality.expectations): six
+    //      named contract rules — null/empty/range/consistency/allowed-
+    //      set row rules plus doc_id uniqueness — all priced into ONE
+    //      scan-and-aggregate; the oracle recomputes every count --------
+    "p69_expectations" -> ((s, dir) => {
+      import graft.pipeline.Quality
+      Quality.expectations(docs(s, dir),
+        rowRules = Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "lang_allowed" -> !col("lang").isin("en", "de", "fr", "es"),
+          "min_length_100" -> (coalesce(col("n_chars"), lit(0L)) < 100L),
+          "n_chars_consistent" ->
+            (col("n_chars") =!= length(col("text"))),
+          "source_prefix" -> !col("source").startsWith("src"),
+          "text_nonempty" ->
+            (col("text").isNull || length(col("text")) === 0)),
+        uniqueCols = Seq("doc_id"))
     })
   )
 
@@ -1280,6 +1312,57 @@ object PipelineQueries extends QueryModule {
                AS n_true_probe
       FROM read_parquet('$outRoot/neardup_pairs/*.parquet') p
       JOIN embeddings a ON a.vec_id = p.i
-      JOIN embeddings b ON b.vec_id = p.j"""
+      JOIN embeddings b ON b.vec_id = p.j""",
+
+    // full cross-set cosine field re-derived brute-force; argmax ties
+    // break to the lowest eval_id on both engines
+    "p68_semantic_decontaminate" -> """
+      WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 10 = 7),
+      tr AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 10 <> 7),
+      sims AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6)
+                 AS cos_r
+        FROM tr t, ev e),
+      mx AS (SELECT train_id, MAX(cos_r) AS max_sim
+             FROM sims GROUP BY train_id)
+      SELECT m.train_id, m.max_sim,
+             (SELECT MIN(s.eval_id) FROM sims s
+              WHERE s.train_id = m.train_id AND s.cos_r = m.max_sim) AS eval_id,
+             m.max_sim >= 0.45 AS contaminated
+      FROM mx m ORDER BY train_id""",
+
+    // every rule's violation count recomputed independently
+    "p69_expectations" -> """
+      WITH counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_null,
+          CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+          CAST(SUM(CASE WHEN COALESCE(n_chars, 0) < 100
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_minlen,
+          CAST(SUM(CASE WHEN n_chars <> length(text)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_cons,
+          CAST(SUM(CASE WHEN source NOT LIKE 'src%'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+          CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+          CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_uq
+        FROM documents)
+      SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+      FROM (
+        SELECT 'doc_id_not_null' AS rule, n_rows, v_null AS n_violations
+          FROM counts
+        UNION ALL SELECT 'lang_allowed', n_rows, v_lang FROM counts
+        UNION ALL SELECT 'min_length_100', n_rows, v_minlen FROM counts
+        UNION ALL SELECT 'n_chars_consistent', n_rows, v_cons FROM counts
+        UNION ALL SELECT 'source_prefix', n_rows, v_src FROM counts
+        UNION ALL SELECT 'text_nonempty', n_rows, v_empty FROM counts
+        UNION ALL SELECT 'unique_doc_id', n_rows, v_uq FROM counts)
+      ORDER BY rule"""
   )
 }

@@ -545,4 +545,28 @@ class PipelineSpec extends SparkSpec {
     assert(m1 > m2, f"twin margin $m1%.3f should beat field margin $m2%.3f")
     assert(acc1, "the isolated twin must clear the accept threshold")
   }
+
+  // ---- Ann.semanticContamination -----------------------------------------
+
+  test("semanticContamination: twin flags, orthogonal clears, ties pick lowest eval id") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // eval 100/101 are IDENTICAL (tie), eval 102 is a different direction
+    val eval = Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(1, 0, 0, 0)), (102L, v(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(2, 0, 0, 0)),  // scaled twin of eval 100/101 -> cos 1.0
+      (2L, v(0, 1, 0, 0)),  // orthogonal to every eval vector
+      (3L, v(0, 0, 0.6, 0.8))) // cos 0.6 to eval 102
+      .toDF("vec_id", "embedding")
+    val out = Ann.semanticContamination(train, eval, threshold = 0.5)
+      .orderBy("train_id")
+      .select("train_id", "max_sim", "eval_id", "contaminated")
+      .as[(Long, Double, Long, Boolean)].collect()
+    assert(out.length === 3) // one account per train row, flagged or not
+    val Array(t1, t2, t3) = out
+    assert(t1 === ((1L, 1.0, 100L, true)), "tie must break to lowest eval id")
+    assert(t2._4 === false && t2._2 === 0.0)
+    assert(t3 === ((3L, 0.6, 102L, true)))
+  }
 }

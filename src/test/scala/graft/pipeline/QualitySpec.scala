@@ -89,4 +89,43 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("score") >= 0.5))
     }
   }
+
+  test("expectations: per-rule violation counts, uniqueness, one row per rule") {
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world", "en"),
+      (2L, "", "en"),       // empty text
+      (3L, "ok doc", "xx"), // bad lang
+      (3L, "dup id", "en")  // duplicate doc_id
+    ).toDF("doc_id", "text", "lang")
+    val out = Quality.expectations(df,
+      rowRules = Seq(
+        "text_nonempty" -> (col("text").isNull || length(col("text")) === 0),
+        "lang_allowed" -> !col("lang").isin("en", "de")),
+      uniqueCols = Seq("doc_id")).collect()
+    assert(out.length === 3)
+    val byRule = out.map(r => r.getAs[String]("rule") -> r).toMap
+    assert(byRule.keySet === Set("text_nonempty", "lang_allowed", "unique_doc_id"))
+    out.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    assert(byRule("text_nonempty").getAs[Long]("n_violations") === 1L)
+    assert(byRule("lang_allowed").getAs[Long]("n_violations") === 1L)
+    assert(byRule("unique_doc_id").getAs[Long]("n_violations") === 1L)
+    out.foreach(r => assert(
+      r.getAs[Boolean]("pass") === (r.getAs[Long]("n_violations") == 0L)))
+    // output order is by rule name (the cross-engine contract)
+    assert(out.map(_.getAs[String]("rule")).toSeq ===
+      Seq("lang_allowed", "text_nonempty", "unique_doc_id"))
+  }
+
+  test("expectations: all-green suite passes every rule") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Quality.expectations(df,
+      rowRules = Seq("id_not_null" -> col("doc_id").isNull),
+      uniqueCols = Seq("doc_id")).collect()
+    assert(out.forall(_.getAs[Boolean]("pass")))
+    assert(out.forall(_.getAs[Long]("n_violations") == 0L))
+  }
 }
