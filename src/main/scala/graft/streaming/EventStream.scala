@@ -314,6 +314,83 @@ object EventStream extends Serializable {
         if (streaming) GroupStateTimeout.EventTimeTimeout()
         else GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** Running per-user activity profile emitted after every micro-batch
+    * that touches the user. */
+  case class UserProfile(userId: Long, nEvents: Long, nTypes: Long,
+                         topType: String, topCount: Long)
+
+  /** Per-user running profile on Spark 4's arbitrary-state API
+    * (`transformWithState`): a ValueState event counter plus a MapState
+    * of per-type counts — composite state the older
+    * flatMapGroupsWithState API could only model as one monolithic blob
+    * rewritten wholesale every trigger. With the RocksDB provider each
+    * MapState entry is its own store key, so a profile update touches
+    * O(types in batch) keys, not O(types ever seen) — the difference
+    * between an in-place point write and a full-value rewrite for a
+    * long-lived key at 100 TB event volume. Update-mode emission: one
+    * refreshed profile per touched user per micro-batch; the LAST row
+    * per user equals the batch groupBy profile (StreamingSpec pins
+    * this). Top-type ties break lexicographically, so emission is
+    * engine- and merge-order-independent. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider — the TWS operator's documented
+    * contract, set by the caller on the session. */
+  def userProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** StatefulProcessor for [[EventStream.userProfiles]] — package level for
+  * the same Janino-visibility reason as the state case classes below. */
+private[streaming] class ProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), EventStream.UserProfile] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState, MapState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var perType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState[Long]("nEvents",
+      Encoders.scalaLong, TTLConfig.NONE)
+    perType = getHandle.getMapState[String, Long]("perType",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[EventStream.UserProfile] = {
+    var added = 0L
+    // point-increment only the types present in THIS batch
+    rows.foreach { case (_, tpe) =>
+      added += 1L
+      val cur = if (perType.containsKey(tpe)) perType.getValue(tpe) else 0L
+      perType.updateValue(tpe, cur + 1L)
+    }
+    val total = (if (nEvents.exists()) nEvents.get() else 0L) + added
+    nEvents.update(total)
+    // deterministic top type: max count, ties to the LOWEST type string
+    var topType = ""
+    var topCount = 0L
+    var nTypes = 0L
+    perType.iterator().foreach { case (tpe, n) =>
+      nTypes += 1L
+      if (n > topCount || (n == topCount && (topType.isEmpty || tpe < topType))) {
+        topType = tpe; topCount = n
+      }
+    }
+    Iterator.single(
+      EventStream.UserProfile(key, total, nTypes, topType, topCount))
+  }
 }
 
 // state times in MICROSECONDS — java.sql.Timestamp.getTime is

@@ -307,4 +307,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batchIds,
       s"stream ids differ from batch: ${streamed.length} vs ${batchIds.size}")
   }
+
+  test("transformWithState profiles: last update per user equals batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.t(spark, dir, "events")
+    val expected = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("nt"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // TWS requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // split the corpus into two files -> at least two micro-batches, so
+      // state genuinely carries across triggers (not one-shot aggregation)
+      val streamDir = java.nio.file.Files.createTempDirectory("tws_stream")
+      val src = spark.read.parquet(s"$dir/events.parquet")
+      src.where(col("event_id") % 2 === 0)
+        .write.parquet(streamDir.resolve("a").toString + "/part")
+      src.where(col("event_id") % 2 === 1)
+        .write.parquet(streamDir.resolve("b").toString + "/part")
+      val schema = src.schema
+      val streamIn = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString + "/*/part")
+        .transform(Tables.normalizeEventTs)
+      val q = EventStream.userProfiles(streamIn)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val updates = spark.table("tws_out").collect()
+      // multiple micro-batches -> some user must have been emitted twice
+      assert(updates.length > expected.size,
+        s"expected incremental re-emissions: ${updates.length} vs ${expected.size} users")
+      // the last emission per user is the converged profile
+      val last = updates.zipWithIndex
+        .groupBy(_._1.getAs[Long]("userId"))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(last.keySet == expected.keySet)
+      last.foreach { case (u, r) =>
+        val (n, nt) = expected(u)
+        assert(r.getAs[Long]("nEvents") == n, s"user $u count")
+        assert(r.getAs[Long]("nTypes") == nt, s"user $u distinct types")
+        assert(r.getAs[Long]("topCount") > 0 &&
+          r.getAs[String]("topType").nonEmpty)
+      }
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
