@@ -33,4 +33,49 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     f.join(d, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** One mergeable measure of [[saltedAgg]]: `kind` ∈ count|sum|min|max,
+    * `col` the measured column (ignored for count), `as` the output name. */
+  final case class Measure(kind: String, col: String, as: String)
+
+  /** Two-phase SALTED aggregation — the groupBy complement of [[salted]]
+    * for extreme key skew. Spark's hash aggregate already computes
+    * map-side partials, but every partial for one key still merges on ONE
+    * reducer; when a single key owns a double-digit share of a 100 TB
+    * table (the `event_type` shape), that reducer is the stage. Salting
+    * the grouping key spreads the merge over `salts` reducers, and a
+    * second (tiny: keys × salts rows) aggregate folds the partials. Only
+    * the mergeable algebra is offered — count/sum/min/max compose across
+    * salts by construction; a non-decomposable measure (exact distinct,
+    * median) would silently change meaning here and must go through the
+    * sketch aggregates instead. The salt is a hash of a per-row id: which
+    * salt a row gets never affects the result, only the spread. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], measures: Seq[Measure],
+                salts: Int = 32): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val kinds = Set("count", "sum", "min", "max")
+    require(measures.nonEmpty && measures.forall(m => kinds(m.kind)),
+      s"measures must be of kinds $kinds")
+    require(measures.map(_.as).distinct.size == measures.size,
+      "duplicate output names")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(measures.head match {
+        case Measure("count", _, as) => count(lit(1)).as(as)
+        case Measure(k, c, as) => expr(s"$k($c)").as(as)
+      }, measures.tail.map {
+        case Measure("count", _, as) => count(lit(1)).as(as)
+        case Measure(k, c, as) => expr(s"$k($c)").as(as)
+      }: _*)
+    val merged = measures.map {
+      case Measure("count", _, as) => sum(col(as)).as(as)
+      case Measure("sum", _, as) => sum(col(as)).as(as)
+      case Measure("min", _, as) => min(col(as)).as(as)
+      case Measure("max", _, as) => max(col(as)).as(as)
+    }
+    partial.groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
 }

@@ -677,6 +677,28 @@ object PipelineQueries extends QueryModule {
           "text_nonempty" ->
             (col("text").isNull || length(col("text")) === 0)),
         uniqueCols = Seq("doc_id"))
+    }),
+
+    // ---- salted two-phase aggregation (SkewJoin.saltedAgg) made gate-
+    //      visible: events has 5 event_type groups — the hot-key shape —
+    //      so the merge of ONE key's partials spreads over 32 salted
+    //      reducers before a tiny keys×salts fold. Decimal sums keep the
+    //      two-phase result bit-equal to the oracle's one-phase sum -----
+    "p70_salted_agg" -> ((s, dir) => {
+      import graft.operators.SkewJoin
+      import graft.operators.SkewJoin.Measure
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("dval", col("value").cast("decimal(18,6)"))
+      SkewJoin.saltedAgg(ev, Seq("event_type"),
+        Seq(Measure("count", "", "n"),
+          Measure("sum", "dval", "sum_value"),
+          Measure("min", "user_id", "min_user"),
+          Measure("max", "user_id", "max_user")),
+        salts = 32)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_user"), col("max_user"))
+        .orderBy("event_type")
     })
   )
 
@@ -1363,6 +1385,14 @@ object PipelineQueries extends QueryModule {
         UNION ALL SELECT 'source_prefix', n_rows, v_src FROM counts
         UNION ALL SELECT 'text_nonempty', n_rows, v_empty FROM counts
         UNION ALL SELECT 'unique_doc_id', n_rows, v_uq FROM counts)
-      ORDER BY rule"""
+      ORDER BY rule""",
+
+    // ONE-phase aggregate over the same rows: salting must be invisible
+    // in the result (decimal sums are order-independent)
+    "p70_salted_agg" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             MIN(user_id) AS min_user, MAX(user_id) AS max_user
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

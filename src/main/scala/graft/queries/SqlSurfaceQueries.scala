@@ -550,6 +550,67 @@ object SqlSurfaceQueries extends QueryModule {
                CAST(COUNT(DISTINCT sch) AS BIGINT) AS n_schemas
         FROM sh GROUP BY event_type ORDER BY event_type""")
       shredded
+    }),
+
+    // Higher-order (lambda) function family over arrays and maps —
+    // transform / filter / aggregate(fold) / exists / forall / zip_with /
+    // comparator array_sort / transform_values — all codegen-friendly
+    // scan-local expressions (the Spark-native replacement for per-row
+    // UDF loops over collections). Results reduce to scalars because the
+    // oracle gate sanctions scalar result types only; every lambda's
+    // OUTPUT still round-trips through the compare (sums/sizes/joins of
+    // the produced arrays), so a lambda semantics drift breaks the hash.
+    "q81_higher_order" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH a AS (
+          SELECT o_orderkey,
+                 sequence(1L, o_orderkey % 5 + 2) AS xs
+          FROM orders WHERE o_orderkey <= 300)
+        SELECT o_orderkey,
+          CAST(aggregate(transform(xs, x -> x * x), 0L, (acc, x) -> acc + x)
+            AS BIGINT) AS sum_sq,
+          CAST(size(filter(xs, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+          CAST(aggregate(zip_with(xs, reverse(xs), (l, r) -> l * r),
+                         0L, (acc, x) -> acc + x) AS BIGINT) AS dot_rev,
+          exists(xs, x -> x = 3) AS has3,
+          forall(xs, x -> x > 0) AS allpos,
+          array_join(transform(xs, x -> CAST(x AS STRING)), ',') AS joined,
+          CAST(element_at(array_sort(xs, (l, r) ->
+            CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS mx,
+          CAST(aggregate(map_values(transform_values(
+                 map_from_arrays(xs, xs), (k, v) -> v * 2L)),
+               0L, (acc, x) -> acc + x) AS BIGINT) AS sum_doubled
+        FROM a ORDER BY o_orderkey""")
+    }),
+
+    // Spark 4 COLLATION surface: UTF8_LCASE grouping/equality — mixed-
+    // case keys fold into one case-insensitive group without rewriting
+    // every predicate through lower() (at scale: the collation is part
+    // of the column type, so comparisons/joins/aggregations stay
+    // codegen'd instead of wrapping expressions). Mixed case is planted
+    // deterministically; outputs are re-normalized to binary strings
+    // (lower / min) so the compare never depends on which group
+    // representative an engine keeps.
+    "q82_collation" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH w AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 2 = 0
+                      THEN upper(split(p_name, ' ')[0])
+                      ELSE split(p_name, ' ')[0] END AS word
+          FROM part WHERE p_partkey <= 400),
+        c AS (SELECT p_partkey, word,
+                     collate(word, 'UTF8_LCASE') AS k FROM w)
+        SELECT lower(CAST(k AS STRING COLLATE UTF8_BINARY)) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN k = collate('almond', 'UTF8_LCASE')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_almond,
+               min(word) AS first_bin,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
+        FROM c GROUP BY k ORDER BY w""")
     })
   )
 
@@ -906,6 +967,42 @@ object SqlSurfaceQueries extends QueryModule {
              CAST(0 AS BIGINT) AS n_missing,
              CAST(COUNT(*) AS BIGINT) AS n_e_match,
              CAST(1 AS BIGINT) AS n_schemas
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // every lambda restated with DuckDB list primitives; generate_series
+    // is inclusive like Spark's sequence
+    "q81_higher_order" -> """
+      WITH a AS (
+        SELECT o_orderkey, generate_series(1, o_orderkey % 5 + 2) AS xs
+        FROM orders WHERE o_orderkey <= 300)
+      SELECT o_orderkey,
+        CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+        CAST(len(list_filter(xs, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        CAST(list_sum(list_transform(generate_series(1, len(xs)),
+               i -> xs[i] * xs[len(xs) - i + 1])) AS BIGINT) AS dot_rev,
+        list_contains(xs, 3) AS has3,
+        len(list_filter(xs, x -> x <= 0)) = 0 AS allpos,
+        array_to_string(list_transform(xs, x -> CAST(x AS VARCHAR)), ',')
+          AS joined,
+        CAST(list_max(xs) AS BIGINT) AS mx,
+        CAST(2 * list_sum(xs) AS BIGINT) AS sum_doubled
+      FROM a ORDER BY o_orderkey""",
+
+    // case-insensitive grouping restated as lower(); n_case_variants
+    // counts the planted binary-distinct spellings per folded key
+    "q82_collation" -> """
+      WITH w AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 0
+                    THEN upper(string_split(p_name, ' ')[1])
+                    ELSE string_split(p_name, ' ')[1] END AS word
+        FROM part WHERE p_partkey <= 400)
+      SELECT lower(word) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lower(word) = 'almond'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_almond,
+             min(word) AS first_bin,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
+      FROM w GROUP BY lower(word) ORDER BY w"""
   )
 }

@@ -50,4 +50,33 @@ class SkewJoinSpec extends SparkSpec {
     val salted = SkewJoin.salted(orders, cust, "custkey", salts = 8).count()
     assert(plain == salted)
   }
+
+  test("saltedAgg equals direct groupBy for every mergeable measure") {
+    import graft.operators.SkewJoin.Measure
+    val ev = Tables.t(spark, dir, "events")
+      .withColumn("dval", col("value").cast("decimal(18,6)"))
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("dval")).as("s"),
+        min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val salted = SkewJoin.saltedAgg(ev, Seq("event_type"),
+      Seq(Measure("count", "", "n"), Measure("sum", "dval", "s"),
+        Measure("min", "user_id", "mn"), Measure("max", "user_id", "mx")),
+      salts = 16)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedAgg rejects non-mergeable measures and duplicate names") {
+    import graft.operators.SkewJoin.Measure
+    val ev = Tables.t(spark, dir, "events")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedAgg(ev, Seq("event_type"),
+        Seq(Measure("median", "value", "m")))
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedAgg(ev, Seq("event_type"),
+        Seq(Measure("count", "", "n"), Measure("max", "value", "n")))
+    }
+  }
 }
