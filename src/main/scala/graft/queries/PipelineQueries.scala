@@ -699,6 +699,31 @@ object PipelineQueries extends QueryModule {
           col("sum_value").cast("double").as("sum_value"),
           col("min_user"), col("max_user"))
         .orderBy("event_type")
+    }),
+
+    // ---- JL random sign projection (Ann.randomProjection): 64 → 16
+    //      dims, matrix-free scan-local sketching. In-query guard pins
+    //      the JL concentration itself (mean norm ratio ≈ 1, every ratio
+    //      inside a >5σ band); the oracle recomputes four coordinates
+    //      and the ratio from the same closed-form sign hash ------------
+    "p71_random_projection" -> ((s, dir) => {
+      val out = graft.pipeline.Ann.randomProjection(embs(s, dir),
+        dims = 64, k = 16)
+      val g = out.agg(
+        avg(col("norm_ratio")).as("mr"),
+        min(col("norm_ratio")).as("lo"),
+        max(col("norm_ratio")).as("hi")).head()
+      require(g.getDouble(0) > 0.85 && g.getDouble(0) < 1.15,
+        s"JL mean norm ratio off: ${g.getDouble(0)}")
+      require(g.getDouble(1) > 0.3 && g.getDouble(2) < 2.2,
+        s"JL ratio out of the 5-sigma band: [${g.getDouble(1)}, ${g.getDouble(2)}]")
+      out.select(col("vec_id"),
+        round(col("y").getItem(0), 6).as("y0"),
+        round(col("y").getItem(1), 6).as("y1"),
+        round(col("y").getItem(2), 6).as("y2"),
+        round(col("y").getItem(3), 6).as("y3"),
+        round(col("norm_ratio"), 6).as("norm_ratio"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1393,6 +1418,29 @@ object PipelineQueries extends QueryModule {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              MIN(user_id) AS min_user, MAX(user_id) AS max_user
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the same sign hash and fold, coordinate by coordinate; e[j] is
+    // 1-indexed in DuckDB where Spark's lambda j is 0-indexed
+    "p71_random_projection" -> """
+      WITH pr AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      yy AS (
+        SELECT vec_id, e,
+               list_transform(generate_series(0, 15), i ->
+                 list_sum(list_transform(generate_series(1, 64), j ->
+                   CASE WHEN (((((i * 64 + (j - 1)) * 1103 + 12345) % 2039)
+                               * (((i * 64 + (j - 1)) * 1103 + 12345) % 2039)
+                               + ((i * 64 + (j - 1)) * 1103 + 12345) % 2039
+                               + i * 31 + (j - 1) * 7) % 4093) % 2 = 0
+                        THEN e[j] ELSE -e[j] END)) / sqrt(16.0)) AS y
+        FROM pr)
+      SELECT vec_id,
+             round(y[1], 6) AS y0, round(y[2], 6) AS y1,
+             round(y[3], 6) AS y2, round(y[4], 6) AS y3,
+             round(sqrt(list_sum(list_transform(y, v -> v * v)))
+                   / sqrt(list_sum(list_transform(e, v -> v * v))), 6)
+               AS norm_ratio
+      FROM yy ORDER BY vec_id"""
   )
 }

@@ -611,8 +611,40 @@ object SqlSurfaceQueries extends QueryModule {
                min(word) AS first_bin,
                CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
         FROM c GROUP BY k ORDER BY w""")
+    }),
+
+    // Linear-regression aggregate family (regr_slope/intercept/r2/count/
+    // avgx/avgy + covar_samp/covar_pop) — one streaming-moment pass,
+    // map-side partials, mergeable state. Slope/intercept/covar are
+    // magnitude-unbounded, so they compare at RELATIVE precision as
+    // (mantissa, exponent) pairs via the shared Sig SQL text (the s04
+    // lesson); r2 and the means are bounded and round at 1e-6.
+    "q83_regr_family" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(regrSql)
     })
   )
+
+  /** SAME SQL text runs on Spark and DuckDB (Sig embeds portable
+    * CASE/log10/power arithmetic), so the two sides cannot drift. */
+  private def regrSql: String = {
+    import graft.sqlx.Sig
+    val slope = "regr_slope(l_extendedprice, l_quantity)"
+    val icept = "regr_intercept(l_extendedprice, l_quantity)"
+    val cvs = "covar_samp(l_extendedprice, l_quantity)"
+    val cvp = "covar_pop(l_extendedprice, l_quantity)"
+    s"""
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             ${Sig.mant(slope)} AS slope_mant, ${Sig.exp(slope)} AS slope_exp,
+             ${Sig.mant(icept)} AS icept_mant, ${Sig.exp(icept)} AS icept_exp,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             round(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
+             round(regr_avgy(l_extendedprice, l_quantity), 6) AS ay,
+             ${Sig.mant(cvs)} AS cov_mant, ${Sig.exp(cvs)} AS cov_exp,
+             ${Sig.mant(cvp)} AS covp_mant, ${Sig.exp(cvp)} AS covp_exp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q24_left_outer" -> """
@@ -1003,6 +1035,8 @@ object SqlSurfaceQueries extends QueryModule {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_almond,
              min(word) AS first_bin,
              CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
-      FROM w GROUP BY lower(word) ORDER BY w"""
+      FROM w GROUP BY lower(word) ORDER BY w""",
+
+    "q83_regr_family" -> regrSql
   )
 }

@@ -569,4 +569,30 @@ class PipelineSpec extends SparkSpec {
     assert(t2._4 === false && t2._2 === 0.0)
     assert(t3 === ((3L, 0.6, 102L, true)))
   }
+
+  // ---- Ann.randomProjection ----------------------------------------------
+
+  test("randomProjection: one-hot vectors keep norm exactly; output is k-dim and deterministic") {
+    val d = 8
+    // a one-hot vector hits ONE column of the sign matrix: every
+    // coordinate is ±x/√k, so ‖y‖ = ‖x‖ exactly — a JL identity that
+    // holds for ANY sign assignment, making it hash-independent
+    val oneHots = (0 until d).map { j =>
+      (j.toLong, Array.tabulate(d)(i => if (i == j) 2.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.randomProjection(oneHots, dims = d, k = 4)
+      .select("vec_id", "y", "norm_ratio")
+      .as[(Long, Seq[Double], Double)].collect()
+    assert(out.length === d)
+    out.foreach { case (_, y, ratio) =>
+      assert(y.length === 4)
+      y.foreach(v => assert(math.abs(math.abs(v) - 1.0) < 1e-12)) // 2/√4
+      assert(math.abs(ratio - 1.0) < 1e-12)
+    }
+    // deterministic: a second run produces identical sketches
+    val again = Ann.randomProjection(oneHots, dims = d, k = 4)
+      .select("vec_id", "y", "norm_ratio")
+      .as[(Long, Seq[Double], Double)].collect()
+    assert(out.map(_._2).toSeq === again.map(_._2).toSeq)
+  }
 }
