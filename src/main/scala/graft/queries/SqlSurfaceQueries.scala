@@ -622,6 +622,47 @@ object SqlSurfaceQueries extends QueryModule {
     "q83_regr_family" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(regrSql)
+    }),
+
+    // Error-safe TRY_* family under ANSI mode (Spark 4's default):
+    // division by zero, 64-bit overflow, malformed numeric text, and
+    // out-of-bounds array access each return NULL through their try_
+    // variant instead of failing the scan — the property that lets one
+    // poisoned row NOT kill a 100 TB batch job. The oracle restates every
+    // NULL-production rule explicitly (CASE/NULLIF/TRY_CAST), so the
+    // compare pins the exact rows each rescue path fires on.
+    "q84_try_family" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH t AS (
+          SELECT o_orderkey % 5 AS bucket,
+                 try_divide(CAST(o_totalprice AS DOUBLE),
+                            CAST(o_orderkey % 3 AS DOUBLE)) AS dv,
+                 try_add(9223372036854775807L, o_orderkey % 2) AS ov,
+                 try_to_number(
+                   CASE WHEN o_orderkey % 4 = 0 THEN 'oops'
+                        ELSE CAST(o_orderkey AS STRING) END,
+                   '999999999') AS tn,
+                 try_element_at(array(1L, 2L, 3L),
+                                CAST(o_orderkey % 5 AS INT) + 1) AS el,
+                 try_cast(o_orderpriority AS INT) AS pc
+          FROM orders WHERE o_orderkey <= 2000)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_div0,
+               CAST(SUM(CAST(dv AS DECIMAL(28,6))) AS DOUBLE) AS sum_div,
+               CAST(SUM(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_overflow,
+               CAST(SUM(CASE WHEN tn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_badnum,
+               CAST(SUM(tn) AS BIGINT) AS sum_num,
+               CAST(SUM(el) AS BIGINT) AS sum_elem,
+               CAST(SUM(CASE WHEN el IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oob,
+               CAST(SUM(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_badcast
+        FROM t GROUP BY bucket ORDER BY bucket""")
     })
   )
 
@@ -1037,6 +1078,40 @@ object SqlSurfaceQueries extends QueryModule {
              CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
       FROM w GROUP BY lower(word) ORDER BY w""",
 
-    "q83_regr_family" -> regrSql
+    "q83_regr_family" -> regrSql,
+
+    // every try_ rescue restated as its explicit NULL-production rule
+    "q84_try_family" -> """
+      WITH t AS (
+        SELECT o_orderkey % 5 AS bucket,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3)
+               END AS dv,
+               CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                    ELSE 9223372036854775807 END AS ov,
+               TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN 'oops'
+                             ELSE CAST(o_orderkey AS VARCHAR) END
+                        AS BIGINT) AS tn,
+               CASE WHEN o_orderkey % 5 + 1 <= 3
+                    THEN ([1, 2, 3])[CAST(o_orderkey % 5 AS INT) + 1]
+               END AS el,
+               TRY_CAST(o_orderpriority AS INT) AS pc
+        FROM orders WHERE o_orderkey <= 2000)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div0,
+             CAST(SUM(CAST(dv AS DECIMAL(28,6))) AS DOUBLE) AS sum_div,
+             CAST(SUM(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow,
+             CAST(SUM(CASE WHEN tn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_badnum,
+             CAST(SUM(tn) AS BIGINT) AS sum_num,
+             CAST(SUM(el) AS BIGINT) AS sum_elem,
+             CAST(SUM(CASE WHEN el IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oob,
+             CAST(SUM(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_badcast
+      FROM t GROUP BY bucket ORDER BY bucket"""
   )
 }
