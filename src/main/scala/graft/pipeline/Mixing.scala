@@ -57,6 +57,43 @@ object Mixing {
           col("w") / col(nCol).cast("double")))
   }
 
+  /** UniMax sampling allocation [Chung et al. 2023]: distribute a total
+    * `budget` (chars/tokens) over sources with a hard per-source repeat
+    * cap — fairer than temperature sampling because no tiny source is
+    * ever repeated past `epochCap` epochs to satisfy a power law. The
+    * greedy water-filling ("ascending caps; each source takes
+    * min(cap, remaining/left)") has a CLOSED FORM once sources are
+    * sorted by capacity: the capped set is exactly the prefix where
+    * cap_i·(m−i+1) ≤ budget − prefix_{i−1} — with ascending caps, once
+    * a source is uncapped every later one is too — so the whole
+    * allocation is ONE sort + two windows over the |sources|-row
+    * aggregate, no iteration, engine-portable. Uncapped sources split
+    * the leftover equally. Emits (src, n, cap, capped, alloc, epochs);
+    * Σ alloc = min(budget, Σ cap) by construction. */
+  def uniMaxAllocation(counts: DataFrame, srcCol: String, nCol: String,
+                       budget: Double, epochCap: Double): DataFrame = {
+    val byCap = Window.partitionBy().orderBy(col("cap"), col(srcCol))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("cap", col(nCol).cast("double") * epochCap)
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("pfx", coalesce(
+        sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("capped",
+        col("cap") * (col("m") - col("i") + 1) <= lit(budget) - col("pfx"))
+      .withColumn("cappedMass",
+        coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0.0)))
+      .withColumn("nCapped",
+        coalesce(sum(when(col("capped"), 1L)).over(all), lit(0L)))
+      .withColumn("alloc", when(col("capped"), col("cap")).otherwise(
+        (lit(budget) - col("cappedMass")) / (col("m") - col("nCapped"))))
+      .withColumn("epochs", col("alloc") / col(nCol).cast("double"))
+      .select(col(srcCol), col(nCol), col("cap"), col("capped"),
+        col("alloc"), col("epochs"))
+  }
+
   /** Token-budget sequence packing (offset binning): docs are laid out in
     * a deterministic order per source and cut into `budget`-token
     * sequences; a doc belongs to the bin its FIRST token lands in. One

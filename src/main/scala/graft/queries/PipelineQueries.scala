@@ -724,6 +724,30 @@ object PipelineQueries extends QueryModule {
         round(col("y").getItem(3), 6).as("y3"),
         round(col("norm_ratio"), 6).as("norm_ratio"))
         .orderBy("vec_id")
+    }),
+
+    // ---- UniMax budget allocation (Mixing.uniMaxAllocation): epoch-
+    //      capped water-filling with the closed-form capped-prefix
+    //      criterion — budget 1.6× corpus chars at cap 2 epochs caps
+    //      every minority language and leaves `en` splitting the rest,
+    //      so BOTH branches of the closed form are load-bearing ---------
+    "p72_unimax_mix" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val perLang = docs(s, dir).groupBy("lang")
+        .agg(sum(col("n_chars")).as("chars"))
+      val total = perLang.agg(sum(col("chars"))).head().getLong(0)
+      val out = Mixing.uniMaxAllocation(perLang, "lang", "chars",
+        budget = 1.6 * total, epochCap = 2.0)
+      // water-filling invariant: the allocation exhausts the budget
+      // exactly when any source is uncapped (else it is Σ cap)
+      val got = out.agg(sum(col("alloc"))).head().getDouble(0)
+      require(math.abs(got - math.min(1.6 * total,
+        out.agg(sum(col("cap"))).head().getDouble(0))) < 1e-6 * total,
+        s"allocation mass off: $got")
+      out.select(col("lang"), col("chars"), col("cap"), col("capped"),
+        round(col("alloc"), 4).as("alloc"),
+        round(col("epochs"), 6).as("epochs"))
+        .orderBy("lang")
     })
   )
 
@@ -1441,6 +1465,40 @@ object PipelineQueries extends QueryModule {
              round(sqrt(list_sum(list_transform(y, v -> v * v)))
                    / sqrt(list_sum(list_transform(e, v -> v * v))), 6)
                AS norm_ratio
-      FROM yy ORDER BY vec_id"""
+      FROM yy ORDER BY vec_id""",
+
+    // the same closed-form water-filling, windows over the per-lang
+    // aggregate; capped prefix criterion restated verbatim
+    "p72_unimax_mix" -> """
+      WITH pl AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang),
+      tot AS (SELECT 1.6 * SUM(chars) AS b FROM pl),
+      r AS (
+        SELECT lang, chars, CAST(chars AS DOUBLE) * 2.0 AS cap,
+               row_number() OVER (ORDER BY CAST(chars AS DOUBLE) * 2.0,
+                                  lang) AS i,
+               COUNT(*) OVER () AS m,
+               COALESCE(SUM(CAST(chars AS DOUBLE) * 2.0) OVER (
+                 ORDER BY CAST(chars AS DOUBLE) * 2.0, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                 AS pfx
+        FROM pl),
+      c AS (
+        SELECT r.*, (SELECT b FROM tot) AS b,
+               cap * (m - i + 1) <= (SELECT b FROM tot) - pfx AS capped
+        FROM r),
+      agg AS (
+        SELECT COALESCE(SUM(CASE WHEN capped THEN cap END), 0.0) AS cmass,
+               COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS ncap
+        FROM c)
+      SELECT c.lang, c.chars, c.cap, c.capped,
+             round(CASE WHEN c.capped THEN c.cap
+                        ELSE (c.b - agg.cmass) / (c.m - agg.ncap) END, 4)
+               AS alloc,
+             round(CASE WHEN c.capped THEN c.cap
+                        ELSE (c.b - agg.cmass) / (c.m - agg.ncap) END
+                   / CAST(c.chars AS DOUBLE), 6) AS epochs
+      FROM c, agg ORDER BY c.lang"""
   )
 }

@@ -663,6 +663,67 @@ object SqlSurfaceQueries extends QueryModule {
                CAST(SUM(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_badcast
         FROM t GROUP BY bucket ORDER BY bucket""")
+    }),
+
+    // Bitwise scalar + aggregate family: &, |, ^, ~, shifts, bit_count,
+    // getbit, and the bit_and/bit_or/bit_xor aggregates — the substrate
+    // sketches, bitmap indexes, and mask-encoded funnels build on. All
+    // int64 two's-complement, so both engines agree bit-for-bit.
+    "q85_bitwise" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH t AS (SELECT o_orderkey % 7 AS g, o_orderkey AS k
+                   FROM orders WHERE o_orderkey <= 2000)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(bit_and(k) AS BIGINT) AS all_and,
+               CAST(bit_or(k) AS BIGINT) AS all_or,
+               CAST(bit_xor(k) AS BIGINT) AS all_xor,
+               CAST(SUM(bit_count(k)) AS BIGINT) AS pop_total,
+               CAST(SUM(k & 255) AS BIGINT) AS sum_low8,
+               CAST(SUM(shiftleft(k % 1024, 3)) AS BIGINT) AS sum_shl,
+               CAST(SUM(shiftright(k, 4)) AS BIGINT) AS sum_shr,
+               CAST(SUM(CAST(getbit(k, 3) AS BIGINT)) AS BIGINT) AS n_bit3,
+               CAST(SUM((~k) & 1023) AS BIGINT) AS sum_not_low
+        FROM t GROUP BY g ORDER BY g""")
+    }),
+
+    // Table-valued generator breadth beyond q21's LATERAL VIEW explode:
+    // posexplode_outer (index + null-row preservation for empty arrays),
+    // inline over an array of structs, and stack — each restated in
+    // DuckDB via unnest WITH ORDINALITY / VALUES. Null/empty inputs are
+    // planted so the _outer semantics are load-bearing, not decorative.
+    "q86_generators" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH src AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 10 = 0 THEN array()
+                      ELSE sequence(1L, o_orderkey % 3 + 1) END AS xs
+          FROM orders WHERE o_orderkey <= 500),
+        pe AS (
+          SELECT k, pos, x
+          FROM src LATERAL VIEW OUTER posexplode(xs) t AS pos, x),
+        inl AS (
+          SELECT k, f, w
+          FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 500)
+          LATERAL VIEW inline(array(
+            struct(CAST(1 AS BIGINT), 'one'),
+            struct(CAST(k % 5 AS BIGINT), 'mod'))) t AS f, w),
+        st AS (
+          SELECT k, a, b
+          FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 500)
+          LATERAL VIEW stack(2, 'lo', k % 10, 'hi', k % 100) t AS a, b)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM pe) AS pe_rows,
+          (SELECT CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM pe) AS pe_null_rows,
+          (SELECT CAST(SUM(pos * 100 + x) AS BIGINT) FROM pe) AS pe_weighted,
+          (SELECT CAST(SUM(f) AS BIGINT) FROM inl) AS inl_sum,
+          (SELECT CAST(SUM(CASE WHEN w = 'mod' THEN f ELSE 0 END) AS BIGINT)
+           FROM inl) AS inl_mod_sum,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM st) AS st_rows,
+          (SELECT CAST(SUM(CASE WHEN a = 'hi' THEN b ELSE -b END) AS BIGINT)
+           FROM st) AS st_signed""")
     })
   )
 
@@ -1112,6 +1173,60 @@ object SqlSurfaceQueries extends QueryModule {
                AS n_oob,
              CAST(SUM(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_badcast
-      FROM t GROUP BY bucket ORDER BY bucket"""
+      FROM t GROUP BY bucket ORDER BY bucket""",
+
+    "q85_bitwise" -> """
+      WITH t AS (SELECT o_orderkey % 7 AS g, o_orderkey AS k
+                 FROM orders WHERE o_orderkey <= 2000)
+      SELECT CAST(g AS BIGINT) AS g,
+             CAST(bit_and(k) AS BIGINT) AS all_and,
+             CAST(bit_or(k) AS BIGINT) AS all_or,
+             CAST(bit_xor(k) AS BIGINT) AS all_xor,
+             CAST(SUM(bit_count(k)) AS BIGINT) AS pop_total,
+             CAST(SUM(k & 255) AS BIGINT) AS sum_low8,
+             CAST(SUM((k % 1024) << 3) AS BIGINT) AS sum_shl,
+             CAST(SUM(k >> 4) AS BIGINT) AS sum_shr,
+             CAST(SUM(CASE WHEN (k & 8) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bit3,
+             CAST(SUM((~k) & 1023) AS BIGINT) AS sum_not_low
+      FROM t GROUP BY g ORDER BY g""",
+
+    // posexplode -> unnest WITH ORDINALITY (1-based, so pos = ord-1);
+    // the empty-array _outer row surfaces via a LEFT JOIN on the
+    // unnested set; inline/stack restate as VALUES cross joins
+    "q86_generators" -> """
+      WITH src AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 10 = 0 THEN []
+                    ELSE generate_series(1, o_orderkey % 3 + 1) END AS xs
+        FROM orders WHERE o_orderkey <= 500),
+      ex AS (
+        SELECT k, unnest(range(0, len(xs))) AS pos, unnest(xs) AS x
+        FROM src),
+      pe AS (
+        SELECT s.k, e.pos, e.x
+        FROM src s LEFT JOIN ex e ON e.k = s.k),
+      inl AS (
+        SELECT s.k, v.f0 AS f, v.w
+        FROM (SELECT k FROM src) s
+        CROSS JOIN LATERAL (VALUES (CAST(1 AS BIGINT), 'one'),
+                                   (CAST(s.k % 5 AS BIGINT), 'mod'))
+          AS v(f0, w)),
+      st AS (
+        SELECT s.k, v.a, v.b
+        FROM (SELECT k FROM src) s
+        CROSS JOIN LATERAL (VALUES ('lo', s.k % 10), ('hi', s.k % 100))
+          AS v(a, b))
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pe) AS pe_rows,
+        (SELECT CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM pe) AS pe_null_rows,
+        (SELECT CAST(SUM(pos * 100 + x) AS BIGINT) FROM pe) AS pe_weighted,
+        (SELECT CAST(SUM(f) AS BIGINT) FROM inl) AS inl_sum,
+        (SELECT CAST(SUM(CASE WHEN w = 'mod' THEN f ELSE 0 END) AS BIGINT)
+         FROM inl) AS inl_mod_sum,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM st) AS st_rows,
+        (SELECT CAST(SUM(CASE WHEN a = 'hi' THEN b ELSE -b END) AS BIGINT)
+         FROM st) AS st_signed"""
   )
 }

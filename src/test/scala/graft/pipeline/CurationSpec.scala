@@ -378,6 +378,46 @@ class CurationSpec extends SparkSpec {
     r.foreach { case (_, rate, n) => assert(math.abs(rate * n - 100.0) < 1e-9) }
   }
 
+  // ---- Mixing.uniMaxAllocation ---------------------------------------------
+
+  test("uniMax: huge budget caps everything; tiny budget splits equally; mixed matches greedy") {
+    val counts = Seq(("a", 100L), ("b", 300L), ("c", 50L)).toDF("source", "n")
+    def run(budget: Double, cap: Double) =
+      Mixing.uniMaxAllocation(counts, "source", "n", budget, cap)
+        .select("source", "capped", "alloc")
+        .as[(String, Boolean, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // budget above total capacity: every source takes its full cap
+    val big = run(budget = 10000.0, cap = 2.0)
+    assert(big.values.forall(_._1))
+    assert(math.abs(big.values.map(_._2).sum - 900.0) < 1e-9)
+    // budget below the smallest cap x m: nobody capped, equal thirds
+    val small = run(budget = 90.0, cap = 2.0)
+    assert(small.values.forall(!_._1))
+    small.values.foreach(v => assert(math.abs(v._2 - 30.0) < 1e-9))
+    // mixed: greedy water-filling by hand — caps (c=100, a=200, b=600),
+    // B=500: c takes min(100, 500/3)=100, a takes min(200, 400/2)=200,
+    // b takes the remaining 200, uncapped
+    val mix = run(budget = 500.0, cap = 2.0)
+    assert(mix("c") === ((true, 100.0)))
+    assert(mix("a") === ((true, 200.0)))
+    assert(mix("b")._1 === false)
+    assert(math.abs(mix("b")._2 - 200.0) < 1e-9)
+  }
+
+  test("uniMax: no source ever exceeds its epoch cap; mass = min(budget, capacity)") {
+    val counts = Seq(("a", 10L), ("b", 70L), ("c", 500L), ("d", 3L))
+      .toDF("source", "n")
+    for (budget <- Seq(50.0, 300.0, 800.0, 5000.0)) {
+      val out = Mixing.uniMaxAllocation(counts, "source", "n", budget, 4.0)
+        .select("alloc", "cap").as[(Double, Double)].collect()
+      out.foreach { case (alloc, cap) => assert(alloc <= cap + 1e-9) }
+      val mass = out.map(_._1).sum
+      assert(math.abs(mass - math.min(budget, out.map(_._2).sum)) < 1e-9,
+        s"budget $budget mass $mass")
+    }
+  }
+
   test("temperature tau<1 upsamples small sources relative to large ones") {
     val counts = Seq(("small", 100L), ("big", 10000L)).toDF("source", "n")
     val r = Mixing.temperatureRates(counts, "source", "n", tau = 0.5, targetFrac = 0.3)
