@@ -17,9 +17,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * expression builders, so behavior is identical.
   *
   * This is the extension-injection route SURVEY.md §7.4 reserves for
-  * when built-ins can't express semantics: functions only — no custom
-  * Rule/Strategy exists because Catalyst's planning needed no override
-  * anywhere in this engine.
+  * when built-ins can't express semantics: the function surface plus
+  * ONE optimizer rule — [[graft.plans.RangeJoinRewrite]], which turns a
+  * naive interval-overlap theta join into the bucketized equi-join
+  * (conf-gated; a no-op until `spark.graft.rangeJoin.bucketWidth` is
+  * set). No custom Strategy/physical operator exists because Catalyst's
+  * physical planning needed no override anywhere in this engine.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -33,7 +36,8 @@ object GraftExtensions {
     * session START via an injected check rule (a no-op rule whose only
     * effect is idempotent function registration the first time a
     * session analyzes a plan). */
-  private def installInto(ext: SparkSessionExtensions): Unit =
+  private def installInto(ext: SparkSessionExtensions): Unit = {
+    installRules(ext)
     ext.injectCheckRule { session =>
       graft.functions.VectorExprs.register(session)
       graft.functions.MinHashSignatureExpr.register(session)
@@ -46,4 +50,8 @@ object GraftExtensions {
       graft.functions.NormalizeExprs.register(session)
       _ => () // the check itself never fails
     }
+  }
+
+  private def installRules(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
 }

@@ -748,6 +748,48 @@ object PipelineQueries extends QueryModule {
         round(col("alloc"), 4).as("alloc"),
         round(col("epochs"), 6).as("epochs"))
         .orderBy("lang")
+    }),
+
+    // ---- Catalyst optimizer rule on the VERIFIED path (plans/
+    //      RangeJoinRewrite): the query is written as the NAIVE theta
+    //      join — cross join + overlap filter — and the injected rule
+    //      rewrites it to the canonical-bucket equi-join. Broadcast is
+    //      disabled so the in-query guard proves the real claim: no
+    //      CartesianProduct and no BroadcastNestedLoopJoin survive in
+    //      the executed plan, only a hashable equi join. The oracle
+    //      brute-forces the same theta join in DuckDB, so the rewrite
+    //      must be EXACT, pair for pair --------------------------------
+    "p73_rangejoin_rewrite" -> ((s, dir) => {
+      import graft.plans.RangeJoinRewrite
+      val prevOpt = s.experimental.extraOptimizations
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set(RangeJoinRewrite.WidthKey, "3600000000") // 1 h buckets
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.experimental.extraOptimizations = prevOpt :+ RangeJoinRewrite
+      try {
+        def iv(mod: Int, pre: String, lenUnit: Long) =
+          Tables.t(s, dir, "events").filter(col("event_id") % mod === 0)
+            .select(col("event_id").as(s"${pre}_id"),
+              unix_micros(col("ts")).as(s"${pre}_s"),
+              (unix_micros(col("ts")) +
+                (col("user_id") % 5 + 1) * lenUnit).as(s"${pre}_e"))
+        val naive = iv(7, "l", 1800000000L).join(iv(11, "r", 900000000L))
+          .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+        val plan = naive.queryExecution.executedPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"),
+          s"rule did not fire — theta join stayed quadratic:\n${plan.take(1500)}")
+        naive.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("l_id") * 31 + col("r_id")).as("pair_checksum"),
+          sum(when(col("l_id") === col("r_id"), 1L).otherwise(0L))
+            .as("n_self"),
+          max(col("r_e") - col("l_s")).as("max_span_us"))
+      } finally {
+        s.experimental.extraOptimizations = prevOpt
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        s.conf.unset(RangeJoinRewrite.WidthKey)
+      }
     })
   )
 
@@ -1499,6 +1541,23 @@ object PipelineQueries extends QueryModule {
              round(CASE WHEN c.capped THEN c.cap
                         ELSE (c.b - agg.cmass) / (c.m - agg.ncap) END
                    / CAST(c.chars AS DOUBLE), 6) AS epochs
-      FROM c, agg ORDER BY c.lang"""
+      FROM c, agg ORDER BY c.lang""",
+
+    // the naive theta join, verbatim — the rewrite must be exact
+    "p73_rangejoin_rewrite" -> """
+      WITH l AS (
+        SELECT event_id AS l_id, epoch_us(ts) AS l_s,
+               epoch_us(ts) + (user_id % 5 + 1) * 1800000000 AS l_e
+        FROM events WHERE event_id % 7 = 0),
+      r AS (
+        SELECT event_id AS r_id, epoch_us(ts) AS r_s,
+               epoch_us(ts) + (user_id % 5 + 1) * 900000000 AS r_e
+        FROM events WHERE event_id % 11 = 0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(l_id * 31 + r_id) AS BIGINT) AS pair_checksum,
+             CAST(SUM(CASE WHEN l_id = r_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self,
+             CAST(MAX(r_e - l_s) AS BIGINT) AS max_span_us
+      FROM l, r WHERE l_s <= r_e AND r_s <= l_e"""
   )
 }
