@@ -42,7 +42,7 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   pipeline  --op <dedup|neardup|scrub|split|pack|decontaminate|
   *                   clean|spans|mix|merges|encode|nll|cluster|lines|
   *                   bigram-nll|classify|bm25|retract|chunk|keywords|
-  *                   cdc|leakage>
+  *                   cdc|expect|leakage>
   *             --in <parquetDir> --out <parquetDir>
   *             [--id-col doc_id] [--text-col text] [--threshold 0.5]
   *             [--budget 512] [--train-frac 0.8] [--val-frac 0.1]
@@ -367,6 +367,13 @@ object Cli {
           graft.pipeline.Dedup.cdcChunks(in, idCol, textCol,
             o.getOrElse("window", "16").toInt,
             o.getOrElse("div", "64").toLong)
+        case "expect" => // data-quality expectation suite (one-scan report)
+          graft.pipeline.Quality.expectations(in,
+            rowRules = Seq(
+              "id_not_null" -> col(idCol).isNull,
+              "text_nonempty" ->
+                (col(textCol).isNull || length(col(textCol)) === 0)),
+            uniqueCols = Seq(idCol))
         case "leakage" => // near-dup pairs crossing the train/val/test split
           val split = in.select(col(idCol),
             graft.pipeline.Mixing.splitAssign(

@@ -411,6 +411,36 @@ object IoQueries extends QueryModule {
             .as("sum_price"),
           min(col("o_orderdate")).as("first_date"),
           max(col("o_orderdate")).as("last_date"))
+    }),
+
+    // NESTED schema pruning: a document lands with a struct (3 fields)
+    // plus an array column; the read-back query touches two struct
+    // LEAVES, and the in-query guard asserts the parquet ReadSchema
+    // carries ONLY those leaves — not the untouched sibling field, not
+    // the array. At 100 TB, nested pruning is the difference between
+    // reading 2 leaf column chunks and decoding every row's full struct
+    // + array; a regression here is silent (results stay correct, IO
+    // multiplies), which is exactly why the guard reads the PLAN, and
+    // the oracle re-derives the values from the flat source columns.
+    "io12_nested_pruning" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/nested"
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("l"), col("source").as("src"),
+            col("n_chars").as("c")).as("meta"),
+          array(col("n_chars"), col("n_chars") * 2).as("arr"))
+        .write.mode("overwrite").parquet(root)
+      val rb = s.read.parquet(root)
+        .groupBy(col("meta.l").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("meta.c")).as("sum_chars"))
+        .orderBy("lang")
+      val scan = rb.queryExecution.executedPlan.toString
+      val readSchema = scan.linesIterator
+        .find(_.contains("ReadSchema")).getOrElse("")
+      require(readSchema.contains("meta") && readSchema.contains("c:") &&
+        !readSchema.contains("src") && !readSchema.contains("arr"),
+        s"nested pruning regressed — scan reads untouched leaves: $readSchema")
+      rb
     })
   )
 
@@ -586,6 +616,13 @@ object IoQueries extends QueryModule {
                     columns = {'o_orderkey': 'BIGINT', 'tricky': 'VARCHAR',
                                'maybe_null': 'VARCHAR',
                                'o_totalprice': 'DOUBLE',
-                               'o_orderdate': 'DATE'})"""
+                               'o_orderdate': 'DATE'})""",
+
+    // values re-derived from the FLAT source columns the struct was
+    // built from — the landed nesting must be value-preserving
+    "io12_nested_pruning" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

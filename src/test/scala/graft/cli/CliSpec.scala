@@ -90,6 +90,14 @@ class CliSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L)) // min doc_id survives the dup group
 
+    val expectOut = Files.createTempDirectory("cli_pipe_expect").toString
+    Cli.run(spark, "pipeline", Map("op" -> "expect", "in" -> inDir, "out" -> expectOut))
+    val report = spark.read.parquet(expectOut)
+      .select("rule", "n_violations")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("id_not_null" -> 0L, "text_nonempty" -> 0L,
+      "unique_doc_id" -> 0L))
+
     val scrubOut = Files.createTempDirectory("cli_pipe_scrub").toString
     Cli.run(spark, "pipeline", Map("op" -> "scrub", "in" -> inDir, "out" -> scrubOut))
     val scrubbed = spark.read.parquet(scrubOut).filter(col("doc_id") === 3L)

@@ -366,4 +366,50 @@ class StreamingSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("foreachBatch idempotent sink: batchId-keyed overwrite gives exactly-once across restarts") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val nSrc = src.count()
+
+    val streamDir = java.nio.file.Files.createTempDirectory("fb_stream")
+    src.where(col("event_id") % 2 === 0)
+      .write.parquet(streamDir.resolve("a").toString + "/p")
+    src.where(col("event_id") % 2 === 1)
+      .write.parquet(streamDir.resolve("b").toString + "/p")
+    val outDir = java.nio.file.Files.createTempDirectory("fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+
+    // The exactly-once recipe for a non-transactional sink: foreachBatch
+    // gets (df, batchId); writing each batch into a batchId-keyed dir
+    // with mode=overwrite makes a RETRY of the same batch idempotent —
+    // the second attempt replaces, never appends.
+    def run(): Unit = {
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString + "/*/p")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val afterFirst = spark.read.parquet(s"$outDir/batch=*")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(afterFirst.length == nSrc, "first run must land every event once")
+    assert(afterFirst.toSeq == afterFirst.distinct.toSeq)
+
+    // restart with the SAME checkpoint and no new input: the committed
+    // offsets make this a no-op — nothing may duplicate
+    run()
+    val afterSecond = spark.read.parquet(s"$outDir/batch=*")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(afterSecond.toSeq == afterFirst.toSeq,
+      "restart re-emitted data despite committed offsets")
+  }
 }
