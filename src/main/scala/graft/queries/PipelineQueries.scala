@@ -583,6 +583,48 @@ object PipelineQueries extends QueryModule {
       Dedup.simhashPairs(landed, maxHamming = 3).orderBy("i", "j")
     }),
 
+    // ---- m03: CROSS-MODAL dedup — the multimodal curation step where
+    //      neither modality alone suffices: near-dup IMAGE pairs (real
+    //      decode → ahash → pigeonhole-banded Hamming) and near-dup TEXT
+    //      pairs (MinHash-LSH) union into one edge set, connected
+    //      components merge them (an image twin and a text twin of the
+    //      same doc land in ONE cluster), and the output is the
+    //      per-cluster account with per-modality edge counts. Edges land
+    //      first so the DuckDB oracle re-derives the clustering itself
+    //      (recursive CTE) from the same bytes -------------------------
+    "m03_crossmodal_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map(id => (id, Multimodal.synthPng(id))).toDF("id", "png")
+      val feats = Multimodal.imageFeatures(s,
+        Multimodal.asMedia(media, "id", "png", "image"))
+      val sigs = feats.filter(col("decoded"))
+        .select(col("media_id").as("id"), col("ahash").as("sig"))
+      val imgPairs = Dedup.simhashPairs(sigs, maxHamming = 3)
+        .select(col("i"), col("j"), lit("img").as("modality"))
+      val txtPairs = Dedup.minhashPairs(
+          docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("i"), col("j"), lit("txt").as("modality"))
+      val edges = imgPairs.unionByName(txtPairs)
+        .groupBy("i", "j").agg(
+          max(when(col("modality") === "img", 1L).otherwise(0L)).as("is_img"),
+          max(when(col("modality") === "txt", 1L).otherwise(0L)).as("is_txt"))
+      edges.write.mode("overwrite").parquet(s"$outRoot/xmodal_edges")
+      val landed = s.read.parquet(s"$outRoot/xmodal_edges")
+      val labels = Dedup.connectedComponentsAlternating(
+        landed.select("i", "j"))
+      val sizes = labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("size"), max(col("v")).as("max_member"))
+      val em = landed
+        .join(labels.select(col("v").as("i"), col("lbl").as("cluster")), "i")
+        .groupBy("cluster").agg(count(lit(1)).as("n_edges"),
+          sum(col("is_img")).as("n_img_edges"),
+          sum(col("is_txt")).as("n_txt_edges"))
+      sizes.join(em, "cluster").orderBy("cluster")
+    }),
+
     // ---- m02: video frame-sample plumbing. No JVM video codec exists,
     //      so the payload is a deterministic raw-frame layout and the
     //      slicing body is the documented codec seam — but the engine
@@ -1558,6 +1600,31 @@ object PipelineQueries extends QueryModule {
              CAST(SUM(CASE WHEN l_id = r_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_self,
              CAST(MAX(r_e - l_s) AS BIGINT) AS max_span_us
-      FROM l, r WHERE l_s <= r_e AND r_s <= l_e"""
+      FROM l, r WHERE l_s <= r_e AND r_s <= l_e""",
+
+    // the clustering re-derived from the landed edge set with a
+    // recursive CTE; per-modality edge mass joined back on the label
+    "m03_crossmodal_dedup" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT i, j, is_img, is_txt
+        FROM read_parquet('$outRoot/xmodal_edges/*.parquet')),
+      edges AS (SELECT i AS a, j AS b FROM e UNION SELECT j, i FROM e),
+      reach(v, l) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e2.a, r.l FROM edges e2 JOIN reach r ON e2.b = r.v),
+      lab AS (SELECT v, MIN(l) AS cluster FROM reach GROUP BY v),
+      sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+                       MAX(v) AS max_member
+                FROM lab GROUP BY cluster),
+      em AS (SELECT lab.cluster,
+                    CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    CAST(SUM(e.is_img) AS BIGINT) AS n_img_edges,
+                    CAST(SUM(e.is_txt) AS BIGINT) AS n_txt_edges
+             FROM e JOIN lab ON e.i = lab.v GROUP BY lab.cluster)
+      SELECT s.cluster, s.size, s.max_member,
+             em.n_edges, em.n_img_edges, em.n_txt_edges
+      FROM sizes s JOIN em ON em.cluster = s.cluster
+      ORDER BY s.cluster"""
   )
 }

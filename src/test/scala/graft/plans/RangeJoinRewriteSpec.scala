@@ -94,6 +94,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("property: random intervals x random widths — rewritten pair set equals naive") {
+    // seeded random corpora with deliberate collisions, shared endpoints
+    // and degenerate e<s rows; ONE rule-off baseline per corpus, then the
+    // pair set must survive any bucket width
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed)
+      def corpus(p: String, n: Int) = (1 to n).map { i =>
+        val s = r.nextInt(2000).toLong
+        val len = r.nextInt(300).toLong - 20L // some negatives: e < s
+        (i.toLong, s, s + len)
+      }.toDF(s"${p}_id", s"${p}_s", s"${p}_e")
+      val l = corpus("l", 30).cache()
+      val rr = corpus("r", 30).cache()
+      def theta = l.join(rr)
+        .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      val expected = pairs(theta)
+      val width = 1L + r.nextInt(500)
+      withRule(width) {
+        val got = theta.select("l_id", "r_id").as[(Long, Long)].collect()
+        assert(got.length === got.distinct.length,
+          s"seed=$seed width=$width emitted a pair twice")
+        assert(got.toSet === expected, s"seed=$seed width=$width pair drift")
+      }
+      l.unpersist(); rr.unpersist()
+    }
+  }
+
   test("config-only install through GraftExtensions fires the rule") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession
