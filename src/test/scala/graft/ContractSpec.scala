@@ -41,7 +41,8 @@ class ContractSpec extends SparkSpec {
     // is hermetic: a clean /tmp otherwise turns ~16 rows into false
     // "failed to plan" noise (bitten in round 6).
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
-      .filter(o => o._2.contains("read_parquet(") || o._2.contains("read_json("))
+      .filter(o => Seq("read_parquet(", "read_json(", "read_csv(", "read_text(")
+        .exists(o._2.contains))
       .foreach { case (n, _) => SparkEntry.queries(n)(spark, sfDir) }
     val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
