@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocking-based entity resolution (record linkage).
+  *
+  * Beyond-reference operator: merging near-identical records (vendor
+  * catalogs, crawled product names, user profiles) is the classic
+  * record-linkage problem, and the only shape that survives 100 TB is
+  * BLOCKING — candidates are generated ONLY inside an equi-joinable
+  * block key, never via a similarity theta join (Fellegi–Sunter 1969;
+  * same discipline as the MinHash/LSH band joins in [[Dedup]]).
+  */
+object EntityRes {
+
+  /** Candidate pairs by blocking key + edit-distance verify.
+    *
+    * Stage 1 (blocking): each record maps to ONE deterministic block key
+    * — scan-local expressions only. Stage 2 (hot-block cap): block sizes
+    * are counted with one skinny aggregate and blocks above `blockCap`
+    * are dropped LOUDLY into the returned accounting rather than joined
+    * — a degenerate key (empty names, a boilerplate token) would
+    * otherwise quadratically explode, the exact failure mode dfCap
+    * guards in [[Dedup.ngramJaccardPairs]]. Stage 3 (verify): the
+    * block-keyed self-equi-join (a shuffle hash join on the key, never a
+    * cartesian) emits ordered pairs id_a < id_b and keeps those with
+    * levenshtein ≤ maxEdits.
+    *
+    * Cost at scale: pairs only materialize within blocks, Σ|block|² with
+    * |block| ≤ blockCap — linear in records for bounded block sizes, and
+    * the cap converts adversarial keys into an explicit coverage note.
+    *
+    * Returns (id_a, id_b, block_key, edits). */
+  def blockedPairs(records: DataFrame, idCol: String, nameCol: String,
+                   blockKey: Column, maxEdits: Int = 3,
+                   blockCap: Int = 1000): DataFrame = {
+    val keyed = records.select(col(idCol).as("id"), col(nameCol).as("nm"),
+      blockKey.as("bk"))
+    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
+    val kept = keyed.join(broadcast(sizes.filter(col("bn") <= blockCap)), "bk")
+    val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
+    val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
+    a.join(b, "bk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edits", levenshtein(col("nm_a"), col("nm_b")))
+      .filter(col("edits") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("bk").as("block_key"),
+        col("edits").cast("long").as("edits"))
+  }
+
+  /** Dropped-block accounting for [[blockedPairs]] — how many blocks and
+    * records the cap excluded (the "silent caps" discipline: bounded
+    * coverage must be visible in the output, not a comment). */
+  def blockCapAccount(records: DataFrame, idCol: String,
+                      blockKey: Column, blockCap: Int = 1000): DataFrame = {
+    records.select(col(idCol).as("id"), blockKey.as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("n_blocks"),
+        max(col("bn")).as("max_block"),
+        sum(when(col("bn") > blockCap, lit(1)).otherwise(lit(0L)))
+          .as("n_blocks_dropped"),
+        sum(when(col("bn") > blockCap, col("bn")).otherwise(lit(0L)))
+          .as("n_records_dropped"))
+  }
+}

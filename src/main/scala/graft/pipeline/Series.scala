@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series smoothing over event streams.
+  *
+  * Beyond-reference operator (the reference has no time-series pass at
+  * all — SURVEY.md §2.11): monitoring any 100 TB ingest means smoothing
+  * per-entity metrics and flagging outliers, and the scalable shape is
+  * ONE window pass per key partition — shuffle once on the key, then
+  * every smoothed value and residual is computed inside the partition
+  * with no further exchange.
+  */
+object Series {
+
+  /** Finite-window exponentially-weighted moving average + residual
+    * anomaly flags.
+    *
+    * EWMA here is the W-tap truncated form: for row t,
+    *   ewma_t = Σ_{i=0..W-1} (1−α)^i · x_{t−i}  /  Σ_{i=0..W-1} (1−α)^i
+    * with missing taps (sequence head) dropped from BOTH sums, so the
+    * first rows are exact averages of what exists rather than biased
+    * toward zero. The truncation is deliberate: the infinite-horizon
+    * recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} is a sequential
+    * dependency no parallel engine evaluates as a window aggregate
+    * without a prefix-scan trick whose (1−α)^{−rownumber} rescaling
+    * overflows doubles after ~1000 rows; W explicit lag taps are
+    * numerically exact, codegen'd, and cross-engine reproducible (the
+    * DuckDB oracle states the identical lag algebra).
+    *
+    * The anomaly test compares x_t against the PRIOR-window smooth
+    * (taps 1..W, current row excluded — an in-window outlier must not
+    * vote for its own normality) and flags |x_t − ewma_prev| > tau.
+    *
+    * Scale: one `Window.partitionBy(key).orderBy(ts, tiebreak)` — a
+    * single hash exchange on the key; every lag/sum is per-partition.
+    * Rows per key are whatever one executor can sort, same bound as any
+    * sessionization pass.
+    *
+    * Returns one row per input row:
+    * (key, ts, tiebreak, x, ewma, ewma_prev, resid, is_anomaly).
+    */
+  def ewmaAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valCol: String,
+                  alpha: Double = 0.4, taps: Int = 8,
+                  tau: Double = 2.0): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(taps >= 2, s"need >=2 taps, got $taps")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val x = col("x") // the projected double value column below
+    def wgt(i: Int): Double = math.pow(1.0 - alpha, i)
+    // Σ present-tap weighted values / Σ present-tap weights, taps [from, until)
+    def smooth(from: Int, until: Int): Column = {
+      val num = (from until until).map(i =>
+        coalesce(lag(x, i).over(w) * lit(wgt(i)), lit(0.0))).reduce(_ + _)
+      val den = (from until until).map(i =>
+        when(lag(x, i).over(w).isNotNull, lit(wgt(i))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      when(den > 0, num / den)
+    }
+    events.select(col(keyCol), col(tsCol), col(tieCol),
+      col(valCol).cast("double").as("x"))
+      .withColumn("ewma", smooth(0, taps))
+      .withColumn("ewma_prev", smooth(1, taps + 1))
+      .withColumn("resid",
+        when(col("ewma_prev").isNotNull, col("x") - col("ewma_prev")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("resid")) > tau, lit(false)))
+  }
+}

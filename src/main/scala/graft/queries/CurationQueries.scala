@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Clean, Dedup, Lm, Mixing, Rank, TextOps}
+import graft.pipeline.{Ann, Clean, Dedup, EntityRes, Lm, Mixing, Privacy, Rank, Series, TextOps}
 
 /** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
   * prefiltered decontamination, SemDeDup, cross-document duplicated-span
@@ -623,6 +623,82 @@ object CurationQueries extends QueryModule {
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("cross_doc_chunks"),
         sum((col("cnt") - 1) * col("chunk_len")).as("dup_chars"),
         sum(col("cnt") * col("chunk_len")).as("total_chars"))
+    }),
+
+    // ---- per-key EWMA smoothing + residual anomaly flags: ONE window
+    //      pass per user partition (a single hash exchange), W explicit
+    //      lag taps instead of the sequential infinite-horizon
+    //      recurrence (numerically exact, codegen'd, cross-engine) — the
+    //      oracle states the identical tap algebra ----------------------
+    "p74_ewma_anomaly" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events").filter(col("user_id") <= 30)
+      Series.ewmaAnomaly(ev, "user_id", "ts", "event_id", "value",
+        alpha = 0.4, taps = 8, tau = 60.0)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"),
+          col("x"), round(col("ewma"), 6).as("ewma"),
+          round(col("ewma_prev"), 6).as("ewma_prev"),
+          round(col("resid"), 6).as("resid"), col("is_anomaly"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // ---- k-anonymity / l-diversity generalization ladder: the data-
+    //      release counterpart of the reference's identifier anonymizer.
+    //      Two skinny aggregates per level (rows→classes→one summary
+    //      row); each coarser level's class table SHRINKS, and nothing
+    //      but (QI..., sensitive) tuples ever shuffles. The sensitive
+    //      attribute is a deterministic custkey-derived stand-in (the
+    //      synthetic schema has no real one); the LADDER is the operator
+    "p75_k_anonymity" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      Privacy.kAnonymityLadder(c, Seq(
+        Privacy.GenLevel("l0_nation_seg_bal500",
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 500))),
+        Privacy.GenLevel("l1_nation_seg",
+          Seq(col("c_nationkey"), col("c_mktsegment"))),
+        Privacy.GenLevel("l2_seg", Seq(col("c_mktsegment")))),
+        sensitive = col("c_custkey") % 5, k = 5, l = 3)
+        .orderBy("level")
+    }),
+
+    // ---- blocking-based entity resolution: candidates ONLY inside an
+    //      equi-joinable block key (never a similarity theta join), hot
+    //      blocks capped LOUDLY into the accounting columns, edit-
+    //      distance verify inside the block. The record set is derived
+    //      deterministically from part attributes: distinct entity
+    //      strings get ids (the one global row_number runs over a few
+    //      hundred DISTINCT names — id assignment for the harness; real
+    //      corpora arrive with ids), every 3rd entity gets a planted
+    //      1-edit variant, and recall over the planted set is part of
+    //      the output ------------------------------------------------
+    "p76_entity_blocking" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ents = Tables.t(s, dir, "part")
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")),
+          lit(" size "), col("p_size").cast("string")).as("nm"))
+        .distinct()
+      val ids = ents.withColumn("rn",
+        row_number().over(Window.orderBy("nm")).cast("long"))
+      val originals = ids.select((col("rn") * 2).as("id"), col("nm"))
+      val variants = ids.filter(col("rn") % 3 === 0)
+        .select((col("rn") * 2 + 1).as("id"),
+          concat(substring(col("nm"), 1, 2), lit("x"),
+            substring(col("nm"), 4, 1000)).as("nm"))
+      val records = originals.unionAll(variants)
+      val bk = concat(substring(col("nm"), 1, 2), lit("#"),
+        length(col("nm")).cast("string"))
+      val pairs = EntityRes.blockedPairs(records, "id", "nm", bk,
+        maxEdits = 2, blockCap = 500)
+      val account = EntityRes.blockCapAccount(records, "id", bk, blockCap = 500)
+      val planted = variants.agg(count(lit(1)).as("n_planted"))
+      val metrics = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("id_b") === col("id_a") + 1 &&
+          col("id_a") % 2 === 0, 1L).otherwise(0L)), lit(0L)).as("n_true_pairs"))
+      account.crossJoin(metrics).crossJoin(planted)
+        .withColumn("recall",
+          round(col("n_true_pairs").cast("double") / col("n_planted"), 6))
     })
   )
 
@@ -656,6 +732,19 @@ object CurationQueries extends QueryModule {
         CASE WHEN doc_id % 2 = 0 THEN text || '.'
              ELSE 'unique closing remark number ' || CAST(doc_id AS VARCHAR) || '.' END,
         CASE WHEN doc_id % 50 = 17 THEN 'lorem ipsum dolor sit amet.' END)"""
+
+  /** p74's tap algebra, restated in DuckDB SQL. The weight literals are
+    * Scala shortest-repr doubles — DuckDB parses them back to the exact
+    * same binary64 values [[Series.ewmaAnomaly]] uses. */
+  private def ewmaTapSql(from: Int, until: Int): String = {
+    val num = (from until until)
+      .map(i => s"coalesce(lag(value, $i) OVER w * ${math.pow(0.6, i)}, 0)")
+      .mkString(" + ")
+    val den = (from until until)
+      .map(i => s"CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN ${math.pow(0.6, i)} ELSE 0 END")
+      .mkString(" + ")
+    s"CASE WHEN ($den) > 0 THEN ($num) / ($den) END"
+  }
 
   val oracles: Map[String, String] = Map(
     "p67_lsh_plan" -> """
@@ -1331,6 +1420,90 @@ object CurationQueries extends QueryModule {
       JOIN bi USING (w1, w2)
       JOIN un u1 ON p.w1 = u1.w
       JOIN un u2 ON p.w2 = u2.w
-      GROUP BY p.id ORDER BY doc_id"""
+      GROUP BY p.id ORDER BY doc_id""",
+
+    "p74_ewma_anomaly" -> s"""
+      WITH sm AS (
+        SELECT user_id, ts, event_id, value AS x,
+               ${ewmaTapSql(0, 8)} AS ewma,
+               ${ewmaTapSql(1, 9)} AS ewma_prev
+        FROM events WHERE user_id <= 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, x,
+             round(ewma, 6) AS ewma,
+             round(ewma_prev, 6) AS ewma_prev,
+             round(x - ewma_prev, 6) AS resid,
+             COALESCE(abs(x - ewma_prev) > 60.0, false) AS is_anomaly
+      FROM sm ORDER BY user_id, ts, event_id""",
+
+    "p75_k_anonymity" -> """
+      WITH lvl AS (
+        SELECT 'l0_nation_seg_bal500' AS level, n, l_div FROM (
+          SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey % 5) AS l_div
+          FROM customer
+          GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 500))
+        UNION ALL
+        SELECT 'l1_nation_seg', n, l_div FROM (
+          SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey % 5) AS l_div
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+        UNION ALL
+        SELECT 'l2_seg', n, l_div FROM (
+          SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey % 5) AS l_div
+          FROM customer GROUP BY c_mktsegment))
+      SELECT level,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(n) AS BIGINT) AS min_class,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_unsafe,
+             round(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+               / SUM(n), 6) AS pct_unsafe,
+             CAST(MIN(l_div) AS BIGINT) AS min_l_div,
+             MIN(n) >= 5 AS safe_k_anonymous,
+             MIN(l_div) >= 3 AS safe_l_diverse
+      FROM lvl GROUP BY level ORDER BY level""",
+
+    "p76_entity_blocking" -> """
+      WITH ents AS (
+        SELECT DISTINCT p_name || ' ' || lower(p_type) || ' size ' ||
+               CAST(p_size AS VARCHAR) AS nm FROM part),
+      ids AS (SELECT nm, row_number() OVER (ORDER BY nm) AS rn FROM ents),
+      recs AS (
+        SELECT rn * 2 AS id, nm FROM ids
+        UNION ALL
+        SELECT rn * 2 + 1, substr(nm, 1, 2) || 'x' || substr(nm, 4, 1000)
+        FROM ids WHERE rn % 3 = 0),
+      keyed AS (
+        SELECT id, nm,
+               substr(nm, 1, 2) || '#' || CAST(length(nm) AS VARCHAR) AS bk
+        FROM recs),
+      sizes AS (SELECT bk, COUNT(*) AS bn FROM keyed GROUP BY bk),
+      kept AS (SELECT k.id, k.nm, k.bk FROM keyed k
+               JOIN sizes s USING (bk) WHERE s.bn <= 500),
+      pr AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM kept a JOIN kept b USING (bk)
+        WHERE a.id < b.id AND levenshtein(a.nm, b.nm) <= 2),
+      acct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(MAX(bn) AS BIGINT) AS max_block,
+               CAST(SUM(CASE WHEN bn > 500 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_blocks_dropped,
+               CAST(SUM(CASE WHEN bn > 500 THEN bn ELSE 0 END) AS BIGINT)
+                 AS n_records_dropped
+        FROM sizes),
+      pm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN id_b = id_a + 1 AND id_a % 2 = 0
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_pairs
+        FROM pr),
+      pl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted
+             FROM ids WHERE rn % 3 = 0)
+      SELECT acct.n_blocks, acct.max_block, acct.n_blocks_dropped,
+             acct.n_records_dropped, pm.n_pairs, pm.n_true_pairs,
+             pl.n_planted,
+             round(CAST(pm.n_true_pairs AS DOUBLE) / pl.n_planted, 6)
+               AS recall
+      FROM acct, pm, pl"""
   )
 }

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Series.ewmaAnomaly, Privacy.kAnonymityLadder, EntityRes.blockedPairs —
+  * the round-6 time-series / privacy / record-linkage additions. */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Series.ewmaAnomaly ----------------------------------------------
+
+  private def ev(rows: (Long, Long, Long, Double)*) =
+    rows.toDF("user_id", "ts", "event_id", "value")
+
+  test("ewma head rows average exactly what exists (no zero bias)") {
+    val out = Series.ewmaAnomaly(
+      ev((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0)),
+      "user_id", "ts", "event_id", "value", alpha = 0.5, taps = 4, tau = 5.0)
+      .orderBy("ts").collect()
+    // row 1: only tap 0 present -> ewma = x = 10
+    assert(out(0).getAs[Double]("ewma") === 10.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("ewma_prev")))
+    assert(!out(0).getAs[Boolean]("is_anomaly"))
+    // row 2: (1*20 + 0.5*10) / 1.5 ; prev-window smooth = 10
+    assert(math.abs(out(1).getAs[Double]("ewma") - 50.0 / 3) < 1e-12)
+    assert(out(1).getAs[Double]("ewma_prev") === 10.0)
+    assert(out(1).getAs[Double]("resid") === 10.0)
+    assert(out(1).getAs[Boolean]("is_anomaly")) // |10| > 5
+  }
+
+  test("ewma matches the closed tap form on a longer series") {
+    val xs = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
+    val rows = xs.zipWithIndex.map { case (x, i) => (7L, i.toLong, i.toLong, x) }
+    val out = Series.ewmaAnomaly(ev(rows: _*), "user_id", "ts", "event_id",
+      "value", alpha = 0.4, taps = 3, tau = 1e9).orderBy("ts").collect()
+    // last row, taps [0,3): weights 1, .6, .36 over x5,x4,x3
+    val expect = (32.0 + 0.6 * 16 + 0.36 * 8) / (1 + 0.6 + 0.36)
+    assert(math.abs(out.last.getAs[Double]("ewma") - expect) < 1e-12)
+    // prior-window smooth excludes the current row: taps [1,4) over x4,x3,x2
+    val expPrev = (0.6 * 16 + 0.36 * 8 + 0.216 * 4) / (0.6 + 0.36 + 0.216)
+    assert(math.abs(out.last.getAs[Double]("ewma_prev") - expPrev) < 1e-12)
+  }
+
+  test("ewma keys never mix and the pass is one window exchange") {
+    val df = Series.ewmaAnomaly(
+      ev((1L, 1L, 1L, 0.0), (1L, 2L, 2L, 100.0), (2L, 1L, 3L, 50.0)),
+      "user_id", "ts", "event_id", "value", alpha = 0.4, taps = 8, tau = 60.0)
+    val u2 = df.filter($"user_id" === 2).head()
+    assert(u2.getAs[Double]("ewma") === 50.0) // sees nothing of user 1
+    val exchanges = df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, "one hash exchange on the key, nothing more")
+  }
+
+  // ---- Privacy.kAnonymityLadder ----------------------------------------
+
+  test("kAnonymityLadder flags small classes and low diversity per level") {
+    // 6 rows: class (a,1) has 5 rows all sensitive=s1; class (b,2) has 1
+    val df = Seq(
+      ("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+      ("a", 1, "s1"), ("b", 2, "s2")).toDF("g", "h", "sens")
+    val out = Privacy.kAnonymityLadder(df,
+      Seq(Privacy.GenLevel("fine", Seq(col("g"), col("h"))),
+        Privacy.GenLevel("coarse", Seq(lit(1)))),
+      sensitive = col("sens"), k = 5, l = 2)
+      .orderBy("level").collect()
+    val coarse = out(0); val fine = out(1)
+    assert(fine.getAs[Long]("n_classes") === 2)
+    assert(fine.getAs[Long]("rows_unsafe") === 1)   // the singleton class
+    assert(fine.getAs[Long]("min_l_div") === 1)     // (a,1) is all s1
+    assert(!fine.getAs[Boolean]("safe_k_anonymous"))
+    assert(!fine.getAs[Boolean]("safe_l_diverse"))
+    assert(coarse.getAs[Long]("n_classes") === 1)
+    assert(coarse.getAs[Long]("rows_unsafe") === 0)
+    assert(coarse.getAs[Boolean]("safe_k_anonymous"))
+    assert(coarse.getAs[Boolean]("safe_l_diverse")) // s1+s2 in the one class
+  }
+
+  // ---- EntityRes.blockedPairs ------------------------------------------
+
+  private val bk = substring(col("nm"), 1, 2)
+
+  test("blockedPairs finds in-block near-matches and never crosses blocks") {
+    val recs = Seq(
+      (1L, "alpha widget"), (2L, "alphx widget"),   // 1 edit, same block 'al'
+      (3L, "beta gizmo"), (4L, "beta gizmos"),      // 1 edit, block 'be'
+      (5L, "alpha gadget zz")                       // block 'al', far from 1/2
+    ).toDF("id", "nm")
+    val pairs = EntityRes.blockedPairs(recs, "id", "nm", bk, maxEdits = 2,
+      blockCap = 10).orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (3L, 4L)))
+    assert(pairs.forall(_.getAs[Long]("edits") === 1L))
+  }
+
+  test("hot blocks are dropped from the join and surface in the account") {
+    // 12 records share block 'aa' (cap 5) plus one small block of 2
+    val hot = (1L to 12L).map(i => (i, s"aa hot $i"))
+    val cold = Seq((100L, "zz cold one"), (101L, "zz cold onx"))
+    val recs = (hot ++ cold).toDF("id", "nm")
+    val pairs = EntityRes.blockedPairs(recs, "id", "nm", bk, maxEdits = 2,
+      blockCap = 5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 101L)))
+    val acct = EntityRes.blockCapAccount(recs, "id", bk, blockCap = 5).head()
+    assert(acct.getAs[Long]("n_blocks") === 2)
+    assert(acct.getAs[Long]("max_block") === 12)
+    assert(acct.getAs[Long]("n_blocks_dropped") === 1)
+    assert(acct.getAs[Long]("n_records_dropped") === 12)
+  }
+
+  test("blockedPairs plan has no cartesian product") {
+    val recs = Seq((1L, "ab one"), (2L, "ab two")).toDF("id", "nm")
+    val plan = EntityRes.blockedPairs(recs, "id", "nm", bk, 2, 10)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      "block join must be an equi-join on the key")
+  }
+}
