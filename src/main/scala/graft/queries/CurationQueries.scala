@@ -699,6 +699,29 @@ object CurationQueries extends QueryModule {
       account.crossJoin(metrics).crossJoin(planted)
         .withColumn("recall",
           round(col("n_true_pairs").cast("double") / col("n_planted"), 6))
+    }),
+
+    // ---- exact triangle count by DEGREE ORIENTATION: the node-iterator
+    //      whose wedge volume is bounded m^{3/2} regardless of hubs —
+    //      the naive 2-path probe explodes quadratically on a power-law
+    //      degree sequence. Edges = parts co-ordered in one order (the
+    //      per-order pair fan-out is capped LOUDLY, same discipline as
+    //      blockCap/dfCap); the oracle brute-forces the a<b<c triple
+    //      join and recomputes every degree and wedge ------------------
+    "p77_triangle_count" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val sizes = li.groupBy("okey").agg(count(lit(1)).as("ni"))
+      val kept = li.join(sizes.filter(col("ni") <= 32), "okey")
+      val a = kept.select(col("okey"), col("pk").as("pa"))
+      val b = kept.select(col("okey"), col("pk").as("pb"))
+      val edges = graft.pipeline.Graphs.canonicalEdges(
+        a.join(b, "okey").filter(col("pa") < col("pb")), "pa", "pb")
+      val acct = sizes.agg(
+        sum(when(col("ni") <= 32, 1L).otherwise(0L)).as("n_orders_used"),
+        sum(when(col("ni") > 32, 1L).otherwise(0L)).as("n_orders_dropped"))
+      acct.crossJoin(graft.pipeline.Graphs.triangleStats(edges))
     })
   )
 
@@ -1504,6 +1527,37 @@ object CurationQueries extends QueryModule {
              pl.n_planted,
              round(CAST(pm.n_true_pairs AS DOUBLE) / pl.n_planted, 6)
                AS recall
-      FROM acct, pm, pl"""
+      FROM acct, pm, pl""",
+
+    "p77_triangle_count" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+                  FROM lineitem),
+      sz AS (SELECT okey, COUNT(*) AS ni FROM li GROUP BY okey),
+      kept AS (SELECT li.okey, li.pk FROM li
+               JOIN sz USING (okey) WHERE sz.ni <= 32),
+      e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM kept a JOIN kept b ON a.okey = b.okey AND a.pk < b.pk),
+      deg AS (SELECT n, COUNT(*) AS d FROM
+                (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY n),
+      ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+                    CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+             FROM deg),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      acct AS (SELECT CAST(SUM(CASE WHEN ni <= 32 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_orders_used,
+                      CAST(SUM(CASE WHEN ni > 32 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_orders_dropped
+               FROM sz)
+      SELECT acct.n_orders_used, acct.n_orders_dropped,
+             ds.n_nodes, ds.n_edges, ds.n_wedges, tri.n_triangles,
+             CASE WHEN ds.n_wedges > 0
+                  THEN round(3.0 * tri.n_triangles / ds.n_wedges, 6) END
+               AS transitivity
+      FROM acct, ds, tri"""
   )
 }

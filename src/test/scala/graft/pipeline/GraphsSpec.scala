@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graphs.triangleStats — degree-oriented exact triangle counting. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]) =
+    Graphs.triangleStats(
+      Graphs.canonicalEdges(edges.toDF("a", "b"), "a", "b")).head()
+
+  test("K4 has 4 triangles and transitivity 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val r = stats(k4)
+    assert(r.getAs[Long]("n_nodes") === 4)
+    assert(r.getAs[Long]("n_edges") === 6)
+    assert(r.getAs[Long]("n_wedges") === 12) // 4 nodes x C(3,2)
+    assert(r.getAs[Long]("n_triangles") === 4)
+    assert(r.getAs[Double]("transitivity") === 1.0)
+  }
+
+  test("a star has wedges but zero triangles") {
+    val star = (2L to 6L).map(i => (1L, i))
+    val r = stats(star)
+    assert(r.getAs[Long]("n_wedges") === 10) // C(5,2) at the hub
+    assert(r.getAs[Long]("n_triangles") === 0)
+    assert(r.isNullAt(r.fieldIndex("transitivity")) ||
+      r.getAs[Double]("transitivity") === 0.0)
+  }
+
+  test("each triangle counts exactly once regardless of edge direction/dup input") {
+    // triangle 1-2-3 plus a pendant, fed with duplicates + both directions
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (3L, 4L))
+    val r = stats(messy)
+    assert(r.getAs[Long]("n_edges") === 4)
+    assert(r.getAs[Long]("n_triangles") === 1)
+  }
+
+  test("two triangles sharing an edge (ties in degree) count as two") {
+    // 1-2-3 and 2-3-4: nodes 2,3 have deg 3; 1,4 deg 2 — exercises the
+    // (deg, id) tie-break in both orientation and wedge ordering
+    val r = stats(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(r.getAs[Long]("n_triangles") === 2)
+    // wedges: deg 2,3,3,2 -> 1+3+3+1 = 8; transitivity = 6/8
+    assert(r.getAs[Long]("n_wedges") === 8)
+    assert(r.getAs[Double]("transitivity") === 0.75)
+  }
+
+  test("plan is all equi-joins (no cartesian product)") {
+    val df = Graphs.triangleStats(
+      Graphs.canonicalEdges(Seq((1L, 2L)).toDF("a", "b"), "a", "b"))
+    // the final one-row crossJoin of two aggregates is fine; the edge-
+    // scale joins (orientation, wedges, closure) must all be keyed
+    val plan = df.queryExecution.optimizedPlan.toString()
+    val cartesians = plan.linesIterator.count(_.contains("Join Cross"))
+    assert(cartesians <= 1, s"only the one-row stats join may be cross:\n$plan")
+  }
+}
