@@ -69,4 +69,39 @@ object Series {
       .withColumn("is_anomaly",
         coalesce(abs(col("resid")) > tau, lit(false)))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences —
+    * the model behind next-step prediction, anomalous-path scoring, and
+    * session simulation.
+    *
+    * One lag window per key partition (the same single-exchange shape as
+    * [[ewmaAnomaly]]) emits (prev_state, state) transitions; one skinny
+    * aggregate counts them; row-normalization with Laplace add-one
+    * smoothing happens on the (states × states)-sized count table, not
+    * the event stream: P(b|a) = (c_ab + 1) / (c_a· + |S|), so unseen
+    * transitions get mass and every row sums to 1. |S| is the number of
+    * distinct OBSERVED states (from the same aggregate, joined back
+    * broadcast — it is a scalar).
+    *
+    * Returns one row per observed (a, b) transition:
+    * (prev_state, state, n, p) — unobserved pairs carry only the smoothing
+    * floor and are left implicit rather than densified. */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol).as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNotNull)
+      .groupBy("prev_state", "state").agg(count(lit(1)).as("n"))
+    val nStates = events.select(col(stateCol).as("state")).distinct()
+      .agg(count(lit(1)).as("n_states"))
+    val rowTotals = trans.groupBy("prev_state").agg(sum(col("n")).as("row_n"))
+    trans
+      .join(rowTotals, "prev_state")
+      .crossJoin(broadcast(nStates))
+      .withColumn("p", round((col("n") + 1).cast("double") /
+        (col("row_n") + col("n_states")).cast("double"), 6))
+      .select("prev_state", "state", "n", "p")
+  }
 }

@@ -722,6 +722,59 @@ object CurationQueries extends QueryModule {
         sum(when(col("ni") <= 32, 1L).otherwise(0L)).as("n_orders_used"),
         sum(when(col("ni") > 32, 1L).otherwise(0L)).as("n_orders_dropped"))
       acct.crossJoin(graft.pipeline.Graphs.triangleStats(edges))
+    }),
+
+    // ---- KMV bottom-k distinct sketch (custom TypedImperativeAggregate,
+    //      O(k) mergeable state): ndv̂ = (k−1)/h_(k); the estimator
+    //      arithmetic stays in the query so the oracle reproduces it
+    //      bit-for-bit from the same md5 unit hashes. The error bound is
+    //      REPORTED as a column (a statistical draw, deterministic given
+    //      the salt — both engines compute the same boolean) -----------
+    "p78_kmv_ndv" -> ((s, dir) => {
+      graft.functions.KmvAgg.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH h AS (
+          SELECT l_returnflag AS flag,
+                 CAST(conv(substring(md5(concat('kmv:',
+                   CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS DOUBLE)
+                   / CAST(4294967296 AS DOUBLE) AS u
+          FROM lineitem),
+        sk AS (
+          SELECT flag, graft_kmv(u, 256) AS s,
+                 COUNT(DISTINCT u) AS n_exact
+          FROM h GROUP BY flag),
+        est AS (
+          SELECT flag, CAST(n_exact AS BIGINT) AS n_exact,
+                 CASE WHEN s.n_min < 256 THEN CAST(s.n_min AS DOUBLE)
+                      ELSE 255.0 / s.kth END AS e
+          FROM sk)
+        SELECT flag, n_exact, round(e, 6) AS est,
+               round(abs(e - n_exact) / n_exact, 6) AS rel_err,
+               abs(e - n_exact) / n_exact <= 0.25 AS within_bound
+        FROM est ORDER BY flag""")
+    }),
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      paths: one lag window per key partition + one skinny count
+    //      aggregate; Laplace row-normalization happens on the
+    //      states×states table, never the event stream ----------------
+    "p79_markov_transitions" -> ((s, dir) => {
+      Series.markovTransitions(Tables.t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("prev_state", "state")
+    }),
+
+    // ---- EXACT token-set Jaccard join by prefix filtering (AllPairs/
+    //      PPJoin): candidates only where rarest-first prefixes share a
+    //      token — lossless, unlike dfCap. The oracle brute-forces the
+    //      full posting join, so result-set equality IS the proof that
+    //      prefix pruning dropped nothing ----------------------------
+    "p80_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.95)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
     })
   )
 
@@ -1558,6 +1611,63 @@ object CurationQueries extends QueryModule {
              CASE WHEN ds.n_wedges > 0
                   THEN round(3.0 * tri.n_triangles / ds.n_wedges, 6) END
                AS transitivity
-      FROM acct, ds, tri"""
+      FROM acct, ds, tri""",
+
+    "p78_kmv_ndv" -> """
+      WITH h AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               ('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)),
+                 1, 8))::BIGINT / 4294967296.0 AS u
+        FROM lineitem),
+      rk AS (
+        SELECT flag, u,
+               row_number() OVER (PARTITION BY flag ORDER BY u) AS r
+        FROM h),
+      sk AS (
+        SELECT flag, COUNT(*) AS n_exact,
+               MAX(CASE WHEN r = 256 THEN u END) AS kth
+        FROM rk GROUP BY flag),
+      est AS (
+        SELECT flag, CAST(n_exact AS BIGINT) AS n_exact,
+               CASE WHEN n_exact < 256 THEN CAST(n_exact AS DOUBLE)
+                    ELSE 255.0 / kth END AS e
+        FROM sk)
+      SELECT flag, n_exact, round(e, 6) AS est,
+             round(abs(e - n_exact) / n_exact, 6) AS rel_err,
+             abs(e - n_exact) / n_exact <= 0.25 AS within_bound
+      FROM est ORDER BY flag""",
+
+    "p79_markov_transitions" -> """
+      WITH s AS (
+        SELECT event_type AS state,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        FROM events),
+      t AS (SELECT prev_state, state, COUNT(*) AS n FROM s
+            WHERE prev_state IS NOT NULL GROUP BY 1, 2),
+      ns AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+      rt AS (SELECT prev_state, SUM(n) AS row_n FROM t GROUP BY prev_state)
+      SELECT t.prev_state, t.state, CAST(t.n AS BIGINT) AS n,
+             round(CAST(t.n + 1 AS DOUBLE) / (rt.row_n + ns.k), 6) AS p
+      FROM t JOIN rt USING (prev_state) CROSS JOIN ns
+      ORDER BY prev_state, state""",
+
+    "p80_prefix_jaccard" -> """
+      WITH t AS (SELECT doc_id AS id,
+                        list_distinct(string_split_regex(
+                          trim(lower(text)), '\s+')) AS ts
+                 FROM documents),
+      p AS (SELECT id, unnest(ts) AS tok FROM t),
+      sz AS (SELECT id, len(ts) AS n FROM t),
+      inter AS (SELECT a.id AS i, b.id AS j, COUNT(*) AS c
+                FROM p a JOIN p b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY 1, 2)
+      SELECT i, j,
+             round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.id = inter.i
+      JOIN sz sb ON sb.id = inter.j
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j"""
   )
 }

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup.prefixJaccardPairs — exact set-similarity join by prefix
+  * filtering (AllPairs/PPJoin), plus Series.markovTransitions. */
+class PrefixJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta zeta"),     // J(1,2) = 4/6
+    (3L, "alpha beta gamma delta epsilon"),  // J(1,3) = 1
+    (4L, "omega psi chi phi"),               // disjoint-ish
+    (5L, "omega psi chi phi upsilon")        // J(4,5) = 4/5
+  ).toDF("doc_id", "text")
+
+  private def brute(threshold: Double) = {
+    val base = docs.select(col("doc_id").as("id"),
+      array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    base.as("a").crossJoin(base.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.ts"), col("b.ts"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("a.ts")) + size(col("b.ts")) - col("inter")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("a.id").as("i"), col("b.id").as("j2"), col("j"))
+  }
+
+  test("prefix filtering is lossless at several thresholds") {
+    for (t <- Seq(0.5, 0.66, 0.8, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = brute(t).select("i", "j2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
+  test("exact-duplicate pair scores 1.0; near pair scores its true Jaccard") {
+    val out = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 3L)) === 1.0)
+    assert(math.abs(out((1L, 2L)) - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(out((4L, 5L)) - 4.0 / 5.0) < 1e-12)
+  }
+
+  test("prefix postings shrink as the threshold rises (the pruning claim)") {
+    val loose = Dedup.prefixPostings(docs, "doc_id", "text", 0.5).count()
+    val tight = Dedup.prefixPostings(docs, "doc_id", "text", 0.95).count()
+    val full = docs.select(explode(array_distinct(
+      TextOps.tokens(col("text"))))).count()
+    assert(tight < loose)
+    assert(loose < full, "even a loose prefix beats the full inverted index")
+    // at t close to 1 each record contributes exactly one posting
+    assert(tight === docs.count())
+  }
+
+  // ---- Series.markovTransitions -----------------------------------------
+
+  test("markov transitions count lagged pairs and Laplace-normalize rows") {
+    // user 1 path: a -> b -> a ; user 2 path: a -> b  (3 transitions)
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Series.markovTransitions(ev, "user_id", "ts", "event_id",
+      "event_type").orderBy("prev_state", "state").collect()
+    // transitions: a->b (x2), b->a (x1); 2 observed states
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("a", "b", 2L), ("b", "a", 1L)))
+    // P(b|a) = (2+1)/(2+2) = 0.75 ; P(a|b) = (1+1)/(1+2) = 0.666667
+    assert(out(0).getDouble(3) === 0.75)
+    assert(math.abs(out(1).getDouble(3) - 2.0 / 3) < 1e-6)
+  }
+
+  test("markov never crosses user boundaries") {
+    val ev = Seq((1L, 1L, 1L, "a"), (2L, 2L, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Series.markovTransitions(ev, "user_id", "ts", "event_id",
+      "event_type").count() === 0)
+  }
+}
