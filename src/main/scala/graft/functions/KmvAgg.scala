@@ -123,16 +123,80 @@ case class KmvAggExpr(
     copy(child = newChild)
 }
 
+/** graft_kmv_mins(unitHashCol, k) → array<double>: the held minima,
+  * ascending. This is the sketch VALUE view that makes KMV composable —
+  * bottom-k of a union is computable from two bottom-k arrays alone, and
+  * any union element belonging to set A must appear in A's array
+  * (h ≤ h_(k)(A∪B) ≤ h_(k)(A)), so intersection membership is decidable
+  * from sketches. [[KmvAggExpr]] stays the compact (n, kth) view. */
+case class KmvMinsAggExpr(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Kmv.Sketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"need k >= 2, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_mins"
+
+  override def createAggregationBuffer(): Kmv.Sketch = new Kmv.Sketch(k)
+
+  override def update(buffer: Kmv.Sketch, input: InternalRow): Kmv.Sketch = {
+    child.eval(input) match {
+      case null => ()
+      case d: java.lang.Double => buffer.offer(d.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => buffer.offer(d.toDouble)
+      case f: java.lang.Float => buffer.offer(f.doubleValue)
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv_mins expects a DOUBLE unit hash, got ${other.getClass.getName}")
+    }
+    buffer
+  }
+
+  override def merge(buffer: Kmv.Sketch, other: Kmv.Sketch): Kmv.Sketch = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: Kmv.Sketch): Any = {
+    val arr = new Array[Any](buffer.mins.size)
+    val it = buffer.mins.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().doubleValue; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buffer: Kmv.Sketch): Array[Byte] = Kmv.ser(buffer)
+  override def deserialize(storageFormat: Array[Byte]): Kmv.Sketch =
+    Kmv.deser(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinsAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinsAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinsAggExpr =
+    copy(child = newChild)
+}
+
 object KmvAgg {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v, _) => v.toString.toInt
     case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv",
       { exprs =>
         require(exprs.length == 2, "graft_kmv(unitHash, k)")
         KmvAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv_mins",
+      { exprs =>
+        require(exprs.length == 2, "graft_kmv_mins(unitHash, k)")
+        KmvMinsAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
+      }, "built-in")
+  }
 }

@@ -104,4 +104,46 @@ object Series {
         (col("row_n") + col("n_states")).cast("double"), 6))
       .select("prev_state", "state", "n", "p")
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance per group vs the
+    * global sample: D_g = sup_v |F_g(v) − F(v)| — the continuous-
+    * distribution drift test complementing categorical divergences
+    * (JS in Lm.sourceDrift). Both ECDFs jump only at observed values,
+    * so the sup is attained on the global value grid, evaluated AFTER
+    * each value's ties (right-continuous ECDF).
+    *
+    * Shape: two skinny (group, value)→count aggregates, a
+    * grid×groups expansion joined left to per-group counts, and one
+    * cumulative window per group. Cost is |distinct values| × |groups|
+    * rows — fine whenever the value domain is bounded (prices, scores,
+    * durations); for an unbounded continuous domain at 100 TB, swap the
+    * exact grid for a fixed quantile grid (Stats quantile sketches) and
+    * the same windows give a bounded-error D.
+    *
+    * Returns (group, n, d, drifted). */
+  def ksDrift(df: DataFrame, groupCol: String, valCol: String,
+              threshold: Double = 0.1): DataFrame = {
+    val v = col(valCol).cast("double")
+    val byVal = df.groupBy(col(groupCol).as("g"), v.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val globalByVal = df.groupBy(v.as("v")).agg(count(lit(1)).as("cg"))
+    val nGlobal = df.agg(count(v).as("n_all"))
+    val groups = df.select(col(groupCol).as("g")).distinct()
+      .join(byVal.groupBy("g").agg(sum(col("c")).as("n_g")), "g")
+    val wG = Window.partitionBy("g").orderBy("v")
+    val wAll = Window.orderBy("v") // runs over the VALUE GRID (bounded)
+    val grid = globalByVal
+      .withColumn("cum_all", sum(col("cg")).over(wAll))
+      .crossJoin(broadcast(nGlobal))
+    val expanded = grid.crossJoin(broadcast(groups))
+      .join(byVal, Seq("g", "v"), "left")
+      .withColumn("cum_g", sum(coalesce(col("c"), lit(0L))).over(wG))
+      .withColumn("gap", abs(
+        col("cum_g").cast("double") / col("n_g") -
+          col("cum_all").cast("double") / col("n_all")))
+    expanded.groupBy("g")
+      .agg(max(col("n_g")).as("n"), round(max(col("gap")), 6).as("d"))
+      .withColumn("drifted", col("d") > threshold)
+      .select(col("g"), col("n"), col("d"), col("drifted"))
+  }
 }

@@ -775,6 +775,60 @@ object CurationQueries extends QueryModule {
         threshold = 0.95)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("i", "j")
+    }),
+
+    // ---- KMV set-operation estimates FROM SKETCHES ALONE: bottom-k of
+    //      a union from the two bottom-k arrays, Jaccard from union-
+    //      sketch membership (any union minimum belonging to A is in
+    //      A's array: h ≤ h_(k)(A∪B) ≤ h_(k)(A)) — the composability
+    //      HLL registers don't give. Truth recomputed from raw sets in
+    //      the same query; the oracle re-derives BOTH paths -----------
+    "p81_kmv_setops" -> ((s, dir) => {
+      graft.functions.KmvAgg.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH h AS (
+          SELECT l_orderkey % 3 AS shard,
+                 CAST(conv(substring(md5(concat('kmv:',
+                   CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS DOUBLE)
+                   / CAST(4294967296 AS DOUBLE) AS u
+          FROM lineitem WHERE l_orderkey % 3 <= 1),
+        sk AS (
+          SELECT graft_kmv_mins(CASE WHEN shard = 0 THEN u END, 256) AS a,
+                 graft_kmv_mins(CASE WHEN shard = 1 THEN u END, 256) AS b
+          FROM h),
+        ex0 AS (
+          SELECT u, max(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS ia,
+                 max(CASE WHEN shard = 1 THEN 1 ELSE 0 END) AS ib
+          FROM h GROUP BY u),
+        ex AS (
+          SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                 CAST(SUM(ib) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(ia * ib) AS BIGINT) AS ni
+          FROM ex0),
+        est AS (
+          SELECT a, b,
+                 slice(array_sort(array_distinct(concat(a, b))), 1, 256) AS uk
+          FROM sk)
+        SELECT ex.na, ex.nb, ex.nu, ex.ni,
+               round(CASE WHEN size(uk) < 256 THEN CAST(size(uk) AS DOUBLE)
+                          ELSE 255.0 / element_at(uk, 256) END, 6) AS nu_est,
+               round(CAST(size(filter(uk, x ->
+                 array_contains(a, x) AND array_contains(b, x))) AS DOUBLE)
+                 / size(uk), 6) AS j_est,
+               round(CAST(ex.ni AS DOUBLE) / ex.nu, 6) AS j_exact
+        FROM est CROSS JOIN ex""")
+    }),
+
+    // ---- exact two-sample KS drift per event_type vs global: both
+    //      ECDFs jump only at observed values, so sup|F_g − F| is exact
+    //      on the global value grid; two skinny aggregates + one window
+    //      per group over grid×groups rows ----------------------------
+    "p82_ks_drift" -> ((s, dir) => {
+      Series.ksDrift(Tables.t(s, dir, "events"), "event_type", "value",
+        threshold = 0.1)
+        .orderBy("g")
     })
   )
 
@@ -1668,6 +1722,65 @@ object CurationQueries extends QueryModule {
       JOIN sz sa ON sa.id = inter.i
       JOIN sz sb ON sb.id = inter.j
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
-      ORDER BY i, j"""
+      ORDER BY i, j""",
+
+    "p81_kmv_setops" -> """
+      WITH h AS (
+        SELECT l_orderkey % 3 AS shard,
+               ('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)),
+                 1, 8))::BIGINT / 4294967296.0 AS u
+        FROM lineitem WHERE l_orderkey % 3 <= 1),
+      ad AS (SELECT DISTINCT u FROM h WHERE shard = 0),
+      bd AS (SELECT DISTINCT u FROM h WHERE shard = 1),
+      ak AS (SELECT list(u ORDER BY u) AS a FROM
+               (SELECT u FROM ad ORDER BY u LIMIT 256)),
+      bk AS (SELECT list(u ORDER BY u) AS b FROM
+               (SELECT u FROM bd ORDER BY u LIMIT 256)),
+      ud AS (SELECT DISTINCT u FROM h),
+      ukk AS (SELECT list(u ORDER BY u) AS uk FROM
+               (SELECT u FROM ud ORDER BY u LIMIT 256)),
+      ex0 AS (
+        SELECT u, max(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN shard = 1 THEN 1 ELSE 0 END) AS ib
+        FROM h GROUP BY u),
+      ex AS (
+        SELECT CAST(SUM(ia) AS BIGINT) AS na,
+               CAST(SUM(ib) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS nu,
+               CAST(SUM(ia * ib) AS BIGINT) AS ni
+        FROM ex0)
+      SELECT ex.na, ex.nb, ex.nu, ex.ni,
+             round(CASE WHEN len(uk) < 256 THEN CAST(len(uk) AS DOUBLE)
+                        ELSE 255.0 / uk[256] END, 6) AS nu_est,
+             round(CAST(len(list_filter(uk, x ->
+               list_contains(a, x) AND list_contains(b, x))) AS DOUBLE)
+               / len(uk), 6) AS j_est,
+             round(CAST(ex.ni AS DOUBLE) / ex.nu, 6) AS j_exact
+      FROM ukk, ak, bk, ex""",
+
+    "p82_ks_drift" -> """
+      WITH v AS (SELECT event_type AS g, value AS v FROM events),
+      byval AS (SELECT g, v, COUNT(*) AS c FROM v GROUP BY g, v),
+      gval AS (SELECT v, COUNT(*) AS cg FROM v GROUP BY v),
+      tot AS (SELECT COUNT(*) AS n_all FROM v),
+      grp AS (SELECT g, SUM(c) AS n_g FROM byval GROUP BY g),
+      grid AS (SELECT gval.v, SUM(gval.cg) OVER (ORDER BY gval.v)
+                 AS cum_all FROM gval),
+      exp0 AS (
+        SELECT grp.g, grid.v, grid.cum_all, grp.n_g,
+               COALESCE(byval.c, 0) AS c
+        FROM grid CROSS JOIN grp
+        LEFT JOIN byval ON byval.g = grp.g AND byval.v = grid.v),
+      cums AS (
+        SELECT g, n_g, cum_all,
+               SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_g,
+               (SELECT n_all FROM tot) AS n_all
+        FROM exp0)
+      SELECT g, CAST(MAX(n_g) AS BIGINT) AS n,
+             round(MAX(abs(CAST(cum_g AS DOUBLE) / n_g -
+                           CAST(cum_all AS DOUBLE) / n_all)), 6) AS d,
+             MAX(abs(CAST(cum_g AS DOUBLE) / n_g -
+                     CAST(cum_all AS DOUBLE) / n_all)) > 0.1 AS drifted
+      FROM cums GROUP BY g ORDER BY g"""
   )
 }

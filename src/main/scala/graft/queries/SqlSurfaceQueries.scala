@@ -724,6 +724,41 @@ object SqlSurfaceQueries extends QueryModule {
           (SELECT CAST(COUNT(*) AS BIGINT) FROM st) AS st_rows,
           (SELECT CAST(SUM(CASE WHEN a = 'hi' THEN b ELSE -b END) AS BIGINT)
            FROM st) AS st_signed""")
+    }),
+
+    // SCD-2 temporal dimension join — the warehouse pattern behind every
+    // "price as of order time" question: a versioned dimension with
+    // [valid_from, valid_to) intervals, facts joined to the version in
+    // force at fact time. With BOUNDED versions per key (the SCD-2
+    // norm) the scalable plan is the key equi-join plus an interval
+    // filter — fan-out ≤ versions, one shuffle, no range-join machinery;
+    // unbounded histories would swap in the as-of union-window shape
+    // (p15). exactly_once pins the partition property: interval rows
+    // tile time, so every fact matches exactly one version.
+    "q87_scd2_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH dim AS (
+          SELECT s_suppkey, v.ver,
+                 date_add(DATE'1992-01-01', v.ver * 730) AS valid_from,
+                 CASE WHEN v.ver < 2
+                      THEN date_add(DATE'1992-01-01', (v.ver + 1) * 730)
+                      ELSE DATE'9999-12-31' END AS valid_to,
+                 round(s_acctbal, 2) + v.ver * 1000 AS attr
+          FROM supplier CROSS JOIN (VALUES (0), (1), (2)) AS v(ver)),
+        f AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, l_quantity
+              FROM lineitem),
+        j AS (SELECT f.l_suppkey, f.l_quantity, dim.ver, dim.attr
+              FROM f JOIN dim ON dim.s_suppkey = f.l_suppkey
+                AND f.d >= dim.valid_from AND f.d < dim.valid_to)
+        SELECT CAST(ver AS BIGINT) AS ver,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(SUM(CAST(attr * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 AS wsum,
+               SUM(COUNT(*)) OVER () = (SELECT COUNT(*) FROM f)
+                 AS exactly_once
+        FROM j GROUP BY ver ORDER BY ver""")
     })
   )
 
@@ -1227,6 +1262,29 @@ object SqlSurfaceQueries extends QueryModule {
          FROM inl) AS inl_mod_sum,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM st) AS st_rows,
         (SELECT CAST(SUM(CASE WHEN a = 'hi' THEN b ELSE -b END) AS BIGINT)
-         FROM st) AS st_signed"""
+         FROM st) AS st_signed""",
+
+    "q87_scd2_join" -> """
+      WITH dim AS (
+        SELECT s_suppkey, v.ver,
+               DATE '1992-01-01' + (v.ver * 730) AS valid_from,
+               CASE WHEN v.ver < 2
+                    THEN DATE '1992-01-01' + ((v.ver + 1) * 730)
+                    ELSE DATE '9999-12-31' END AS valid_to,
+               round(s_acctbal, 2) + v.ver * 1000 AS attr
+        FROM supplier CROSS JOIN (VALUES (0), (1), (2)) AS v(ver)),
+      f AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, l_quantity
+            FROM lineitem),
+      j AS (SELECT f.l_suppkey, f.l_quantity, dim.ver, dim.attr
+            FROM f JOIN dim ON dim.s_suppkey = f.l_suppkey
+              AND f.d >= dim.valid_from AND f.d < dim.valid_to)
+      SELECT CAST(ver AS BIGINT) AS ver,
+             CAST(COUNT(*) AS BIGINT) AS n_facts,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             CAST(SUM(CAST(attr * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               AS wsum,
+             SUM(COUNT(*)) OVER () = (SELECT COUNT(*) FROM f)
+               AS exactly_once
+      FROM j GROUP BY ver ORDER BY ver"""
   )
 }

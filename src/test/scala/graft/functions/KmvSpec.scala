@@ -66,6 +66,28 @@ class KmvSpec extends SparkSpec {
     assert(partsAsRows.count() === 2)
   }
 
+  test("kmv_mins returns the held minima ascending, and union-membership holds") {
+    KmvAgg.register(spark)
+    val k = 16
+    // two overlapping key ranges; u strictly increasing in id is fine
+    // for the membership law (it holds for ANY hash assignment)
+    val df = spark.range(200).select(col("id"),
+      unitHash(col("id")).as("u"))
+    val row = df.selectExpr(
+      s"graft_kmv_mins(CASE WHEN id < 120 THEN u END, $k) AS a",
+      s"graft_kmv_mins(CASE WHEN id >= 80 THEN u END, $k) AS b",
+      s"graft_kmv_mins(u, $k) AS ab").head()
+    val a = row.getSeq[Double](0); val b = row.getSeq[Double](1)
+    val ab = row.getSeq[Double](2)
+    assert(a === a.sorted && b === b.sorted && ab === ab.sorted)
+    assert(a.size === k && b.size === k && ab.size === k)
+    // bottom-k of the union is computable from the two arrays alone
+    assert((a ++ b).distinct.sorted.take(k) === ab)
+    // any union minimum in A's key range appears in A's sketch
+    val inA = df.filter(col("id") < 120).select("u").as[Double].collect().toSet
+    assert(ab.filter(inA).forall(a.contains))
+  }
+
   test("serialization round-trips the buffer") {
     val s = new Kmv.Sketch(4)
     Seq(0.9, 0.1, 0.5, 0.3, 0.7, 0.2).foreach(s.offer)

@@ -81,4 +81,26 @@ class PrefixJoinSpec extends SparkSpec {
     assert(Series.markovTransitions(ev, "user_id", "ts", "event_id",
       "event_type").count() === 0)
   }
+
+  // ---- Series.ksDrift ---------------------------------------------------
+
+  test("ksDrift computes the exact two-sample sup gap") {
+    // group a = {1,2}, group b = {3,4}; global = {1,2,3,4}.
+    // F_a jumps to 1 by v=2 where F = 0.5 -> D_a = 0.5; symmetric for b.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = Series.ksDrift(df, "g", "v", threshold = 0.4)
+      .orderBy("g").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.5, 0.5))
+    assert(out.forall(_.getBoolean(3)))
+  }
+
+  test("ksDrift is zero for a group identical to the global mix") {
+    // both groups hold the same values -> each group's ECDF == global
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val out = Series.ksDrift(df, "g", "v").collect()
+    assert(out.forall(_.getDouble(2) === 0.0))
+    assert(out.forall(!_.getBoolean(3)))
+  }
 }
