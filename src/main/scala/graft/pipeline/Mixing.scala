@@ -178,4 +178,26 @@ object Mixing {
         count(lit(1)).as("n_feats"),
         round(sum(col("lr")), 6).as("log_w"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the placement
+    * function whose defining property is MINIMAL MOVEMENT: growing n→n+1
+    * shards relocates only the keys whose new shard wins, an expected
+    * 1/(n+1) of them, where mod-hashing reshuffles nearly everything.
+    * Scan-local (n weight hashes + an argmax chain per row, ZERO
+    * shuffle) — placement must never cost a repartition of the data it
+    * places. Ties (astronomically rare with 32-bit weights, but the
+    * contract must be total) break toward the SMALLEST shard id; the
+    * ascending fold keeps the first strict maximum, matching an
+    * `ORDER BY weight DESC, shard ASC` oracle. */
+  def rendezvousShard(id: Column, nShards: Int, salt: String): Column = {
+    require(nShards >= 1, s"nShards >= 1, got $nShards")
+    val weights = (0 until nShards).map(s0 =>
+      s0 -> hashUnit(id, s"$salt:$s0"))
+    weights.tail.foldLeft(
+      (lit(weights.head._1).cast("long"), weights.head._2)) {
+      case ((bestS, bestW), (s0, w)) =>
+        (when(w > bestW, lit(s0).cast("long")).otherwise(bestS),
+          when(w > bestW, w).otherwise(bestW))
+    }._1
+  }
 }

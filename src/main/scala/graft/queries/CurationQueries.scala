@@ -829,6 +829,79 @@ object CurationQueries extends QueryModule {
       Series.ksDrift(Tables.t(s, dir, "events"), "event_type", "value",
         threshold = 0.1)
         .orderBy("g")
+    }),
+
+    // ---- rendezvous-hashing placement + rebalance audit: HRW's defining
+    //      property is MINIMAL MOVEMENT on resize (expected 1/(n+1) of
+    //      keys when n→n+1, vs ~everything for mod-hashing), and the
+    //      assignment is scan-local — placement never costs a shuffle of
+    //      the data being placed. The grouped audit here is the ONLY
+    //      exchange, and it ships (shard, flag) pairs -------------------
+    "p83_rendezvous_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("shard_before",
+          Mixing.rendezvousShard(col("doc_id"), 4, "rdz"))
+        .withColumn("shard_after",
+          Mixing.rendezvousShard(col("doc_id"), 5, "rdz"))
+      d.groupBy("shard_before")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("shard_before") =!= col("shard_after"), 1L)
+            .otherwise(0L)).as("n_moved"))
+        .withColumn("moved_frac",
+          round(col("n_moved").cast("double") / col("n"), 6))
+        .withColumn("total_moved_frac",
+          round(sum(col("n_moved")).over(Window.partitionBy())
+            .cast("double") /
+            sum(col("n")).over(Window.partitionBy()), 6))
+        .orderBy("shard_before")
+    }),
+
+    // ---- Merkle-style corpus digest: per-bucket order-independent
+    //      digests + one root — integrity verification whose re-check
+    //      after an edit touches ONE bucket, not the corpus. The planted
+    //      single-doc edit is recomputed alongside: exactly one bucket
+    //      digest changes and the root flips ---------------------------
+    "p84_merkle_digest" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH v AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id = 42 THEN concat(text, ' [edited]')
+                      ELSE text END AS text2
+          FROM documents),
+        r AS (
+          SELECT CAST(conv(substring(md5(concat('mk:',
+                   CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                   % 64 AS bucket,
+                 CAST(CAST(conv(substring(md5(concat(
+                   CAST(doc_id AS STRING), ':', text)), 1, 12), 16, 10)
+                   AS BIGINT) AS DECIMAL(38,0)) AS h_a,
+                 CAST(CAST(conv(substring(md5(concat(
+                   CAST(doc_id AS STRING), ':', text2)), 1, 12), 16, 10)
+                   AS BIGINT) AS DECIMAL(38,0)) AS h_b
+          FROM v),
+        bkt AS (
+          SELECT bucket,
+                 CAST(sum(h_a) % 281474976710656 AS BIGINT) AS dg_a,
+                 CAST(sum(h_b) % 281474976710656 AS BIGINT) AS dg_b
+          FROM r GROUP BY bucket)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN dg_a <> dg_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_buckets_changed,
+               md5(array_join(transform(
+                 array_sort(collect_list(struct(bucket, dg_a))),
+                 x -> CAST(x.dg_a AS STRING)), ',')) AS root_a,
+               md5(array_join(transform(
+                 array_sort(collect_list(struct(bucket, dg_b))),
+                 x -> CAST(x.dg_b AS STRING)), ',')) AS root_b,
+               md5(array_join(transform(
+                 array_sort(collect_list(struct(bucket, dg_a))),
+                 x -> CAST(x.dg_a AS STRING)), ',')) <>
+               md5(array_join(transform(
+                 array_sort(collect_list(struct(bucket, dg_b))),
+                 x -> CAST(x.dg_b AS STRING)), ',')) AS root_changed
+        FROM bkt""")
     })
   )
 
@@ -1781,6 +1854,65 @@ object CurationQueries extends QueryModule {
                            CAST(cum_all AS DOUBLE) / n_all)), 6) AS d,
              MAX(abs(CAST(cum_g AS DOUBLE) / n_g -
                      CAST(cum_all AS DOUBLE) / n_all)) > 0.1 AS drifted
-      FROM cums GROUP BY g ORDER BY g"""
+      FROM cums GROUP BY g ORDER BY g""",
+
+    "p83_rendezvous_shards" -> """
+      WITH w AS (
+        SELECT doc_id, v.s,
+               ('0x' || substr(md5('rdz:' || CAST(v.s AS VARCHAR) || ':' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 AS wt
+        FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS v(s)),
+      b AS (SELECT doc_id, s AS shard_before FROM (
+              SELECT doc_id, s, row_number() OVER (
+                PARTITION BY doc_id ORDER BY wt DESC, s) AS r
+              FROM w WHERE s < 4) WHERE r = 1),
+      a AS (SELECT doc_id, s AS shard_after FROM (
+              SELECT doc_id, s, row_number() OVER (
+                PARTITION BY doc_id ORDER BY wt DESC, s) AS r
+              FROM w) WHERE r = 1),
+      j AS (SELECT b.shard_before, a.shard_after
+            FROM b JOIN a USING (doc_id))
+      SELECT CAST(shard_before AS BIGINT) AS shard_before,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN shard_before <> shard_after
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             round(SUM(CASE WHEN shard_before <> shard_after
+               THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS moved_frac,
+             round(SUM(SUM(CASE WHEN shard_before <> shard_after
+               THEN 1 ELSE 0 END)) OVER () * 1.0 /
+               SUM(COUNT(*)) OVER (), 6) AS total_moved_frac
+      FROM j GROUP BY shard_before ORDER BY shard_before""",
+
+    "p84_merkle_digest" -> """
+      WITH v AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id = 42 THEN text || ' [edited]'
+                    ELSE text END AS text2
+        FROM documents),
+      r AS (
+        SELECT ('0x' || substr(md5('mk:' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::BIGINT % 64 AS bucket,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                 1, 12))::BIGINT AS h_a,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text2),
+                 1, 12))::BIGINT AS h_b
+        FROM v),
+      bkt AS (
+        SELECT bucket,
+               CAST(sum(h_a) % 281474976710656 AS BIGINT) AS dg_a,
+               CAST(sum(h_b) % 281474976710656 AS BIGINT) AS dg_b
+        FROM r GROUP BY bucket)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN dg_a <> dg_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_changed,
+             md5(string_agg(CAST(dg_a AS VARCHAR), ',' ORDER BY bucket))
+               AS root_a,
+             md5(string_agg(CAST(dg_b AS VARCHAR), ',' ORDER BY bucket))
+               AS root_b,
+             md5(string_agg(CAST(dg_a AS VARCHAR), ',' ORDER BY bucket)) <>
+             md5(string_agg(CAST(dg_b AS VARCHAR), ',' ORDER BY bucket))
+               AS root_changed
+      FROM bkt"""
   )
 }

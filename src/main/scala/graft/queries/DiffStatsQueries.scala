@@ -156,6 +156,25 @@ object DiffStatsQueries extends QueryModule {
           round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+
+    // ---- categorical mutual information / NMI profile: the association
+    //      measure corr() can't give for non-numeric pairs. One
+    //      contingency aggregate per pair; entropies and MI re-aggregate
+    //      the |A|·|B|-row table, never the data --------------------------
+    "s07_mutual_info" -> ((s, dir) => {
+      Seq(
+        ("orders", "o_orderstatus", "o_orderpriority"),
+        ("lineitem", "l_returnflag", "l_linestatus"),
+        ("customer", "c_mktsegment", "c_nationkey"))
+        .map { case (tbl, a, b) =>
+          graft.stats.Stats.mutualInfo(
+            Tables.t(s, dir, tbl).withColumn(b, col(b).cast("string")), a, b)
+            .withColumn("tbl", lit(tbl))
+        }
+        .reduce(_ unionByName _)
+        .select("tbl", "col_a", "col_b", "n", "h_a", "h_b", "mi", "nmi")
+        .orderBy("tbl", "col_a")
     })
   )
 
@@ -313,6 +332,41 @@ object DiffStatsQueries extends QueryModule {
              round(quantile_cont(n_chars, 0.5), 6) AS p50,
              round(quantile_cont(n_chars, 0.9), 6) AS p90,
              CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY lang ORDER BY lang"""
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "s07_mutual_info" -> {
+      def pairSql(tbl: String, a: String, b: String): String = s"""
+        SELECT '$tbl' AS tbl, '$a' AS col_a, '$b' AS col_b, n, h_a, h_b, mi, nmi
+        FROM (
+          WITH cxy AS (
+            SELECT $a AS va, CAST($b AS VARCHAR) AS vb, COUNT(*) AS c
+            FROM $tbl WHERE $a IS NOT NULL AND $b IS NOT NULL
+            GROUP BY 1, 2),
+          nn AS (SELECT SUM(c) AS n FROM cxy),
+          ca AS (SELECT va, SUM(c) AS ca FROM cxy GROUP BY va),
+          cb AS (SELECT vb, SUM(c) AS cb FROM cxy GROUP BY vb),
+          mi0 AS (
+            SELECT SUM((CAST(c AS DOUBLE) / nn.n) *
+                       ln(CAST(c AS DOUBLE) * nn.n /
+                          (CAST(ca.ca AS DOUBLE) * cb.cb))) AS mi
+            FROM cxy JOIN ca USING (va) JOIN cb USING (vb) CROSS JOIN nn),
+          ha0 AS (SELECT -SUM((CAST(ca AS DOUBLE) / nn.n) *
+                              ln(CAST(ca AS DOUBLE) / nn.n)) AS h_a
+                  FROM ca CROSS JOIN nn),
+          hb0 AS (SELECT -SUM((CAST(cb AS DOUBLE) / nn.n) *
+                              ln(CAST(cb AS DOUBLE) / nn.n)) AS h_b
+                  FROM cb CROSS JOIN nn)
+          SELECT CAST(nn.n AS BIGINT) AS n,
+                 round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+                 round(mi, 6) AS mi,
+                 round(CASE WHEN h_a > 0 AND h_b > 0
+                            THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
+          FROM nn CROSS JOIN ha0 CROSS JOIN hb0 CROSS JOIN mi0)"""
+      Seq(("orders", "o_orderstatus", "o_orderpriority"),
+        ("lineitem", "l_returnflag", "l_linestatus"),
+        ("customer", "c_mktsegment", "c_nationkey"))
+        .map { case (t, a, b) => pairSql(t, a, b) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_a")
+    }
   )
 }

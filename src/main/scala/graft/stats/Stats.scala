@@ -238,6 +238,45 @@ object Stats {
         s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr, covar_mant, covar_exp)"))
   }
 
+  /** Mutual information between two CATEGORICAL columns — the feature-
+    * association profile (which columns predict which) that histograms
+    * and correlation matrices miss for non-numeric data: corr() needs
+    * numbers, MI works on any discrete pair and catches non-linear
+    * association.
+    *
+    * One contingency aggregate (a, b) → count; marginals and entropies
+    * re-aggregate the CONTINGENCY TABLE (|A|·|B| rows), never the data.
+    * MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))); NMI normalizes by √(H(a)H(b))
+    * into [0,1]. Natural log on both engines.
+    *
+    * Returns one row: (col_a, col_b, n, h_a, h_b, mi, nmi). */
+  def mutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
+    val cxy = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("va"), col(b).as("vb"))
+      .agg(count(lit(1)).as("c"))
+    val n = cxy.agg(sum(col("c")).as("n"))
+    val ca = cxy.groupBy("va").agg(sum(col("c")).as("ca"))
+    val cb = cxy.groupBy("vb").agg(sum(col("c")).as("cb"))
+    val joined = cxy.join(ca, "va").join(cb, "vb").crossJoin(broadcast(n))
+    val p = col("c").cast("double") / col("n")
+    val mi = joined.agg(
+      sum(p * log(col("c").cast("double") * col("n") /
+        (col("ca").cast("double") * col("cb")))).as("mi"))
+    val ha = ca.crossJoin(broadcast(n)).agg(
+      (-sum((col("ca").cast("double") / col("n")) *
+        log(col("ca").cast("double") / col("n")))).as("h_a"))
+    val hb = cb.crossJoin(broadcast(n)).agg(
+      (-sum((col("cb").cast("double") / col("n")) *
+        log(col("cb").cast("double") / col("n")))).as("h_b"))
+    n.crossJoin(ha).crossJoin(hb).crossJoin(mi)
+      .select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(col("mi"), 6).as("mi"),
+        round(when(col("h_a") > 0 && col("h_b") > 0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))), 6).as("nmi"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>

@@ -109,6 +109,47 @@ class SeriesSpec extends SparkSpec {
     assert(acct.getAs[Long]("n_records_dropped") === 12)
   }
 
+  // ---- Mixing.rendezvousShard ------------------------------------------
+
+  test("rendezvous resize moves only keys won by the new shard") {
+    val ids = spark.range(2000).toDF("id")
+    val d = ids
+      .withColumn("s4", Mixing.rendezvousShard(col("id"), 4, "t"))
+      .withColumn("s5", Mixing.rendezvousShard(col("id"), 5, "t"))
+    // stability: every moved key moved TO the new shard, never between
+    // old shards (the HRW minimal-movement property)
+    assert(d.filter(col("s4") =!= col("s5") && col("s5") =!= 4).count() === 0)
+    val movedFrac = d.filter(col("s4") =!= col("s5")).count() / 2000.0
+    assert(movedFrac > 0.1 && movedFrac < 0.3, s"~1/5 expected, got $movedFrac")
+    // assignment itself is scan-local: no exchange before the audit agg
+    val plan = ids.withColumn("s", Mixing.rendezvousShard(col("id"), 4, "t"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), "placement must not shuffle")
+  }
+
+  test("rendezvous shards are balanced within loose bounds") {
+    val counts = spark.range(4000).toDF("id")
+      .withColumn("s", Mixing.rendezvousShard(col("id"), 4, "t"))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(counts.length === 4)
+    assert(counts.min > 800 && counts.max < 1200) // 1000 ± 20%
+  }
+
+  // ---- Stats.mutualInfo -------------------------------------------------
+
+  test("mutual info: identical columns give MI == entropy, independence gives 0") {
+    val dep = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c"))
+      .toDF("x", "y")
+    val r1 = graft.stats.Stats.mutualInfo(dep, "x", "y").head()
+    assert(r1.getAs[Double]("mi") === r1.getAs[Double]("h_a"))
+    assert(r1.getAs[Double]("nmi") === 1.0)
+    // balanced product distribution: every (x, y) combo equally likely
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r2 = graft.stats.Stats.mutualInfo(ind, "x", "y").head()
+    assert(math.abs(r2.getAs[Double]("mi")) < 1e-9)
+  }
+
   test("blockedPairs plan has no cartesian product") {
     val recs = Seq((1L, "ab one"), (2L, "ab two")).toDF("id", "nm")
     val plan = EntityRes.blockedPairs(recs, "id", "nm", bk, 2, 10)
