@@ -235,4 +235,88 @@ class ScalingSpec extends SparkSpec {
         f"hot-group cap (c<=10) should restore linearity, got $eCap%.2f")
     } finally { cS.unpersist(); cL.unpersist() }
   }
+
+  test("prefix filtering (p80): linear on a Heaps-law corpus; prunes the " +
+      "inverted index on the bounded-vocab testdata") {
+    assume(haveData, "testdata absent")
+    // Same two-corpus framing as p10: prefix candidates are driven by
+    // the df of each record's RAREST tokens. On a Heaps-law corpus
+    // (fresh vocabulary per doc) rare-token df is O(1), so candidate
+    // volume is linear. On the shipped bounded-vocabulary corpus even
+    // the rarest tokens have df ∝ n — no lossless method can beat
+    // quadratic there (p80 stays EXACT; the claim to measure is the
+    // PRUNING FACTOR vs the full inverted index, which is what makes
+    // exactness affordable).
+    def heaps(n: Int): DataFrame = spark.range(n).select(col("id"),
+      expr("""concat_ws(' ', transform(sequence(1, 20),
+        k -> concat('w', CAST(id - (CASE WHEN id % 20 = 1 THEN 1 ELSE 0 END) AS STRING), '_', CAST(k AS STRING))))""")
+        .as("text"))
+    assertLinear("prefix-jaccard(p80, Heaps corpus)", 1.35, 500L,
+      candVolume(Dedup.prefixPostings(heaps(500), "id", "text", 0.8), "tok"),
+      5000L,
+      candVolume(Dedup.prefixPostings(heaps(5000), "id", "text", 0.8), "tok"))
+    val d = docs(sfLarge)
+    val pref = candVolume(Dedup.prefixPostings(d, "doc_id", "text", 0.95), "tok")
+    val full = candVolume(d.select(col("doc_id").as("id"),
+      explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok")),
+      "tok")
+    info(f"prefix-jaccard pruning: $pref%d candidate pairs vs $full%d full-index")
+    assert(pref.toDouble < 0.2 * full,
+      s"prefix filtering should prune >5x vs the full index ($pref vs $full)")
+  }
+
+  test("entity blocking (p76): block cap bounds candidate volume linearly") {
+    assume(haveData, "testdata absent")
+    // the cap's envelope is the same law as dfCap: Σ c·(c−1)/2 over
+    // kept blocks ≤ cap/2 · records
+    val cap = 50
+    for (dir <- Seq(sfSmall, sfLarge)) {
+      val recs = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"))
+      val bk = concat(substring(col("nm"), 1, 2), lit("#"),
+        length(col("nm")).cast("string"))
+      val keyed = recs.select(col("id"), bk.as("bkt"))
+      val n = keyed.count()
+      val kept = keyed.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= cap)
+      val vol = kept.agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+      info(f"entity-blocking: $vol%d in-block pairs @ $n%d records (cap $cap)")
+      assert(vol <= cap.toLong / 2 * n,
+        s"capped block volume $vol exceeds the linear envelope @ $n records")
+    }
+  }
+
+  test("triangle counting (p77): wedge volume respects the m^1.5 orientation bound") {
+    assume(haveData, "testdata absent")
+    for (dir <- Seq(sfSmall, sfLarge)) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("okey"), col("pk").as("pa"))
+      val b = li.select(col("okey"), col("pk").as("pb"))
+      val edges = Graphs.canonicalEdges(
+        a.join(b, "okey").filter(col("pa") < col("pb")), "pa", "pb").cache()
+      try {
+        val m = edges.count()
+        // oriented out-degree d_out: wedges = Σ C(d_out, 2)
+        val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val oriented = edges
+          .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+          .select(when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"))
+        val wedges = oriented.groupBy("src").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+          .head().getLong(0)
+        val bound = 2.0 * math.pow(m.toDouble, 1.5)
+        info(f"triangles: $wedges%d oriented wedges @ $m%d edges (bound $bound%.0f)")
+        assert(wedges.toDouble <= bound,
+          s"oriented wedge volume $wedges exceeds 2·m^1.5 @ $m edges")
+      } finally { edges.unpersist() }
+    }
+  }
 }
