@@ -146,4 +146,84 @@ object Series {
       .withColumn("drifted", col("d") > threshold)
       .select(col("g"), col("n"), col("d"), col("drifted"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * data-driven alternative to last-touch: model user journeys as a
+    * Markov chain START → channels → {CONV, DROP}, score each channel
+    * by how much total conversion probability DROPS when journeys
+    * through it are cut (its removal redirects into DROP), and
+    * normalize the removal effects into attribution shares.
+    *
+    * Distribution of work: the heavy pass is ONE windowed scan of the
+    * event log building the transition-count table (paths truncated at
+    * first conversion; START prefix; non-converting paths absorbed into
+    * DROP). That table is |states|² ≤ a few dozen rows — bounded
+    * METADATA, so the absorption arithmetic (finite-horizon power
+    * iteration, `steps` rounds, one run per scenario) executes on the
+    * driver like every other bounded collect in this repo (reservoirs,
+    * centroids, quantile rows). The oracle unrolls the identical
+    * finite-horizon recursion relationally — both sides compute the
+    * same K-step absorbed mass, so convergence tolerance never enters
+    * the compare.
+    *
+    * Returns one row per channel:
+    * (channel, p_base, p_removed, removal_effect, share). */
+  def markovAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, stateCol: String,
+                        convState: String, steps: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy("k").orderBy(col(tsCol), col(tieCol))
+    val evs = events.select(col(keyCol).as("k"), col(tsCol), col(tieCol),
+      when(col(stateCol) === convState, lit("CONV"))
+        .otherwise(col(stateCol)).as("st"))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = evs.filter(col("st") === "CONV")
+      .groupBy("k").agg(min(col("rn")).as("prn"))
+    val pe = evs.join(firstConv, Seq("k"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val w2 = Window.partitionBy("k").orderBy("rn")
+    val steps1 = pe
+      .withColumn("prev", lag(col("st"), 1).over(w2))
+      .select(coalesce(col("prev"), lit("START")).as("a"), col("st").as("b"))
+    val lastRn = pe.groupBy("k").agg(max(col("rn")).as("lrn"))
+    val drops = pe.join(lastRn, "k").filter(col("rn") === col("lrn"))
+      .filter(col("st") =!= "CONV")
+      .select(col("st").as("a"), lit("DROP").as("b"))
+    val counts = steps1.unionAll(drops).groupBy("a", "b")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // --- driver-side absorption over the bounded matrix ---------------
+    val rowTotals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = counts.map { case (a, b, n) => (a, b, n.toDouble / rowTotals(a)) }
+    val channels = counts.flatMap(c => Seq(c._1, c._2)).distinct
+      .filterNot(Set("START", "CONV", "DROP")).sorted
+    def absorbed(removed: Option[String]): Double = {
+      val eff = p.map { case (a, b, pr) =>
+        (a, if (removed.contains(b)) "DROP" else b, pr) }
+      var mass = Map("START" -> 1.0, "CONV" -> 0.0, "DROP" -> 0.0)
+        .withDefaultValue(0.0)
+      for (_ <- 1 to steps) {
+        val next = scala.collection.mutable.Map("CONV" -> mass("CONV"),
+          "DROP" -> mass("DROP")).withDefaultValue(0.0)
+        // removed channel's mass is dead weight: it re-routes to DROP
+        next("DROP") += removed.map(mass(_)).getOrElse(0.0)
+        eff.foreach { case (a, b, pr) =>
+          if (!removed.contains(a)) next(b) += mass(a) * pr }
+        mass = next.toMap.withDefaultValue(0.0)
+      }
+      mass("CONV")
+    }
+    val pBase = absorbed(None)
+    val removals = channels.map(c => c -> absorbed(Some(c)))
+    val totalRe = removals.map { case (_, pc) => math.max(0.0, pBase - pc) }.sum
+    import spark.implicits._
+    removals.map { case (c, pc) =>
+      val re = math.max(0.0, pBase - pc)
+      (c, round6(pBase), round6(pc), round6(re),
+        round6(if (totalRe > 0) re / totalRe else 0.0))
+    }.toSeq.toDF("channel", "p_base", "p_removed", "removal_effect", "share")
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -902,6 +902,19 @@ object CurationQueries extends QueryModule {
                  array_sort(collect_list(struct(bucket, dg_b))),
                  x -> CAST(x.dg_b AS STRING)), ',')) AS root_changed
         FROM bkt""")
+    }),
+
+    // ---- Markov removal-effect attribution: journeys as an absorbing
+    //      chain START → channels → {CONV, DROP}; each channel scored by
+    //      the conversion mass lost when routed through DROP. Heavy work
+    //      = ONE windowed scan into a |states|²-row count table; the
+    //      K-step absorption runs on that bounded metadata. The oracle
+    //      unrolls the SAME finite-horizon recursion relationally ------
+    "p85_markov_attribution" -> ((s, dir) => {
+      Series.markovAttribution(Tables.t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        convState = "purchase", steps = 16)
+        .orderBy("channel")
     })
   )
 
@@ -1913,6 +1926,81 @@ object CurationQueries extends QueryModule {
              md5(string_agg(CAST(dg_a AS VARCHAR), ',' ORDER BY bucket)) <>
              md5(string_agg(CAST(dg_b AS VARCHAR), ',' ORDER BY bucket))
                AS root_changed
-      FROM bkt"""
+      FROM bkt""",
+
+    "p85_markov_attribution" -> {
+      val K = 16
+      val stepCtes = (1 to K).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT w.scenario, t.b AS state, SUM(w.mass * t.p) AS mass
+           |  FROM v${i - 1} w JOIN ptr t
+           |    ON t.scenario = w.scenario AND t.a = w.state
+           |  GROUP BY w.scenario, t.b)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH paths AS MATERIALIZED (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      fc AS MATERIALIZED (SELECT user_id, MIN(rn) AS prn FROM paths
+             WHERE st = 'CONV' GROUP BY user_id),
+      pe AS MATERIALIZED (SELECT p.user_id, p.rn, p.st FROM paths p
+             LEFT JOIN fc USING (user_id)
+             WHERE fc.prn IS NULL OR p.rn <= fc.prn),
+      tr AS MATERIALIZED (
+        SELECT COALESCE(lag(st) OVER (
+                 PARTITION BY user_id ORDER BY rn), 'START') AS a,
+               st AS b
+        FROM pe
+        UNION ALL
+        SELECT st, 'DROP' FROM (
+          SELECT user_id, st, rn,
+                 MAX(rn) OVER (PARTITION BY user_id) AS lrn FROM pe)
+        WHERE rn = lrn AND st <> 'CONV'),
+      cnt AS MATERIALIZED (SELECT a, b, COUNT(*) AS n FROM tr GROUP BY a, b),
+      base_p AS MATERIALIZED (SELECT a, b, CAST(n AS DOUBLE) /
+                   SUM(n) OVER (PARTITION BY a) AS p FROM cnt),
+      chans AS MATERIALIZED (SELECT DISTINCT a AS c FROM cnt
+                WHERE a NOT IN ('START', 'CONV', 'DROP')
+                UNION
+                SELECT DISTINCT b FROM cnt
+                WHERE b NOT IN ('START', 'CONV', 'DROP')),
+      scen AS MATERIALIZED (SELECT 'base' AS scenario, CAST(NULL AS VARCHAR) AS removed
+               UNION ALL SELECT c, c FROM chans),
+      ptr0 AS MATERIALIZED (
+        SELECT s.scenario,
+               bp.a,
+               CASE WHEN s.removed IS NOT NULL AND bp.b = s.removed
+                    THEN 'DROP' ELSE bp.b END AS b,
+               bp.p
+        FROM scen s CROSS JOIN base_p bp
+        WHERE s.removed IS NULL OR bp.a <> s.removed),
+      ptr1 AS MATERIALIZED (SELECT scenario, a, b, SUM(p) AS p FROM ptr0 GROUP BY 1, 2, 3),
+      ptr AS MATERIALIZED (SELECT * FROM ptr1
+              UNION ALL SELECT scenario, 'CONV', 'CONV', 1.0 FROM scen
+              UNION ALL SELECT scenario, 'DROP', 'DROP', 1.0 FROM scen),
+      v0 AS MATERIALIZED (SELECT scenario, 'START' AS state, 1.0 AS mass FROM scen),
+      $stepCtes,
+      res AS MATERIALIZED (SELECT scenario,
+                COALESCE(SUM(CASE WHEN state = 'CONV' THEN mass END), 0)
+                  AS pconv
+              FROM v$K GROUP BY scenario),
+      base AS MATERIALIZED (SELECT pconv AS p_base FROM res WHERE scenario = 'base'),
+      rem AS MATERIALIZED (SELECT scenario AS channel, pconv AS p_removed
+              FROM res WHERE scenario <> 'base'),
+      tot AS MATERIALIZED (SELECT SUM(greatest(0, b.p_base - r.p_removed)) AS t
+              FROM rem r CROSS JOIN base b)
+      SELECT r.channel,
+             round(b.p_base, 6) AS p_base,
+             round(r.p_removed, 6) AS p_removed,
+             round(greatest(0, b.p_base - r.p_removed), 6) AS removal_effect,
+             round(CASE WHEN t.t > 0
+                        THEN greatest(0, b.p_base - r.p_removed) / t.t
+                        ELSE 0.0 END, 6) AS share
+      FROM rem r CROSS JOIN base b CROSS JOIN tot t
+      ORDER BY r.channel"""
+    }
   )
 }

@@ -95,6 +95,37 @@ class PrefixJoinSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)))
   }
 
+  // ---- Series.markovAttribution ----------------------------------------
+
+  test("markov attribution matches the hand-computed absorbing chain") {
+    // u1: a -> purchase ; u2: a (drops) ; u3: b -> purchase
+    // P(START->a)=2/3, P(START->b)=1/3, P(a->CONV)=1/2, P(b->CONV)=1
+    // p_base = 2/3*1/2 + 1/3 = 2/3; removing either channel leaves 1/3
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "a"),
+      (3L, 1L, 4L, "b"), (3L, 2L, 5L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Series.markovAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", convState = "purchase").orderBy("channel").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p_base") - 2.0 / 3) < 1e-6)
+      assert(math.abs(r.getAs[Double]("p_removed") - 1.0 / 3) < 1e-6)
+      assert(math.abs(r.getAs[Double]("share") - 0.5) < 1e-6)
+    }
+  }
+
+  test("markov attribution truncates journeys at the first conversion") {
+    // events AFTER the purchase must not create transitions
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "purchase"), (1L, 3L, 3L, "zzz")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Series.markovAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", convState = "purchase").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a")) // zzz never a channel
+  }
+
   test("ksDrift is zero for a group identical to the global mix") {
     // both groups hold the same values -> each group's ECDF == global
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
