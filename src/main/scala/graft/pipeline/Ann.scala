@@ -539,4 +539,49 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("dist"))
   }
+
+  /** Greedy k-center (farthest-point) coreset selection — the classic
+    * 2-approximation (Gonzalez 1985) for picking k maximally-diverse
+    * exemplars, the data-selection pass behind diverse fine-tuning
+    * subsets and dedup-aware eval panels.
+    *
+    * Each round is ONE distributed scan: min cosine-distance to the
+    * selected set (≤ k literal vectors compiled into the projection —
+    * the IVF centroid discipline, shuffle-free) followed by a
+    * TakeOrdered(1) argmax. k rounds = k scans; selection state on the
+    * driver is k vectors — bounded metadata. Distances are rounded to
+    * 1e-8 BEFORE the argmax and ties break on vec_id, so any engine
+    * replays the identical selection sequence (the p06 rule applied to
+    * selection instead of ranking).
+    *
+    * Seed = the row with MIN(vec_id) (deterministic). Returns one row
+    * per pick: (rk 1..k, vec_id, radius = the pick's min-distance to
+    * the previously selected set; NULL for the seed). radius is
+    * non-increasing — the coverage guarantee the spec pins. */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val seedRow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    var selected = Vector[(Long, Seq[Float], Option[Double])](
+      (seedRow.getLong(0), seedRow.getSeq[Float](1), None))
+    while (selected.size < k) {
+      val minDist = selected.map { case (_, v, _) =>
+        round(lit(1.0) - cosine(col("embedding"),
+          array(v.map(x => lit(x)): _*)), 8)
+      }.reduce(least(_, _))
+      val ids = selected.map(_._1)
+      val next = emb.filter(!col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding"), minDist.as("d"))
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1).head()
+      selected :+= ((next.getLong(0), next.getSeq[Float](1),
+        Some(next.getDouble(2))))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, r), i) =>
+      ((i + 1).toLong, id, r.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("rk", "vec_id", "radius")
+  }
 }

@@ -615,14 +615,27 @@ object Dedup {
       col("score"), (row_number().over(w) === 1).as("keep"))
   }
 
+  /** Release the executor-local blocks behind an eager localCheckpoint
+    * once a newer round's checkpoint has consumed them. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
+    // localCheckpoint, not cache: `labels` is referenced TWICE per round
+    // (neighbor minima + the join back), so the LOGICAL plan doubles per
+    // iteration — cache keeps the data but not the plan, and a window-
+    // heavy pairs input (e.g. prefixJaccardPairs) OOMs the analyzer
+    // within a handful of rounds (bitten in round 6, p86). Eager
+    // checkpoints truncate lineage each round; superseded blocks are
+    // released explicitly so peak storage is two label sets.
     val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .unionByName(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
-    var backing = labels // the cached plan the current `labels` reads from
+      .withColumn("lbl", col("v")).localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -631,19 +644,17 @@ object Dedup {
       val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
-        .cache()
-      // single action: materializes `updated`'s cache AND reads the
+        .localCheckpoint() // eager: materializes this round, truncates plan
+      // one extra tiny action on the checkpointed result reads the
       // improvement bit (max over booleans = "any label got smaller");
       // null means zero rows, which is trivially converged
       val row = updated.agg(max(col("lbl2") < col("lbl"))).head()
       converged = row.isNullAt(0) || !row.getBoolean(0)
-      val old = backing
+      releaseCheckpoint(labels)
       labels = updated.select(col("v"), col("lbl2").as("lbl"))
-      backing = updated
-      old.unpersist()
       it += 1
     }
-    edges.unpersist()
+    releaseCheckpoint(edges)
     // non-convergence means labels are WRONG (far ends of a >maxIter-
     // diameter chain still carry non-minimal labels) — fail loudly
     // unless the caller opted into the partial result
@@ -706,10 +717,6 @@ object Dedup {
     // The superseded round's checkpoint blocks are released explicitly
     // (the eager checkpoint of `next` has already consumed them) so peak
     // storage is two edge sets, not one per round.
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false))
     var edges = pairs
       .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()

@@ -915,6 +915,49 @@ object CurationQueries extends QueryModule {
         "user_id", "ts", "event_id", "event_type",
         convState = "purchase", steps = 16)
         .orderBy("channel")
+    }),
+
+    // ---- leakage-free GROUP split: the FIX for what p64 audits. Split
+    //      assignment hashes the near-dup CLUSTER label (exact prefix-
+    //      Jaccard pairs → connected components), not the doc id, so a
+    //      near-dup pair can never straddle train/eval — n_crossing is
+    //      the in-query proof and must be 0 --------------------------
+    "p86_group_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val pairs = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95)
+        .select("i", "j")
+      val labels = Dedup.connectedComponents(pairs)
+      val withSplit = d.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("grp"))
+        .withColumn("split",
+          Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit")))
+      val folds = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6))
+      val groups = withSplit.agg(
+        countDistinct(col("grp")).as("n_groups"))
+      val crossing = pairs
+        .join(withSplit.select(col("doc_id").as("i"), col("split").as("si")), "i")
+        .join(withSplit.select(col("doc_id").as("j"), col("split").as("sj")), "j")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("si") =!= col("sj"), 1L).otherwise(0L)),
+            lit(0L)).as("n_crossing"))
+      folds.crossJoin(groups).crossJoin(crossing)
+        .select(col("split"), col("n"), col("frac"), col("n_pairs"),
+          col("n_crossing"), col("n_groups"))
+        .orderBy("split")
+    }),
+
+    // ---- greedy k-center (farthest-point) coreset: k maximally-diverse
+    //      exemplars, Gonzalez's 2-approximation. k rounds × one scan
+    //      each (selected set = literal vectors in the projection,
+    //      shuffle-free); distances rounded 1e-8 before the argmax so
+    //      both engines replay the identical selection sequence --------
+    "p87_kcenter_coreset" -> ((s, dir) => {
+      Ann.kCenterSelect(embs(s, dir), k = 8).orderBy("rk")
     })
   )
 
@@ -2001,6 +2044,79 @@ object CurationQueries extends QueryModule {
                         ELSE 0.0 END, 6) AS share
       FROM rem r CROSS JOIN base b CROSS JOIN tot t
       ORDER BY r.channel"""
+    },
+
+    "p86_group_split" -> """
+      WITH RECURSIVE
+      t AS MATERIALIZED (SELECT doc_id AS id,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+           FROM documents),
+      p AS MATERIALIZED (SELECT id, unnest(ts) AS tok FROM t),
+      sz AS MATERIALIZED (SELECT id, len(ts) AS n FROM t),
+      inter AS MATERIALIZED (
+        SELECT a.id AS i, b.id AS j, COUNT(*) AS c
+        FROM p a JOIN p b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+      prs AS MATERIALIZED (
+        SELECT i, j FROM inter
+        JOIN sz sa ON sa.id = inter.i JOIN sz sb ON sb.id = inter.j
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95),
+      e AS MATERIALIZED (SELECT i AS u, j AS v FROM prs
+                         UNION SELECT j, i FROM prs),
+      reach(a, b) AS (SELECT u, v FROM e
+                      UNION
+                      SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+      lbls AS MATERIALIZED (SELECT a AS v, MIN(b) AS mn FROM reach GROUP BY a),
+      grp AS MATERIALIZED (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS grp
+        FROM documents d LEFT JOIN lbls l ON l.v = d.doc_id),
+      sp AS MATERIALIZED (
+        SELECT doc_id, grp,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, grp,
+                ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)),
+                  1, 8))::BIGINT / 4294967296.0 AS u
+              FROM grp)),
+      folds AS (SELECT split, COUNT(*) AS n FROM sp GROUP BY split),
+      tot AS (SELECT COUNT(*) AS nt, COUNT(DISTINCT grp) AS n_groups FROM sp),
+      cr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    CAST(COALESCE(SUM(CASE WHEN si.split <> sj.split
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing
+             FROM prs JOIN sp si ON si.doc_id = prs.i
+             JOIN sp sj ON sj.doc_id = prs.j)
+      SELECT f.split, CAST(f.n AS BIGINT) AS n,
+             round(f.n * 1.0 / t.nt, 6) AS frac,
+             c.n_pairs, c.n_crossing,
+             CAST(t.n_groups AS BIGINT) AS n_groups
+      FROM folds f CROSS JOIN tot t CROSS JOIN cr c ORDER BY f.split""",
+
+    "p87_kcenter_coreset" -> {
+      val K = 8
+      val dist = (e: String, s: String) =>
+        s"round(1 - list_cosine_similarity(CAST($e.embedding AS DOUBLE[]), " +
+          s"CAST($s.embedding AS DOUBLE[])), 8)"
+      val ctes = new StringBuilder
+      ctes.append(
+        "selset1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings)")
+      for (i <- 2 to K) {
+        val prev = s"selset${i - 1}"
+        ctes.append(s""",
+          pick$i AS MATERIALIZED (
+            SELECT e.vec_id,
+                   (SELECT MIN(${dist("e", "s")}) FROM embeddings s
+                    WHERE s.vec_id IN (SELECT vec_id FROM $prev)) AS d
+            FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+            ORDER BY d DESC, e.vec_id LIMIT 1),
+          selset$i AS MATERIALIZED (
+            SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM pick$i)""")
+      }
+      val out = (s"SELECT CAST(1 AS BIGINT) AS rk, vec_id, " +
+        "CAST(NULL AS DOUBLE) AS radius FROM selset1") +:
+        (2 to K).map(i =>
+          s"SELECT CAST($i AS BIGINT), vec_id, round(d, 6) FROM pick$i")
+      s"WITH ${ctes.toString}\n${out.mkString("\nUNION ALL\n")}\nORDER BY rk"
     }
   )
 }

@@ -95,6 +95,23 @@ class PrefixJoinSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)))
   }
 
+  // ---- Ann.kCenterSelect ------------------------------------------------
+
+  test("k-center picks the farthest point each round, radius non-increasing") {
+    // four unit vectors: two near-identical pairs on orthogonal axes.
+    // seed = id 1 (min id, x-ish); pick 2 must be a y-axis vector (far),
+    // picks 3/4 are the near-twins (tiny radius)
+    val e = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.999f, 0.0447f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0.0447f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.kCenterSelect(e, k = 4).orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L, 4L))
+    val radii = out.drop(1).map(_.getDouble(2))
+    assert(radii.sameElements(radii.sorted.reverse), "radius must not increase")
+    assert(radii.head > 0.9 && radii.last < 0.01)
+  }
+
   // ---- Series.markovAttribution ----------------------------------------
 
   test("markov attribution matches the hand-computed absorbing chain") {
