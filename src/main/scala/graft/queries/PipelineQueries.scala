@@ -647,6 +647,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- energy-based voice-activity segmentation over REAL WAV decode
+    //      (javax.sound.sampled): windows → active runs → segments, the
+    //      silence-trim / utterance-split pass of any speech pipeline.
+    //      The synthetic payload's segments derive from id parity, so
+    //      the oracle recomputes every fact analytically while the
+    //      ENGINE runs the real decode+segmentation --------------------
+    "m04_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 40)
+        .as[Long]
+        .map(id => (id, Multimodal.synthVadWav(id)))
+        .toDF("id", "wav")
+      Multimodal.vadSummaries(s,
+          Multimodal.asMedia(media, "id", "wav", "audio"))
+        .toDF()
+        .select(col("media_id"), col("decoded"), col("n_segments"),
+          col("active_ms"), col("first_ms"), col("last_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- BPE-ish subword token accounting (training-data budgeting) ----
     "p12_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1419,6 +1440,19 @@ object PipelineQueries extends QueryModule {
              CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS n_frames,
              round((1000 + (doc_id % 5) * 500) / 8000.0, 6) AS duration_s
       FROM documents WHERE doc_id < 50 ORDER BY media_id""",
+
+    "m04_audio_vad" -> """
+      SELECT doc_id AS media_id,
+             true AS decoded,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_segments,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 300 ELSE 200 END AS BIGINT)
+               AS active_ms,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 100 END AS BIGINT)
+               AS first_ms,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 500 ELSE 400 END AS BIGINT)
+               AS last_ms
+      FROM documents WHERE doc_id < 40 ORDER BY media_id""",
 
     "p22_range_join" -> """
       WITH inc AS (

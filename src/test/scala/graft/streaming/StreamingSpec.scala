@@ -412,4 +412,46 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond.toSeq == afterFirst.toSeq,
       "restart re-emitted data despite committed offsets")
   }
+
+  test("graft_kmv works as a streaming windowed aggregate (distinct users per window)") {
+    // the custom TypedImperativeAggregate must behave in Structured
+    // Streaming's partial/merge protocol exactly as in batch: per-window
+    // distinct-user sketches, exact below k — so the streamed result
+    // must EQUAL the batch count(distinct) per closed window
+    import org.apache.spark.sql.functions._
+    graft.functions.KmvAgg.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("ev_kmv")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def unitHash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("su:"), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0
+    val streamIn = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .transform(Tables.normalizeEventTs)
+    val q = streamIn
+      .withColumn("u", unitHash(col("user_id")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("graft_kmv(u, 4096)").as("sk"))
+      .select(col("w.start").as("ws"), col("sk.n_min").as("n_users"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "stream emitted nothing")
+    val batch = Tables.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("w.start"), col("n")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (ws, n) =>
+      assert(batch.get(ws).contains(n),
+        s"window $ws: stream kmv $n vs batch distinct ${batch.get(ws)}")
+    }
+  }
 }
