@@ -759,6 +759,37 @@ object SqlSurfaceQueries extends QueryModule {
                SUM(COUNT(*)) OVER () = (SELECT COUNT(*) FROM f)
                  AS exactly_once
         FROM j GROUP BY ver ORDER BY ver""")
+    }),
+
+    // DISTINCT window aggregates: Spark REJECTS COUNT(DISTINCT) OVER, so
+    // the engine runs the two canonical rewrites — running distinct =
+    // cumulative sum of a first-occurrence flag (row_number = 1 over
+    // (partition, value)); partition-total distinct = max(dense_rank by
+    // value). DuckDB supports the NATIVE distinct window aggregate, so
+    // the oracle states COUNT(DISTINCT ...) OVER directly — the compare
+    // cross-validates the rewrite against a real implementation on every
+    // row, ties and frame semantics included.
+    "q88_windowed_distinct" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                          o_orderdate AS d, o_custkey AS ck
+                   FROM orders WHERE o_orderkey <= 2000),
+        f AS (SELECT prio, okey, d, ck,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY prio, ck ORDER BY d, okey) = 1
+                       THEN 1 ELSE 0 END AS first_seen,
+                     dense_rank() OVER (
+                       PARTITION BY prio ORDER BY ck) AS dr
+              FROM o)
+        SELECT prio, okey,
+               CAST(SUM(first_seen) OVER (
+                 PARTITION BY prio ORDER BY d, okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS running_distinct,
+               CAST(MAX(dr) OVER (PARTITION BY prio) AS BIGINT)
+                 AS total_distinct
+        FROM f ORDER BY prio, okey""")
     })
   )
 
@@ -1285,6 +1316,19 @@ object SqlSurfaceQueries extends QueryModule {
                AS wsum,
              SUM(COUNT(*)) OVER () = (SELECT COUNT(*) FROM f)
                AS exactly_once
-      FROM j GROUP BY ver ORDER BY ver"""
+      FROM j GROUP BY ver ORDER BY ver""",
+
+    "q88_windowed_distinct" -> """
+      WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                        o_orderdate AS d, o_custkey AS ck
+                 FROM orders WHERE o_orderkey <= 2000)
+      SELECT prio, okey,
+             CAST(COUNT(DISTINCT ck) OVER (
+               PARTITION BY prio ORDER BY d, okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_distinct,
+             CAST(COUNT(DISTINCT ck) OVER (PARTITION BY prio) AS BIGINT)
+               AS total_distinct
+      FROM o ORDER BY prio, okey"""
   )
 }
