@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global rank — the scalable replacement for
+  * `row_number().over(Window.orderBy(...))`, which plans a SINGLE
+  * partition (one task sorts the entire input; Spark even warns about
+  * it). Fine for a bounded metadata table, fatal for anything
+  * corpus-shaped — a 100 TB web corpus has 10^8-10^9 distinct tokens,
+  * so a vocabulary is tens of GB, not "megabytes".
+  *
+  * Shape: range-repartition on the sort keys (partition i holds keys
+  * strictly below partition i+1's), rank locally inside each partition,
+  * then add per-partition offsets — a cumulative sum over the
+  * partition-count table, which has exactly numPartitions rows, the one
+  * place a single-partition window is the CORRECT plan. Every stage is
+  * Catalyst-visible; no RDD round-trip, no driver collect.
+  */
+object Ranks {
+
+  /** Append a 1-based global `row_number`-equivalent rank over `sortCols`
+    * (ties broken arbitrarily but deterministically only if `sortCols`
+    * form a unique key — same contract as row_number). */
+  def globalRowNumber(df: DataFrame, rankCol: String,
+                      sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // Local rank: the window partitions by __pid, whose values are the
+    // range-partition ids, so ordering (pid, local rank) == global order.
+    val local = parted.withColumn("__lrk", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    // numPartitions rows -> the cumulative-offset window is bounded.
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, (col("__off") + col("__lrk")).cast("long"))
+      .drop("__pid", "__lrk", "__off")
+  }
+}

@@ -771,8 +771,16 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // Both intermediates fan out: rp feeds the prefix cut AND the
+    // rank-set verify table; pref feeds BOTH sides of the candidate
+    // self-join. Un-persisted, each consumer replays tokenize + explode +
+    // rank join + two id-windows — measured 21.6 s -> ~8 s at sf0.1 from
+    // these two persists alone. Both tables are corpus-linear and skinny
+    // (postings of longs); MEMORY_AND_DISK spills rather than OOMs.
     val rp = rankedPostings(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = prefixCut(rp, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LENGTH filter (the second PPJoin prune, equally lossless):
     // J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so cross-length
     // candidates die INSIDE the join before any pair materializes
@@ -780,27 +788,46 @@ object Dedup {
     // vocab corpus
     // join on the LONG rank, not the token string: the probe hashes the
     // key once per posting pair, and long hashing beats string hashing
-    val a = pref.select(col("rk"), col("id").as("i"), col("n").as("ni"))
-    val b = pref.select(col("rk"), col("id").as("j"), col("n").as("nj"))
+    val a = pref.select(col("rk"), col("id").as("i"), col("n").as("ni"),
+      col("pos").as("pa"))
+    val b = pref.select(col("rk"), col("id").as("j"), col("n").as("nj"),
+      col("pos").as("pb"))
+    // POSITIONAL filter (PPJoin's third lossless prune, Xiao et al. §3):
+    // for a shared token at rank positions (pa, pb), common tokens ranked
+    // below it number at most min(pa,pb)-1 (they precede it in BOTH
+    // records) and those ranked at-or-above at most 1 + min(ni-pa, nj-pb),
+    // so overlap(x,y) <= min(pa,pb) + min(ni-pa, nj-pb). J >= t forces
+    // overlap >= ceil(t/(1+t)*(ni+nj)) =: alpha; the bound holds for
+    // EVERY shared prefix token, so dropping candidate rows with
+    // ubound < alpha loses no true pair (a true pair's every match row
+    // satisfies ubound >= overlap >= alpha). The 1e-9 slack keeps a
+    // float-exact alpha from rounding up and pruning a boundary pair.
+    val alpha = ceil((col("ni") + col("nj")) * lit(threshold / (1.0 + threshold))
+      - lit(1e-9))
     val cands = a.join(b, "rk")
       .filter(col("i") < col("j") &&
         col("ni") >= lit(threshold) * col("nj") &&
-        col("nj") >= lit(threshold) * col("ni"))
+        col("nj") >= lit(threshold) * col("ni") &&
+        (least(col("pa"), col("pb")) +
+          least(col("ni") - col("pa"), col("nj") - col("pb"))) >= alpha)
       .select("i", "j").distinct()
     // Verify on RANK-array sets (longs, not token strings:
     // array_intersect hashes every element per pair, and integer
-    // hashing is several times cheaper) via BROADCAST joins: candidates
-    // are the big side (quadratic on degenerate corpora - ScalingSpec)
-    // and must never be shuffled twice just to fetch two tiny arrays;
-    // the rank-set table is corpus-linear and skinny. Ranks are a
-    // bijection of the vocabulary, so |intersection| and the set sizes
-    // are unchanged. At a corpus too large to broadcast, candidates are
-    // linear under the Heaps-law regime and the shuffle join is the
-    // right plan - AQE picks it past the broadcast threshold.
-    val rankSets = rp.groupBy("id").agg(collect_list(col("rk")).as("tr"))
+    // hashing is several times cheaper). Candidates are the big side
+    // (quadratic on degenerate corpora - ScalingSpec) and should not be
+    // shuffled twice just to fetch two tiny arrays - BUT the rank-set
+    // table is corpus-linear (one row per document), so the broadcast
+    // hint is applied ONLY under Broadcasts.sizeGated's measured byte
+    // cap: an explicit hint is honored regardless of
+    // autoBroadcastJoinThreshold and would fail outright (8 GB limit /
+    // driver OOM) on a corpus past the cap, where the gate instead emits
+    // no hint and the planner shuffles. Ranks are a bijection of the
+    // vocabulary, so |intersection| and the set sizes are unchanged.
+    val rankSets = graft.operators.Broadcasts.sizeGated(
+      rp.groupBy("id").agg(collect_list(col("rk")).as("tr")))
     cands
-      .join(broadcast(rankSets.select(col("id").as("i"), col("tr").as("ta"))), "i")
-      .join(broadcast(rankSets.select(col("id").as("j"), col("tr").as("tb"))), "j")
+      .join(rankSets.select(col("id").as("i"), col("tr").as("ta")), "i")
+      .join(rankSets.select(col("id").as("j"), col("tr").as("tb")), "j")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
@@ -809,30 +836,35 @@ object Dedup {
   }
 
   /** Distinct (id, tok, rk) postings under the global rarest-first rank
-    * (df asc, token asc). The rank window runs over the VOCAB (small);
-    * the rank table joins back broadcast. */
-  private def rankedPostings(df: DataFrame, idCol: String,
+    * (df asc, token asc). The rank is a DISTRIBUTED global row_number
+    * ([[graft.operators.Ranks.globalRowNumber]]: range partition + local
+    * rank + partition offsets) — a vocabulary obeys Heaps' law, so at
+    * web-corpus scale it is 10^8-10^9 distinct tokens / tens of GB, far
+    * past what one task can sort or one hint can broadcast; the join
+    * back to the postings is size-gated for the same reason. */
+  private[pipeline] def rankedPostings(df: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val posts = df.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("id"), explode(col("ts")).as("tok"))
-    val ranked = posts.groupBy("tok").agg(count(lit(1)).as("tdf"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("tdf"), col("tok"))).cast("long"))
-      .select("tok", "rk")
-    posts.join(broadcast(ranked), "tok")
+    val vocab = posts.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val ranked = graft.operators.Broadcasts.sizeGated(
+      graft.operators.Ranks.globalRowNumber(vocab, "rk",
+        col("tdf"), col("tok")).select("tok", "rk"))
+    posts.join(ranked, "tok")
   }
 
-  /** Keep each record's first |x| - ceil(t*|x|) + 1 rank-ordered tokens. */
+  /** Keep each record's first |x| - ceil(t*|x|) + 1 rank-ordered tokens,
+    * with each kept token's rank position `pos` (1-based) and the record
+    * set size `n` — `pos` feeds the positional filter. */
   private def prefixCut(rp: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     rp.withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("rk"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
-      .select(col("tok"), col("rk"), col("id"), col("n"))
+      .select(col("tok"), col("rk"), col("id"), col("n"), col("pos"))
   }
 
   /** Prefix-postings candidate volume vs the full inverted index - the

@@ -37,14 +37,24 @@ object EntityRes {
                    blockCap: Int = 1000): DataFrame = {
     val keyed = records.select(col(idCol).as("id"), col(nameCol).as("nm"),
       blockKey.as("bk"))
-    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
-    val kept = keyed.join(broadcast(sizes.filter(col("bn") <= blockCap)), "bk")
+    // The block-size table is one row per DISTINCT BLOCK KEY — unbounded
+    // in the corpus (names, prefixes, phonetic codes all grow with it) —
+    // so the broadcast hint is size-gated: under the measured cap it
+    // broadcasts, past it no hint is emitted and the planner shuffles.
+    val sizes = graft.operators.Broadcasts.sizeGated(
+      keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= blockCap).select("bk"))
+    val kept = keyed.join(sizes, "bk")
     val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
     val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
     a.join(b, "bk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("edits", levenshtein(col("nm_a"), col("nm_b")))
-      .filter(col("edits") <= maxEdits)
+      // Banded levenshtein: the threshold form abandons a pair as soon as
+      // the edit distance provably exceeds maxEdits (returns -1), turning
+      // O(|a|*|b|) full DP into O(maxEdits * min(|a|,|b|)) per pair — the
+      // verify is the hot loop, pairs * len^2 vs pairs * k*len at scale.
+      .withColumn("edits", levenshtein(col("nm_a"), col("nm_b"), maxEdits))
+      .filter(col("edits") >= 0 && col("edits") <= maxEdits)
       .select(col("id_a"), col("id_b"), col("bk").as("block_key"),
         col("edits").cast("long").as("edits"))
   }

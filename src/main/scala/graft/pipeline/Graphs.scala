@@ -65,10 +65,13 @@ object Graphs {
     val tri = wedges.join(
       oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
       .agg(count(lit(1)).as("n_triangles"))
+    // Integral `div`, not true division: sum(long)/2 goes through DOUBLE,
+    // whose 53-bit mantissa silently truncates once sum(d*(d-1)) passes
+    // 2^53 (one hub of degree ~1e8 suffices) — `div` stays in LongType.
     val degAgg = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
-      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     degAgg.crossJoin(tri)
       .withColumn("transitivity",
         when(col("n_wedges") > 0,

@@ -364,11 +364,12 @@ object Multimodal {
 
   /** Deterministic synthetic "speech" WAV: five 100 ms segments (800
     * frames @ 8 kHz, 16-bit PCM mono); segment s carries a 0.3-amplitude
-    * 320 Hz tone when (id + s) is even and silence otherwise. Segment
+    * 400 Hz tone when (id + s) is even and silence otherwise. Segment
     * length is a multiple of the 80-frame VAD window and the tone period
-    * divides the window (320 Hz @ 8 kHz = 25 samples ≪ 80), so every
-    * window's RMS is analytically ≈ 0.3/√2 or 0 — a SQL oracle can
-    * recompute every VAD fact from id parity alone. */
+    * (400 Hz @ 8 kHz = 20 samples) divides the 80-frame window exactly,
+    * so every window holds whole periods and its RMS is analytically
+    * 0.3/√2 or 0 — a SQL oracle can recompute every VAD fact from id
+    * parity alone. */
   def synthVadWav(id: Long): Array[Byte] = {
     val sr = 8000
     val segFrames = 800
@@ -381,7 +382,7 @@ object Multimodal {
       while (i < segFrames) {
         val idx = s * segFrames + i
         val v = if (active)
-          (0.3 * math.sin(2 * math.Pi * 320.0 * idx / sr) * 32767).toInt
+          (0.3 * math.sin(2 * math.Pi * 400.0 * idx / sr) * 32767).toInt
         else 0
         pcm(idx * 2) = (v & 0xff).toByte
         pcm(idx * 2 + 1) = ((v >> 8) & 0xff).toByte

@@ -141,10 +141,15 @@ object Series {
       .withColumn("gap", abs(
         col("cum_g").cast("double") / col("n_g") -
           col("cum_all").cast("double") / col("n_all")))
+    // drifted compares the UNROUNDED sup gap to the threshold (the oracle
+    // does the same); rounding first would flip the boolean for a true
+    // gap inside (threshold, threshold + 5e-7). d is rounded for display
+    // /hash-compare only.
     expanded.groupBy("g")
-      .agg(max(col("n_g")).as("n"), round(max(col("gap")), 6).as("d"))
-      .withColumn("drifted", col("d") > threshold)
-      .select(col("g"), col("n"), col("d"), col("drifted"))
+      .agg(max(col("n_g")).as("n"), max(col("gap")).as("d_raw"))
+      .withColumn("drifted", col("d_raw") > threshold)
+      .select(col("g"), col("n"), round(col("d_raw"), 6).as("d"),
+        col("drifted"))
   }
 
   /** Markov removal-effect attribution (Anderl et al. 2016) — the

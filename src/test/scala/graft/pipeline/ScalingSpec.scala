@@ -319,4 +319,59 @@ class ScalingSpec extends SparkSpec {
       } finally { edges.unpersist() }
     }
   }
+
+  test("size-gated broadcasts (p80/p76): forced over-cap path is identical " +
+      "through shuffle joins") {
+    assume(haveData, "testdata absent")
+    // VERDICT r6 item 1: an explicit broadcast() hint bypasses
+    // autoBroadcastJoinThreshold, so past ~8 GB it fails the job instead
+    // of degrading. The gate must therefore (a) hint only under its
+    // measured cap and (b) produce IDENTICAL results when the cap forces
+    // the shuffle path — this drives (b) with cap=0 and auto-broadcast
+    // disabled, so any BroadcastHashJoin left in the plan could only come
+    // from a hint the gate failed to withhold.
+    val d = docs(sfSmall)
+    val recs = spark.read.parquet(s"$sfSmall/part.parquet")
+      .select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"))
+    val bk = concat(substring(col("nm"), 1, 2), lit("#"),
+      length(col("nm")).cast("string"))
+    def runBoth() = (
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.9)
+        .orderBy("i", "j").collect().toSeq,
+      EntityRes.blockedPairs(recs, "id", "nm", bk, maxEdits = 3)
+        .orderBy("id_a", "id_b").collect().toSeq)
+    val (basePairs, baseEr) = runBoth()
+    spark.conf.set(graft.operators.Broadcasts.MaxBytesConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Drop the baseline run's caches: an InMemoryTableScan displays the
+    // physical plan its batches were BUILT with (under the default cap),
+    // which would leak stale BroadcastHashJoins into the plan assertions.
+    spark.catalog.clearCache()
+    try {
+      val forcedJac = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.9)
+      val gotPairs = forcedJac.orderBy("i", "j").collect().toSeq
+      // The only broadcast allowed is Ranks' per-partition OFFSETS join
+      // (exactly numPartitions rows — bounded by construction); every
+      // corpus-shaped join (postings, rank sets, candidates) must shuffle.
+      val bhj = forcedJac.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+      assert(bhj.forall(_.contains("__pid")),
+        s"cap=0 left a hint-driven broadcast join in the p80 plan:\n" +
+          bhj.mkString("\n"))
+      assert(gotPairs == basePairs,
+        "shuffle-path prefix-Jaccard diverged from the broadcast path")
+      val forcedEr = EntityRes.blockedPairs(recs, "id", "nm", bk, maxEdits = 3)
+      val gotEr = forcedEr.orderBy("id_a", "id_b").collect().toSeq
+      assert(!forcedEr.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "cap=0 must leave no hint-driven broadcast join in the p76 plan")
+      assert(gotEr == baseEr,
+        "shuffle-path entity blocking diverged from the broadcast path")
+    } finally {
+      spark.conf.unset(graft.operators.Broadcasts.MaxBytesConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.catalog.clearCache() // sizeGated persists its inputs
+    }
+  }
 }
