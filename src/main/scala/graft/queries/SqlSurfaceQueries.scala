@@ -790,8 +790,58 @@ object SqlSurfaceQueries extends QueryModule {
                CAST(MAX(dr) OVER (PARTITION BY prio) AS BIGINT)
                  AS total_distinct
         FROM f ORDER BY prio, okey""")
+    }),
+
+    // Same DISTINCT-window semantics as q88, but the query text uses the
+    // NATIVE COUNT(DISTINCT …) OVER form and goes through
+    // DorisSql.translate — the translator's SIZE(COLLECT_SET(…) OVER …)
+    // pass (VERDICT r6 item 4) is what makes Spark accept it. The oracle
+    // is the IDENTICAL text run on DuckDB's native DISTINCT window
+    // aggregate, so the rewrite is cross-validated row-by-row against a
+    // real implementation, ties and frames included.
+    "q89_translated_distinct_window" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate(distinctWindowSql))
+    }),
+
+    // QUALIFY in EVERY branch of a set-operation chain through the
+    // translator (VERDICT r6 item 5): per-branch rewrite, global ORDER
+    // BY left outside the last branch. DuckDB runs QUALIFY natively, so
+    // the oracle is again the identical text.
+    "q90_translated_qualify_union" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DorisSql.translate(qualifyUnionSql))
     })
   )
+
+  /** Shared Spark/DuckDB text for q89 (Spark side goes through
+    * DorisSql.translate; DuckDB runs it natively). */
+  private val distinctWindowSql = """
+    SELECT prio, okey,
+           CAST(COUNT(DISTINCT ck) OVER (
+             PARTITION BY prio ORDER BY d, okey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_distinct,
+           CAST(COUNT(DISTINCT ck) OVER (PARTITION BY prio) AS BIGINT)
+             AS total_distinct
+    FROM (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                 o_orderdate AS d, o_custkey AS ck
+          FROM orders WHERE o_orderkey <= 2000)
+    ORDER BY prio, okey"""
+
+  /** Shared Spark/DuckDB text for q90. */
+  private val qualifyUnionSql = """
+    SELECT o_custkey AS ck, o_orderkey AS okey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    UNION ALL
+    SELECT o_custkey, o_orderkey, -CAST(o_totalprice AS DOUBLE)
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice ASC, o_orderkey) = 1
+    ORDER BY ck, okey, price"""
 
   /** SAME SQL text runs on Spark and DuckDB (Sig embeds portable
     * CASE/log10/power arithmetic), so the two sides cannot drift. */
@@ -815,6 +865,10 @@ object SqlSurfaceQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // q89/q90: the SAME text Spark translates runs natively on DuckDB
+    "q89_translated_distinct_window" -> distinctWindowSql,
+    "q90_translated_qualify_union" -> qualifyUnionSql,
+
     "q24_left_outer" -> """
       SELECT c_custkey, COUNT(o_orderkey) AS n_open,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total

@@ -21,9 +21,9 @@ package graft.sqlx
 object DorisSql {
 
   def translate(sql: String): String =
-    rewriteQualify(rewriteLimitCommaOffset(rewriteMinus(
+    rewriteQualify(rewriteDistinctWindow(rewriteLimitCommaOffset(rewriteMinus(
       rewriteDateFormatPatterns(rewriteDateAddInterval(
-        rewriteDistributeHints(rewriteGroupConcat(sql)))))))
+        rewriteDistributeHints(rewriteGroupConcat(sql))))))))
 
   /** MySQL/Doris `DATE_ADD(expr, INTERVAL n unit)` (and DATE_SUB /
     * ADDDATE / SUBDATE) → Spark's `expr ± INTERVAL n unit` arithmetic —
@@ -225,24 +225,174 @@ object DorisSql {
   private def rewriteLimitCommaOffset(sql: String): String =
     limitCommaRe.replaceAllIn(sql, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
 
+  /** DISTINCT window aggregate: `COUNT(DISTINCT e[, e2…]) OVER …` →
+    * `SIZE(COLLECT_SET(e) OVER …)`. Spark rejects DISTINCT in a window
+    * aggregate outright (UNSUPPORTED_EXPR_FOR_WINDOW), while replayed
+    * Doris/DuckDB workloads use it natively — q88 proved the rewrite's
+    * semantics against DuckDB's native implementation row-by-row (ties
+    * and frames included); this pass makes the translator perform it.
+    * collect_set maintains the distinct set under ANY frame Spark
+    * accepts for window aggregates and drops NULLs exactly as
+    * COUNT(DISTINCT) does; the multi-argument form counts rows where ALL
+    * arguments are non-null, preserved by a CASE-guarded struct. The
+    * rewrite is applied at any depth and repeats until no
+    * `COUNT(DISTINCT…) OVER` remains (each pass eliminates one); a
+    * plain `COUNT(DISTINCT…)` aggregate without OVER is native Spark
+    * and passes through. */
+  private def rewriteDistinctWindow(sql: String): String = {
+    val n = sql.length
+    def skipWs(i0: Int): Int = {
+      var i = i0; while (i < n && sql.charAt(i).isWhitespace) i += 1; i
+    }
+    // string-literal-aware matching-paren scan; -1 when unbalanced
+    def matchParen(open: Int): Int = {
+      var i = open + 1; var depth = 1
+      while (i < n && depth > 0) {
+        val c = sql.charAt(i)
+        if (c == '\'' || c == '"') {
+          val q = c; i += 1
+          while (i < n && sql.charAt(i) != q) {
+            if (sql.charAt(i) == '\\') i += 1
+            i += 1
+          }
+        } else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth > 0) i += 1
+      }
+      if (depth == 0) i else -1
+    }
+    def splitTopCommas(s: String): Seq[String] = {
+      val parts = Seq.newBuilder[String]
+      var depth = 0; var start = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'' || c == '"') {
+          val q = c; i += 1
+          while (i < s.length && s.charAt(i) != q) {
+            if (s.charAt(i) == '\\') i += 1
+            i += 1
+          }
+        } else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) { parts += s.substring(start, i); start = i + 1 }
+        i += 1
+      }
+      parts += s.substring(start)
+      parts.result().map(_.trim)
+    }
+    val distinctHead = """(?is)^\s*distinct\b(.*)$""".r
+    for ((w, _, we, _) <- wordTokens(sql) if w == "count") {
+      val openIdx = skipWs(we)
+      if (openIdx < n && sql.charAt(openIdx) == '(') {
+        val closeIdx = matchParen(openIdx)
+        if (closeIdx > 0) sql.substring(openIdx + 1, closeIdx) match {
+          case distinctHead(argText) =>
+            val overStart = skipWs(closeIdx + 1)
+            if (sql.regionMatches(true, overStart, "over", 0, 4) &&
+                (overStart + 4 >= n || !sql.charAt(overStart + 4).isLetterOrDigit)) {
+              // the OVER target: an inline (window spec) or a named window
+              val afterOver = skipWs(overStart + 4)
+              val replEnd =
+                if (afterOver < n && sql.charAt(afterOver) == '(') {
+                  val c2 = matchParen(afterOver)
+                  if (c2 > 0) c2 + 1 else -1
+                } else {
+                  var i = afterOver
+                  while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+                  if (i > afterOver) i else -1
+                }
+              if (replEnd > 0) {
+                val countStart = we - "count".length
+                val args = splitTopCommas(argText)
+                val elem =
+                  if (args.length == 1) args.head
+                  else s"CASE WHEN ${args.map(a => s"($a) IS NOT NULL").mkString(" AND ")} " +
+                    s"THEN struct(${args.mkString(", ")}) END"
+                val overText = sql.substring(closeIdx + 1, replEnd)
+                return rewriteDistinctWindow(
+                  sql.substring(0, countStart) +
+                    s"SIZE(COLLECT_SET($elem)$overText)" +
+                    sql.substring(replEnd))
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+    sql
+  }
+
   /** QUALIFY at ANY query-block depth (the reference grammar,
-    * DorisParser.g4 querySpecification, allows it in every block —
-    * replayed logs do carry it inside CTE bodies and derived tables).
-    * Every parenthesized region is rewritten bottom-up first, then the
-    * outermost block; each block applies the depth-0 transform:
+    * DorisParser.g4:1240-1261 querySpecification, allows it in every
+    * block — replayed logs do carry it inside CTE bodies, derived
+    * tables, and EVERY branch of a set-operation chain). Every
+    * parenthesized region is rewritten bottom-up first; then the
+    * outermost level is split at its top-level set operators (UNION /
+    * INTERSECT / EXCEPT, honoring a trailing ALL/DISTINCT) and each
+    * branch gets the block transform independently:
     *
     *   SELECT <list> FROM <rel> QUALIFY <pred> <tail>
     *   → SELECT * EXCEPT (__qualify)
     *     FROM (SELECT <list>, (<pred>) AS __qualify FROM <rel>)
     *     WHERE __qualify <tail>
     *
-    * Non-query paren groups (function args, IN-lists) contain no
-    * top-level QUALIFY token and pass through unchanged. Known limit:
-    * only the FIRST depth-0 QUALIFY of a block is rewritten, so
-    * `SELECT…QUALIFY… UNION SELECT…QUALIFY…` needs the second branch
-    * parenthesized (which is also the readable form). */
+    * A WITH prelude stays OUTSIDE the branch rewrites (its CTEs scope
+    * over all branches), and a trailing ORDER BY/LIMIT/OFFSET after the
+    * last branch stays global (it orders the whole set result, so it
+    * must not be folded into the last branch's subquery). Non-query
+    * paren groups (function args, IN-lists) contain no top-level
+    * QUALIFY token and pass through unchanged. */
   private def rewriteQualify(sql: String): String =
-    rewriteQualifyBlock(mapTopParens(sql)(rewriteQualify))
+    rewriteQualifySetAware(mapTopParens(sql)(rewriteQualify))
+
+  private val setOpNames = Set("union", "intersect", "except")
+
+  private def rewriteQualifySetAware(sql: String): String = {
+    val toks = wordTokens(sql)
+    // EXCEPT is a set op only when a query block follows; `SELECT *
+    // EXCEPT (cols)` — which this rewrite itself emits — is followed by
+    // a parenthesized COLUMN list, never by SELECT/WITH/ALL/DISTINCT.
+    def isSetOp(i: Int): Boolean = {
+      val t = toks(i)
+      t._4 == 0 && setOpNames.contains(t._1) && (t._1 != "except" || {
+        val next = toks.drop(i + 1).find(_._2 >= t._3)
+        next.exists(nt => nt._1 == "select" || nt._1 == "all" ||
+          nt._1 == "distinct" || nt._1 == "with")
+      })
+    }
+    val ops = toks.indices.filter(isSetOp)
+    if (ops.isEmpty) return rewriteQualifyBlock(sql)
+    // the op span swallows a following top-level ALL / DISTINCT
+    def opEnd(i: Int): Int =
+      toks.lift(i + 1)
+        .filter(nt => nt._4 == 0 && (nt._1 == "all" || nt._1 == "distinct"))
+        .map(_._3).getOrElse(toks(i)._3)
+    val firstSelect = toks.find(t => t._4 == 0 && t._1 == "select")
+      .map(_._2).getOrElse(0)
+    val lastEnd = opEnd(ops.last)
+    val tailStart = toks.find(t => t._4 == 0 && t._2 >= lastEnd &&
+        (t._1 == "order" || t._1 == "limit" || t._1 == "offset"))
+      .map(_._2).getOrElse(sql.length)
+    val sb = new StringBuilder(sql.substring(0, firstSelect))
+    // a rewritten branch can swallow its surrounding whitespace, so
+    // re-separate pieces only where a space is actually missing — an
+    // untouched statement stays byte-identical
+    def appendSep(s: String): Unit = {
+      if (sb.nonEmpty && !sb.last.isWhitespace &&
+        s.nonEmpty && !s.head.isWhitespace) sb.append(' ')
+      sb.append(s)
+    }
+    var pos = firstSelect
+    for (i <- ops) {
+      appendSep(rewriteQualifyBlock(sql.substring(pos, toks(i)._2)))
+      val e = opEnd(i)
+      appendSep(sql.substring(toks(i)._2, e))
+      pos = e
+    }
+    appendSep(rewriteQualifyBlock(sql.substring(pos, tailStart)))
+    appendSep(sql.substring(tailStart))
+    sb.toString
+  }
 
   private def rewriteQualifyBlock(sql: String): String = {
     val toks = wordTokens(sql)

@@ -56,6 +56,54 @@ class DorisSqlSpec extends AnyFunSuite {
     assert(DorisSql.translate(lit) == lit)
   }
 
+  test("QUALIFY is rewritten in EVERY branch of a set-operation chain") {
+    val out = DorisSql.translate(
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 " +
+        "UNION ALL SELECT a FROM u QUALIFY RANK() OVER (ORDER BY a) <= 2 " +
+        "ORDER BY a LIMIT 5")
+    // both branches wrapped, operator and global tail preserved
+    assert(out.split("WHERE __qualify").length == 3, out)
+    assert(out.contains("UNION ALL"), out)
+    assert(out.trim.endsWith("ORDER BY a LIMIT 5"), out)
+    // the first branch's predicate must STOP at the set operator
+    assert(!out.contains("= 1 UNION"), out)
+    // QUALIFY only in the SECOND branch also rewrites
+    val out2 = DorisSql.translate(
+      "SELECT a FROM t UNION SELECT a FROM u QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1")
+    assert(out2.startsWith("SELECT a FROM t UNION "), out2)
+    assert(out2.contains("WHERE __qualify"), out2)
+    // a WITH prelude scopes over ALL branches: it must stay outside
+    val out3 = DorisSql.translate(
+      "WITH c AS (SELECT a FROM t) SELECT a FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 UNION SELECT a FROM c")
+    assert(out3.startsWith("WITH c AS (SELECT a FROM t) SELECT * EXCEPT (__qualify)"), out3)
+    // Spark's SELECT * EXCEPT (cols) is NOT treated as a set operator
+    val keep = "SELECT * EXCEPT (b) FROM t WHERE a > 0"
+    assert(DorisSql.translate(keep) == keep)
+  }
+
+  test("COUNT(DISTINCT) OVER becomes SIZE(COLLECT_SET() OVER)") {
+    val t = DorisSql.translate(
+      "SELECT CAST(COUNT(DISTINCT ck) OVER (PARTITION BY p ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rd FROM o")
+    assert(t.contains("SIZE(COLLECT_SET(ck) OVER (PARTITION BY p ORDER BY d"), t)
+    assert(!t.toLowerCase.contains("count(distinct"), t)
+    assert(t.contains("AS BIGINT) AS rd"), t)
+    // whole-partition form and a second occurrence in the same statement
+    val t2 = DorisSql.translate(
+      "SELECT COUNT(DISTINCT a) OVER (PARTITION BY p) AS x, " +
+        "COUNT(DISTINCT b) OVER w AS y FROM o WINDOW w AS (PARTITION BY q)")
+    assert(t2.contains("SIZE(COLLECT_SET(a) OVER (PARTITION BY p)) AS x"), t2)
+    assert(t2.contains("SIZE(COLLECT_SET(b) OVER w) AS y"), t2)
+    // multi-arg: ALL-non-null row semantics via a CASE-guarded struct
+    val t3 = DorisSql.translate(
+      "SELECT COUNT(DISTINCT a, b) OVER (PARTITION BY p) AS x FROM o")
+    assert(t3.contains("SIZE(COLLECT_SET(CASE WHEN (a) IS NOT NULL AND (b) " +
+      "IS NOT NULL THEN struct(a, b) END) OVER (PARTITION BY p)) AS x"), t3)
+    // plain COUNT(DISTINCT) aggregate (no OVER) is native: untouched
+    val agg = "SELECT COUNT(DISTINCT a) FROM t GROUP BY p"
+    assert(DorisSql.translate(agg) == agg)
+  }
+
   test("MySQL %-patterns in date_format/str_to_date become JDK patterns") {
     assert(DorisSql.mysqlPatternToJdk("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
     assert(DorisSql.mysqlPatternToJdk("%d/%b/%Y") == "dd/MMM/yyyy")
