@@ -29,7 +29,12 @@ import org.apache.spark.sql.SparkSession
   *     interleaved median exceeds 1.4x its own best pass has demonstrated
   *     its feasible cost and been denied it; those are re-timed solo
   *     (GC-quiesced, median of 3) and the solo median is reported, with
-  *     the contended median kept alongside under "interleaved".
+  *     the contended median kept alongside under "interleaved";
+  *   - SELF-ACTING round-over-round re-time (round-6 verdict item 7): any
+  *     query whose interleaved median moved >1.5x vs the previous round's
+  *     bench_result.json is re-timed solo unconditionally (movers are
+  *     never capped out), so every reported regression or speedup carries
+  *     a clean isolated number the same round it appears.
   */
 /** Which build produced an artifact: round 5 burned judge hours on "which
   * commit did the driver actually run?" — every Verify/Bench artifact now
@@ -105,12 +110,38 @@ object Bench {
     // Contention suspects: interleaved median >1.4x the query's own best
     // pass (and >50 ms absolute, so micro-queries' scheduling jitter
     // doesn't trigger re-times). Capped at 24 re-times to bound the run.
-    val suspects = interleaved.collect {
+    val contentionSuspects = interleaved.collect {
       case (name, med) if med >= 0 && {
         val best = times(name).min
         med > 1.4 * best && med - best > 0.05
       } => name
     }.take(24)
+    // Round-over-round movers (self-acting rule, VERDICT r6 item 7): any
+    // query whose interleaved median moved >1.5x vs the PREVIOUS round's
+    // recorded bench (the bench_result.json this run will overwrite) is
+    // re-timed solo UNCONDITIONALLY — a real regression deserves a clean
+    // number and a contention artifact deserves debunking, so movers are
+    // never capped out. >50 ms absolute keeps micro-query jitter quiet.
+    val prevQueries: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_result.json"))
+      // only comparable against the SAME scale factor: a dev run at
+      // another sf would otherwise flag the whole surface as movers
+      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sameSf) Map.empty
+      else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        .map { body =>
+          """"([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val movers = interleaved.collect {
+      case (name, med) if med >= 0 && prevQueries.get(name).exists(p =>
+        p > 0 && (med > 1.5 * p || p > 1.5 * med) && math.abs(med - p) > 0.05)
+        => name
+    }
+    val suspects = (contentionSuspects ++ movers).distinct
     val fns = ordered.toMap
     val isolated = suspects.map { name =>
       System.gc(); Thread.sleep(100)

@@ -318,6 +318,15 @@ object Ann {
     val scored = bb.crossJoin(aa)
       .withColumn("cos_r", round(cosine(col("a_emb"), col("b_emb")), 8))
       .select("a_id", "b_id", "cos_r")
+    marginFromScores(scored, k, acceptMargin)
+  }
+
+  /** The margin arithmetic shared by the exact and indexed bitext paths:
+    * best-B-per-A normalized by both sides' top-k neighborhood means,
+    * computed over whatever (a_id, b_id, cos_r) candidate set the caller
+    * generated. */
+  private def marginFromScores(scored: DataFrame, k: Int,
+                               acceptMargin: Double): DataFrame = {
     val wA = Window.partitionBy("a_id").orderBy(col("cos_r").desc, col("b_id"))
     val wB = Window.partitionBy("b_id").orderBy(col("cos_r").desc, col("a_id"))
     val fwd = scored.withColumn("rk", row_number().over(wA))
@@ -333,6 +342,38 @@ object Ann {
         round(col("cos_r") / (lit(0.5) * col("ma") + lit(0.5) * col("mb")), 6))
       .withColumn("accepted", col("margin") > acceptMargin)
       .select("a_id", "b_id", "cos_r", "margin", "accepted")
+  }
+
+  /** INDEXED bitext margin mining — the corpus-scale path
+    * [[bitextMargin]]'s doc promises: candidates come from CROSS-SIDE
+    * hyperplane-LSH postings (both sides bucketed under the same seeded
+    * (table, bucket) keys; pairs only form inside shared buckets), and
+    * both top-k neighborhood means are computed over that candidate set,
+    * so no |A|·|B| stage exists anywhere — candidate volume is
+    * Σ |bktA|·|bktB| over shared buckets, bounded by the lshNeighbors
+    * bucket discipline (raise `planes` with corpus size). Margin
+    * arithmetic is IDENTICAL to the exact form (shared helper).
+    *
+    * Approximate where the exact form is not: a true neighbor that
+    * collides in NO table is invisible, and a sparser candidate set
+    * shifts the top-k means slightly — which is why the p89 driver entry
+    * carries an in-query recall floor against the exact form rather than
+    * a comment. */
+  def bitextMarginIndexed(a: DataFrame, b: DataFrame, dims: Int,
+                          k: Int = 4, acceptMargin: Double = 1.2,
+                          planes: Int = 4, tables: Int = 16,
+                          seed: Long = 7): DataFrame = {
+    val pa = hyperplaneBucketed(a, dims, planes, tables, seed)
+      .select(col("bkt"), col("vec_id").as("a_id"))
+    val pb = hyperplaneBucketed(b, dims, planes, tables, seed)
+      .select(col("bkt"), col("vec_id").as("b_id"))
+    val cand = pa.join(pb, "bkt").select("a_id", "b_id").distinct()
+    val scored = cand
+      .join(a.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .withColumn("cos_r", round(cosine(col("a_emb"), col("b_emb")), 8))
+      .select("a_id", "b_id", "cos_r")
+    marginFromScores(scored, k, acceptMargin)
   }
 
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE

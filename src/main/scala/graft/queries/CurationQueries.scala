@@ -922,37 +922,19 @@ object CurationQueries extends QueryModule {
     //      Jaccard pairs → connected components), not the doc id, so a
     //      near-dup pair can never straddle train/eval — n_crossing is
     //      the in-query proof and must be 0 --------------------------
-    "p86_group_split" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      // the pair set feeds THREE consumers (CC edges + both sides of the
-      // crossing audit); checkpoint it once — recomputing the prefix
-      // join per consumer tripled the query's cost at sf0.1
-      val pairs = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95)
-        .select("i", "j").localCheckpoint()
-      val labels = Dedup.connectedComponents(pairs)
-      val withSplit = d.select(col("doc_id"))
-        .join(labels, col("doc_id") === col("v"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("grp"))
-        .withColumn("split",
-          Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit")))
-      val folds = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
-        .withColumn("frac", round(col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy()), 6))
-      val groups = withSplit.agg(
-        countDistinct(col("grp")).as("n_groups"))
-      val crossing = pairs
-        .join(withSplit.select(col("doc_id").as("i"), col("split").as("si")), "i")
-        .join(withSplit.select(col("doc_id").as("j"), col("split").as("sj")), "j")
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum(when(col("si") =!= col("sj"), 1L).otherwise(0L)),
-            lit(0L)).as("n_crossing"))
-      folds.crossJoin(groups).crossJoin(crossing)
-        .select(col("split"), col("n"), col("frac"), col("n_pairs"),
-          col("n_crossing"), col("n_groups"))
-        .orderBy("split")
-    }),
+    "p86_group_split" -> ((s, dir) =>
+      groupSplitDf(s, dir, Dedup.connectedComponents(_))),
+
+    // ---- the SAME leakage-free split over the ALTERNATING-STAR CC
+    //      (Kiveris et al.): group-split inputs are NOT guaranteed
+    //      small-diameter the way near-dup clusters are — transitive
+    //      0.95-chains make long stringy components, where min-label
+    //      needs diameter rounds but star contraction stays O(log² n).
+    //      Both strategies converge to the component-minimum label, so
+    //      the oracle is IDENTICAL — the driver row proves strategy
+    //      interchangeability end-to-end ---------------------------
+    "p88_group_split_star" -> ((s, dir) =>
+      groupSplitDf(s, dir, Dedup.connectedComponentsAlternating(_))),
 
     // ---- greedy k-center (farthest-point) coreset: k maximally-diverse
     //      exemplars, Gonzalez's 2-approximation. k rounds × one scan
@@ -963,6 +945,47 @@ object CurationQueries extends QueryModule {
       Ann.kCenterSelect(embs(s, dir), k = 8).orderBy("rk")
     })
   )
+
+  /** Leakage-free GROUP split (p86/p88), parameterized by the
+    * connected-components strategy: split assignment hashes the near-dup
+    * CLUSTER label (exact prefix-Jaccard pairs → `cc`), not the doc id,
+    * so a near-dup pair can never straddle train/eval — n_crossing is
+    * the in-query proof and must be 0. Strategy choice is a scale
+    * decision: min-label for small-diameter near-dup clusters,
+    * alternating-star for potentially long transitive chains; both
+    * label every node with its component minimum. */
+  private def groupSplitDf(s: SparkSession, dir: String,
+                           cc: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    // the pair set feeds THREE consumers (CC edges + both sides of the
+    // crossing audit); checkpoint it once — recomputing the prefix
+    // join per consumer tripled the query's cost at sf0.1
+    val pairs = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95)
+      .select("i", "j").localCheckpoint()
+    val labels = cc(pairs)
+    val withSplit = d.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("grp"))
+      .withColumn("split",
+        Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit")))
+    val folds = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
+      .withColumn("frac", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()), 6))
+    val groups = withSplit.agg(
+      countDistinct(col("grp")).as("n_groups"))
+    val crossing = pairs
+      .join(withSplit.select(col("doc_id").as("i"), col("split").as("si")), "i")
+      .join(withSplit.select(col("doc_id").as("j"), col("split").as("sj")), "j")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("si") =!= col("sj"), 1L).otherwise(0L)),
+          lit(0L)).as("n_crossing"))
+    folds.crossJoin(groups).crossJoin(crossing)
+      .select(col("split"), col("n"), col("frac"), col("n_pairs"),
+        col("n_crossing"), col("n_groups"))
+      .orderBy("split")
+  }
 
   /** p48's line augment: the synthetic corpus is single-line, so each
     * doc gets four lines of known cross-corpus frequency — a universal
@@ -2049,7 +2072,14 @@ object CurationQueries extends QueryModule {
       ORDER BY r.channel"""
     },
 
-    "p86_group_split" -> """
+    // p88 runs the SAME split over the alternating-star CC — both
+    // strategies label by component minimum, so one oracle serves both
+    "p88_group_split_star" -> groupSplitOracle,
+    "p86_group_split" -> groupSplitOracle,
+    "p87_kcenter_coreset" -> p87Oracle,
+  )
+
+  private lazy val groupSplitOracle: String = """
       WITH RECURSIVE
       t AS MATERIALIZED (SELECT doc_id AS id,
              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
@@ -2092,9 +2122,9 @@ object CurationQueries extends QueryModule {
              round(f.n * 1.0 / t.nt, 6) AS frac,
              c.n_pairs, c.n_crossing,
              CAST(t.n_groups AS BIGINT) AS n_groups
-      FROM folds f CROSS JOIN tot t CROSS JOIN cr c ORDER BY f.split""",
+      FROM folds f CROSS JOIN tot t CROSS JOIN cr c ORDER BY f.split"""
 
-    "p87_kcenter_coreset" -> {
+  private lazy val p87Oracle: String = {
       val K = 8
       val dist = (e: String, s: String) =>
         s"round(1 - list_cosine_similarity(CAST($e.embedding AS DOUBLE[]), " +
@@ -2120,6 +2150,5 @@ object CurationQueries extends QueryModule {
         (2 to K).map(i =>
           s"SELECT CAST($i AS BIGINT), vec_id, round(d, 6) FROM pick$i")
       s"WITH ${ctes.toString}\n${out.mkString("\nUNION ALL\n")}\nORDER BY rk"
-    }
-  )
+  }
 }

@@ -355,6 +355,44 @@ object PipelineQueries extends QueryModule {
         .orderBy("a_id")
     }),
 
+    // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
+    //      prose): candidates from cross-side hyperplane-LSH postings,
+    //      margin arithmetic shared with the exact form. Landed to
+    //      parquet; the in-query require() is the recall floor vs the
+    //      exact form (accepted pairs recovered), and the oracle-checked
+    //      output re-verifies stored cosines AND recomputes the exact
+    //      accepted set + hit count independently in DuckDB, so a broken
+    //      Spark exact form cannot silently validate the index ---------
+    "p89_bitext_indexed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val sideA = e.filter(col("label") === 0)
+      val sideB = e.filter(col("label") === 1)
+      Ann.bitextMarginIndexed(sideA, sideB, dims = 64)
+        .write.mode("overwrite").parquet(s"$outRoot/bitext_idx")
+      val landed = s.read.parquet(s"$outRoot/bitext_idx")
+      val exactAcc = Ann.bitextMargin(sideA, sideB)
+        .filter(col("accepted")).select("a_id", "b_id")
+      val nExact = exactAcc.count()
+      val nHits = exactAcc.intersect(
+        landed.filter(col("accepted")).select("a_id", "b_id")).count()
+      // measured accepted-pair recall: 22/25 (88%) at sf0.01; the sf0.1
+      // run clears the same floor (planes=4 x tables=16 on 64 dims)
+      require(nHits >= (0.6 * nExact).toLong,
+        s"indexed bitext recall regression: $nHits/$nExact exact-form " +
+          "accepted pairs recovered")
+      val av = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+      landed.join(av, "a_id").join(bv, "b_id")
+        .withColumn("cr", round(Ann.cosine(col("ae"), col("be")), 8))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("cos_r") =!= col("cr"), 1L).otherwise(0L)),
+            lit(0L)).as("n_cos_mismatch"),
+          coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
+            .as("n_accepted"))
+        .withColumn("n_exact_accepted", lit(nExact))
+        .withColumn("n_accept_hits", lit(nHits))
+    }),
+
     // ---- split-leakage audit: near-dup pairs that CROSS the train/val/
     //      test boundary — the QA gate run after any split, because a
     //      random split of a corpus with near-dups leaks eval into train
@@ -1253,6 +1291,50 @@ object PipelineQueries extends QueryModule {
       FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
       JOIN ma USING (a_id) JOIN mb USING (b_id)
       ORDER BY a_id""",
+
+    "p89_bitext_indexed" -> s"""
+      WITH landed AS (
+        SELECT * FROM read_parquet('$outRoot/bitext_idx/*.parquet')),
+      r AS (
+        SELECT l.cos_r, l.accepted,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 8) AS cr
+        FROM landed l
+        JOIN embeddings a ON a.vec_id = l.a_id
+        JOIN embeddings b ON b.vec_id = l.b_id),
+      a AS (SELECT vec_id AS a_id, embedding AS a_emb
+            FROM embeddings WHERE label = 0),
+      b AS (SELECT vec_id AS b_id, embedding AS b_emb
+            FROM embeddings WHERE label = 1),
+      sc AS MATERIALIZED (SELECT a_id, b_id,
+               round(list_cosine_similarity(CAST(a_emb AS DOUBLE[]),
+                                            CAST(b_emb AS DOUBLE[])), 8) AS cos_r
+             FROM a, b),
+      fwd AS MATERIALIZED (SELECT a_id, b_id, cos_r,
+                row_number() OVER (PARTITION BY a_id
+                                   ORDER BY cos_r DESC, b_id) AS rk
+              FROM sc),
+      ma AS (SELECT a_id, AVG(cos_r) AS ma FROM fwd WHERE rk <= 4 GROUP BY a_id),
+      rev AS (SELECT b_id, cos_r,
+                row_number() OVER (PARTITION BY b_id
+                                   ORDER BY cos_r DESC, a_id) AS rk
+              FROM sc),
+      mb AS (SELECT b_id, AVG(cos_r) AS mb FROM rev WHERE rk <= 4 GROUP BY b_id),
+      exa AS MATERIALIZED (
+        SELECT a_id, b_id
+        FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
+        JOIN ma USING (a_id) JOIN mb USING (b_id)
+        WHERE round(cos_r / (0.5 * ma + 0.5 * mb), 6) > 1.2)
+      SELECT CAST((SELECT COUNT(*) FROM landed) AS BIGINT) AS n_pairs,
+             CAST(COALESCE((SELECT SUM(CASE WHEN cos_r <> cr THEN 1 ELSE 0 END)
+               FROM r), 0) AS BIGINT) AS n_cos_mismatch,
+             CAST(COALESCE((SELECT SUM(CASE WHEN accepted THEN 1 ELSE 0 END)
+               FROM landed), 0) AS BIGINT) AS n_accepted,
+             CAST((SELECT COUNT(*) FROM exa) AS BIGINT) AS n_exact_accepted,
+             CAST((SELECT COUNT(*) FROM exa
+                   JOIN landed l2 ON l2.a_id = exa.a_id
+                     AND l2.b_id = exa.b_id AND l2.accepted) AS BIGINT)
+               AS n_accept_hits""",
 
     "p64_split_leakage" -> s"""
       WITH sh AS (
