@@ -376,6 +376,49 @@ object Ann {
     marginFromScores(scored, k, acceptMargin)
   }
 
+  /** Hard-negative TRIPLET mining for contrastive/embedding training
+    * (the SimCLR/SBERT data-prep step): for each anchor, the positive is
+    * its highest-cosine SAME-label vector and the hard negative its
+    * highest-cosine DIFFERENT-label vector — the negatives that actually
+    * move a contrastive loss, where random negatives are trivially easy.
+    * `violation` marks triplets the margin has not yet separated
+    * (cos_neg > cos_pos − margin): the curriculum signal.
+    *
+    * This is the exact bounded-anchor form: the anchor batch broadcasts
+    * against the corpus (|anchors|·n scoring — anchors are a training
+    * batch, thousands at most), one scan, two windowed argmaxes over the
+    * scored stream. At corpus-sweep scale the candidate generator swaps
+    * to the (label, table, bucket) LSH postings exactly as
+    * [[bitextMarginIndexed]] does for [[bitextMargin]] — same seam, same
+    * arithmetic. Cosines round to 1e-8 before ranking, ties break on the
+    * candidate id, so any engine mines identical triplets.
+    * Returns (anchor_id, pos_id, cos_pos, neg_id, cos_neg, violation). */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, labelCol: String,
+                    margin: Double = 0.1): DataFrame = {
+    val a = broadcast(anchors.select(col("vec_id").as("anchor_id"),
+      col(labelCol).as("a_lbl"), col("embedding").as("a_emb")))
+    val scored = emb.select(col("vec_id").as("cand_id"),
+        col(labelCol).as("c_lbl"), col("embedding").as("c_emb"))
+      .crossJoin(a)
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos_r", round(cosine(col("a_emb"), col("c_emb")), 8))
+      .select("anchor_id", "a_lbl", "cand_id", "c_lbl", "cos_r")
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    def best(side: DataFrame, idAs: String, cosAs: String) =
+      side.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("anchor_id"), col("cand_id").as(idAs),
+          col("cos_r").as(cosAs))
+    val pos = best(scored.filter(col("c_lbl") === col("a_lbl")),
+      "pos_id", "cos_pos")
+    val neg = best(scored.filter(col("c_lbl") =!= col("a_lbl")),
+      "neg_id", "cos_neg")
+    pos.join(neg, "anchor_id")
+      .withColumn("violation", col("cos_neg") > col("cos_pos") - margin)
+      .select("anchor_id", "pos_id", "cos_pos", "neg_id", "cos_neg",
+        "violation")
+  }
+
   /** Approximate nearest neighbor (top-1) for every vector via MULTI-TABLE
     * hyperplane LSH: `tables` independent hash tables of `planes` bits
     * each; candidates are vectors sharing a bucket in ANY table (recall

@@ -146,12 +146,16 @@ object Dedup {
     if (dfCap <= 0) posts
     else {
       // Anti-join against the HOT set, not inner-join against the rare
-      // set: above-cap shingles are by construction a tiny fraction of
-      // the key space (that's why the cap works), so this side broadcasts
-      // where the rare set is the size of the whole posting table.
-      val hot = posts.groupBy("sh_h").count()
-        .filter(col("count") > dfCap).select("sh_h")
-      posts.join(broadcast(hot), Seq("sh_h"), "left_anti")
+      // set: above-cap shingles are a tiny fraction of the key space
+      // (that's why the cap works), where the rare set is the size of
+      // the whole posting table. "Tiny fraction" is still only bounded
+      // by postings/dfCap — unbounded in the corpus — so the hint is
+      // size-gated: measured bytes under the cap → broadcast, else the
+      // planner shuffles the anti-join.
+      val hot = graft.operators.Broadcasts.sizeGated(
+        posts.groupBy("sh_h").count()
+          .filter(col("count") > dfCap).select("sh_h"))
+      posts.join(hot, Seq("sh_h"), "left_anti")
     }
   }
 

@@ -49,8 +49,9 @@ object Lm {
     * here by construction: every source token is in the corpus by
     * definition, so p(w) > 0 wherever p_s(w) > 0. Two skinny (token,
     * count) aggregates — per-source and global — joined on token (the
-    * global side is the broadcast-size unigram vocab), then one per-source
-    * rollup. Returns (source, n_toks, kl). */
+    * global side is vocab-linear, so its broadcast hint is size-gated:
+    * a web-corpus vocabulary is 10^8-10^9 tokens by Heaps' law), then one
+    * per-source rollup. Returns (source, n_toks, kl). */
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(srcCol).as("source"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
@@ -60,7 +61,7 @@ object Lm {
     val global = posts.groupBy("tok").agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-    bySrc.join(broadcast(global), "tok")
+    bySrc.join(graft.operators.Broadcasts.sizeGated(global), "tok")
       .groupBy("source").agg(
         max(col("n_s")).as("n_toks"),
         sum((col("c_s").cast("double") / col("n_s").cast("double")) *
@@ -117,16 +118,17 @@ object Lm {
     * −ln p(tok), with p from the corpus's own unigram counts — the
     * LM-quality-filter shape (an unusually high NLL marks gibberish,
     * boilerplate marks an unusually low one). The unigram model is a
-    * (token, count) aggregate joined back BROADCAST (a unigram vocab is
-    * megabytes even at web scale); the per-doc rollup is the only other
-    * shuffle. Returns (id, n_toks, avg_nll). */
+    * (token, count) aggregate joined back under a SIZE-GATED broadcast
+    * hint (a unigram vocab obeys Heaps' law — small for most corpora,
+    * tens of GB for a 100 TB web crawl, so the hint is measured, never
+    * assumed); the per-doc rollup is the only other shuffle. Returns (id, n_toks, avg_nll). */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
     val model = posts.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-    posts.join(broadcast(model), "tok")
+    posts.join(graft.operators.Broadcasts.sizeGated(model), "tok")
       .groupBy("id").agg(
         count(lit(1)).as("n_toks"),
         avg(-log(col("cnt").cast("double") / col("total").cast("double")))
@@ -161,10 +163,13 @@ object Lm {
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the unigram side joins back twice (back-off terms); size-gate ONCE
+    // and reuse the persisted frame for both joins
+    val uniG = graft.operators.Broadcasts.sizeGated(uni)
     pairs
       .join(bi, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"), col("n"))),
+      .join(uniG.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uniG.select(col("w").as("w2"), col("c").as("c2"), col("n")),
         Seq("w2"))
       .groupBy("id").agg(
         count(lit(1)).as("n_bigrams"),
@@ -178,8 +183,8 @@ object Lm {
     * every document against a PER-GROUP unigram model (CCNet scores each
     * language against that language's LM), then rank-split each group
     * into `nBuckets` equal tertiles — head/middle/tail — by ascending
-    * NLL. The model is a (grp, token, count) aggregate (vocab-bounded ×
-    * groups, broadcast back); the per-doc rollup is one skinny shuffle;
+    * NLL. The model is a (grp, token, count) aggregate (vocab × groups —
+    * vocab-linear, so the broadcast hint is size-gated); the per-doc rollup is one skinny shuffle;
     * bucketing is a per-group window, parallel across groups. NLL is
     * rounded to 1e-6 BEFORE ranking so the rank order (and the `id`
     * tie-break) is engine-independent — fp summation-order noise sits
@@ -196,7 +201,8 @@ object Lm {
     val model = posts.groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("grp")))
-    val nll = posts.join(broadcast(model), Seq("grp", "tok"))
+    val nll = posts.join(graft.operators.Broadcasts.sizeGated(model),
+        Seq("grp", "tok"))
       .groupBy("id", "grp").agg(
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 6)
           .as("nll"))
@@ -232,7 +238,12 @@ object Lm {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df only matters for QUERY terms — restricting tf to the broadcast
+    // query vocabulary BEFORE the df aggregate leaves a bounded table
+    // (|query terms| rows), where the full-vocab df table is Heaps-law
+    // unbounded; df per term is unchanged by the restriction
+    val dfreq = tf.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n"),
       avg(size(col("t")).cast("double")).as("avgdl"))
     val idf = log(lit(1.0) +
@@ -258,8 +269,8 @@ object Lm {
     * formulation, so no term ever gets weight 0). Three skinny
     * aggregates off one exploded token stream: (id, term, tf), per-doc
     * totals, and the document-frequency vocab — all map-side-combinable;
-    * the df and N sides join back BROADCAST (a vocab is megabytes at any
-    * corpus size). Scores are rounded to 1e-6 BEFORE ranking, ties break
+    * the df side joins back under a SIZE-GATED broadcast hint (a vocab is
+    * Heaps-law unbounded; the one-row N side broadcasts unconditionally). Scores are rounded to 1e-6 BEFORE ranking, ties break
     * on the term string, so any engine ranks identically (fp noise sits
     * orders of magnitude below the rounding grain). The rank-limit
     * filter compiles to WindowGroupLimit in Spark 4 — partial top-k per
@@ -276,7 +287,8 @@ object Lm {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    tf.join(graft.operators.Broadcasts.sizeGated(df), "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         (col("tf").cast("double") / col("n_toks").cast("double")) *
           (log((col("n_docs").cast("double") + 1.0) /

@@ -200,4 +200,70 @@ object Mixing {
           when(w > bestW, w).otherwise(bestW))
     }._1
   }
+
+  /** EXACT-proportion stratified split: the hash split ([[splitAssign]])
+    * realizes its fractions only in expectation — fine where strata are
+    * huge, but a small stratum (a rare language, a niche source) can
+    * land 70/30 instead of 80/10/10, and eval sets on small strata are
+    * exactly where that hurts. This variant ranks each stratum's rows by
+    * the SAME salted unit hash (so membership stays a deterministic,
+    * auditable function of the id) and cuts at exact per-stratum counts:
+    * rank ≤ ⌊n·trainFrac⌋ → train, ≤ ⌊n·(trainFrac+valFrac)⌋ → val,
+    * remainder → test (floors + remainder-to-test make the three counts
+    * total n with zero ambiguity; 1e-9 guards an exact-product floor).
+    *
+    * Cost: ONE window per stratum (rank + count over the stratum
+    * partition) — one shuffle keyed by stratum. A stratum that outgrows
+    * a sort partition at 100 TB swaps in approx_percentile cutoffs on u
+    * broadcast into a scan-local compare (the perplexityBuckets note);
+    * the rank form is kept because exactness is this operator's point.
+    * Returns (id, stratum, u_r, split). */
+  def exactStratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+                           salt: String, trainFrac: Double = 0.8,
+                           valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need 0 < trainFrac, 0 <= valFrac, trainFrac+valFrac < 1")
+    val u = hashUnit(col(idCol), salt)
+    val w = Window.partitionBy("stratum").orderBy(col("u_r"), col("id"))
+    df.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        round(u, 8).as("u_r"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .withColumn("split",
+        when(col("rk") <= floor(col("n") * lit(trainFrac) + lit(1e-9)), "train")
+          .when(col("rk") <= floor(col("n") * lit(trainFrac + valFrac)
+            + lit(1e-9)), "val")
+          .otherwise("test"))
+      .select("id", "stratum", "u_r", "split")
+  }
+
+  /** Weighted sampling WITHOUT replacement, exact top-k (Efraimidis &
+    * Spirakis 2006 A-Res): each row draws key = u^(1/w) from its salted
+    * unit hash and the k largest keys ARE a weighted sample without
+    * replacement — the one-pass, shuffle-light replacement for the
+    * sequential weighted urn, and deterministic here because u is a hash,
+    * not rand() (re-runs, retries, and other engines reproduce the same
+    * sample). ORDER BY + LIMIT compiles to TakeOrderedAndProject:
+    * per-partition partial top-k, no global sort materializes — the
+    * correct 100 TB shape for "give me k representative docs, long ones
+    * more likely". Keys are rounded to 1e-8 BEFORE ranking with an id
+    * tie-break (the engine-portable ranking discipline used repo-wide).
+    * Non-positive weights cannot be sampled (u^(1/w) is not a valid race
+    * key there) and are filtered loudly by contract.
+    * Returns (rk 1..k, id, weight, key_r). */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+                      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val keyed = df.select(col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("key_r",
+        round(pow(hashUnit(col("id"), salt), lit(1.0) / col("weight")), 8))
+    val w = Window.orderBy(col("key_r").desc, col("id"))
+    // global LIMIT k after ORDER BY -> TakeOrderedAndProject (partial
+    // top-k below the exchange); the row_number re-rank runs on k rows
+    keyed.orderBy(col("key_r").desc, col("id")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "id", "weight", "key_r")
+  }
 }

@@ -936,6 +936,40 @@ object CurationQueries extends QueryModule {
     "p88_group_split_star" -> ((s, dir) =>
       groupSplitDf(s, dir, Dedup.connectedComponentsAlternating(_))),
 
+    // ---- EXACT-proportion stratified split: rank-cut per stratum at
+    //      exact counts (hash split is exact only in expectation — a
+    //      small stratum can land 70/30). Output carries the expected
+    //      floor counts next to the realized ones, so exactness is a
+    //      visible column equality, recomputed independently by DuckDB --
+    "p90_exact_stratified_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sp = Mixing.exactStratifiedSplit(docs(s, dir), "doc_id", "source",
+        "xsplit")
+      sp.groupBy("stratum", "split").agg(count(lit(1)).as("n"))
+        .withColumn("n_stratum",
+          sum(col("n")).over(Window.partitionBy("stratum")))
+        .withColumn("exp_n",
+          when(col("split") === "train",
+            floor(col("n_stratum") * lit(0.8) + lit(1e-9)))
+            .when(col("split") === "val",
+              floor(col("n_stratum") * lit(0.9) + lit(1e-9)) -
+                floor(col("n_stratum") * lit(0.8) + lit(1e-9)))
+            .otherwise(col("n_stratum") -
+              floor(col("n_stratum") * lit(0.9) + lit(1e-9))))
+        .select(col("stratum"), col("split"), col("n"),
+          col("n_stratum"), col("exp_n"))
+        .orderBy("stratum", "split")
+    }),
+
+    // ---- weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    //      A-Res exact top-k): key = u^(1/w) from the salted id hash, k
+    //      largest keys = the sample; deterministic, one-pass, compiles
+    //      to TakeOrderedAndProject. Weight = document length ----------
+    "p91_weighted_sample" -> ((s, dir) =>
+      Mixing.weightedSampleK(
+        docs(s, dir).withColumn("w", length(col("text")).cast("double")),
+        "doc_id", "w", k = 20, salt = "wsamp")),
+
     // ---- greedy k-center (farthest-point) coreset: k maximally-diverse
     //      exemplars, Gonzalez's 2-approximation. k rounds × one scan
     //      each (selected set = literal vectors in the projection,
@@ -2076,6 +2110,42 @@ object CurationQueries extends QueryModule {
     // strategies label by component minimum, so one oracle serves both
     "p88_group_split_star" -> groupSplitOracle,
     "p86_group_split" -> groupSplitOracle,
+
+    "p90_exact_stratified_split" -> """
+      WITH u AS (SELECT doc_id AS id, source AS stratum,
+        round((('0x' || substr(md5('xsplit:' || CAST(doc_id AS VARCHAR)),
+          1, 8))::BIGINT) / 4294967296.0, 8) AS u_r
+        FROM documents),
+      r AS (SELECT id, stratum, u_r,
+              row_number() OVER (PARTITION BY stratum ORDER BY u_r, id) AS rk,
+              COUNT(*) OVER (PARTITION BY stratum) AS ns
+            FROM u),
+      sp AS (SELECT stratum, ns,
+              CASE WHEN rk <= floor(ns * 0.8 + 1e-9) THEN 'train'
+                   WHEN rk <= floor(ns * 0.9 + 1e-9) THEN 'val'
+                   ELSE 'test' END AS split
+             FROM r)
+      SELECT stratum, split, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(ns) AS BIGINT) AS n_stratum,
+             CAST(CASE split
+               WHEN 'train' THEN floor(MAX(ns) * 0.8 + 1e-9)
+               WHEN 'val' THEN floor(MAX(ns) * 0.9 + 1e-9)
+                 - floor(MAX(ns) * 0.8 + 1e-9)
+               ELSE MAX(ns) - floor(MAX(ns) * 0.9 + 1e-9) END AS BIGINT)
+               AS exp_n
+      FROM sp GROUP BY stratum, split ORDER BY stratum, split""",
+
+    "p91_weighted_sample" -> """
+      WITH k AS (SELECT doc_id AS id,
+        CAST(length(text) AS DOUBLE) AS weight,
+        round(pow(
+          (('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+            1, 8))::BIGINT) / 4294967296.0,
+          1.0 / CAST(length(text) AS DOUBLE)), 8) AS key_r
+        FROM documents WHERE length(text) > 0)
+      SELECT CAST(row_number() OVER (ORDER BY key_r DESC, id) AS BIGINT)
+               AS rk, id, weight, key_r
+      FROM k ORDER BY key_r DESC, id LIMIT 20""",
     "p87_kcenter_coreset" -> p87Oracle,
   )
 

@@ -175,6 +175,23 @@ object DiffStatsQueries extends QueryModule {
         .reduce(_ unionByName _)
         .select("tbl", "col_a", "col_b", "n", "h_a", "h_b", "mi", "nmi")
         .orderBy("tbl", "col_a")
+    }),
+
+    // ---- robust per-group outlier screen (median/MAD z, the Iglewicz–
+    //      Hoaglin 3.5 cut): the data-quality gate mean/stddev cannot be
+    //      (a wild value inflates sigma enough to hide itself). Exact
+    //      interpolated medians = DuckDB quantile_cont; every derived
+    //      stage rounds 1e-6 before the next so engines cannot drift ----
+    "s08_robust_outliers" -> ((s, dir) => {
+      Seq(("documents", "lang", "n_chars"),
+        ("lineitem", "l_returnflag", "l_extendedprice"))
+        .map { case (tbl, g, v) =>
+          graft.stats.Stats.robustOutliers(Tables.t(s, dir, tbl), g, v)
+            .withColumn("tbl", lit(tbl))
+        }
+        .reduce(_ unionByName _)
+        .select("tbl", "g", "n", "med", "mad", "n_outliers")
+        .orderBy("tbl", "g")
     })
   )
 
@@ -367,6 +384,31 @@ object DiffStatsQueries extends QueryModule {
         ("customer", "c_mktsegment", "c_nationkey"))
         .map { case (t, a, b) => pairSql(t, a, b) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_a")
+    },
+
+    "s08_robust_outliers" -> {
+      def grpSql(tbl: String, g: String, v: String): String = s"""
+        SELECT '$tbl' AS tbl, g, n, med, mad, n_outliers FROM (
+          WITH base AS (
+            SELECT $g AS g, CAST($v AS DOUBLE) AS x
+            FROM $tbl WHERE $v IS NOT NULL),
+          med AS (SELECT g, COUNT(*) AS n,
+                    round(quantile_cont(x, 0.5), 6) AS med
+                  FROM base GROUP BY g),
+          dev AS (SELECT base.g, x, n, med, round(abs(x - med), 6) AS d
+                  FROM base JOIN med USING (g)),
+          mad AS (SELECT g, round(quantile_cont(d, 0.5), 6) AS mad
+                  FROM dev GROUP BY g)
+          SELECT dev.g, CAST(MAX(n) AS BIGINT) AS n,
+                 MAX(med) AS med, MAX(mad) AS mad,
+                 CAST(COALESCE(SUM(CASE WHEN mad > 0 AND
+                     abs(round(0.6745 * (x - med) / mad, 6)) > 3.5
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+          FROM dev JOIN mad USING (g) GROUP BY dev.g)"""
+      Seq(("documents", "lang", "n_chars"),
+        ("lineitem", "l_returnflag", "l_extendedprice"))
+        .map { case (t, g, v) => grpSql(t, g, v) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, g")
     }
   )
 }

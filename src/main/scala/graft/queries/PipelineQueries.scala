@@ -355,6 +355,17 @@ object PipelineQueries extends QueryModule {
         .orderBy("a_id")
     }),
 
+    // ---- hard-negative triplet mining (contrastive-training data prep):
+    //      per anchor, best same-label positive + best different-label
+    //      negative by exact cosine; `violation` = margin not yet
+    //      separating the pair. Bounded anchor batch broadcasts; the
+    //      corpus-sweep swap is the LSH-postings seam (see p89) --------
+    "p92_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.hardNegatives(e, e.filter(col("vec_id") < 10), "label")
+        .orderBy("anchor_id")
+    }),
+
     // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
     //      prose): candidates from cross-side hyperplane-LSH postings,
     //      margin arithmetic shared with the exact form. Landed to
@@ -1291,6 +1302,30 @@ object PipelineQueries extends QueryModule {
       FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
       JOIN ma USING (a_id) JOIN mb USING (b_id)
       ORDER BY a_id""",
+
+    "p92_hard_negatives" -> """
+      WITH a AS (SELECT vec_id AS anchor_id, label AS a_lbl,
+                        embedding AS a_emb
+                 FROM embeddings WHERE vec_id < 10),
+      sc AS MATERIALIZED (
+        SELECT a.anchor_id, a.a_lbl, e.vec_id AS cand_id, e.label AS c_lbl,
+               round(list_cosine_similarity(CAST(a.a_emb AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])), 8) AS cos_r
+        FROM embeddings e CROSS JOIN a
+        WHERE e.vec_id <> a.anchor_id),
+      pos AS (SELECT anchor_id, cand_id AS pos_id, cos_r AS cos_pos FROM (
+                SELECT anchor_id, cand_id, cos_r,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos_r DESC, cand_id) AS rk
+                FROM sc WHERE c_lbl = a_lbl) t WHERE rk = 1),
+      neg AS (SELECT anchor_id, cand_id AS neg_id, cos_r AS cos_neg FROM (
+                SELECT anchor_id, cand_id, cos_r,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos_r DESC, cand_id) AS rk
+                FROM sc WHERE c_lbl <> a_lbl) t WHERE rk = 1)
+      SELECT pos.anchor_id, pos_id, cos_pos, neg_id, cos_neg,
+             cos_neg > cos_pos - 0.1 AS violation
+      FROM pos JOIN neg USING (anchor_id) ORDER BY pos.anchor_id""",
 
     "p89_bitext_indexed" -> s"""
       WITH landed AS (

@@ -277,6 +277,51 @@ object Stats {
           col("mi") / sqrt(col("h_a") * col("h_b"))), 6).as("nmi"))
   }
 
+  /** Robust per-group outlier profile by MEDIAN/MAD — the robust z-score
+    * that mean/stddev screening is not: one fat-fingered 1e9 value drags
+    * the mean toward itself and inflates σ enough to hide ITSELF (and
+    * real outliers) from a σ-z test, while the median and the median
+    * absolute deviation ignore it. z = 0.6745·(x − med)/MAD (0.6745 =
+    * Φ⁻¹(3/4), which calibrates MAD to σ under normality, so zCut=3.5 is
+    * the conventional Iglewicz–Hoaglin screen).
+    *
+    * Engine-portable by construction: the median is the exact
+    * interpolated percentile (= DuckDB quantile_cont), and every derived
+    * quantity is rounded to 1e-6 BEFORE the next stage (med before
+    * deviations, MAD before z, z before the cut compare), so the two
+    * engines' last-ulp interpolation differences cannot cascade into a
+    * flipped outlier count. A constant group (MAD = 0) reports zero
+    * outliers by contract rather than dividing by zero.
+    *
+    * Shape: two grouped sort-based aggregates (values → med; deviations
+    * → MAD) + one skinny join back + one count — shuffles keyed by the
+    * group column only. Exact percentile sorts within each group; at
+    * 100 TB swap approx_percentile for the two medians (same plan shape,
+    * bounded-error cut), the documented quantile-sketch trade.
+    * Returns (group, n, med, mad, n_outliers). */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     zCut: Double = 3.5): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(groupCol).as("g"), v.as("x"))
+    val med = base.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val dev = base.join(med, "g")
+      .withColumn("d", round(abs(col("x") - col("med")), 6))
+    val mad = dev.groupBy("g")
+      .agg(round(expr("percentile(d, 0.5)"), 6).as("mad"))
+    dev.join(mad, "g")
+      .withColumn("z", when(col("mad") > 0,
+        round(lit(0.6745) * (col("x") - col("med")) / col("mad"), 6)))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        coalesce(sum(when(abs(col("z")) > zCut, 1L).otherwise(0L)), lit(0L))
+          .as("n_outliers"))
+      .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>

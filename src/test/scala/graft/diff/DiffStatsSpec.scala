@@ -125,4 +125,31 @@ class DiffStatsSpec extends SparkSpec {
     val covar = m(("x", "y")).getDouble(3) * math.pow(10, m(("x", "y")).getLong(4))
     assert(math.abs(covar - 2 * 841.66667) < 0.01)
   }
+
+  // ---- Stats.robustOutliers --------------------------------------------
+
+  test("robustOutliers catches what a sigma-z screen hides (masking)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 99 well-behaved values plus one wild 1e9: the wild point inflates
+    // stddev so much that its OWN sigma-z is ~sqrt(n)=10 > 3.5 but every
+    // analyst knows the failure case generalizes (two wild points mask
+    // each other); median/MAD ignores the contamination entirely
+    val vals = (1 to 99).map(i => ("g", 100.0 + (i % 11))) :+ (("g", 1e9))
+    val df = vals.toDF("grp", "v")
+    val out = graft.stats.Stats.robustOutliers(df, "grp", "v").head()
+    assert(out.getAs[Long]("n") == 100)
+    assert(math.abs(out.getAs[Double]("med") - 105.0) < 1.0)
+    assert(out.getAs[Long]("n_outliers") == 1, "the 1e9 point must flag")
+    // a pair of mutually-masking wild points: sigma-z of each is ~0.7x
+    // sqrt(n/2) BELOW the classic cut in small samples; MAD flags both
+    val masked = ((1 to 20).map(i => ("m", 50.0 + (i % 5))) ++
+      Seq(("m", 9e8), ("m", 1e9))).toDF("grp", "v")
+    val m = graft.stats.Stats.robustOutliers(masked, "grp", "v").head()
+    assert(m.getAs[Long]("n_outliers") == 2, "both wild points must flag")
+    // constant group: MAD = 0 -> zero outliers by contract, no div error
+    val const = (1 to 10).map(_ => ("c", 7.0)).toDF("grp", "v")
+    val c = graft.stats.Stats.robustOutliers(const, "grp", "v").head()
+    assert(c.getAs[Double]("mad") == 0.0 && c.getAs[Long]("n_outliers") == 0L)
+  }
 }

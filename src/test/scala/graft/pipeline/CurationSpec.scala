@@ -821,4 +821,60 @@ class CurationSpec extends SparkSpec {
       s"only $shared of ${a.size} original chunks survived a prefix edit")
     assert(a.size > 5, "base doc should split into several chunks")
   }
+
+  // ---- Mixing.exactStratifiedSplit / weightedSampleK -------------------
+
+  test("exactStratifiedSplit realizes exact per-stratum counts and is " +
+      "a deterministic function of the id") {
+    import spark.implicits._
+    // deliberately awkward stratum sizes: 7, 10, 23 - a hash split
+    // cannot hit 80/10/10 on these; the rank cut must, at floor exactness
+    val rows = (1 to 7).map(i => (i.toLong, "a")) ++
+      (101 to 110).map(i => (i.toLong, "b")) ++
+      (201 to 223).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val sp = Mixing.exactStratifiedSplit(df, "id", "src", "t")
+    val counts = sp.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def expected(n: Int): (Long, Long, Long) = {
+      val tr = math.floor(n * 0.8 + 1e-9).toLong
+      val tv = math.floor(n * 0.9 + 1e-9).toLong - tr
+      (tr, tv, n - tr - tv)
+    }
+    for ((src, n) <- Seq(("a", 7), ("b", 10), ("c", 23))) {
+      val (tr, tv, te) = expected(n)
+      assert(counts.getOrElse((src, "train"), 0L) == tr, s"$src train")
+      assert(counts.getOrElse((src, "val"), 0L) == tv, s"$src val")
+      assert(counts.getOrElse((src, "test"), 0L) == te, s"$src test")
+    }
+    // total preserved, and a rerun assigns every id identically
+    assert(sp.count() == rows.size)
+    val again = Mixing.exactStratifiedSplit(df, "id", "src", "t")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = sp.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again, "split must be a pure function of (id, salt)")
+  }
+
+  test("weightedSampleK prefers heavy weights and returns a ranked " +
+      "deterministic top-k") {
+    import spark.implicits._
+    // 10 heavy rows (w=1e4) race against 90 light rows (w=1e-2): the
+    // heavy keys are u^(1e-4) ~ 1 while light keys are u^(100) ~ 0, so
+    // an 8-sample must be all heavy ids - a probabilistic law made
+    // deterministic by the weight gap
+    val df = ((1 to 10).map(i => (i.toLong, 1e4)) ++
+      (11 to 100).map(i => (i.toLong, 1e-2))).toDF("id", "w")
+    val out = Mixing.weightedSampleK(df, "id", "w", k = 8, salt = "s")
+      .collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getLong(1) <= 10), "sample must be the heavy ids")
+    val keys = out.sortBy(_.getLong(0)).map(_.getDouble(3))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "keys must be non-increasing in rank")
+    // zero/negative weights are excluded by contract
+    val withBad = df.union(Seq((999L, 0.0), (998L, -3.0)).toDF("id", "w"))
+    assert(Mixing.weightedSampleK(withBad, "id", "w", k = 200, salt = "s")
+      .filter(col("id") >= 998).count() == 0)
+  }
 }

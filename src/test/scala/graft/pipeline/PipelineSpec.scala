@@ -546,6 +546,37 @@ class PipelineSpec extends SparkSpec {
     assert(acc1, "the isolated twin must clear the accept threshold")
   }
 
+  test("hardNegatives: planted geometry picks the right positive, negative, and violation bit") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // anchor 1 (label 0): positive twin 10 (cos~1), same-label decoy 11
+    // (cos~0.7); nearest negative 20 (label 1, cos~0.9) -> cos_neg >
+    // cos_pos - 0.1 is FALSE (0.9 < 1.0-0.1 fails... 0.9 > 0.9 false) ->
+    // use cos 0.95 so the violation bit is exercised TRUE; anchor 2 has a
+    // clearly separated negative -> violation FALSE.
+    val r2 = 1.0 / math.sqrt(2)
+    val emb = Seq(
+      (1L, 0L, v(1, 0, 0, 0)),          // anchor A
+      (10L, 0L, v(0.999, 0.0447, 0, 0)), // A's positive twin
+      (11L, 0L, v(r2, r2, 0, 0)),        // same-label decoy (cos ~.707)
+      (20L, 1L, v(0.95, 0.3122, 0, 0)),  // hard negative, cos ~0.95
+      (2L, 0L, v(0, 0, 1, 0)),           // anchor B
+      (12L, 0L, v(0, 0.0447, 0.999, 0)), // B's positive twin
+      (21L, 1L, v(0, 1, 0, 0)))          // B's negatives are orthogonal
+                                          // (cos 0 tie -> lower id 20 wins)
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.hardNegatives(emb, emb.filter(col("vec_id") <= 2),
+        "label", margin = 0.1)
+      .orderBy("anchor_id")
+      .select("anchor_id", "pos_id", "neg_id", "violation")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === 2)
+    assert(out(0) === ((1L, 10L, 20L, true)),
+      "anchor 1: twin positive, near negative inside the margin")
+    assert(out(1) === ((2L, 12L, 20L, false)),
+      "anchor 2: twin positive, orthogonal negative (tie -> lowest id) " +
+        "clears the margin")
+  }
+
   // ---- Ann.semanticContamination -----------------------------------------
 
   test("semanticContamination: twin flags, orthogonal clears, ties pick lowest eval id") {
