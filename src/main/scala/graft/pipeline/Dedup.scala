@@ -32,10 +32,15 @@ object Dedup {
                    shingleN: Int = 3, seed: Long = 7): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // base fans out to THREE consumers (the banded postings + both sides
+    // of the Jaccard verify), each otherwise re-running the shingle
+    // regex over the corpus — persist once (the p80 lesson applied
+    // family-wide); MEMORY_AND_DISK spills rather than OOMs
     val base = df.select(
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashPostings(base, k, bands, seed)
     val a = banded.select(col("bkt"), col("id").as("i"))
     val b = banded.select(col("bkt"), col("id").as("j"))
@@ -111,10 +116,13 @@ object Dedup {
                         threshold: Double = 0.5, shingleN: Int = 3,
                         dfCap: Int = 1000): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (J >= t > 0 implies a shared shingle)")
+    // same fan-out as minhashPairs: postings + the two size joins all
+    // re-shingle the corpus without this persist
     val base = df.select(
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = base.select(col("id"), size(col("sh")).as("n"))
     // The exchange is load-bearing (same discipline as minhashPairs):
     // without it each side of the self-join below re-scans, re-explodes,

@@ -40,7 +40,11 @@ object Graphs {
       col("v").cast("long").as("v"))
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient by (deg, id): src = the ≺-smaller endpoint
+    // orient by (deg, id): src = the ≺-smaller endpoint. Persisted: the
+    // oriented edge set is consumed THREE times (both wedge legs + the
+    // closure probe) and its build re-runs two edge×degree joins per
+    // consumer when recomputed — skinny (long,long,long) rows,
+    // MEMORY_AND_DISK spills rather than OOMs.
     val oriented = e
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
@@ -55,6 +59,7 @@ object Graphs {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("dv"))
           .otherwise(col("du")).as("dst_deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges from each src's out-neighborhood, ordered by ≺ = (deg, id)
     val a = oriented.select(col("src"), col("dst").as("b"), col("dst_deg").as("db"))
     val c = oriented.select(col("src"), col("dst").as("c"), col("dst_deg").as("dc"))
@@ -62,8 +67,15 @@ object Graphs {
       .filter(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
       .select(col("b"), col("c"))
-    val tri = wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // The closure probes the WEDGE stream (m^{3/2} rows, the big side)
+    // against the EDGE set (m rows). Shuffling m^{3/2} wedge rows to
+    // meet m edges is the wrong asymmetry whenever the edge set fits a
+    // broadcast — but an edge set is graph-linear, so the hint goes
+    // through the measured size gate: under the cap the wedge stream
+    // never shuffles at all; past it the planner shuffles both sides.
+    val probe = graft.operators.Broadcasts.sizeGated(
+      oriented.select(col("src").as("b"), col("dst").as("c")))
+    val tri = wedges.join(probe, Seq("b", "c"))
       .agg(count(lit(1)).as("n_triangles"))
     // Integral `div`, not true division: sum(long)/2 goes through DOUBLE,
     // whose 53-bit mantissa silently truncates once sum(d*(d-1)) passes
