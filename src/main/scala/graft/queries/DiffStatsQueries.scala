@@ -192,6 +192,16 @@ object DiffStatsQueries extends QueryModule {
         .reduce(_ unionByName _)
         .select("tbl", "g", "n", "med", "mad", "n_outliers")
         .orderBy("tbl", "g")
+    }),
+
+    // ---- equi-HEIGHT histogram: equal-frequency buckets from exact
+    //      interpolated inner quantiles (s03 is the equi-width face);
+    //      the CE shape for skewed columns. Boundaries rounded 1e-6,
+    //      boundary-equal rows fall low on both engines ----------------
+    "s09_equiheight_histogram" -> ((s, dir) => {
+      graft.stats.Stats.equiHeightHistogram(Tables.t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 8)
+        .orderBy("column", "bucket")
     })
   )
 
@@ -409,6 +419,29 @@ object DiffStatsQueries extends QueryModule {
         ("lineitem", "l_returnflag", "l_extendedprice"))
         .map { case (t, g, v) => grpSql(t, g, v) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, g")
+    },
+
+    "s09_equiheight_histogram" -> {
+      val pcts = (1 to 7).map(i => i / 8.0).mkString(", ")
+      def colSql(c: String): String = s"""
+        SELECT '$c' AS "column", bucket, lo, hi, cnt FROM (
+          WITH b AS (
+            SELECT list_transform(
+              quantile_cont(CAST($c AS DOUBLE), [$pcts]),
+              x -> round(x, 6)) AS bs
+            FROM lineitem WHERE $c IS NOT NULL),
+          asg AS (
+            SELECT CAST(1 + len(list_filter(b.bs,
+                     x -> CAST($c AS DOUBLE) > x)) AS BIGINT) AS bucket,
+                   b.bs AS bs
+            FROM lineitem CROSS JOIN b WHERE $c IS NOT NULL)
+          SELECT bucket,
+                 CASE WHEN bucket > 1 THEN bs[CAST(bucket - 1 AS INT)] END AS lo,
+                 CASE WHEN bucket < 8 THEN bs[CAST(bucket AS INT)] END AS hi,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM asg GROUP BY bucket, bs)"""
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(colSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", bucket")
     }
   )
 }

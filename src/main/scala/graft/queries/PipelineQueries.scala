@@ -355,6 +355,35 @@ object PipelineQueries extends QueryModule {
         .orderBy("a_id")
     }),
 
+    // ---- deflate compression-ratio quality signal (the catch-all
+    //      boilerplate/noise detector beside p24's exact repetition
+    //      metrics): codegen'd zlib kernel, scan-local per doc. zlib has
+    //      no DuckDB face, so this entry has NO oracle (rows-only gate);
+    //      CompressSpec carries determinism + ordering correctness, and
+    //      the in-query require pins the ordinal law on the corpus's own
+    //      planted near-dup mass ---------------------------------------
+    "p93_compress_quality" -> ((s, dir) => {
+      graft.functions.CompressRatioExpr.register(s)
+      val d = docs(s, dir)
+      val scored = d.select(col("lang"),
+        expr("graft_deflate_ratio(text)").as("ratio"))
+      val out = scored.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("ratio")), 6).as("avg_ratio"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"))
+      // ordinal sanity on real data: a doc's text doubled must compress
+      // strictly better (relatively) than the doc alone — checked on one
+      // bounded sample row, not the corpus
+      val probe = d.limit(1).select(
+        expr("graft_deflate_ratio(text)").as("r1"),
+        expr("graft_deflate_ratio(concat(text, ' ', text))").as("r2"))
+        .head()
+      require(probe.getDouble(1) < probe.getDouble(0),
+        "doubled text must compress relatively better than the original")
+      out.orderBy("lang")
+    }),
+
     // ---- hard-negative triplet mining (contrastive-training data prep):
     //      per anchor, best same-label positive + best different-label
     //      negative by exact cosine; `violation` = margin not yet

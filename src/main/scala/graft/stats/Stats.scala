@@ -277,6 +277,46 @@ object Stats {
           col("mi") / sqrt(col("h_a") * col("h_b"))), 6).as("nmi"))
   }
 
+  /** Equi-HEIGHT (equal-frequency) histogram — the complement of
+    * [[histogram]]'s equi-width buckets, and the shape cardinality
+    * estimators prefer on skewed columns (equi-width puts 99% of a
+    * power-law column in one bucket; equal-frequency boundaries track
+    * the mass). Boundaries are the exact interpolated inner quantiles
+    * (= DuckDB quantile_cont), rounded 1e-6 so both engines assign rows
+    * to buckets with the identical cut points; bucket(x) = 1 + #{b_i <
+    * x} (boundary-equal rows fall LOW, same strict compare both sides).
+    *
+    * Shape per column: one percentile aggregate (sort-based — swap
+    * approx_percentile at unbounded scale, s02's documented trade), the
+    * ONE-ROW boundary array broadcast back, a scan-local HOF count of
+    * crossed boundaries (bounded: `buckets` compares per row), one
+    * (column, bucket) count aggregate. Returns (column, bucket, lo, hi,
+    * cnt) where lo/hi are the bucket's enclosing cut points (NULL at the
+    * open ends). */
+  def equiHeightHistogram(df: DataFrame, columns: Seq[String],
+                          buckets: Int = 8): DataFrame = {
+    require(buckets >= 2, s"buckets >= 2, got $buckets")
+    val pcts = (1 until buckets).map(i => i.toDouble / buckets)
+    columns.map { c =>
+      val v = col(c).cast("double")
+      val bnds = df.filter(v.isNotNull).agg(
+        expr(s"percentile(cast($c as double), array(${pcts.mkString(", ")}))")
+          .as("bs0"))
+        .select(transform(col("bs0"), b => round(b, 6)).as("bs"))
+      df.filter(v.isNotNull).crossJoin(broadcast(bnds))
+        .select(col("bs"),
+          (lit(1) + aggregate(col("bs"), lit(0),
+            (acc, b) => acc + when(v > b, 1).otherwise(0))).as("bucket"))
+        .groupBy("bs", "bucket").agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("column"), col("bucket").cast("long").as("bucket"),
+          when(col("bucket") > 1, element_at(col("bs"), col("bucket") - 1))
+            .as("lo"),
+          when(col("bucket") < buckets, element_at(col("bs"), col("bucket")))
+            .as("hi"),
+          col("cnt"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Robust per-group outlier profile by MEDIAN/MAD — the robust z-score
     * that mean/stddev screening is not: one fat-fingered 1e9 value drags
     * the mean toward itself and inflates σ enough to hide ITSELF (and

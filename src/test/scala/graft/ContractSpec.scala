@@ -9,11 +9,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * adjacent failure instead of a missing row three rounds later. */
 class ContractSpec extends SparkSpec {
 
+  /** Queries DELIBERATELY without an oracle (driver contract: "omit for
+    * non-SQL-expressible ops → rows-only check"). Each entry must name
+    * the spec that carries its correctness instead; anything not listed
+    * here still fails the gap gate below. */
+  private val rowsOnlyQueries = Map(
+    // zlib has no DuckDB face; CompressSpec pins determinism, the
+    // repetitive<<prose<random ordinal law, and codegen==eval
+    "p93_compress_quality" -> "CompressSpec")
+
   test("every query has an oracle and every oracle has a query") {
-    val q = SparkEntry.queries.keySet
+    val q = SparkEntry.queries.keySet -- rowsOnlyQueries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert((rowsOnlyQueries.keySet -- SparkEntry.queries.keySet).isEmpty,
+      "rows-only allowlist names a query that no longer exists")
+    assert(rowsOnlyQueries.keySet.intersect(SparkEntry.oracleSql.keySet).isEmpty,
+      "a rows-only query grew an oracle — remove it from the allowlist")
   }
 
   test("query names are stable lowercase identifiers with family prefixes") {

@@ -62,4 +62,13 @@ class PlanShapeSpec extends SparkSpec {
       c == Set("o_custkey", "o_orderkey", "o_orderpriority")
     }, "q60 orders scan not pruned to its 3 referenced columns")
   }
+
+  test("weighted sampling compiles to TakeOrderedAndProject, not a global sort (p91)") {
+    // ORDER BY + LIMIT k must plan per-partition partial top-k; a
+    // refactor that materializes a full global sort of the corpus to
+    // take 20 rows fails here, not in a cluster bill
+    val plan = formatted("p91_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"p91 lost its partial top-k plan:\n${plan.take(1200)}")
+  }
 }
