@@ -41,6 +41,34 @@ object Clean {
       lineBoiler: Seq[String] = Seq("javascript", "cookie"),
       docBoiler: Seq[String] = Seq("lorem ipsum", "{"))
 
+  /** HTML → text extraction — the ingest step BEFORE any of the line
+    * rules ever run on a web crawl: drop script/style payloads, strip
+    * tags, decode the entity shortlist, collapse whitespace. Pure
+    * codegen'd regexp/replace chain: scan-local, zero shuffle.
+    *
+    * Every regex is RE2-compatible (no backreferences — script and style
+    * blocks are two sequential replaces for exactly that reason — and no
+    * lookaround), and each step is expressible verbatim in DuckDB, so
+    * the oracle replays the identical chain and the extracted strings
+    * hash-match byte-for-byte. Entity decode order is fixed with &amp;
+    * LAST: decoding it earlier would double-decode "&amp;lt;" into "<",
+    * which the HTML spec (and this chain) must leave as "&lt;". This is
+    * the deterministic 95% extractor, not a DOM parser — malformed
+    * nesting degrades to extra whitespace, never to an error. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val amp = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Per-document cleaning report + cleaned-text fingerprint. Output:
     * <idCol> (the caller's id column keeps its name, so the report joins
     * back without renaming), n_lines, n_boiler, n_short, n_nopunct,

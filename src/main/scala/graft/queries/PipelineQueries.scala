@@ -355,6 +355,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("a_id")
     }),
 
+    // ---- HTML → text extraction (the ingest step BEFORE the C4 line
+    //      rules on a web crawl): script/style/comment drop, tag strip,
+    //      fixed-order entity decode (&amp; last), whitespace collapse —
+    //      every step RE2-portable, so DuckDB replays the identical
+    //      chain over the same synthesized page and the extracted texts
+    //      hash-match byte-for-byte ------------------------------------
+    "p94_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x=1;</script></head>" +
+          "<body><!-- nav --><p class=\"main\">"),
+        col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&#39;" +
+          "&nbsp;end</div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.pipeline.Clean.htmlToText(html).as("t"))
+        .select(col("doc_id"), length(col("t")).cast("long").as("n_chars"),
+          md5(col("t")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deflate compression-ratio quality signal (the catch-all
     //      boilerplate/noise detector beside p24's exact repetition
     //      metrics): codegen'd zlib kernel, scan-local per doc. zlib has
@@ -1331,6 +1352,27 @@ object PipelineQueries extends QueryModule {
       FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
       JOIN ma USING (a_id) JOIN mb USING (b_id)
       ORDER BY a_id""",
+
+    "p94_html_extract" -> """
+      WITH h AS (SELECT doc_id,
+        '<html><head><title>t</title><style>p{color:red}</style>' ||
+        '<script type="text/javascript">var x=1;</script></head>' ||
+        '<body><!-- nav --><p class="main">' || text ||
+        '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&#39;' ||
+        '&nbsp;end</div></body></html>' AS html
+        FROM documents),
+      x AS (SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS t FROM h)
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS fp
+      FROM x ORDER BY doc_id""",
 
     "p92_hard_negatives" -> """
       WITH a AS (SELECT vec_id AS anchor_id, label AS a_lbl,

@@ -822,6 +822,26 @@ class CurationSpec extends SparkSpec {
     assert(a.size > 5, "base doc should split into several chunks")
   }
 
+  // ---- Clean.htmlToText ------------------------------------------------
+
+  test("htmlToText: scripts/styles/comments drop, entities decode in safe order, malformed degrades to whitespace") {
+    import spark.implicits._
+    def x(h: String): String =
+      Seq(h).toDF("h").select(Clean.htmlToText(col("h"))).head().getString(0)
+    assert(x("<p>Hello <b>world</b></p>") == "Hello world")
+    // script payload with operators that look like tags must vanish whole
+    assert(x("<script>if (a<b && c>d) alert('x')</script>ok") == "ok")
+    assert(x("a<style>p { color: red; }</style>b") == "a b")
+    assert(x("a<!-- hidden <b>bold</b> -->b") == "a b")
+    // &amp; decodes LAST: "&amp;lt;" must surface as "&lt;", never "<"
+    assert(x("x &amp;lt; y") == "x &lt; y")
+    assert(x("Tom &amp; Jerry &lt;3 &quot;q&#39;&nbsp;.") == "Tom & Jerry <3 \"q' .")
+    // malformed nesting: an unterminated tag is LITERAL text (matching
+    // browsers' recovery), well-formed tags around it still strip
+    assert(x("<div><p>un<closed") == "un<closed")
+    assert(x("") == "")
+  }
+
   // ---- Mixing.exactStratifiedSplit / weightedSampleK -------------------
 
   test("exactStratifiedSplit realizes exact per-stratum counts and is " +

@@ -151,6 +151,27 @@ class ScalingSpec extends SparkSpec {
       candVolume(Ann.hyperplaneBucketed(eL, 64, 4 + extra, 32, 5)))
   }
 
+  test("indexed bitext (p89) cross-side candidate volume grows ~linearly " +
+      "under the planes rule") {
+    assume(haveData, "testdata absent")
+    // p89's candidates are Σ |bktA|·|bktB| over shared (table, bucket)
+    // keys — the cross-side analogue of the self-join volume; the same
+    // planes-grows-with-log2(n) rule must bound it
+    def crossVolume(e: org.apache.spark.sql.DataFrame, planes: Int): Long = {
+      val a = Ann.hyperplaneBucketed(e.filter(col("label") === 0),
+        64, planes, 16, 7).groupBy("bkt").agg(count(lit(1)).as("ca"))
+      val b = Ann.hyperplaneBucketed(e.filter(col("label") === 1),
+        64, planes, 16, 7).groupBy("bkt").agg(count(lit(1)).as("cb"))
+      a.join(b, "bkt").agg(coalesce(sum(col("ca") * col("cb")), lit(0L)))
+        .head().getLong(0)
+    }
+    val (eS, eL) = (embs(sfSmall), embs(sfLarge))
+    val (n1, n2) = (eS.count(), eL.count())
+    val extra = math.round(math.log(n2.toDouble / n1) / math.log(2)).toInt
+    assertLinear("indexed-bitext(p89)", 1.35, n1, crossVolume(eS, 4),
+      n2, crossVolume(eL, 4 + extra))
+  }
+
   test("semdedup (p29) within-cell volume grows ~linearly under the nCells rule") {
     assume(haveData, "testdata absent")
     // SemDeDup's documented knob (Ann.semDedupPairs): within-cell volume
