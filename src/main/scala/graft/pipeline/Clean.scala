@@ -69,6 +69,44 @@ object Clean {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** URL canonicalization — the crawl-frontier dedup step (the same
+    * page arrives as HTTP://WWW.Example.COM:80/p?utm_source=x&b=2&a=1#f
+    * and http://example.com/p?a=1&b=2; un-canonicalized they fetch and
+    * dedup as different documents). Rules, in order:
+    *   1. scheme and host lowercase; fragment dropped;
+    *   2. default port stripped (:80 for http, :443 for https) and a
+    *      leading www. removed;
+    *   3. empty path → "/";
+    *   4. query parameters: tracking params dropped (utm_*, gclid,
+    *      fbclid, ref), the rest SORTED (param order is almost never
+    *      semantic; sorting is what makes the key canonical);
+    * then reassembled scheme://host path [?query].
+    *
+    * Scan-local decompose/rebuild via regexp_extract + higher-order
+    * array functions — every step RE2- and DuckDB-portable (no
+    * lookaround, no backreferences), so the oracle re-canonicalizes
+    * identically. Malformed URLs (no scheme) pass through lowercased
+    * host-less as-is rather than erroring — frontier hygiene must never
+    * kill the job. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val path = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p.startsWith("ref=") || (p === ""))))
+    val q = array_join(keptParams, "&")
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host,
+      when(path === "", "/").otherwise(path),
+      when(q === "", "").otherwise(concat(lit("?"), q))))
+  }
+
   /** Per-document cleaning report + cleaned-text fingerprint. Output:
     * <idCol> (the caller's id column keeps its name, so the report joins
     * back without renaming), n_lines, n_boiler, n_short, n_nopunct,

@@ -376,6 +376,31 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- URL canonicalization + frontier dedup (p66 profiles domains;
+    //      this is the step BEFORE it): five deterministic variants per
+    //      doc — case noise, default ports, www, tracking params,
+    //      unsorted params, fragments, plus a scheme-less passthrough —
+    //      collapse under canonicalization; the oracle re-canonicalizes
+    //      with the identical RE2/list chain and must count the same
+    //      collapsed groups ---------------------------------------------
+    "p95_url_canonicalize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b = (col("doc_id") % 7).cast("string")
+      val pg = floor(col("doc_id") / lit(5)).cast("string")
+      val v = col("doc_id") % 5
+      val url = when(v === 0, concat(lit("HTTP://WWW.Site"), b,
+          lit(".COM:80/p/"), pg, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(v === 1, concat(lit("http://site"), b, lit(".com/p/"), pg,
+          lit("?a=1&b=2")))
+        .when(v === 2, concat(lit("https://Site"), b, lit(".com:443/p/"),
+          pg, lit("?b=2&a=1&ref=tw")))
+        .when(v === 3, concat(lit("https://site"), b, lit(".com/p/"), pg))
+        .otherwise(concat(lit("site"), b, lit(".com/p/"), pg))
+      d.select(graft.pipeline.Clean.canonicalizeUrl(url).as("url_canon"))
+        .groupBy("url_canon").agg(count(lit(1)).as("n"))
+        .orderBy("url_canon")
+    }),
+
     // ---- deflate compression-ratio quality signal (the catch-all
     //      boilerplate/noise detector beside p24's exact repetition
     //      metrics): codegen'd zlib kernel, scan-local per doc. zlib has
@@ -1352,6 +1377,51 @@ object PipelineQueries extends QueryModule {
       FROM (SELECT a_id, b_id, cos_r FROM fwd WHERE rk = 1) t
       JOIN ma USING (a_id) JOIN mb USING (b_id)
       ORDER BY a_id""",
+
+    "p95_url_canonicalize" -> """
+      WITH u AS (SELECT
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.COM:80/p/' || CAST(doc_id // 5 AS VARCHAR) ||
+            '?utm_source=x&b=2&a=1#frag'
+          WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+          WHEN 2 THEN 'https://Site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1&ref=tw'
+          WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+          ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+            CAST(doc_id // 5 AS VARCHAR)
+        END AS url FROM documents),
+      parts AS (SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+      canon AS (SELECT
+        CASE WHEN scheme = '' THEN url ELSE
+          scheme || '://' ||
+          (CASE
+            WHEN scheme = 'http' THEN
+              regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+            WHEN scheme = 'https' THEN
+              regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+            ELSE regexp_replace(hostport, '^www\.', '') END) ||
+          (CASE WHEN path = '' THEN '/' ELSE path END) ||
+          -- COALESCE: DuckDB array_to_string([]) is NULL, not ''
+          (CASE WHEN COALESCE(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+                 OR starts_with(p, 'fbclid=') OR starts_with(p, 'ref=')
+                 OR p = ''))), '&'), '') = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+                 OR starts_with(p, 'fbclid=') OR starts_with(p, 'ref=')
+                 OR p = ''))), '&') END)
+        END AS url_canon FROM parts)
+      SELECT url_canon, CAST(COUNT(*) AS BIGINT) AS n
+      FROM canon GROUP BY url_canon ORDER BY url_canon""",
 
     "p94_html_extract" -> """
       WITH h AS (SELECT doc_id,

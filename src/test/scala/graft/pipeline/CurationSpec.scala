@@ -842,6 +842,28 @@ class CurationSpec extends SparkSpec {
     assert(x("") == "")
   }
 
+  // ---- Clean.canonicalizeUrl -------------------------------------------
+
+  test("canonicalizeUrl: case, ports, www, tracking params, order, fragments all collapse; scheme-less passes through") {
+    import spark.implicits._
+    def c(u: String): String =
+      Seq(u).toDF("u").select(Clean.canonicalizeUrl(col("u"))).head().getString(0)
+    val want = "http://example.com/p?a=1&b=2"
+    assert(c("HTTP://WWW.Example.COM:80/p?utm_source=x&b=2&a=1#frag") == want)
+    assert(c("http://example.com/p?a=1&b=2") == want)
+    assert(c("http://www.example.com/p?b=2&utm_medium=m&a=1&gclid=g") == want)
+    // https keeps :8443 (non-default) but strips :443
+    assert(c("https://Example.com:443/") == "https://example.com/")
+    assert(c("https://example.com:8443/x") == "https://example.com:8443/x")
+    // empty path becomes /
+    assert(c("http://example.com") == "http://example.com/")
+    // all-tracking query drops the ? entirely
+    assert(c("http://example.com/p?utm_source=a&fbclid=b&ref=c") ==
+      "http://example.com/p")
+    // scheme-less input is passed through untouched, never an error
+    assert(c("example.com/p?b=2&a=1") == "example.com/p?b=2&a=1")
+  }
+
   // ---- Mixing.exactStratifiedSplit / weightedSampleK -------------------
 
   test("exactStratifiedSplit realizes exact per-stratum counts and is " +
