@@ -194,6 +194,15 @@ object DiffStatsQueries extends QueryModule {
         .orderBy("tbl", "g")
     }),
 
+    // ---- Poisson-bootstrap CI for a corpus mean (Chamandy et al.):
+    //      deterministic hash-driven Poisson(1) replication weights, ONE
+    //      scan + B exploded replicates, map-side partials — the error
+    //      bar every corpus metric should carry; both engines re-derive
+    //      the identical weights from the salted id hash ---------------
+    "s10_bootstrap_ci" -> ((s, dir) =>
+      graft.stats.Stats.bootstrapCI(
+        Tables.t(s, dir, "documents"), "doc_id", "n_chars")),
+
     // ---- equi-HEIGHT histogram: equal-frequency buckets from exact
     //      interpolated inner quantiles (s03 is the equi-width face);
     //      the CE shape for skewed columns. Boundaries rounded 1e-6,
@@ -419,6 +428,38 @@ object DiffStatsQueries extends QueryModule {
         ("lineitem", "l_returnflag", "l_extendedprice"))
         .map { case (t, g, v) => grpSql(t, g, v) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, g")
+    },
+
+    "s10_bootstrap_ci" -> {
+      val cum = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+        0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+      val caseW = cum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""
+      WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+             CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE n_chars IS NOT NULL),
+      reps AS (SELECT id, x, r.rep
+               FROM base CROSS JOIN
+                 (SELECT unnest(range(0, 32)) AS rep) r),
+      wts AS (SELECT rep, x,
+        (('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || id),
+          1, 8))::BIGINT) / 4294967296.0 AS u
+        FROM reps),
+      ws AS (SELECT rep, x, $caseW AS w FROM wts),
+      rm AS (SELECT rep, round(SUM(w * x) / SUM(w), 8) AS m
+             FROM ws GROUP BY rep),
+      sp AS (SELECT COUNT(*) AS b, AVG(m) AS bm, stddev_samp(m) AS se_raw
+             FROM rm),
+      pt AS (SELECT COUNT(*) AS n_rows, AVG(x) AS pm FROM base)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(b AS BIGINT) AS b,
+             round(pm, 6) AS point_mean, round(bm, 6) AS boot_mean,
+             round(se_raw, 6) AS se,
+             round(bm - 1.96 * se_raw, 6) AS lo,
+             round(bm + 1.96 * se_raw, 6) AS hi
+      FROM pt CROSS JOIN sp"""
     },
 
     "s09_equiheight_histogram" -> {

@@ -362,6 +362,55 @@ object Stats {
       .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean — THE way to get
+    * error bars on corpus metrics at scale (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012): classic
+    * resampling draws n rows WITH replacement B times (B full shuffles of
+    * the corpus), while the Poisson bootstrap gives every row an
+    * independent Poisson(1) replication weight per replicate — ONE scan,
+    * B×n exploded rows, map-side partial aggregation, no resample
+    * shuffle. Weights come from the salted id hash through the inverse
+    * Poisson(1) CDF (cap 8, cumulative mass 1-3e-6), so the draw is
+    * deterministic, retry-stable, and replayable by any engine — no
+    * rand(). Replicate means round 1e-8 before the spread statistics
+    * (the repo's ranking discipline), se = stddev_samp over the B means,
+    * normal-approximation interval boot_mean ± 1.96·se.
+    *
+    * Returns one row: (n_rows, b, point_mean, boot_mean, se, lo, hi). */
+  def bootstrapCI(df: DataFrame, idCol: String, valCol: String,
+                  b: Int = 32, salt: String = "boot"): DataFrame = {
+    require(b >= 8, s"b >= 8 replicates, got $b")
+    // P(Poisson(1) <= k), k = 0..7
+    val cum = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    val base = df.select(col(idCol).cast("string").as("id"),
+      col(valCol).cast("double").as("x")).filter(col("x").isNotNull)
+    val reps = base.select(col("id"), col("x"),
+      explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val u = conv(substring(md5(concat(lit(salt + ":"), col("rep"),
+      lit(":"), col("id"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val w = cum.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (c, k)) => acc.when(u < c, k)
+    }.otherwise(8)
+    val repMeans = reps.withColumn("w", w)
+      .groupBy("rep").agg(
+        round(sum(col("w") * col("x")) / sum(col("w")), 8).as("m"))
+    val spread = repMeans.agg(
+      count(lit(1)).as("b"),
+      avg(col("m")).as("bm"), stddev_samp(col("m")).as("se_raw"))
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      avg(col("x")).as("pm"))
+    point.crossJoin(broadcast(spread))
+      .select(col("n_rows"), col("b"),
+        round(col("pm"), 6).as("point_mean"),
+        round(col("bm"), 6).as("boot_mean"),
+        round(col("se_raw"), 6).as("se"),
+        round(col("bm") - lit(1.96) * col("se_raw"), 6).as("lo"),
+        round(col("bm") + lit(1.96) * col("se_raw"), 6).as("hi"))
+  }
+
   /** DataFrame → TableStats (driver-side; the stats result is tiny). */
   def toTableStats(name: String, rowCount: Long, stats: DataFrame): TableStats =
     TableStats(name, rowCount, stats.collect().toSeq.map { r =>

@@ -152,4 +152,28 @@ class DiffStatsSpec extends SparkSpec {
     val c = graft.stats.Stats.robustOutliers(const, "grp", "v").head()
     assert(c.getAs[Double]("mad") == 0.0 && c.getAs[Long]("n_outliers") == 0L)
   }
+
+  // ---- Stats.bootstrapCI -----------------------------------------------
+
+  test("bootstrapCI: interval covers the planted mean and se shrinks ~1/sqrt(n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def frame(n: Int) = spark.range(n).select(col("id"),
+      (col("id") % 100).cast("double").as("x"))
+    val small = graft.stats.Stats.bootstrapCI(frame(400), "id", "x").head()
+    val big = graft.stats.Stats.bootstrapCI(frame(1600), "id", "x").head()
+    // population mean of id%100 over a multiple of 100 ids is exactly 49.5
+    for (r <- Seq(small, big)) {
+      assert(r.getAs[Double]("lo") < 49.5 && 49.5 < r.getAs[Double]("hi"),
+        s"CI [${r.getAs[Double]("lo")}, ${r.getAs[Double]("hi")}] misses 49.5")
+      assert(r.getAs[Long]("b") == 32)
+    }
+    val ratio = small.getAs[Double]("se") / big.getAs[Double]("se")
+    assert(ratio > 1.3 && ratio < 3.0,
+      f"se should shrink ~2x from n=400 to n=1600, got ratio $ratio%.2f")
+    // deterministic: the same inputs give byte-identical intervals
+    val again = graft.stats.Stats.bootstrapCI(frame(400), "id", "x").head()
+    assert(again.getAs[Double]("lo") == small.getAs[Double]("lo") &&
+      again.getAs[Double]("hi") == small.getAs[Double]("hi"))
+  }
 }
