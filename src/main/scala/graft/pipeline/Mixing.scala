@@ -201,6 +201,53 @@ object Mixing {
     }._1
   }
 
+  /** Concatenate-and-chunk sequence packing with BOUNDARY accounting —
+    * the GPT-style pretraining layout: each source's documents
+    * concatenate in deterministic id order into one token stream, cut
+    * into fixed `budget`-token windows; a document starting mid-window
+    * is where the attention mask resets, so the training loader needs
+    * per-window boundary facts, not just [[packBins]]'s bin ids.
+    *
+    * Per (source, window): how many documents START here (n_starts),
+    * their first/last in-window offsets (the mask-reset positions), and
+    * how many documents FLOW IN from earlier windows (n_enters — a doc
+    * longer than the budget crosses several). Integer arithmetic end to
+    * end, so any engine re-derives the identical layout.
+    *
+    * Shape: ONE window shuffle keyed by source for the exclusive cumsum
+    * (the packBins shape), then a bounded explode — a doc emits one row
+    * per window it ENTERS, Σ ≈ stream_tokens/budget rows, corpus-linear
+    * — and two skinny (source, bin) aggregates joined full-outer (a
+    * window can have entries and no starts, or vice versa).
+    * Returns (source, bin, n_starts, n_enters, first_off, last_off). */
+  def packWindows(df: DataFrame, sourceCol: String, idCol: String,
+                  toksCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
+    val w = Window.partitionBy("src").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = df.select(col(sourceCol).as("src"), col(idCol).as("id"),
+        col(toksCol).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("cum_b", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("start_bin", floor(col("cum_b") / budget))
+      .withColumn("end_bin",
+        floor((col("cum_b") + col("toks") - 1) / budget))
+    val starts = spans.groupBy(col("src"), col("start_bin").as("bin"))
+      .agg(count(lit(1)).as("n_starts"),
+        min(col("cum_b") - col("start_bin") * budget).as("first_off"),
+        max(col("cum_b") - col("start_bin") * budget).as("last_off"))
+    val enters = spans.filter(col("end_bin") > col("start_bin"))
+      .select(col("src"),
+        explode(sequence(col("start_bin") + 1, col("end_bin"))).as("bin"))
+      .groupBy("src", "bin").agg(count(lit(1)).as("n_enters"))
+    starts.join(enters, Seq("src", "bin"), "full_outer")
+      .select(col("src").as("source"), col("bin").cast("long").as("bin"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_enters"), lit(0L)).as("n_enters"),
+        col("first_off").cast("long").as("first_off"),
+        col("last_off").cast("long").as("last_off"))
+  }
+
   /** EXACT-proportion stratified split: the hash split ([[splitAssign]])
     * realizes its fractions only in expectation — fine where strata are
     * huge, but a small stratum (a rare language, a niche source) can

@@ -970,6 +970,18 @@ object CurationQueries extends QueryModule {
         docs(s, dir).withColumn("w", length(col("text")).cast("double")),
         "doc_id", "w", k = 20, salt = "wsamp")),
 
+    // ---- GPT-style concatenate-and-chunk packing with boundary
+    //      accounting (p34's packBins gives bin ids; this gives the
+    //      training loader its per-window mask-reset facts): docs
+    //      concatenate per source in id order, 2048-token windows,
+    //      token proxy = ceil(n_chars/4) --------------------------------
+    "p96_pack_windows" -> ((s, dir) => {
+      Mixing.packWindows(
+        docs(s, dir).withColumn("toks", ceil(col("n_chars") / lit(4.0))),
+        "source", "doc_id", "toks", budget = 2048)
+        .orderBy("source", "bin")
+    }),
+
     // ---- greedy k-center (farthest-point) coreset: k maximally-diverse
     //      exemplars, Gonzalez's 2-approximation. k rounds × one scan
     //      each (selected set = literal vectors in the projection,
@@ -2110,6 +2122,38 @@ object CurationQueries extends QueryModule {
     // strategies label by component minimum, so one oracle serves both
     "p88_group_split_star" -> groupSplitOracle,
     "p86_group_split" -> groupSplitOracle,
+
+    "p96_pack_windows" -> """
+      WITH d AS (SELECT source AS src, doc_id AS id,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+             FROM documents WHERE ceil(n_chars / 4.0) > 0),
+      spans AS (SELECT src, id, toks,
+        SUM(toks) OVER (PARTITION BY src ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum_b
+        FROM d),
+      sb AS (SELECT src, toks, cum_b,
+               cum_b // 2048 AS start_bin,
+               (cum_b + toks - 1) // 2048 AS end_bin
+             FROM spans),
+      starts AS (SELECT src, start_bin AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_starts,
+               MIN(cum_b - start_bin * 2048) AS first_off,
+               MAX(cum_b - start_bin * 2048) AS last_off
+             FROM sb GROUP BY src, start_bin),
+      enters AS (SELECT src, unnest(range(CAST(start_bin + 1 AS BIGINT),
+               CAST(end_bin + 1 AS BIGINT))) AS bin
+             FROM sb WHERE end_bin > start_bin),
+      ec AS (SELECT src, bin, CAST(COUNT(*) AS BIGINT) AS n_enters
+             FROM enters GROUP BY src, bin)
+      SELECT COALESCE(s.src, e.src) AS source,
+             CAST(COALESCE(s.bin, e.bin) AS BIGINT) AS bin,
+             COALESCE(n_starts, 0) AS n_starts,
+             COALESCE(n_enters, 0) AS n_enters,
+             CAST(first_off AS BIGINT) AS first_off,
+             CAST(last_off AS BIGINT) AS last_off
+      FROM starts s FULL OUTER JOIN ec e
+        ON s.src = e.src AND s.bin = e.bin
+      ORDER BY source, bin""",
 
     "p90_exact_stratified_split" -> """
       WITH u AS (SELECT doc_id AS id, source AS stratum,

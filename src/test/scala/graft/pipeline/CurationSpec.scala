@@ -822,6 +822,32 @@ class CurationSpec extends SparkSpec {
     assert(a.size > 5, "base doc should split into several chunks")
   }
 
+  // ---- Mixing.packWindows ----------------------------------------------
+
+  test("packWindows: starts, enters, and offsets reconstruct the planted token layout") {
+    import spark.implicits._
+    // one source, budget 10; docs (id, toks): 1->4, 2->4, 3->7, 4->25
+    // stream: doc1 [0,4) doc2 [4,8) doc3 [8,15) doc4 [15,40)
+    // windows: w0 starts 1@0,2@4,3@8; w1 enters {3}, starts 4@5;
+    //          w2,w3 enters {4} only
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 7L), (4L, 25L)).toDF("id", "toks")
+      .withColumn("src", lit("a"))
+    val out = Mixing.packWindows(df, "src", "id", "toks", budget = 10)
+      .orderBy("bin")
+      .select("bin", "n_starts", "n_enters", "first_off", "last_off")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, Some(0L), Some(8L)),
+      (1L, 1L, 1L, Some(5L), Some(5L)),
+      (2L, 0L, 1L, None, None),
+      (3L, 0L, 1L, None, None)))
+    // zero-token docs are excluded by contract
+    val withZero = df.union(Seq((9L, 0L)).toDF("id", "toks")
+      .withColumn("src", lit("a")))
+    assert(Mixing.packWindows(withZero, "src", "id", "toks", 10)
+      .agg(org.apache.spark.sql.functions.sum("n_starts")).head().getLong(0) == 4L)
+  }
+
   // ---- Clean.htmlToText ------------------------------------------------
 
   test("htmlToText: scripts/styles/comments drop, entities decode in safe order, malformed degrades to whitespace") {
