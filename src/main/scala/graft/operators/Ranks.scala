@@ -41,4 +41,29 @@ object Ranks {
       .withColumn(rankCol, (col("__off") + col("__lrk")).cast("long"))
       .drop("__pid", "__lrk", "__off")
   }
+
+  /** Distributed global CUMULATIVE SUM of `sumCol` in `sortCols` order —
+    * the scalable replacement for `sum(c).over(Window.orderBy(...))`,
+    * which (like the global rank) plans a single partition. Same shape
+    * as [[globalRowNumber]]: range-repartition on the sort keys, local
+    * running sum per partition, add per-partition offsets (a cumulative
+    * window over the numPartitions-row totals table — the one place a
+    * single-partition window is the correct plan). Inclusive of the
+    * current row; `sortCols` must be a unique key for a deterministic
+    * result (same contract as the window form over distinct keys). */
+  def globalCumSum(df: DataFrame, sumCol: String, outCol: String,
+                   sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lcs", sum(col(sumCol)).over(
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    val offsets = local.groupBy("__pid").agg(sum(col(sumCol)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__off") + col("__lcs"))
+      .drop("__pid", "__lcs", "__off")
+  }
 }

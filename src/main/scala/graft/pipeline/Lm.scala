@@ -55,13 +55,19 @@ object Lm {
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(srcCol).as("source"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-    val bySrc = posts.groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
-      .withColumn("n_s", sum(col("c_s")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")))
-    val global = posts.groupBy("tok").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-    bySrc.join(graft.operators.Broadcasts.sizeGated(global), "tok")
+    // totals as AGGREGATES joined back — never a window over the vocab
+    // table: an empty-partition (or per-source) window funnels the whole
+    // Heaps-law-unbounded vocabulary through single reducers, where the
+    // aggregate form is a map-side-combinable shuffle of bounded rows
+    // (one global row; one row per source) re-attached broadcast.
+    val srcCounts = posts.groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
+    val srcTotals = srcCounts.groupBy("source").agg(sum(col("c_s")).as("n_s"))
+    val globalCounts = posts.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = globalCounts.agg(sum(col("c")).as("n"))
+    srcCounts
+      .join(graft.operators.Broadcasts.sizeGated(srcTotals), "source")
+      .join(graft.operators.Broadcasts.sizeGated(globalCounts), "tok")
+      .crossJoin(broadcast(total))
       .groupBy("source").agg(
         max(col("n_s")).as("n_toks"),
         sum((col("c_s").cast("double") / col("n_s").cast("double")) *
@@ -125,10 +131,12 @@ object Lm {
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
+    // corpus total as a ONE-ROW aggregate crossJoin(broadcast(...)) —
+    // the q58 discipline — not an empty-partition window over the vocab
     val model = posts.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val total = model.agg(sum(col("cnt")).as("total"))
     posts.join(graft.operators.Broadcasts.sizeGated(model), "tok")
+      .crossJoin(broadcast(total))
       .groupBy("id").agg(
         count(lit(1)).as("n_toks"),
         avg(-log(col("cnt").cast("double") / col("total").cast("double")))
@@ -160,8 +168,9 @@ object Lm {
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // corpus token total N as a one-row aggregate, crossJoin(broadcast)
+    // — never an empty-partition window over the Heaps-law vocab table
+    val totalN = uni.agg(sum(col("c")).as("n"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // the unigram side joins back twice (back-off terms); size-gate ONCE
     // and reuse the persisted frame for both joins
@@ -169,8 +178,8 @@ object Lm {
     pairs
       .join(bi, Seq("w1", "w2"))
       .join(uniG.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uniG.select(col("w").as("w2"), col("c").as("c2"), col("n")),
-        Seq("w2"))
+      .join(uniG.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totalN))
       .groupBy("id").agg(
         count(lit(1)).as("n_bigrams"),
         avg(-log(
@@ -198,11 +207,14 @@ object Lm {
                         textCol: String, nBuckets: Int): DataFrame = {
     val posts = docs.select(col(idCol).as("id"), col(grpCol).as("grp"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
+    // per-group totals as a bounded (one row per group) AGGREGATE joined
+    // back — a per-group window over the model table would funnel the
+    // dominant language's whole vocabulary through one reducer
     val model = posts.groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+    val totals = model.groupBy("grp").agg(sum(col("cnt")).as("total"))
     val nll = posts.join(graft.operators.Broadcasts.sizeGated(model),
         Seq("grp", "tok"))
+      .join(graft.operators.Broadcasts.sizeGated(totals), "grp")
       .groupBy("id", "grp").agg(
         round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 6)
           .as("nll"))

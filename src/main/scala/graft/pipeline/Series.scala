@@ -131,9 +131,11 @@ object Series {
     val groups = df.select(col(groupCol).as("g")).distinct()
       .join(byVal.groupBy("g").agg(sum(col("c")).as("n_g")), "g")
     val wG = Window.partitionBy("g").orderBy("v")
-    val wAll = Window.orderBy("v") // runs over the VALUE GRID (bounded)
-    val grid = globalByVal
-      .withColumn("cum_all", sum(col("cg")).over(wAll))
+    // global ECDF cumsum runs DISTRIBUTED (range-partitioned running
+    // sum + offsets) — the value grid is distinct observed doubles,
+    // unbounded on a continuous domain, so no single-partition window
+    val grid = graft.operators.Ranks
+      .globalCumSum(globalByVal, "cg", "cum_all", col("v"))
       .crossJoin(broadcast(nGlobal))
     val expanded = grid.crossJoin(broadcast(groups))
       .join(byVal, Seq("g", "v"), "left")

@@ -544,13 +544,13 @@ object CurationQueries extends QueryModule {
     //      training. The vocab is a BROADCAST (top-V is bounded by
     //      construction); token postings never self-join ---------------
     "p62_vocab_coverage" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir).select(col("source"),
         explode(TextOps.tokens(col("text"))).as("tok"))
+      // top-500 by ORDER BY + LIMIT (TakeOrderedAndProject: partial
+      // top-k per partition), never a single-partition rank window over
+      // the Heaps-law-unbounded vocab table; only membership is needed
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("tok"))))
-        .filter(col("rk") <= 500)
+        .orderBy(col("c").desc, col("tok")).limit(500)
         .select(col("tok"), lit(true).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy("source")
@@ -673,13 +673,13 @@ object CurationQueries extends QueryModule {
     //      1-edit variant, and recall over the planted set is part of
     //      the output ------------------------------------------------
     "p76_entity_blocking" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ents = Tables.t(s, dir, "part")
         .select(concat(col("p_name"), lit(" "), lower(col("p_type")),
           lit(" size "), col("p_size").cast("string")).as("nm"))
         .distinct()
-      val ids = ents.withColumn("rn",
-        row_number().over(Window.orderBy("nm")).cast("long"))
+      // entity table is corpus-linear — ids come from the DISTRIBUTED
+      // global rank, not a single-partition row_number window
+      val ids = graft.operators.Ranks.globalRowNumber(ents, "rn", col("nm"))
       val originals = ids.select((col("rn") * 2).as("id"), col("nm"))
       val variants = ids.filter(col("rn") % 3 === 0)
         .select((col("rn") * 2 + 1).as("id"),

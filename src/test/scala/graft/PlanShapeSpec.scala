@@ -14,14 +14,73 @@ import org.apache.spark.sql.functions._
   */
 class PlanShapeSpec extends SparkSpec {
 
-  test("no query plans a CartesianProduct") {
-    val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+  // --- Single-partition-funnel allowlist -------------------------------
+  // Queries whose plans contain an empty-partition Window (or an explicit
+  // 1-partition repartition) over input that is BOUNDED by construction —
+  // each entry names the bound. An entry that stops firing fails the lint
+  // (stale allowlists hide regressions); an unlisted hit fails it too.
+  // This is the bug class that produced findings two rounds running
+  // (r6 single-partition vocab rank, r7 Lm vocab totals): a window/sort
+  // with no partition key funnels its whole input through ONE reducer,
+  // which only survives 100 TB when that input is bounded metadata.
+  private val funnelAllow: Map[String, String] = Map(
+    "p33_bpe_merges" -> "rank window over limit(k=30) merge rows",
+    "p31_temperature_mix" -> "rate windows over |sources|-row aggregate (4 sources)",
+    "p42_dsir_weights" -> "model windows over hash-bucket table (1024 rows by construction)",
+    "p72_unimax_mix" -> "water-filling windows over |sources|-row aggregate",
+    "p83_rendezvous_shards" -> "total window over |shards|-row aggregate (4 rows)",
+    "p86_group_split" -> "fold-fraction window over |splits|-row aggregate (3 rows)",
+    "p88_group_split_star" -> "fold-fraction window over |splits|-row aggregate (3 rows)",
+    "p91_weighted_sample" -> "re-rank window over limit(k=20) sample rows",
+    "io07_range_layout" -> "file-rank window over one-row-per-file table (16 files)",
+    "q17_cte" -> "rank window over supplier-grain aggregate (dimension-bounded)",
+    "q87_scd2_join" -> "SUM(COUNT) OVER () over GROUP BY ver output (3 rows)"
+  )
+
+  // Structural exception: Ranks.globalRowNumber / globalCumSum carry an
+  // empty-partition cumulative window over their per-partition totals
+  // table — exactly numPartitions rows, the one place that plan is the
+  // CORRECT one. Recognized by the first Aggregate below the window
+  // grouping on the synthetic __pid (spark_partition_id) column.
+  private def boundedByPid(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.exists(_.references.exists(_.name == "__pid"))
+    }.getOrElse(false)
+
+  private def funnels(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty && !boundedByPid(w.child) =>
+        "empty-partition Window"
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.numPartitions == 1 => "repartition/coalesce(1)"
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+          if r.optNumPartitions.contains(1) => "repartitionByExpression(1)"
     }
-    assert(offenders.isEmpty,
-      s"queries with unbounded cartesian joins: ${offenders.mkString(", ")}")
+
+  test("all-surface plan lint: no CartesianProduct, no single-partition funnel over unbounded input") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Seq.newBuilder[String]
+    val fired = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, dir).queryExecution
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      // the ANALYZED plan sees the full lineage — cache substitution
+      // (sizeGated persists its aggregate mid-build) happens later, so a
+      // funnel can't hide inside an InMemoryRelation here
+      val hits = funnels(qe.analyzed)
+      if (hits.nonEmpty) {
+        if (funnelAllow.contains(name)) fired += name
+        else offenders += s"$name: ${hits.distinct.mkString(", ")}"
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"plan-lint offenders:\n  ${bad.mkString("\n  ")}")
+    val stale = funnelAllow.keySet -- fired
+    assert(stale.isEmpty,
+      s"allowlist entries that no longer fire (remove them): ${stale.mkString(", ")}")
   }
 
   // The two scan disciplines the 100 TB story depends on, pinned on
