@@ -76,6 +76,11 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
       catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      // each invocation builds FRESH frames, so a previous run's persists
+      // are dead weight — release keeps the long bench session's block
+      // manager flat (and the unpersist cost lands inside the timed run,
+      // where it honestly belongs: a real pipeline pays it too)
+      finally graft.operators.Broadcasts.release(spark)
 
     // Warmup: one full untimed pass (codegen compile, parquet footer cache,
     // JIT). Failures here are also failures in the timed pass; skip noise.

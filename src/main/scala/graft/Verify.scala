@@ -60,9 +60,15 @@ object Verify {
     // ran≠ok count line on stderr.
     var failed = Map.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // evict the library's per-query persists (sizeGated measures,
+        // fan-out caches) — 225 queries in one session would otherwise
+        // accumulate MEMORY_AND_DISK entries unboundedly
+        graft.operators.Broadcasts.release(spark)
+      } catch { case e: Throwable =>
+        graft.operators.Broadcasts.release(spark)
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: $msg")
         failed += (name -> msg)

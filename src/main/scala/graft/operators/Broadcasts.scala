@@ -47,10 +47,42 @@ object Broadcasts {
     val spark = df.sparkSession
     val cap = spark.conf.getOption(MaxBytesConf).map(_.toLong)
       .getOrElse(DefaultMaxBytes)
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = trackedPersist(df)
     cached.count()
     val bytes = measuredBytes(cached)
     if (bytes <= cap) broadcast(cached) else cached
+  }
+
+  // ---- persist lifecycle ------------------------------------------------
+  // Every persist this library takes mid-operator (sizeGated's measure,
+  // the persist-the-fan-out sites in Dedup/Stats/Graphs) is REGISTERED
+  // here; a long-lived session calls [[release]] between queries so
+  // MEMORY_AND_DISK entries never accumulate unboundedly. Verify and
+  // Bench call it after every query; interactive users with a session
+  // running many operators should do the same.
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK — spills rather than OOMs) and
+    * register it for [[release]]. */
+  private[graft] def trackedPersist(df: DataFrame): DataFrame = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(cached)
+    cached
+  }
+
+  /** Unpersist every frame this library persisted for `spark`'s session
+    * since the last release (lazy eviction — no recompute is triggered).
+    * Frames an operator already unpersisted itself are no-ops. Returns
+    * the number of registry entries released. */
+  def release(spark: org.apache.spark.sql.SparkSession): Int = {
+    var n = 0
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq spark) { df.unpersist(false); it.remove(); n += 1 }
+    }
+    n
   }
 
   /** Observed cached size of a persisted-and-materialized frame. */

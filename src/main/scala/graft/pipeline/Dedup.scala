@@ -40,7 +40,7 @@ object Dedup {
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     val banded = minhashPostings(base, k, bands, seed)
     val a = banded.select(col("bkt"), col("id").as("i"))
     val b = banded.select(col("bkt"), col("id").as("j"))
@@ -122,7 +122,7 @@ object Dedup {
       col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     val sized = base.select(col("id"), size(col("sh")).as("n"))
     // The exchange is load-bearing (same discipline as minhashPairs):
     // without it each side of the self-join below re-scans, re-explodes,
@@ -790,9 +790,9 @@ object Dedup {
     // these two persists alone. Both tables are corpus-linear and skinny
     // (postings of longs); MEMORY_AND_DISK spills rather than OOMs.
     val rp = rankedPostings(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     val pref = prefixCut(rp, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     // LENGTH filter (the second PPJoin prune, equally lossless):
     // J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so cross-length
     // candidates die INSIDE the join before any pair materializes

@@ -59,7 +59,7 @@ object Graphs {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("dv"))
           .otherwise(col("du")).as("dst_deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     // wedges from each src's out-neighborhood, ordered by ≺ = (deg, id)
     val a = oriented.select(col("src"), col("dst").as("b"), col("dst_deg").as("db"))
     val c = oriented.select(col("src"), col("dst").as("c"), col("dst_deg").as("dc"))

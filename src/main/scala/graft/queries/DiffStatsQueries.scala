@@ -450,7 +450,7 @@ object DiffStatsQueries extends QueryModule {
         FROM reps),
       ws AS (SELECT rep, x, $caseW AS w FROM wts),
       rm AS (SELECT rep, round(SUM(w * x) / SUM(w), 8) AS m
-             FROM ws GROUP BY rep),
+             FROM ws GROUP BY rep HAVING SUM(w) > 0),
       sp AS (SELECT COUNT(*) AS b, AVG(m) AS bm, stddev_samp(m) AS se_raw
              FROM rm),
       pt AS (SELECT COUNT(*) AS n_rows, AVG(x) AS pm FROM base)

@@ -419,9 +419,11 @@ object PipelineQueries extends QueryModule {
         round(min(col("ratio")), 6).as("min_ratio"),
         round(max(col("ratio")), 6).as("max_ratio"))
       // ordinal sanity on real data: a doc's text doubled must compress
-      // strictly better (relatively) than the doc alone — checked on one
-      // bounded sample row, not the corpus
-      val probe = d.limit(1).select(
+      // strictly better (relatively) than the doc alone — checked on ONE
+      // DETERMINISTIC row (longest text, id tie-break): an arbitrary
+      // limit(1) row could be empty/degenerate, where the ~11-byte
+      // deflate header makes the law fail spuriously
+      val probe = d.orderBy(length(col("text")).desc, col("doc_id")).limit(1).select(
         expr("graft_deflate_ratio(text)").as("r1"),
         expr("graft_deflate_ratio(concat(text, ' ', text))").as("r2"))
         .head()

@@ -180,6 +180,26 @@ object DorisSql {
     }
   }
 
+  /** Index just past the string literal opening at `i0` (s(i0) is ' or ").
+    * Handles BOTH escape conventions a MySQL-dialect literal can carry:
+    * backslash escapes and SQL doubled-quote escaping ('' / "") — without
+    * the latter, a literal like 'it''s (' would invert string/code
+    * regions and silently miscount parentheses in every scanner below.
+    * Unterminated literal → s.length. */
+  private def skipString(s: String, i0: Int): Int = {
+    val q = s.charAt(i0); val n = s.length
+    var i = i0 + 1
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == q) {
+        if (i + 1 < n && s.charAt(i + 1) == q) i += 2 // doubled-quote escape
+        else return i + 1
+      } else i += 1
+    }
+    n
+  }
+
   /** Token walk: yields (tokenLower, startIdx, endIdx, depth) for word
     * tokens outside strings/comments. */
   private def wordTokens(sql: String): Seq[(String, Int, Int, Int)] = {
@@ -189,12 +209,7 @@ object DorisSql {
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"') {
-        val q = c; i += 1
-        while (i < n && sql.charAt(i) != q) {
-          if (sql.charAt(i) == '\\') i += 1
-          i += 1
-        }
-        i += 1
+        i = skipString(sql, i)
       } else if (c == '`') { i += 1; while (i < n && sql.charAt(i) != '`') i += 1; i += 1 }
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val j = sql.indexOf('\n', i); i = if (j < 0) n else j
@@ -250,11 +265,7 @@ object DorisSql {
       while (i < n && depth > 0) {
         val c = sql.charAt(i)
         if (c == '\'' || c == '"') {
-          val q = c; i += 1
-          while (i < n && sql.charAt(i) != q) {
-            if (sql.charAt(i) == '\\') i += 1
-            i += 1
-          }
+          i = skipString(sql, i) - 1 // loop tail advances past the close
         } else if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         if (depth > 0) i += 1
@@ -267,11 +278,7 @@ object DorisSql {
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '\'' || c == '"') {
-          val q = c; i += 1
-          while (i < s.length && s.charAt(i) != q) {
-            if (s.charAt(i) == '\\') i += 1
-            i += 1
-          }
+          i = skipString(s, i) - 1 // loop tail advances past the close
         } else if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         else if (c == ',' && depth == 0) { parts += s.substring(start, i); start = i + 1 }
@@ -424,12 +431,7 @@ object DorisSql {
     def skipOpaque(i: Int): Int = {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"') {
-        var j = i + 1
-        while (j < n && sql.charAt(j) != c) {
-          if (sql.charAt(j) == '\\') j += 1
-          j += 1
-        }
-        math.min(j + 1, n)
+        skipString(sql, i)
       } else if (c == '`') {
         var j = i + 1
         while (j < n && sql.charAt(j) != '`') j += 1

@@ -369,7 +369,7 @@ object Stats {
     // discipline from the dedup family)
     val dev = base.join(med, "g")
       .withColumn("d", round(abs(col("x") - col("med")), 6))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Broadcasts.trackedPersist)
     val mad = dev.groupBy("g")
       .agg(round(expr("percentile(d, 0.5)"), 6).as("mad"))
     dev.join(mad, "g")
@@ -415,9 +415,14 @@ object Stats {
     val w = cum.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (c, k)) => acc.when(u < c, k)
     }.otherwise(8)
+    // a replicate whose Poisson weights all drew 0 has no sample — drop
+    // it EXPLICITLY (sum(w)=0 would otherwise make m NaN in Spark / NULL
+    // in other engines and silently bias the spread) and report the
+    // REALIZED replicate count so the caller sees the effective b
     val repMeans = reps.withColumn("w", w)
-      .groupBy("rep").agg(
+      .groupBy("rep").agg(sum(col("w")).as("sw"),
         round(sum(col("w") * col("x")) / sum(col("w")), 8).as("m"))
+      .filter(col("sw") > 0)
     val spread = repMeans.agg(
       count(lit(1)).as("b"),
       avg(col("m")).as("bm"), stddev_samp(col("m")).as("se_raw"))

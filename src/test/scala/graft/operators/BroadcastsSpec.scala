@@ -71,4 +71,32 @@ class BroadcastsSpec extends SparkSpec {
     val out = Ranks.globalRowNumber(df, "rk", col("w"), col("tok"))
     assert(out.columns.contains("rk") && out.count() == 0)
   }
+
+  test("release unpersists every frame the library persisted in this session") {
+    spark.catalog.clearCache()
+    Broadcasts.release(spark) // drain anything a previous test tracked
+    Broadcasts.sizeGated(spark.range(50).toDF()) // tracks its persist
+    val b = Broadcasts.trackedPersist(spark.range(60).toDF())
+    b.count()
+    assert(b.storageLevel.useMemory || b.storageLevel.useDisk)
+    val n = Broadcasts.release(spark)
+    assert(n == 2, s"expected 2 tracked entries, got $n")
+    assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // idempotent: registry drained, double release is a no-op
+    assert(Broadcasts.release(spark) == 0)
+  }
+
+  test("globalCumSum matches the single-partition cumulative window") {
+    val df = (1 to 4000).map(i => (((i * 2654435761L) % 1999).toDouble / 7.0,
+      (i % 13).toLong)).toDF("v", "c")
+      .groupBy("v").agg(sum(col("c")).as("c"))
+    val got = Ranks.globalCumSum(df, "c", "cum", col("v")).select("v", "cum")
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+        .select("v", "cum")
+    }
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "distributed cumsum must equal the single-partition reference")
+  }
 }

@@ -162,4 +162,25 @@ class DorisSqlSpec extends AnyFunSuite {
     // no hint, no change
     assert(DorisSql.translate("SELECT 1") == "SELECT 1")
   }
+
+  test("doubled-quote escaping ('' / \"\") does not invert string/code regions") {
+    // the literal contains an escaped quote AND an open paren — a scanner
+    // that reads '' as close+open treats ` (` as code and miscounts parens
+    val lit = "SELECT 'it''s (' AS x FROM t MINUS SELECT 'b' FROM u"
+    assert(DorisSql.translate(lit) ==
+      "SELECT 'it''s (' AS x FROM t EXCEPT SELECT 'b' FROM u")
+    // MINUS inside a doubled-quote literal must NOT be rewritten
+    assert(DorisSql.translate("SELECT 'a''MINUS''b' FROM t") ==
+      "SELECT 'a''MINUS''b' FROM t")
+    // COUNT(DISTINCT) OVER rewrite stays correct with '' in an argument
+    val cd = DorisSql.translate(
+      "SELECT COUNT(DISTINCT concat(x, 'it''s (')) OVER (PARTITION BY g) FROM t")
+    assert(cd.contains("SIZE(COLLECT_SET(concat(x, 'it''s (')) OVER (PARTITION BY g))"), cd)
+    // QUALIFY after a doubled-quote literal still rewrites
+    val q = DorisSql.translate(
+      "SELECT g, 'don''t' AS s, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
+        "FROM t QUALIFY rn = 1")
+    // no bare QUALIFY keyword survives (the __qualify marker column is fine)
+    assert("(?i)(?<!\\w)qualify".r.findFirstIn(q).isEmpty, q)
+  }
 }
