@@ -29,8 +29,16 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
     // Local rank: the window partitions by __pid, whose values are the
     // range-partition ids, so ordering (pid, local rank) == global order.
-    val local = parted.withColumn("__lrk", row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    // PERSISTED: `local` feeds BOTH the offsets aggregate and the final
+    // join — recomputed independently, RangePartitioner's reservoir
+    // sampling can pick different boundaries per computation, and
+    // offsets from one partitioning are garbage against local ranks of
+    // another (observed: missing + duplicated global ranks). The cache
+    // pins ONE materialization for both consumers; Broadcasts.release
+    // evicts it with the rest of the library's per-query persists.
+    val local = Broadcasts.trackedPersist(
+      parted.withColumn("__lrk", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*))))
     // numPartitions rows -> the cumulative-offset window is bounded.
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
@@ -55,8 +63,12 @@ object Ranks {
                    sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val local = parted.withColumn("__lcs", sum(col(sumCol)).over(
-      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    // persisted for the same two-consumer reason as globalRowNumber's
+    // local: offsets must be computed against the SAME range partitioning
+    // the join side reads
+    val local = Broadcasts.trackedPersist(
+      parted.withColumn("__lcs", sum(col(sumCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*))))
     val offsets = local.groupBy("__pid").agg(sum(col(sumCol)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))

@@ -208,8 +208,12 @@ object DiffStatsQueries extends QueryModule {
     //      the CE shape for skewed columns. Boundaries rounded 1e-6,
     //      boundary-equal rows fall low on both engines ----------------
     "s09_equiheight_histogram" -> ((s, dir) => {
+      // exact = true is the ORACLE face (sort + rank-pick quantiles,
+      // = DuckDB quantile_cont); exact = false is the 100 TB default
+      // (approx_percentile sketch boundaries) — StatsSpec pins the
+      // sketch boundaries inside the exact rank envelope
       graft.stats.Stats.equiHeightHistogram(Tables.t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"), 8)
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 8, exact = true)
         .orderBy("column", "bucket")
     })
   )

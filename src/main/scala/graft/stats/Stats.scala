@@ -286,52 +286,109 @@ object Stats {
     * to buckets with the identical cut points; bucket(x) = 1 + #{b_i <
     * x} (boundary-equal rows fall LOW, same strict compare both sides).
     *
-    * Shape per column: one percentile aggregate (sort-based — swap
-    * approx_percentile at unbounded scale, s02's documented trade), the
-    * ONE-ROW boundary array broadcast back, a scan-local HOF count of
-    * crossed boundaries (bounded: `buckets` compares per row), one
-    * (column, bucket) count aggregate. Returns (column, bucket, lo, hi,
-    * cnt) where lo/hi are the bucket's enclosing cut points (NULL at the
-    * open ends). */
+    * Shape per column: one boundary pass — `exact = true` picks the
+    * interpolated inner quantiles by SORT + rank-pick (the s02
+    * discipline; the built-in `percentile` aggregate was measured 4.5 s
+    * at sf0.1 and carries O(ndv) boxed hashmap state per column,
+    * unbounded on continuous doubles at 100 TB), `exact = false` (the
+    * 100 TB default) reads them from the mergeable approx_percentile
+    * sketch with bounded rank error and O(accuracy) state — then the
+    * per-column boundary arrays join back broadcast, a scan-local HOF
+    * counts crossed boundaries (bounded: `buckets` compares per row),
+    * and one (column, bucket) count aggregate ends the plan. TWO scans
+    * total regardless of column count (the per-column formulation costs
+    * 2·|columns| fact scans for identical output — at 100 TB the scan
+    * count IS the cost, the SCALE.md lesson-6 trade). Returns (column,
+    * bucket, lo, hi, cnt) where lo/hi are the bucket's enclosing cut
+    * points (NULL at the open ends). */
   def equiHeightHistogram(df: DataFrame, columns: Seq[String],
-                          buckets: Int = 8): DataFrame = {
+                          buckets: Int = 8, exact: Boolean = false,
+                          accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets >= 2, got $buckets")
     val pcts = (1 until buckets).map(i => i.toDouble / buckets)
-    // TWO scans total regardless of column count: one aggregate computes
-    // every column's boundary array (exact percentile skips nulls), one
-    // stack()-unpivoted scan assigns buckets for all columns at once —
-    // the per-column formulation costs 2·|columns| fact-table scans for
-    // identical output. Locally the per-column form measures slightly
-    // faster (3.9 vs 4.9 s at sf0.1 — the multi-buffer percentile agg
-    // and the unpivot are CPU constants against OS-cached parquet); this
-    // form is shipped because at 100 TB the scan count IS the cost, the
-    // SCALE.md lesson-6 trade made in the same direction.
-    val bndExprs = columns.map(c =>
-      expr(s"percentile(cast($c as double), array(${pcts.mkString(", ")}))")
-        .as(s"bs_$c"))
-    val bnds = df.agg(bndExprs.head, bndExprs.tail: _*)
-      .select(columns.map(c =>
-        transform(col(s"bs_$c"), b => round(b, 6)).as(s"bs_$c")): _*)
-    val stacked = df.select(expr(s"stack(${columns.length}, " +
-        columns.map(c => s"'$c', cast($c as double)").mkString(", ") +
-        ") as (col_name, x)"))
-      .filter(col("x").isNotNull)
-    val bs = columns.tail.foldLeft(
-      when(col("col_name") === columns.head, col(s"bs_${columns.head}"))) {
-      (acc, c) => acc.when(col("col_name") === c, col(s"bs_$c"))
+    // persist the unpivoted pair stream: it feeds the boundary pass AND
+    // the assignment pass (and the count pass on the exact face) — the
+    // persist-the-fan-out discipline; released by the session's
+    // Broadcasts.release like every library persist
+    val stacked = graft.operators.Broadcasts.trackedPersist(
+      df.select(expr(s"stack(${columns.length}, " +
+          columns.map(c => s"'$c', cast($c as double)").mkString(", ") +
+          ") as (col_name, x)"))
+        .filter(col("x").isNotNull))
+    // (col_name, bs: array<double>) — boundaries rounded 1e-6 so both
+    // engines assign rows against identical cut points
+    val bnds: DataFrame =
+      if (!exact)
+        stacked.groupBy("col_name").agg(
+          transform(percentile_approx(col("x"),
+            array(pcts.map(lit): _*), lit(accuracy)), b => round(b, 6))
+            .as("bs"))
+      else {
+        // exact interpolated quantiles (= DuckDB quantile_cont) by sort
+        // + rank-pick: pos = q·(n−1), linear interpolation between the
+        // floor and ceil ranks — same definition, no per-group value
+        // buffer, and the sort runs DISTRIBUTED (range-partitioned
+        // global rank on (column, value), per-column rank = global −
+        // column base).
+        val counts = stacked.groupBy("col_name").agg(count(lit(1)).as("n"))
+        val targets = counts.select(col("col_name"), col("n"),
+            posexplode(array(pcts.map(lit): _*)).as(Seq("qi", "qv")))
+          .withColumn("posq", col("qv") * (col("n") - 1))
+          .withColumn("lo", floor(col("posq")).cast("long"))
+          .withColumn("hi", ceil(col("posq")).cast("long"))
+          .withColumn("frac", col("posq") - col("lo"))
+        val wanted = targets.select(col("col_name"), col("qi"), col("frac"),
+            col("lo").as("rn"), lit("lo").as("role"))
+          .unionByName(targets.select(col("col_name"), col("qi"), col("frac"),
+            col("hi").as("rn"), lit("hi").as("role")))
+        val granked = graft.operators.Ranks.globalRowNumber(
+          stacked, "grk", col("col_name"), col("x"))
+        val bases = granked.groupBy("col_name").agg(min(col("grk")).as("base"))
+        val ranked = granked.join(broadcast(bases), "col_name")
+          .withColumn("rn", col("grk") - col("base"))
+        ranked.join(broadcast(wanted), Seq("col_name", "rn"))
+          .groupBy("col_name", "qi").agg(
+            first(col("frac")).as("frac"),
+            max(when(col("role") === "lo", col("x"))).as("v_lo"),
+            max(when(col("role") === "hi", col("x"))).as("v_hi"))
+          .withColumn("b",
+            round(col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"), 6))
+          .groupBy("col_name").agg(
+            transform(array_sort(collect_list(struct(col("qi"), col("b")))),
+              s => s.getField("b")).as("bs"))
+      }
+    // Boundary arrays are |columns| rows of bounded METADATA — collect
+    // them (the same bounded-collect class as quantile rows / centroids)
+    // and compile the bucket assignment into literal comparison chains:
+    // the counting pass is then ONE wide map-side aggregate over the raw
+    // table — no row explosion, no shuffle of data rows, fully codegen.
+    val bmap: Map[String, Seq[Double]] = bnds.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val aggExprs = columns.flatMap { c =>
+      val bs = bmap(c)
+      val bucketCol = bs.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      }
+      (1 to buckets).map { k =>
+        sum(when(col(c).isNotNull && bucketCol === k, 1L).otherwise(0L))
+          .as(s"cnt__${c}__$k")
+      }
     }
-    stacked.crossJoin(broadcast(bnds))
-      .select(col("col_name"), bs.as("bs"),
-        (lit(1) + aggregate(bs, lit(0),
-          (acc, b) => acc + when(col("x") > b, 1).otherwise(0))).as("bucket"))
-      .groupBy("col_name", "bs", "bucket").agg(count(lit(1)).as("cnt"))
-      .select(col("col_name").as("column"),
-        col("bucket").cast("long").as("bucket"),
-        when(col("bucket") > 1, element_at(col("bs"), col("bucket") - 1))
-          .as("lo"),
-        when(col("bucket") < buckets, element_at(col("bs"), col("bucket")))
-          .as("hi"),
-        col("cnt"))
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val cells = columns.flatMap { c =>
+      val bs = bmap(c)
+      (1 to buckets).map { k =>
+        val lo = if (k > 1) s"CAST(${bs(k - 2)} AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val hi = if (k < buckets) s"CAST(${bs(k - 1)} AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"'$c', CAST($k AS BIGINT), $lo, $hi, `cnt__${c}__$k`"
+      }
+    }
+    // empty buckets (possible under heavy ties) are dropped — the
+    // equal-frequency contract reports realized masses, and a per-row
+    // bucketing derivation (the oracle's) never materializes them
+    wide.selectExpr(s"stack(${columns.length * buckets}, " +
+        cells.mkString(", ") + ") AS (column, bucket, lo, hi, cnt)")
+      .filter(col("cnt") > 0)
   }
 
   /** Robust per-group outlier profile by MEDIAN/MAD — the robust z-score

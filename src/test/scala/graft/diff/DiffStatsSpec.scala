@@ -176,4 +176,27 @@ class DiffStatsSpec extends SparkSpec {
     assert(again.getAs[Double]("lo") == small.getAs[Double]("lo") &&
       again.getAs[Double]("hi") == small.getAs[Double]("hi"))
   }
+
+  test("equiHeightHistogram sketch boundaries sit inside the exact rank envelope") {
+    import org.apache.spark.sql.functions._
+    // skewed continuous column — the shape equi-height exists for
+    val df = spark.range(20000).select(
+      (pow(col("id").cast("double") / 20000.0, 3.0) * 1000.0).as("v"))
+    val exact = graft.stats.Stats.equiHeightHistogram(df, Seq("v"), 8,
+      exact = true)
+    val approx = graft.stats.Stats.equiHeightHistogram(df, Seq("v"), 8,
+      exact = false)
+    // exact face: every bucket holds n/8 ± 1 rows (continuous values, no
+    // ties) — the defining equal-frequency property
+    val exCnts = exact.select("cnt").collect().map(_.getLong(0))
+    assert(exCnts.length == 8 && exCnts.forall(c => math.abs(c - 2500L) <= 1),
+      s"exact bucket masses ${exCnts.mkString(",")}")
+    // sketch face: every realized bucket mass within ±2% rank error of
+    // n/8 (accuracy=10000 bounds rank error at 1e-4; 2% is generous
+    // slack for interpolation) — the s02 rank-envelope discipline
+    val apCnts = approx.select("cnt").collect().map(_.getLong(0))
+    assert(apCnts.length == 8 && apCnts.sum == 20000L)
+    assert(apCnts.forall(c => math.abs(c - 2500L) <= 400),
+      s"sketch bucket masses ${apCnts.mkString(",")} drifted past the envelope")
+  }
 }
