@@ -448,6 +448,116 @@ object Multimodal {
       }
   }
 
+  // ===== Y4M (YUV4MPEG2) — a REAL video container the JVM can parse =====
+  // Y4M is the reference uncompressed interchange format (mjpegtools,
+  // ffmpeg's yuv4mpegpipe): a plain-text stream header
+  // "YUV4MPEG2 W<w> H<h> F<n>:<d> [I?] [A?] [C<colorspace>]\n" followed
+  // by frames, each "FRAME[params]\n" + raw planar YUV bytes. No codec
+  // involved — so the container parse here is REAL (magic, geometry,
+  // colorspace → plane sizes, per-frame markers), not a stand-in; only
+  // COMPRESSED codecs remain out of JVM reach.
+
+  /** Parsed Y4M geometry: true header fields + derived plane sizes. */
+  case class Y4mInfo(width: Int, height: Int, colorspace: String,
+                     ySize: Int, frameSize: Int)
+
+  /** Parse a YUV4MPEG2 payload: header fields + the byte offset of each
+    * frame's luma plane. Malformed containers fail LOUDLY (require) —
+    * a silent partial parse would fabricate frame statistics. */
+  private[graft] def parseY4m(p: Array[Byte]): (Y4mInfo, IndexedSeq[Int]) = {
+    val nl = p.indexOf('\n'.toByte)
+    require(nl > 0, "Y4M: missing stream-header newline")
+    val header = new String(p, 0, nl, "US-ASCII")
+    val toks = header.split(' ')
+    require(toks.head == "YUV4MPEG2", s"Y4M: bad magic '${toks.head}'")
+    def param(tag: Char): Option[String] =
+      toks.tail.find(t => t.nonEmpty && t.head == tag).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      sys.error("Y4M: missing W param"))
+    val h = param('H').map(_.toInt).getOrElse(
+      sys.error("Y4M: missing H param"))
+    require(w > 0 && h > 0, s"Y4M: bad geometry ${w}x$h")
+    val cs = param('C').getOrElse("420jpeg") // spec default is 4:2:0
+    val ySize = w * h
+    val chromaSize =
+      if (cs.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
+      else if (cs.startsWith("444")) 2 * ySize
+      else if (cs == "mono") 0
+      else sys.error(s"Y4M: unsupported colorspace C$cs")
+    val info = Y4mInfo(w, h, cs, ySize, ySize + chromaSize)
+    val frameMagic = "FRAME".getBytes("US-ASCII")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = nl + 1
+    while (off < p.length) {
+      require(off + frameMagic.length <= p.length &&
+        frameMagic.indices.forall(i => p(off + i) == frameMagic(i)),
+        s"Y4M: expected FRAME marker at byte $off")
+      var j = off + frameMagic.length
+      while (j < p.length && p(j) != '\n'.toByte) j += 1 // frame params
+      require(j < p.length, "Y4M: unterminated FRAME header")
+      val y0 = j + 1
+      require(y0 + info.frameSize <= p.length,
+        s"Y4M: truncated frame at byte $y0")
+      offs += y0
+      off = y0 + info.frameSize
+    }
+    (info, offs.toIndexedSeq)
+  }
+
+  /** Deterministic synthetic Y4M stream: a REAL YUV4MPEG2 container
+    * (header + FRAME markers + planar 4:2:0 payload) of 10 + id%7
+    * frames whose LUMA byte i of frame f = (id·31 + f·7 + i) mod 256 —
+    * pure id arithmetic, so a SQL oracle recomputes every sampled
+    * frame's luma statistics analytically while the engine genuinely
+    * parses the container. Chroma planes carry distinct arithmetic so a
+    * plane-slicing bug (reading U/V as luma) cannot cancel out. */
+  def synthY4M(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val n = (10 + id % 7).toInt
+    val ySize = w * h
+    val cSize = 2 * ((w + 1) / 2) * ((h + 1) / 2)
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < n) {
+      out.write(frameHdr)
+      var i = 0
+      while (i < ySize) { out.write(((id * 31 + f * 7 + i) % 256).toInt); i += 1 }
+      var c = 0
+      while (c < cSize) { out.write(((id * 13 + f * 5 + c) % 256).toInt); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Batched per-partition Y4M frame sampling: parse each payload's REAL
+    * container structure, slice every `stride`-th frame's luma plane,
+    * emit its mean — same plumbing discipline as imageFeatures (partition
+    * iterator → bounded batches → flattened rows; output ∝ sampled
+    * frames, never buffered beyond one payload's offset table). */
+  def y4mFrameSamples(spark: SparkSession, media: DataFrame,
+                      stride: Int = 3, batchSize: Int = 64): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.selectExpr("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { b =>
+          b.flatMap { case (id, p) =>
+            val (info, yOffs) = parseY4m(p)
+            (0 until yOffs.length by stride).map { f =>
+              val y0 = yOffs(f)
+              var s = 0L
+              var i = 0
+              while (i < info.ySize) { s += p(y0 + i) & 0xff; i += 1 }
+              VideoFrame(id, yOffs.length.toLong, f.toLong,
+                s.toDouble / info.ySize)
+            }
+          }
+        }
+      }
+  }
+
   /** Deterministic synthetic "video" payload: 10 + id%7 contiguous raw
     * `frameBytes`-byte frames, byte i of frame f = (id·31 + f·7 + i)
     * mod 256 — pure id arithmetic, so a SQL oracle recomputes every

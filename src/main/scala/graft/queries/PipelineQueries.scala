@@ -751,23 +751,22 @@ object PipelineQueries extends QueryModule {
       sizes.join(em, "cluster").orderBy("cluster")
     }),
 
-    // ---- m02: video frame-sample plumbing. No JVM video codec exists,
-    //      so the payload is a deterministic raw-frame layout and the
-    //      slicing body is the documented codec seam — but the engine
-    //      GENUINELY slices frames out of binary payloads through the
-    //      batched mapPartitions pipeline, samples every 3rd frame, and
-    //      the oracle recomputes every sampled frame's statistic from
-    //      the id arithmetic --------------------------------------------
+    // ---- m02: REAL video-container parse (Y4M/YUV4MPEG2 — the
+    //      uncompressed interchange format, pure text header + planar
+    //      frames, no codec needed): the engine parses each payload's
+    //      magic/geometry/colorspace, walks the FRAME markers, slices
+    //      every 3rd frame's LUMA plane out of the 4:2:0 layout, and the
+    //      oracle recomputes each sampled frame's mean luma from the id
+    //      arithmetic the synthesizer wrote into the planes ------------
     "m02_video_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.pipeline.Multimodal
       val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 100)
         .as[Long]
-        .map(id => (id, Multimodal.synthVideo(id)))
+        .map(id => (id, Multimodal.synthY4M(id)))
         .toDF("id", "video")
-      Multimodal.videoFrameSamples(s,
-          Multimodal.asMedia(media, "id", "video", "video"),
-          frameBytes = 64, stride = 3)
+      Multimodal.y4mFrameSamples(s,
+          Multimodal.asMedia(media, "id", "video", "video"), stride = 3)
         .select(col("media_id"), col("n_frames"), col("frame_idx"),
           round(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("media_id", "frame_idx")

@@ -336,6 +336,39 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.videoFrameSamples(spark, empty).count() === 0L)
   }
 
+  test("multimodal: Y4M container parse is real — header, planes, malformed rejection") {
+    // the synthesized stream is a genuine YUV4MPEG2 container
+    val p = Multimodal.synthY4M(5L) // 15 frames, 8x8 4:2:0
+    val (info, offs) = Multimodal.parseY4m(p)
+    assert(info.width == 8 && info.height == 8 && info.colorspace == "420jpeg")
+    assert(info.ySize == 64 && info.frameSize == 64 + 32)
+    assert(offs.length == 15)
+    // luma mean per sampled frame matches the analytic arithmetic — and
+    // would NOT if the slicer read chroma bytes (distinct arithmetic)
+    val media = Multimodal.asMedia(
+      Seq((5L, p)).toDF("id", "v"), "id", "v", "video")
+    val frames = Multimodal.y4mFrameSamples(spark, media, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 3L, 6L, 9L, 12L))
+    frames.foreach { fr =>
+      val exp = (0 until 64).map(i => (5L * 31 + fr.frame_idx * 7 + i) % 256)
+        .sum.toDouble / 64
+      assert(math.abs(fr.mean_byte - exp) < 1e-12, s"frame ${fr.frame_idx}")
+    }
+    // mono colorspace: no chroma planes
+    val mono = ("YUV4MPEG2 W4 H2 F25:1 Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array.tabulate(8)(i => i.toByte))
+    val (mInfo, mOffs) = Multimodal.parseY4m(mono)
+    assert(mInfo.frameSize == 8 && mOffs.length == 1)
+    // malformed containers fail LOUDLY, not with fabricated stats
+    intercept[IllegalArgumentException] {
+      Multimodal.parseY4m("NOTAVIDEO W8 H8\nFRAME\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseY4m(p.dropRight(10)) // truncated final frame
+    }
+  }
+
   test("multimodal: REAL audio decode (JDK WAV reader), signal features") {
     import javax.sound.sampled._
     // synthesize a 0.5 s, 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8 kHz
