@@ -936,6 +936,22 @@ object CurationQueries extends QueryModule {
     "p88_group_split_star" -> ((s, dir) =>
       groupSplitDf(s, dir, Dedup.connectedComponentsAlternating(_))),
 
+    // ---- the SAME leakage-free split fed by MINHASH pairs (banded LSH
+    //      candidates + exact-Jaccard verify): the landed sub-quadratic
+    //      pair source for web corpora where exact prefix postings go
+    //      hot (SCALE.md's candidate-volume guard names exact-Jaccard as
+    //      the structural exception). The ORACLE stays the exact-pair
+    //      derivation — oracle-green therefore PROVES the banded path
+    //      recalled every ≥0.95 pair (band miss prob at J=0.95 with
+    //      r=4,b=16 is ~5e-12) and reproduced the identical split, and
+    //      the in-query crossing==0 proof is unchanged ---------------
+    "p97_group_split_minhash" -> ((s, dir) =>
+      groupSplitDf(s, dir, Dedup.connectedComponents(_),
+        // shingleN = 1 → token-SET Jaccard, the same similarity the
+        // exact prefix-join path (and the oracle) measures
+        d => Dedup.minhashPairs(d, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.95, shingleN = 1))),
+
     // ---- EXACT-proportion stratified split: rank-cut per stratum at
     //      exact counts (hash split is exact only in expectation — a
     //      small stratum can land 70/30). Output carries the expected
@@ -992,23 +1008,28 @@ object CurationQueries extends QueryModule {
     })
   )
 
-  /** Leakage-free GROUP split (p86/p88), parameterized by the
-    * connected-components strategy: split assignment hashes the near-dup
-    * CLUSTER label (exact prefix-Jaccard pairs → `cc`), not the doc id,
-    * so a near-dup pair can never straddle train/eval — n_crossing is
-    * the in-query proof and must be 0. Strategy choice is a scale
-    * decision: min-label for small-diameter near-dup clusters,
-    * alternating-star for potentially long transitive chains; both
-    * label every node with its component minimum. */
+  /** Leakage-free GROUP split (p86/p88/p97), parameterized by BOTH the
+    * connected-components strategy and the near-dup pair SOURCE: split
+    * assignment hashes the near-dup CLUSTER label (pairs → `cc`), not
+    * the doc id, so a near-dup pair can never straddle train/eval —
+    * n_crossing is the in-query proof and must be 0. Strategy choice is
+    * a scale decision: min-label CC for small-diameter near-dup
+    * clusters, alternating-star for long transitive chains; pair-source
+    * choice is the candidate-volume decision — exact prefix-Jaccard
+    * (PPJoin, the published optimum for exact output) on bounded-vocab
+    * corpora, MinHash-LSH + exact verify (sub-quadratic banded
+    * candidates) on web corpora where prefix postings go hot. */
   private def groupSplitDf(s: SparkSession, dir: String,
-                           cc: DataFrame => DataFrame): DataFrame = {
+                           cc: DataFrame => DataFrame,
+                           pairsOf: DataFrame => DataFrame = d =>
+                             Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     // the pair set feeds THREE consumers (CC edges + both sides of the
     // crossing audit); checkpoint it once — recomputing the prefix
     // join per consumer tripled the query's cost at sf0.1
-    val pairs = Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.95)
-      .select("i", "j").localCheckpoint()
+    val pairs = pairsOf(d).select("i", "j").localCheckpoint()
     val labels = cc(pairs)
     val withSplit = d.select(col("doc_id"))
       .join(labels, col("doc_id") === col("v"), "left")
@@ -2122,6 +2143,9 @@ object CurationQueries extends QueryModule {
     // strategies label by component minimum, so one oracle serves both
     "p88_group_split_star" -> groupSplitOracle,
     "p86_group_split" -> groupSplitOracle,
+    // exact-pair oracle ON PURPOSE: green means the banded minhash path
+    // recalled every ≥0.95 pair and reproduced the identical split
+    "p97_group_split_minhash" -> groupSplitOracle,
 
     "p96_pack_windows" -> """
       WITH d AS (SELECT source AS src, doc_id AS id,

@@ -31,6 +31,7 @@ class PlanShapeSpec extends SparkSpec {
     "p83_rendezvous_shards" -> "total window over |shards|-row aggregate (4 rows)",
     "p86_group_split" -> "fold-fraction window over |splits|-row aggregate (3 rows)",
     "p88_group_split_star" -> "fold-fraction window over |splits|-row aggregate (3 rows)",
+    "p97_group_split_minhash" -> "fold-fraction window over |splits|-row aggregate (3 rows)",
     "p91_weighted_sample" -> "re-rank window over limit(k=20) sample rows",
     "io07_range_layout" -> "file-rank window over one-row-per-file table (16 files)",
     "q17_cte" -> "rank window over supplier-grain aggregate (dimension-bounded)",
