@@ -15,9 +15,12 @@ object TimeQ {
     Land.root = "/tmp/graft_timeq_land"
     for (name <- args.tail) {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.operators.Broadcasts.release(spark) // same per-query discipline as Bench:
+      val t0 = System.nanoTime()               // earlier queries' persisted frames must
+      SparkEntry.queries(name)(spark, dir)     // not evict/spill against the timed one
+        .write.format("noop").mode("overwrite").save()
       println(f"TIMEQ $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+      graft.operators.Broadcasts.release(spark)
     }
     spark.stop()
   }

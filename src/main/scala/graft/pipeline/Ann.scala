@@ -185,21 +185,72 @@ object Ann {
     * 11/14 true pairs where planes=4/tables=32 missed 0 (and ran 3×
     * faster: coarser buckets, but 4× the tables of cheap skinny rows).
     * Raise `planes` as n grows to keep E[bucket size] bounded; spend
-    * `tables` to buy recall. */
+    * `tables` to buy recall — `autoLshParams` computes both from n. */
   def cosineNearDupPairs(emb: DataFrame, dims: Int, threshold: Double,
                          planes: Int = 4, tables: Int = 32, seed: Long = 5): DataFrame = {
+    // Shape, MEASURED at the ×10 probe: skinny (bkt, id) postings form
+    // pairs, cross-table `distinct` collapses multiplicity BEFORE any
+    // embedding is fetched, then the verify joins pull vectors via
+    // size-gated broadcast — so at any scale where the vector table
+    // broadcasts, the candidate stream never shuffles wide rows and
+    // each surviving pair pays exactly ONE compiled cosine. The
+    // carry-the-embedding-through-the-bucket-shuffle alternative
+    // (verify-in-join, distinct after) measured WORSE both at sf0.1
+    // (6.3 s vs 4.6) and at the ×10 probe (>300 s vs 218): per-table
+    // duplicate candidates re-run the cosine (~2× evals) and the bucket
+    // join sorts n·tables wide rows. It becomes the right form only
+    // when the vector table outgrows broadcast (sizeGated then falls
+    // back to a candidate-volume shuffle here) — at that corpus size
+    // the documented low-threshold swap is cell-based SemDeDup (p29).
     val bucketed = hyperplaneBucketed(emb, dims, planes, tables, seed)
     val a = bucketed.select(col("bkt"), col("vec_id").as("i"))
     val b = bucketed.select(col("bkt"), col("vec_id").as("j"))
     val candidates = a.join(b, Seq("bkt"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    val va = emb.select(col("vec_id").as("i"), col("embedding").as("e_i"))
-    val vb = emb.select(col("vec_id").as("j"), col("embedding").as("e_j"))
+    val ve = graft.operators.Broadcasts.sizeGated(
+      emb.select(col("vec_id"), col("embedding")))
+    val va = ve.select(col("vec_id").as("i"), col("embedding").as("e_i"))
+    val vb = ve.select(col("vec_id").as("j"), col("embedding").as("e_j"))
     candidates.join(va, "i").join(vb, "j")
       .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
       .filter(col("cos_r") >= threshold)
       .select("i", "j", "cos_r")
+  }
+
+  /** Self-scaling LSH parameterization — the "planes-growth rule" the
+    * ×10 probe measured the need for (SCALE.md): with FIXED planes the
+    * expected bucket occupancy is n/2^planes, so candidate volume grows
+    * n² (p09 measured 88.6× wall at 10× data). `planes` pins
+    * E[bucket] ≈ `bucketTarget`; `tables` then buys the recall back
+    * analytically: a pair AT the threshold angle θ agrees on one plane
+    * with prob r = 1 − θ/π, collides in a table with prob r^planes, and
+    * tables = ln(1/(1−recall))/r^planes bounds the multi-table miss
+    * (1−r^planes)^tables ≤ 1−recall. The model is conservative — real
+    * qualifying pairs sit above the threshold, so measured recall runs
+    * higher (99.96% at the sf1 probe vs 99.8% modeled). At the test SFs
+    * (n ≤ 2000) the floors reproduce exactly the tuned planes=4/
+    * tables=32, so small-scale results are byte-identical; growth
+    * follows the sub-quadratic LSH exponent (candidate work
+    * ~ n²/(2r)^planes shrinks as planes rise) instead of n². */
+  def autoLshParams(n: Long, threshold: Double, targetRecall: Double = 0.9965,
+                    bucketTarget: Int = 125, planesFloor: Int = 4,
+                    tablesFloor: Int = 32, tablesCap: Int = 512): (Int, Int) = {
+    val r = 1.0 - math.acos(threshold) / math.Pi
+    def tablesNeeded(p: Int): Double =
+      math.log(1.0 / (1.0 - targetRecall)) / math.pow(r, p)
+    var planes = math.max(planesFloor, math.ceil(
+      math.log(math.max(n, 1L).toDouble / bucketTarget) / math.log(2)).toInt)
+    // tables grows (1/r)^planes ≈ n^0.62 for θ≈63° — when it would blow
+    // the posting-volume cap, back planes off so the cap fits: recall
+    // stays ≥ target BY CONSTRUCTION (fewer planes ⇒ higher per-table
+    // collision), buckets grow instead. Past that point LSH pair
+    // enumeration is leaving its economical regime and the documented
+    // swap is cell-based SemDeDup (p29) — see SCALE.md.
+    while (planes > planesFloor && tablesNeeded(planes) > tablesCap) planes -= 1
+    val tables = math.min(tablesCap.toDouble,
+      math.max(tablesFloor.toDouble, math.ceil(tablesNeeded(planes)))).toInt
+    (planes, tables)
   }
 
   /** Metadata-FILTERED ANN top-k — the RAG-retrieval shape: each query's

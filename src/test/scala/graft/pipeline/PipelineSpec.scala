@@ -116,6 +116,31 @@ class PipelineSpec extends SparkSpec {
     assert(truth.except(shipped).count() == 0)
   }
 
+  test("autoLshParams: reproduces tuned params at test scale; planes-growth law") {
+    // at every test SF (n ≤ 2000 embeddings) the floors must reproduce
+    // the hand-tuned (4, 32) EXACTLY — oracle behavior unchanged
+    assert(Ann.autoLshParams(200L, 0.45) === ((4, 32)))
+    assert(Ann.autoLshParams(2000L, 0.45) === ((4, 32)))
+    // growth: the modeled multi-table miss stays under the p09 in-query
+    // floor (0.5%) at EVERY decade — including past the tablesCap
+    // bind-point, where planes backs off instead of recall degrading —
+    // and candidate work (tables·n²/2^planes) always prunes strictly
+    // harder than the fixed (4, 32) parameterization the ×10 probe
+    // measured at 88.6×
+    val r = 1.0 - math.acos(0.45) / math.Pi
+    for (n <- Seq(20000L, 200000L, 2000000L, 20000000L)) {
+      val (planes, tables) = Ann.autoLshParams(n, 0.45)
+      val miss = math.pow(1.0 - math.pow(r, planes), tables)
+      assert(miss <= 0.005, f"modeled miss $miss%.4f over floor at n=$n")
+      val workFactor = tables.toDouble / (1L << planes)   // × n²/2
+      assert(workFactor < 32.0 / 16.0,
+        s"auto params prune no better than fixed at n=$n ($planes, $tables)")
+    }
+    // monotone: more data never means fewer planes
+    val ps = Seq(2000L, 20000L, 200000L).map(Ann.autoLshParams(_, 0.45)._1)
+    assert(ps == ps.sorted)
+  }
+
   test("LSH-bucketed ANN top-1 recall >= 0.6 vs brute force, no all-pairs") {
     val bf = Ann.bruteForceTopK(embs, embs, k = 1)
       .select(col("query_id"), col("neighbor_id")).collect()
