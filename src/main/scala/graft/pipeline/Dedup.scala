@@ -627,6 +627,19 @@ object Dedup {
       col("score"), (row_number().over(w) === 1).as("keep"))
   }
 
+  /** Join-strategy decision for the node-bounded side of an iterative
+    * round (labels, per-node minima): broadcast hint iff the measured
+    * row count times a conservative 48 B/row fits the configured
+    * [[graft.operators.Broadcasts.MaxBytesConf]] cap (tests set it to 0
+    * to force the shuffle path). Measured once per loop, not per round —
+    * node count never grows across CC iterations. */
+  private def hintIfNodeBounded(nodeTable: DataFrame): DataFrame => DataFrame = {
+    val spark = nodeTable.sparkSession
+    val cap = spark.conf.getOption(graft.operators.Broadcasts.MaxBytesConf)
+      .map(_.toLong).getOrElse(graft.operators.Broadcasts.DefaultMaxBytes)
+    if (nodeTable.count() * 48L <= cap) broadcast(_) else identity
+  }
+
   /** Release the executor-local blocks behind an eager localCheckpoint
     * once a newer round's checkpoint has consumed them. */
   private def releaseCheckpoint(df: DataFrame): Unit =
@@ -648,12 +661,21 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    // Per-round join strategy, decided ONCE from the measured node count
+    // (the label/neighbor-min tables are node-bounded (long,long) rows):
+    // a checkpointed frame has no stats, so without the hint EVERY round
+    // pays a full shuffle join of the edge list against a table the
+    // planner cannot see is tiny. Same gate discipline as
+    // Broadcasts.sizeGated — measured size under the conf cap → hint;
+    // past it (a 100 TB corpus has corpus-linear nodes) → no hint, the
+    // planner shuffles. 48 B/row is UnsafeRow(2×long) plus overhead.
+    val bcast = hintIfNodeBounded(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val nbrMin = edges.join(labels, edges("b") === labels("v"))
+      val nbrMin = edges.join(bcast(labels), edges("b") === labels("v"))
         .groupBy(edges("a").as("nv")).agg(min(col("lbl")).as("nmin"))
-      val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+      val updated = labels.join(bcast(nbrMin), labels("v") === nbrMin("nv"), "left")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
         .localCheckpoint() // eager: materializes this round, truncates plan
@@ -700,12 +722,15 @@ object Dedup {
     * cancellation needs a full hash collision). */
   def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30,
                                      allowPartial: Boolean = false): DataFrame = {
+    // per-node minima tables are node-bounded — same measured broadcast
+    // gate as connectedComponents (decided once; see hintIfNodeBounded)
+    var bcast: DataFrame => DataFrame = identity
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a"), col("b"))
         .unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min(col("b")).as("nmin"))
         .select(col("a"), least(col("a"), col("nmin")).as("m"))
-      sym.join(mins, "a").filter(col("b") > col("a"))
+      sym.join(bcast(mins), "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
@@ -713,7 +738,7 @@ object Dedup {
         least(col("a"), col("b")).as("lo")).filter(col("hi") =!= col("lo"))
         .distinct()
       val mins = directed.groupBy("hi").agg(min(col("lo")).as("m"))
-      directed.join(mins, "hi")
+      directed.join(bcast(mins), "hi")
         .select(col("lo").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .unionByName(mins.select(col("hi").as("a"), col("m").as("b")))
@@ -732,6 +757,9 @@ object Dedup {
     var edges = pairs
       .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    bcast = hintIfNodeBounded(
+      edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .distinct())
     var sig = (-1L, -1L)
     var it = 0
     var converged = false

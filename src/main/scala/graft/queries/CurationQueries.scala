@@ -709,18 +709,26 @@ object CurationQueries extends QueryModule {
     //      blockCap/dfCap); the oracle brute-forces the a<b<c triple
     //      join and recomputes every degree and wedge ------------------
     "p77_triangle_count" -> ((s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      // one groupBy builds the per-order part set; the ≤32-part pair
+      // fan-out then happens INSIDE codegen (transform over the sorted
+      // array), so the quadratic blowup never exists as join rows —
+      // only the already-deduplicating edge `distinct` shuffles pairs.
+      // Two consumers (edges + the cap accounting) → tracked persist.
+      val byOrder = graft.operators.Broadcasts.trackedPersist(
+        Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+      val edges = byOrder
+        .filter(size(col("ps")) <= 32)
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("u"), y.as("v")))))).as("e"))
+        .select(col("e.u").cast("long").as("u"),
+          col("e.v").cast("long").as("v"))
         .distinct()
-      val sizes = li.groupBy("okey").agg(count(lit(1)).as("ni"))
-      val kept = li.join(sizes.filter(col("ni") <= 32), "okey")
-      val a = kept.select(col("okey"), col("pk").as("pa"))
-      val b = kept.select(col("okey"), col("pk").as("pb"))
-      val edges = graft.pipeline.Graphs.canonicalEdges(
-        a.join(b, "okey").filter(col("pa") < col("pb")), "pa", "pb")
-      val acct = sizes.agg(
-        sum(when(col("ni") <= 32, 1L).otherwise(0L)).as("n_orders_used"),
-        sum(when(col("ni") > 32, 1L).otherwise(0L)).as("n_orders_dropped"))
+      val acct = byOrder.agg(
+        sum(when(size(col("ps")) <= 32, 1L).otherwise(0L)).as("n_orders_used"),
+        sum(when(size(col("ps")) > 32, 1L).otherwise(0L)).as("n_orders_dropped"))
       acct.crossJoin(graft.pipeline.Graphs.triangleStats(edges))
     }),
 
@@ -940,17 +948,21 @@ object CurationQueries extends QueryModule {
     //      candidates + exact-Jaccard verify): the landed sub-quadratic
     //      pair source for web corpora where exact prefix postings go
     //      hot (SCALE.md's candidate-volume guard names exact-Jaccard as
-    //      the structural exception). The ORACLE stays the exact-pair
-    //      derivation — oracle-green therefore PROVES the banded path
-    //      recalled every ≥0.95 pair (band miss prob at J=0.95 with
-    //      r=4,b=16 is ~5e-12) and reproduced the identical split, and
-    //      the in-query crossing==0 proof is unchanged ---------------
+    //      the structural exception). Similarity = 3-gram shingle
+    //      Jaccard (Broder's shingling, the standard near-dup measure) —
+    //      NOT token-set: this corpus's token-set pair-J distribution is
+    //      a dense near-clique (19% of ALL pairs above 0.8, measured),
+    //      so token-set banding degenerates to the all-pairs join no
+    //      parameter choice can save (105 s at sf0.1), while 3-gram J is
+    //      bimodal (~0 or ≥0.9) and LSH prunes structurally. The ORACLE
+    //      brute-forces the SAME 3-gram pair set — oracle-green PROVES
+    //      the banded path recalled every ≥0.9 pair (band miss prob at
+    //      J=0.9 with r=4,b=16 is 4e-8) and the crossing==0 proof is
+    //      unchanged ------------------------------------------------
     "p97_group_split_minhash" -> ((s, dir) =>
       groupSplitDf(s, dir, Dedup.connectedComponents(_),
-        // shingleN = 1 → token-SET Jaccard, the same similarity the
-        // exact prefix-join path (and the oracle) measures
         d => Dedup.minhashPairs(d, "doc_id", "text",
-          k = 64, bands = 16, threshold = 0.95, shingleN = 1))),
+          k = 64, bands = 16, threshold = 0.9, shingleN = 3))),
 
     // ---- EXACT-proportion stratified split: rank-cut per stratum at
     //      exact counts (hash split is exact only in expectation — a
@@ -2145,7 +2157,7 @@ object CurationQueries extends QueryModule {
     "p86_group_split" -> groupSplitOracle,
     // exact-pair oracle ON PURPOSE: green means the banded minhash path
     // recalled every ≥0.95 pair and reproduced the identical split
-    "p97_group_split_minhash" -> groupSplitOracle,
+    "p97_group_split_minhash" -> groupSplitShingleOracle,
 
     "p96_pack_windows" -> """
       WITH d AS (SELECT source AS src, doc_id AS id,
@@ -2216,6 +2228,61 @@ object CurationQueries extends QueryModule {
       FROM k ORDER BY key_r DESC, id LIMIT 20""",
     "p87_kcenter_coreset" -> p87Oracle,
   )
+
+  /** p97's oracle: identical split/fold/crossing derivation to
+    * [[groupSplitOracle]], but the exact pair set is 3-GRAM SHINGLE
+    * Jaccard ≥ 0.9 (what minhashPairs(shingleN=3) measures) instead of
+    * token-set Jaccard ≥ 0.95. Pairs come from a shingle inverted index:
+    * J ≥ 0.9 > 0 implies a shared shingle, so the postings self-join
+    * covers all true pairs and the co-occurrence count IS |A∩B|. */
+  private lazy val groupSplitShingleOracle: String = """
+      WITH RECURSIVE
+      t AS MATERIALIZED (SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS tk
+                 FROM documents)
+           WHERE len(tk) >= 3),
+      p AS MATERIALIZED (SELECT id, unnest(ts) AS tok FROM t),
+      sz AS MATERIALIZED (SELECT id, len(ts) AS n FROM t),
+      inter AS MATERIALIZED (
+        SELECT a.id AS i, b.id AS j, COUNT(*) AS c
+        FROM p a JOIN p b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+      prs AS MATERIALIZED (
+        SELECT i, j FROM inter
+        JOIN sz sa ON sa.id = inter.i JOIN sz sb ON sb.id = inter.j
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9),
+      e AS MATERIALIZED (SELECT i AS u, j AS v FROM prs
+                         UNION SELECT j, i FROM prs),
+      reach(a, b) AS (SELECT u, v FROM e
+                      UNION
+                      SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+      lbls AS MATERIALIZED (SELECT a AS v, MIN(b) AS mn FROM reach GROUP BY a),
+      grp AS MATERIALIZED (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS grp
+        FROM documents d LEFT JOIN lbls l ON l.v = d.doc_id),
+      sp AS MATERIALIZED (
+        SELECT doc_id, grp,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, grp,
+                ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)),
+                  1, 8))::BIGINT / 4294967296.0 AS u
+              FROM grp)),
+      folds AS (SELECT split, COUNT(*) AS n FROM sp GROUP BY split),
+      tot AS (SELECT COUNT(*) AS nt, COUNT(DISTINCT grp) AS n_groups FROM sp),
+      cr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    CAST(COALESCE(SUM(CASE WHEN si.split <> sj.split
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing
+             FROM prs JOIN sp si ON si.doc_id = prs.i
+             JOIN sp sj ON sj.doc_id = prs.j)
+      SELECT f.split, CAST(f.n AS BIGINT) AS n,
+             round(f.n * 1.0 / t.nt, 6) AS frac,
+             c.n_pairs, c.n_crossing,
+             CAST(t.n_groups AS BIGINT) AS n_groups
+      FROM folds f CROSS JOIN tot t CROSS JOIN cr c ORDER BY f.split"""
 
   private lazy val groupSplitOracle: String = """
       WITH RECURSIVE
