@@ -719,4 +719,62 @@ object Ann {
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }.toDF("rk", "vec_id", "radius")
   }
+
+  /** Per-group embedding-DISTRIBUTION drift between two corpus snapshots
+    * — the vector-space complement of Series.ksDrift's scalar test: an
+    * embedding model swap, a crawler demographic shift, or a poisoned
+    * source moves a group's centroid / norm profile long before any
+    * scalar column drifts.
+    *
+    * Per (group, snapshot): centroid (per-dim mean) and mean L2 norm in
+    * ONE scan — the projection emits each vector's norm (scan-local
+    * `aggregate` lambda) alongside its posexploded dims, so level 1 is a
+    * single map-side-combinable aggregate keyed (group, snap, dim); the
+    * norm sum rides the dim-0 rows. Level 2 compares snapshots entirely
+    * relationally — centroid cosine, mean-shift L2, and norm ratio fold
+    * out of Σ ma·mb / Σ ma² / Σ mb² over the (group, dim) join of the
+    * two centroid tables — so no dense vector is ever collected or
+    * carried whole through a shuffle, and state is bounded by
+    * groups × dims regardless of corpus size. Per-dim means round 1e-6
+    * before the comparison algebra (house rule: each derived stage
+    * quantizes before the next, so engines cannot drift).
+    *
+    * Returns one row per group present in BOTH snapshots:
+    * (group, n_a, n_b, centroid_cos, mean_shift_l2, norm_ratio). */
+  def embeddingDrift(emb: DataFrame, groupCol: String,
+                     snapshot: Column): DataFrame = {
+    val lvl1 = emb
+      .select(col(groupCol).as("grp"), snapshot.cast("int").as("snap"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("grp", "snap", "dim")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("x").cast("double")), 6).as("m"),
+        sum(when(col("dim") === 0, col("nrm"))).as("nrm_sum"))
+    val snapStats = lvl1.groupBy("grp", "snap").agg(
+      max(col("cnt")).as("n"),
+      round(max(col("nrm_sum")) / max(col("cnt")), 6).as("mean_norm"))
+    def side(s: Int, suffix: String) = {
+      val st = snapStats.filter(col("snap") === s)
+        .select(col("grp"), col("n").as(s"n_$suffix"),
+          col("mean_norm").as(s"norm_$suffix"))
+      val ms = lvl1.filter(col("snap") === s)
+        .select(col("grp"), col("dim"), col("m").as(s"m_$suffix"))
+      (st, ms)
+    }
+    val (statA, dimA) = side(0, "a")
+    val (statB, dimB) = side(1, "b")
+    val cmp = dimA.join(dimB, Seq("grp", "dim"))
+      .groupBy("grp").agg(
+        sum(col("m_a") * col("m_b")).as("dot"),
+        sum(col("m_a") * col("m_a")).as("na2"),
+        sum(col("m_b") * col("m_b")).as("nb2"),
+        sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("d2"))
+    cmp.join(statA, "grp").join(statB, "grp")
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        round(col("dot") / sqrt(col("na2") * col("nb2")), 6).as("centroid_cos"),
+        round(sqrt(col("d2")), 6).as("mean_shift_l2"),
+        round(col("norm_b") / col("norm_a"), 6).as("norm_ratio"))
+  }
 }

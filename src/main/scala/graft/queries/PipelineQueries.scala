@@ -443,6 +443,16 @@ object PipelineQueries extends QueryModule {
         .orderBy("anchor_id")
     }),
 
+    // ---- embedding-distribution drift between two corpus snapshots
+    //      (vec_id parity = the deterministic snapshot stand-in): per
+    //      label, centroid cosine / mean-shift L2 / norm ratio — the
+    //      vector-space complement of p82's scalar KS test. One scan,
+    //      state bounded by labels x dims; no dense vector collected.
+    //      The oracle replays the identical per-dim mean algebra -------
+    "p98_embedding_drift" -> ((s, dir) =>
+      Ann.embeddingDrift(embs(s, dir), "label", col("vec_id") % 2)
+        .orderBy("label")),
+
     // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
     //      prose): candidates from cross-side hyperplane-LSH postings,
     //      margin arithmetic shared with the exact form. Landed to
@@ -1481,6 +1491,39 @@ object PipelineQueries extends QueryModule {
       SELECT pos.anchor_id, pos_id, cos_pos, neg_id, cos_neg,
              cos_neg > cos_pos - 0.1 AS violation
       FROM pos JOIN neg USING (anchor_id) ORDER BY pos.anchor_id""",
+
+    "p98_embedding_drift" -> """
+      WITH e AS (SELECT label, vec_id % 2 AS snap, embedding
+                 FROM embeddings),
+      nr AS (SELECT label, snap, COUNT(*) AS n,
+               round(AVG(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                 AS mean_norm
+             FROM e GROUP BY 1, 2),
+      ex AS (SELECT label, snap,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+             FROM e),
+      dm AS (SELECT label, snap, dim,
+               round(AVG(CAST(x AS DOUBLE)), 6) AS m
+             FROM ex GROUP BY 1, 2, 3),
+      cmp AS (SELECT a.label,
+                SUM(a.m * b.m) AS dot,
+                SUM(a.m * a.m) AS na2,
+                SUM(b.m * b.m) AS nb2,
+                SUM((a.m - b.m) * (a.m - b.m)) AS d2
+              FROM dm a JOIN dm b
+                ON a.label = b.label AND a.dim = b.dim
+               AND a.snap = 0 AND b.snap = 1
+              GROUP BY 1)
+      SELECT c.label, na.n AS n_a, nb.n AS n_b,
+             round(c.dot / sqrt(c.na2 * c.nb2), 6) AS centroid_cos,
+             round(sqrt(c.d2), 6) AS mean_shift_l2,
+             round(nb.mean_norm / na.mean_norm, 6) AS norm_ratio
+      FROM cmp c
+      JOIN nr na ON na.label = c.label AND na.snap = 0
+      JOIN nr nb ON nb.label = c.label AND nb.snap = 1
+      ORDER BY c.label""",
 
     "p89_bitext_indexed" -> s"""
       WITH landed AS (

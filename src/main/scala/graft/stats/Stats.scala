@@ -306,15 +306,18 @@ object Stats {
                           accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets >= 2, got $buckets")
     val pcts = (1 until buckets).map(i => i.toDouble / buckets)
-    // persist the unpivoted pair stream: it feeds the boundary pass AND
-    // the assignment pass (and the count pass on the exact face) — the
-    // persist-the-fan-out discipline; released by the session's
-    // Broadcasts.release like every library persist
-    val stacked = graft.operators.Broadcasts.trackedPersist(
+    // The unpivoted pair stream is consumed ONCE per face (the approx
+    // sketch aggregate, or the exact face's rank machinery — which
+    // persists its own ranked frame and feeds every downstream count
+    // from that cache), and the final bucket-count pass re-aggregates
+    // the RAW table directly — so persisting this 3×-fact-row stream
+    // would be pure overhead at any scale (re-reading three parquet
+    // columns beats materializing their unpivoted copy).
+    val stacked =
       df.select(expr(s"stack(${columns.length}, " +
           columns.map(c => s"'$c', cast($c as double)").mkString(", ") +
           ") as (col_name, x)"))
-        .filter(col("x").isNotNull))
+        .filter(col("x").isNotNull)
     // (col_name, bs: array<double>) — boundaries rounded 1e-6 so both
     // engines assign rows against identical cut points
     val bnds: DataFrame =
@@ -330,23 +333,26 @@ object Stats {
         // buffer, and the sort runs DISTRIBUTED (range-partitioned
         // global rank on (column, value), per-column rank = global −
         // column base).
-        val counts = stacked.groupBy("col_name").agg(count(lit(1)).as("n"))
-        val targets = counts.select(col("col_name"), col("n"),
+        // per-column n and rank base both come from the ranked frame's
+        // OWN cache (globalRowNumber persists it), so the stack stream
+        // is scanned exactly once; wanted rows carry the absolute global
+        // rank (0-based position + base), killing the per-row rank
+        // rebase join the previous shape paid over the full stream
+        val granked = graft.operators.Ranks.globalRowNumber(
+          stacked, "grk", col("col_name"), col("x"))
+        val colstats = granked.groupBy("col_name").agg(
+          count(lit(1)).as("n"), min(col("grk")).as("base"))
+        val targets = colstats.select(col("col_name"), col("n"), col("base"),
             posexplode(array(pcts.map(lit): _*)).as(Seq("qi", "qv")))
           .withColumn("posq", col("qv") * (col("n") - 1))
           .withColumn("lo", floor(col("posq")).cast("long"))
           .withColumn("hi", ceil(col("posq")).cast("long"))
           .withColumn("frac", col("posq") - col("lo"))
         val wanted = targets.select(col("col_name"), col("qi"), col("frac"),
-            col("lo").as("rn"), lit("lo").as("role"))
+            (col("lo") + col("base")).as("grk"), lit("lo").as("role"))
           .unionByName(targets.select(col("col_name"), col("qi"), col("frac"),
-            col("hi").as("rn"), lit("hi").as("role")))
-        val granked = graft.operators.Ranks.globalRowNumber(
-          stacked, "grk", col("col_name"), col("x"))
-        val bases = granked.groupBy("col_name").agg(min(col("grk")).as("base"))
-        val ranked = granked.join(broadcast(bases), "col_name")
-          .withColumn("rn", col("grk") - col("base"))
-        ranked.join(broadcast(wanted), Seq("col_name", "rn"))
+            (col("hi") + col("base")).as("grk"), lit("hi").as("role")))
+        granked.join(broadcast(wanted), Seq("col_name", "grk"))
           .groupBy("col_name", "qi").agg(
             first(col("frac")).as("frac"),
             max(when(col("role") === "lo", col("x"))).as("v_lo"),

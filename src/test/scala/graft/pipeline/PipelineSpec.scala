@@ -635,6 +635,47 @@ class PipelineSpec extends SparkSpec {
         "clears the margin")
   }
 
+  // ---- Ann.embeddingDrift -------------------------------------------------
+
+  test("embeddingDrift: identical snapshots are a fixed point; a planted shift is measured exactly") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // label 0: snapshot B == snapshot A (drift-free fixed point).
+    // label 1: every B vector = A vector + 0.6 on dim 1 → the centroid
+    // moves by exactly 0.6, so mean_shift_l2 == 0.6 and the centroid
+    // cosine is cos(A_mean, A_mean + (0, 0.6, 0, 0)), computable by hand.
+    val emb = Seq(
+      (0L, 0, v(1, 0, 0, 0)), (1L, 0, v(1, 0, 0, 0)),   // lbl 0: A, B equal
+      (2L, 0, v(0, 0, 1, 0)), (3L, 0, v(0, 0, 1, 0)),
+      (10L, 1, v(1, 0, 0, 0)), (11L, 1, v(1, 0.6, 0, 0)), // lbl 1 planted
+      (12L, 1, v(1, 0, 0, 0)), (13L, 1, v(1, 0.6, 0, 0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.embeddingDrift(emb, "label", col("vec_id") % 2)
+      .orderBy("label")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(out.length === 2)
+    val (l0, na0, nb0, cos0, shift0, ratio0) = out(0)
+    assert(l0 === 0 && na0 === 2L && nb0 === 2L)
+    assert(cos0 === 1.0 && shift0 === 0.0 && ratio0 === 1.0,
+      "identical snapshots must report zero drift")
+    val (l1, na1, nb1, cos1, shift1, ratio1) = out(1)
+    assert(l1 === 1 && na1 === 2L && nb1 === 2L)
+    assert(shift1 === 0.6, "centroid moved by exactly the planted delta")
+    // cos((1,0), (1,0.6)) = 1/sqrt(1.36)
+    assert(math.abs(cos1 - 1.0 / math.sqrt(1.36)) < 1e-6)
+    // norms: A all 1.0; B = sqrt(1.36) → ratio sqrt(1.36)
+    assert(math.abs(ratio1 - math.sqrt(1.36)) < 1e-6)
+  }
+
+  test("embeddingDrift: a group present in only one snapshot is dropped, not fabricated") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, 0, v(1, 0)), (1L, 0, v(1, 0)),
+      (2L, 7, v(0, 1))) // label 7 has only an even (snapshot-A) member
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.embeddingDrift(emb, "label", col("vec_id") % 2).collect()
+    assert(out.map(_.getInt(0)).toSet === Set(0))
+  }
+
   // ---- Ann.semanticContamination -----------------------------------------
 
   test("semanticContamination: twin flags, orthogonal clears, ties pick lowest eval id") {
