@@ -743,7 +743,10 @@ object Ann {
     * (group, n_a, n_b, centroid_cos, mean_shift_l2, norm_ratio). */
   def embeddingDrift(emb: DataFrame, groupCol: String,
                      snapshot: Column): DataFrame = {
-    val lvl1 = emb
+    // lvl1 is bounded (groups × dims) but fans out to FOUR consumers
+    // (snapStats → both sides' stats, plus dimA and dimB) — persist it
+    // so the posexplode corpus scan runs exactly once.
+    val lvl1 = graft.operators.Broadcasts.trackedPersist(emb
       .select(col(groupCol).as("grp"), snapshot.cast("int").as("snap"),
         sqrt(aggregate(col("embedding"), lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
@@ -751,7 +754,7 @@ object Ann {
       .groupBy("grp", "snap", "dim")
       .agg(count(lit(1)).as("cnt"),
         round(avg(col("x").cast("double")), 6).as("m"),
-        sum(when(col("dim") === 0, col("nrm"))).as("nrm_sum"))
+        sum(when(col("dim") === 0, col("nrm"))).as("nrm_sum")))
     val snapStats = lvl1.groupBy("grp", "snap").agg(
       max(col("cnt")).as("n"),
       round(max(col("nrm_sum")) / max(col("cnt")), 6).as("mean_norm"))
@@ -776,5 +779,85 @@ object Ann {
         round(col("dot") / sqrt(col("na2") * col("nb2")), 6).as("centroid_cos"),
         round(sqrt(col("d2")), 6).as("mean_shift_l2"),
         round(col("norm_b") / col("norm_a"), 6).as("norm_ratio"))
+  }
+
+  /** ZCA WHITENING of an embedding column — the decorrelation transform
+    * (Bell & Sejnowski 1997's zero-phase components) retrieval pipelines
+    * apply before dot-product indexing: anisotropic embedding spaces
+    * (sentence encoders are notoriously cone-shaped) make cosine scores
+    * saturate, and whitening restores discriminative spread (Su et al.
+    * 2021, "Whitening Sentence Representations"). W = V Λ^(-1/2) Vᵀ from
+    * the corpus covariance's eigendecomposition; ZCA (not PCA) because it
+    * is the unique symmetric whitener — nearest to the identity, so
+    * whitened dims stay aligned with the originals.
+    *
+    * Scale shape: pass 1 aggregates ALL first and second moments in ONE
+    * corpus scan — each row emits the flattened array
+    * [1, x₀..x_{d-1}, upper-triangle xᵢxⱼ] and a single posexplode +
+    * sum-by-position aggregate (map-side combinable; 1 + d + d(d+1)/2
+    * keys, bounded by dims² regardless of corpus size) carries every
+    * statistic at once. The d×d eigendecomposition runs on the DRIVER
+    * (commons-math3, already on Spark's classpath; 64×64 is microseconds
+    * — same bounded-driver-math discipline as pqTrain's codebooks).
+    * Pass 2 applies W as LITERAL arrays in codegen'd lambdas
+    * (zip_with/aggregate dot products — d² multiply-adds per row,
+    * scan-local, zero shuffle). Nothing corpus-sized ever reaches the
+    * driver and no shuffle carries a vector.
+    *
+    * Output values are rounded 1e-6 (house rule: quantize before the
+    * next derived stage) so a landed artifact replays identically in any
+    * engine. `eps` regularizes near-null eigenvalues: an exactly
+    * rank-deficient direction keeps ~ZERO variance (λ/(λ+eps) → 0)
+    * rather than exploding — whitening cannot invent variance a
+    * degenerate embedding model never produced, so callers gating on
+    * identity covariance should expect it only from full-rank input.
+    *
+    * Returns (vec_id, white: array<double>). */
+  def whiten(emb: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val d = emb.select(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head() match {
+      case r =>
+        require(r.getInt(0) == r.getInt(1),
+          s"whiten: ragged embedding dims [${r.getInt(0)}, ${r.getInt(1)}]")
+        r.getInt(0)
+    }
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val upper = flatten(transform(sequence(lit(1), lit(d)), i =>
+      transform(sequence(i, lit(d)), j =>
+        element_at(col("x"), i) * element_at(col("x"), j))))
+    val sums = emb.select(xd.as("x"))
+      .select(posexplode(concat(array(lit(1.0d)), col("x"), upper))
+        .as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val n = sums(0)
+    require(n >= 2, s"whiten: need >= 2 vectors, got $n")
+    val mu = Array.tabulate(d)(i => sums(1 + i) / n)
+    // upper-triangle linear index of (i<=j), matching the build order
+    def ui(i: Int, j: Int) = 1 + d + (i * (2 * d - i - 1)) / 2 + j
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      sums(ui(a, b)) / n - mu(i) * mu(j)
+    }
+    import org.apache.commons.math3.linear.{Array2DRowRealMatrix, EigenDecomposition}
+    val eig = new EigenDecomposition(new Array2DRowRealMatrix(cov))
+    val v = eig.getV
+    val invSqrt = Array.tabulate(d)(k =>
+      1.0 / math.sqrt(math.max(eig.getRealEigenvalue(k), 0.0) + eps))
+    // W = V Λ^(-1/2) Vᵀ, flattened row-major for the literal-array apply
+    val wFlat = Array.tabulate(d * d) { p =>
+      val (r, c) = (p / d, p % d)
+      (0 until d).map(k => v.getEntry(r, k) * invSqrt(k) * v.getEntry(c, k)).sum
+    }
+    val muLit = lit(mu)
+    val wLit = lit(wFlat)
+    val centered = zip_with(xd, muLit, (x, m) => x - m)
+    emb.select(col("vec_id"), centered.as("c"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(d - 1)), k =>
+          round(aggregate(
+            zip_with(col("c"), slice(wLit, k * lit(d) + 1, lit(d)),
+              (a, b) => a * b),
+            lit(0.0d), (acc, y) => acc + y), 6)).as("white"))
   }
 }

@@ -67,4 +67,49 @@ object Privacy {
           (col("min_l_div") >= l).as("safe_l_diverse"))
     }.reduce(_ unionAll _)
   }
+
+  /** USER-LEVEL differentially-private count release (ε-DP, Laplace
+    * mechanism with bounded contribution — Dwork et al. 2006; the
+    * per-user cap is the step every production DP release gets wrong
+    * first): releasing per-category event counts where one USER may
+    * contribute unboundedly many rows needs (1) each user's contribution
+    * to each category CAPPED at `cap` — sensitivity of the capped count
+    * to one user's entire presence is then `cap`, not ∞ — and (2)
+    * Laplace(cap/ε) noise on each released count.
+    *
+    * Scale shape: two map-side-combinable aggregates — rows →
+    * (user, category) partial counts (the only corpus-sized shuffle,
+    * skinny keys), then capped sums → one row per category. The noise
+    * is DETERMINISTIC: Laplace via inverse-CDF of the salted md5 unit
+    * hash of the category ([[Mixing.hashUnit]] — engine-portable, so an
+    * auditor replays the exact released values; a production release
+    * would swap the salt for a secret drawn once). No rand(): task
+    * retries and partition counts cannot change the release.
+    *
+    * Returns one row per category:
+    * (category, n_capped, noise, n_released) — n_capped is the
+    * pre-noise capped count (an audit column; a real release would drop
+    * it), n_released = max(0, n_capped + noise) rounded to `scale`
+    * decimals. */
+  def dpCountRelease(df: DataFrame, userCol: String, catCol: String,
+                     epsilon: Double, cap: Int, salt: String,
+                     scale: Int = 4): DataFrame = {
+    require(epsilon > 0 && cap >= 1, s"need epsilon>0, cap>=1; got $epsilon, $cap")
+    val perUser = df.groupBy(col(userCol).as("u"), col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_uc"))
+    val capped = perUser.groupBy("category")
+      .agg(sum(least(col("n_uc"), lit(cap.toLong))).as("n_capped"))
+    val uu = Mixing.hashUnit(col("category"), salt)
+    // Laplace(b) inverse CDF at u∈[0,1): -b·sgn(u-½)·ln(1-2|u-½|);
+    // u is quantized to 2^-32 steps, so the log argument is ≥ 2^-31 and
+    // the noise magnitude is bounded by ~21.5·b — no infinities.
+    val b = cap / epsilon
+    val noise = round(
+      -lit(b) * signum(uu - 0.5d) * log(lit(1.0d) - lit(2.0d) * abs(uu - 0.5d)),
+      scale)
+    capped.select(col("category"), col("n_capped"),
+      noise.as("noise"),
+      round(greatest(lit(0.0d), col("n_capped") + noise), scale)
+        .as("n_released"))
+  }
 }

@@ -105,6 +105,64 @@ object Series {
       .select("prev_state", "state", "n", "p")
   }
 
+  /** POPULATION STABILITY INDEX between two snapshots of a numeric
+    * column, per group — the binned drift score risk teams alarm on
+    * (symmetrized discrete KL over fixed bins; conventional gates:
+    * 0.1 watch, 0.2 act). Complements [[ksDrift]] (exact sup-gap on the
+    * observed value grid) with the fixed-bin form whose cost is
+    * independent of value cardinality — at 100 TB you run PSI on every
+    * column every day and KS only where PSI alarms.
+    *
+    * Shape: one bounded min/max aggregate fixes equal-width bin edges
+    * (deterministic, engine-replayable literals), then ONE scan into a
+    * (group, snapshot, bin)-keyed map-side-combinable count — state
+    * bounded by groups × bins × 2 regardless of corpus size. The PSI
+    * algebra (Laplace-smoothed shares p = (c + ½)/(n + ½·bins) so empty
+    * bins stay finite; Σ (pₐ−p_b)·ln(pₐ/p_b) over the full bin grid)
+    * runs entirely on that bounded table. `drifted` compares the
+    * UNROUNDED score (the ksDrift lesson); psi is rounded for display.
+    *
+    * Groups present in only one snapshot are dropped (the p98 law — a
+    * one-sided PSI is not a comparison). Returns
+    * (g, n_a, n_b, psi, drifted). */
+  def psiDrift(df: DataFrame, groupCol: String, valCol: String,
+               snapshot: Column, bins: Int = 10,
+               threshold: Double = 0.2): DataFrame = {
+    require(bins >= 2, s"psiDrift: need >= 2 bins, got $bins")
+    val base = df.select(col(groupCol).as("g"), snapshot.cast("int").as("snap"),
+      col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val mm = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+    require(!mm.isNullAt(0), "psiDrift: no non-null values")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    require(hi > lo, s"psiDrift: degenerate value range [$lo, $hi]")
+    val w = (hi - lo) / bins
+    val binc = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col("v") - lit(lo)) / lit(w)).cast("long"))).as("b")
+    // the one corpus-sized pass; bounded output fans out to the grid,
+    // both snapshot sides, and the totals — persist it
+    val counts = graft.operators.Broadcasts.trackedPersist(
+      base.groupBy(col("g"), col("snap"), binc).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("g", "snap").agg(sum(col("c")).as("n"))
+    val grid = counts.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(bins - 1L))).as("b"))
+    def side(s: Int, cAs: String, nAs: String) =
+      grid.join(counts.filter(col("snap") === s).select("g", "b", "c"),
+        Seq("g", "b"), "left")
+        .join(totals.filter(col("snap") === s).select(col("g"), col("n")), "g")
+        .select(col("g"), col("b"),
+          coalesce(col("c"), lit(0L)).as(cAs), col("n").as(nAs))
+    val sm = 0.5
+    val joined = side(0, "ca", "na").join(side(1, "cb", "nb"), Seq("g", "b"))
+    val pa = (col("ca") + sm) / (col("na") + sm * bins)
+    val pb = (col("cb") + sm) / (col("nb") + sm * bins)
+    joined.groupBy("g").agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      sum((pa - pb) * log(pa / pb)).as("psi_raw"))
+      .withColumn("drifted", col("psi_raw") > threshold)
+      .select(col("g"), col("n_a"), col("n_b"),
+        round(col("psi_raw"), 6).as("psi"), col("drifted"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov distance per group vs the
     * global sample: D_g = sup_v |F_g(v) − F(v)| — the continuous-
     * distribution drift test complementing categorical divergences

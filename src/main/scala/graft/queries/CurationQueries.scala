@@ -839,6 +839,19 @@ object CurationQueries extends QueryModule {
         .orderBy("g")
     }),
 
+    // ---- PSI (population stability index) per event_type between
+    //      event_id-parity snapshots: the fixed-bin drift score whose
+    //      cost is independent of value cardinality — one bounded
+    //      min/max action fixes the bin edges, ONE scan into a
+    //      (group, snap, bin) map-side-combinable count, smoothed-share
+    //      KL algebra on the bounded grid. `drifted` compares the
+    //      unrounded score (the p82 lesson) --------------------------
+    "p101_psi_drift" -> ((s, dir) => {
+      Series.psiDrift(Tables.t(s, dir, "events"), "event_type", "value",
+        col("event_id") % 2, bins = 10, threshold = 0.05)
+        .orderBy("g")
+    }),
+
     // ---- rendezvous-hashing placement + rebalance audit: HRW's defining
     //      property is MINIMAL MOVEMENT on resize (expected 1/(n+1) of
     //      keys when n→n+1, vs ~everything for mod-hashing), and the
@@ -1043,12 +1056,16 @@ object CurationQueries extends QueryModule {
     // join per consumer tripled the query's cost at sf0.1
     val pairs = pairsOf(d).select("i", "j").localCheckpoint()
     val labels = cc(pairs)
-    val withSplit = d.select(col("doc_id"))
-      .join(labels, col("doc_id") === col("v"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("grp"))
-      .withColumn("split",
-        Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit")))
+    // (doc_id, grp, split) fans out to FOUR consumers (fold counts,
+    // group count, both sides of the crossing audit) — persist the
+    // skinny frame so the corpus scan + label join runs exactly once
+    val withSplit = graft.operators.Broadcasts.trackedPersist(
+      d.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("grp"))
+        .withColumn("split",
+          Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit"))))
     val folds = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
       .withColumn("frac", round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy()), 6))
@@ -2016,6 +2033,38 @@ object CurationQueries extends QueryModule {
              MAX(abs(CAST(cum_g AS DOUBLE) / n_g -
                      CAST(cum_all AS DOUBLE) / n_all)) > 0.1 AS drifted
       FROM cums GROUP BY g ORDER BY g""",
+
+    "p101_psi_drift" -> """
+      WITH base AS (SELECT event_type AS g, event_id % 2 AS snap,
+                      CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+      mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+      c AS (SELECT g, snap,
+              least(9, greatest(0, CAST(floor((v - mm.lo) /
+                ((mm.hi - mm.lo) / 10)) AS BIGINT))) AS b,
+              COUNT(*) AS c
+            FROM base, mm GROUP BY 1, 2, 3),
+      t AS (SELECT g, snap, SUM(c) AS n FROM c GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT g, unnest(range(0, 10)) AS b FROM c),
+      sa AS (SELECT grid.g, grid.b, COALESCE(ca.c, 0) AS ca, ta.n AS na
+             FROM grid
+             LEFT JOIN (SELECT g, b, c FROM c WHERE snap = 0) ca
+               USING (g, b)
+             JOIN (SELECT g, n FROM t WHERE snap = 0) ta USING (g)),
+      sb AS (SELECT grid.g, grid.b, COALESCE(cb.c, 0) AS cb, tb.n AS nb
+             FROM grid
+             LEFT JOIN (SELECT g, b, c FROM c WHERE snap = 1) cb
+               USING (g, b)
+             JOIN (SELECT g, n FROM t WHERE snap = 1) tb USING (g)),
+      j AS (SELECT sa.g, sa.na, sb.nb,
+              (sa.ca + 0.5) / (sa.na + 5.0) AS pa,
+              (sb.cb + 0.5) / (sb.nb + 5.0) AS pb
+            FROM sa JOIN sb ON sa.g = sb.g AND sa.b = sb.b)
+      SELECT g, CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+             SUM((pa - pb) * ln(pa / pb)) > 0.05 AS drifted
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     "p83_rendezvous_shards" -> """
       WITH w AS (

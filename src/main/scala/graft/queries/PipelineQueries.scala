@@ -453,6 +453,53 @@ object PipelineQueries extends QueryModule {
       Ann.embeddingDrift(embs(s, dir), "label", col("vec_id") % 2)
         .orderBy("label")),
 
+    // ---- ZCA whitening of the embedding space (Su et al. 2021): one
+    //      corpus scan aggregates ALL first+second moments (state
+    //      bounded by dims²), driver-side 64×64 eigendecomposition,
+    //      literal-array codegen apply — no shuffle ever carries a
+    //      vector. Landed to parquet; the RESULT is the post-whiten
+    //      covariance of the landed artifact (upper triangle), which
+    //      must be the identity — the in-query require() proves
+    //      whiteness, and the DuckDB oracle recomputes the identical
+    //      covariance from the same parquet bytes, so a broken apply
+    //      pass cannot validate itself ---------------------------------
+    "p99_embedding_whiten" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.whiten(e).write.mode("overwrite").parquet(s"$outRoot/whitened")
+      val landed = s.read.parquet(s"$outRoot/whitened")
+      val ex = landed.select(col("vec_id"),
+        posexplode(col("white")).as(Seq("i", "x")))
+      val cov = ex
+        .join(ex.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
+          "vec_id")
+        .filter(col("i") <= col("j"))
+        .groupBy("i", "j")
+        // + 0.0 folds IEEE negative zero to +0.0 — DuckDB's round keeps
+        // the sign on a tiny negative mean product where Spark's drops
+        // it, and the driver hashes the canonical STRING ("-0.0" ≠ "0.0")
+        .agg((round(avg(col("x") * col("y")) -
+          avg(col("x")) * avg(col("y")), 6) + lit(0.0d)).as("cov"))
+      // dims²-bounded whiteness proof: every covariance cell sits on the
+      // identity (diag 1, offdiag 0) within eps + rounding tolerance
+      val bad = cov.filter(
+        when(col("i") === col("j"), abs(col("cov") - 1.0d) > 0.02d)
+          .otherwise(abs(col("cov")) > 0.02d)).count()
+      require(bad == 0, s"whitening broke: $bad covariance cells off identity")
+      cov.orderBy("i", "j")
+    }),
+
+    // ---- user-level ε-DP count release (Laplace mechanism, bounded
+    //      contribution): per-user-per-category counts capped at 8 (two
+    //      map-side-combinable aggregates — the cap is what makes the
+    //      sensitivity finite), then DETERMINISTIC Laplace(cap/ε) noise
+    //      from the salted md5 unit hash via inverse CDF — no rand(), so
+    //      task retries cannot change the release and the oracle replays
+    //      the exact released values ------------------------------------
+    "p100_dp_release" -> ((s, dir) =>
+      graft.pipeline.Privacy.dpCountRelease(Tables.t(s, dir, "events"),
+        "user_id", "event_type", epsilon = 1.0, cap = 8, salt = "dp-r8")
+        .orderBy("category")),
+
     // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
     //      prose): candidates from cross-side hyperplane-LSH postings,
     //      margin arithmetic shared with the exact form. Landed to
@@ -1524,6 +1571,38 @@ object PipelineQueries extends QueryModule {
       JOIN nr na ON na.label = c.label AND na.snap = 0
       JOIN nr nb ON nb.label = c.label AND nb.snap = 1
       ORDER BY c.label""",
+
+    "p100_dp_release" -> """
+      WITH pu AS (SELECT user_id AS u, event_type AS category,
+                    COUNT(*) AS n_uc
+                  FROM events GROUP BY 1, 2),
+      c AS (SELECT category, SUM(least(n_uc, 8)) AS n_capped
+            FROM pu GROUP BY 1),
+      h AS (SELECT category, n_capped,
+              ('0x' || substr(md5('dp-r8:' || category), 1, 8))::BIGINT
+                / 4294967296.0 AS uu
+            FROM c),
+      z AS (SELECT category, n_capped,
+              round(-8.0 * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 4)
+                AS noise
+            FROM h)
+      SELECT category, CAST(n_capped AS BIGINT) AS n_capped, noise,
+             round(greatest(0.0, n_capped + noise), 4) AS n_released
+      FROM z ORDER BY category""",
+
+    "p99_embedding_whiten" -> s"""
+      WITH w AS (SELECT vec_id, white
+                 FROM read_parquet('$outRoot/whitened/*.parquet')),
+      e AS (SELECT vec_id,
+              generate_subscripts(white, 1) - 1 AS i,
+              unnest(white) AS x
+            FROM w)
+      SELECT a.i AS i, b.i AS j,
+             round(AVG(a.x * b.x) - AVG(a.x) * AVG(b.x), 6) + 0.0 AS cov
+      FROM e a JOIN e b USING (vec_id)
+      WHERE a.i <= b.i
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
 
     "p89_bitext_indexed" -> s"""
       WITH landed AS (

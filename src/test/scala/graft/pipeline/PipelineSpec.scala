@@ -676,6 +676,45 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSet === Set(0))
   }
 
+  // ---- Ann.whiten ---------------------------------------------------------
+
+  test("whiten: post-whiten covariance is the identity; deterministic; ragged dims rejected") {
+    // correlated, shifted 4-dim cloud from a deterministic recurrence —
+    // x1 is 90% x0 and x2 has a planted mean, so an apply pass that
+    // forgot centering or used the wrong triangle index cannot pass.
+    // The fourth signal keeps the cloud FULL RANK (an exactly dependent
+    // dim is a null covariance direction, which eps-whitening correctly
+    // leaves at ~zero variance — not what this test probes).
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 1.7)
+      val b = math.sin(i * 2.3 + 1)
+      val c = math.sin(i * 3.1 + 2)
+      val e = math.sin(i * 4.3 + 3)
+      (i.toLong, Array((a).toFloat, (0.9 * a + 0.1 * b).toFloat,
+        (c + 2.0).toFloat, (0.5 * a - 0.5 * c + 0.4 * e).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val w1 = Ann.whiten(emb).orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val w2 = Ann.whiten(emb).orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(w1.map(_._2.toList).toList === w2.map(_._2.toList).toList,
+      "whitening must be deterministic")
+    val n = w1.length
+    val d = w1.head._2.length
+    assert(d === 4)
+    val mean = Array.tabulate(d)(k => w1.map(_._2(k)).sum / n)
+    for (k <- 0 until d)
+      assert(math.abs(mean(k)) < 1e-3, s"whitened mean of dim $k: ${mean(k)}")
+    for (i <- 0 until d; j <- i until d) {
+      val cov = w1.map(r => (r._2(i) - mean(i)) * (r._2(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 5e-3, s"cov($i,$j) = $cov, want $want")
+    }
+    val ragged = Seq((0L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException](Ann.whiten(ragged))
+    assert(err.getMessage.contains("ragged"))
+  }
+
   // ---- Ann.semanticContamination -----------------------------------------
 
   test("semanticContamination: twin flags, orthogonal clears, ties pick lowest eval id") {

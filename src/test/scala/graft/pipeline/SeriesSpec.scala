@@ -77,6 +77,65 @@ class SeriesSpec extends SparkSpec {
     assert(coarse.getAs[Boolean]("safe_l_diverse")) // s1+s2 in the one class
   }
 
+  // ---- Series.psiDrift -------------------------------------------------
+
+  test("psiDrift: identical snapshots score zero; a planted shift alarms; one-sided groups drop") {
+    // group a: snapshots identical → every smoothed share pair is equal,
+    // psi is exactly 0. group b: snapshot 1 shifted +6 → mass moves
+    // across bins. group c: present only in snapshot 0 → dropped.
+    val same = (0 until 40).flatMap(i =>
+      Seq(("a", 0, i % 10 * 1.0), ("a", 1, i % 10 * 1.0)))
+    val shifted = (0 until 40).flatMap(i =>
+      Seq(("b", 0, i % 10 * 1.0), ("b", 1, i % 10 * 1.0 + 6.0)))
+    val df = (same ++ shifted ++ Seq(("c", 0, 3.0))).toDF("g", "snap", "v")
+    val out = Series.psiDrift(df, "g", "v", col("snap"),
+      bins = 10, threshold = 0.2).orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"),
+      "one-sided group c must drop, not fabricate a comparison")
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Double]("psi") === 0.0 && !a.getAs[Boolean]("drifted"))
+    assert(a.getAs[Long]("n_a") === 40L && a.getAs[Long]("n_b") === 40L)
+    assert(b.getAs[Double]("psi") > 0.2 && b.getAs[Boolean]("drifted"),
+      s"planted +6 shift must alarm, psi=${b.getAs[Double]("psi")}")
+  }
+
+  // ---- Privacy.dpCountRelease ------------------------------------------
+
+  test("dpCountRelease caps per-user contribution, adds deterministic Laplace noise") {
+    // user 10 spams category a with 100 rows — the cap must make the
+    // released count insensitive to the spam beyond `cap`
+    val rows = (1 to 100).map(_ => (10L, "a")) ++
+      Seq((11L, "a"), (12L, "a"), (20L, "b"), (21L, "b"))
+    val df = rows.toDF("user_id", "event_type")
+    val out = Privacy.dpCountRelease(df, "user_id", "event_type",
+      epsilon = 1.0, cap = 3, salt = "t").orderBy("category").collect()
+    assert(out.length === 2)
+    val a = out(0); val b = out(1)
+    // a: user 10 capped 100→3, plus users 11, 12 → 5; b: two singletons
+    assert(a.getAs[Long]("n_capped") === 5L)
+    assert(b.getAs[Long]("n_capped") === 2L)
+    // noise replays the documented inverse-CDF formula exactly
+    def lap(cat: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$cat".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      val raw = -3.0 * math.signum(u - 0.5) * math.log(1 - 2 * math.abs(u - 0.5))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(a.getAs[Double]("noise") === lap("a"))
+    assert(b.getAs[Double]("noise") === lap("b"))
+    assert(a.getAs[Double]("n_released") >= 0.0)
+    // determinism: a second run releases identical values
+    val out2 = Privacy.dpCountRelease(df, "user_id", "event_type",
+      epsilon = 1.0, cap = 3, salt = "t").orderBy("category").collect()
+    assert(out.map(_.toSeq).toSeq === out2.map(_.toSeq).toSeq)
+    // a larger cap with the same data raises the capped count
+    val wide = Privacy.dpCountRelease(df, "user_id", "event_type",
+      epsilon = 1.0, cap = 100, salt = "t").orderBy("category").collect()
+    assert(wide(0).getAs[Long]("n_capped") === 102L)
+  }
+
   // ---- EntityRes.blockedPairs ------------------------------------------
 
   private val bk = substring(col("nm"), 1, 2)
