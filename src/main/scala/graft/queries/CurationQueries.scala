@@ -852,6 +852,53 @@ object CurationQueries extends QueryModule {
         .orderBy("g")
     }),
 
+    // ---- count-min-sketch heavy-hitter frequencies: the FREQUENCY
+    //      member of the mergeable-sketch family (bitmap=membership,
+    //      HLL/KMV=cardinality, KLL=quantiles, SpaceSaving=top-k ids,
+    //      CMS=point counts). Spark's codegen'd count_min_sketch agg
+    //      builds the d×w counter grid map-side (state is eps/conf-
+    //      bounded, never vocab-linear — the structural win over an
+    //      exact vocab count at 10^9 tokens); the 20 point queries
+    //      deserialize the ~KB sketch once on the driver. Guards: CMS
+    //      never undercounts, and overshoot ≤ 2·ε·N (2× the one-sided
+    //      ε·N @ 99% guarantee — deterministic for a fixed seed, the
+    //      cushion absorbs the 20-query union bound). Emitted columns
+    //      are the EXACT counts, so the oracle is engine-independent --
+    "p102_cms_heavyhitters" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      // vocab-linear counts feed the top-k AND the total: one corpus
+      // aggregate, two bounded consumers
+      val counts = graft.operators.Broadcasts.trackedPersist(
+        toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
+      // TakeOrderedAndProject (partial top-k per partition), never a
+      // rank window over the Heaps-law-unbounded vocab
+      val top = counts.orderBy(col("cnt").desc, col("tok")).limit(20).collect()
+      val nTotal = counts.agg(sum(col("cnt"))).head().getLong(0)
+      val eps = 1e-4; val conf = 0.99; val seed = 42
+      val skBytes = toks
+        .agg(count_min_sketch(col("tok"), lit(eps), lit(conf), lit(seed)))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val slack = math.ceil(2 * eps * nTotal).toLong
+      val rows = top.map { r =>
+        val (tok, cnt) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(tok)
+        require(est >= cnt, s"CMS undercounted '$tok': $est < $cnt")
+        require(est <= cnt + slack,
+          s"CMS overshoot on '$tok': $est > $cnt + $slack (n=$nTotal)")
+        org.apache.spark.sql.Row(tok, cnt, true)
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("within_bound", org.apache.spark.sql.types.BooleanType))))
+        .orderBy("tok")
+    }),
+
     // ---- rendezvous-hashing placement + rebalance audit: HRW's defining
     //      property is MINIMAL MOVEMENT on resize (expected 1/(n+1) of
     //      keys when n→n+1, vs ~everything for mod-hashing), and the
@@ -2065,6 +2112,14 @@ object CurationQueries extends QueryModule {
              round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
              SUM((pa - pb) * ln(pa / pb)) > 0.05 AS drifted
       FROM j GROUP BY 1 ORDER BY 1""",
+
+    "p102_cms_heavyhitters" -> s"""
+      WITH toks AS (SELECT unnest($duckToks) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS cnt,
+              row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM toks GROUP BY tok)
+      SELECT tok, CAST(cnt AS BIGINT) AS cnt, TRUE AS within_bound
+      FROM c WHERE rk <= 20 ORDER BY tok""",
 
     "p83_rendezvous_shards" -> """
       WITH w AS (

@@ -215,6 +215,96 @@ object DiffStatsQueries extends QueryModule {
       graft.stats.Stats.equiHeightHistogram(Tables.t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"), 8, exact = true)
         .orderBy("column", "bucket")
+    }),
+
+    // ---- KLL quantile sketch with group→corpus ROLLUP: per-group
+    //      sketches, then the corpus sketch merged from the group
+    //      sketch BINARIES alone (graft_kll_merge — no second data
+    //      pass), the composability approx_percentile never exposes.
+    //      Estimates are pinned inside the exact rank envelope at 2×
+    //      the k=200 normalized rank error; the emitted values are the
+    //      EXACT interpolated quantiles (= DuckDB quantile_cont), so
+    //      the oracle face is deterministic while the sketch path is
+    //      exercised end-to-end. Exact face = distributed range-
+    //      partition rank (Ranks.globalRowNumber), never a boxed
+    //      percentile map or single-partition sort --------------------
+    "s11_kll_quantiles" -> ((s, dir) => {
+      graft.functions.KllAgg.register(s)
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val k = 200
+      val tol = 2.0 * graft.functions.Kll.rankError(k)
+      val grouped = Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      // 'ALL' rides the same pipeline as the groups: one union, one
+      // range-partition sort, one code path for both faces
+      val vals = grouped.unionByName(
+        grouped.select(lit("ALL").as("g"), col("v")))
+      val qArr = array(qs.map(lit): _*)
+      // sketch face: per-group sketches; corpus sketch = merge of the
+      // group sketch binaries (never sees a data row)
+      val grpSk = grouped.groupBy("g")
+        .agg(expr(s"graft_kll(v, $k)").as("sk"))
+      val allSk = grpSk.agg(expr(s"graft_kll_merge(sk, $k)").as("sk"))
+        .select(lit("ALL").as("g"), col("sk"))
+      val ests = grpSk.unionByName(allSk)
+        .select(col("g"), posexplode(
+          expr(s"graft_kll_quantiles(sk, array(${qs.mkString("D,")}D))"))
+          .as(Seq("pos", "est")))
+      // exact face: global rank over (g, v) — ties permute only equal
+      // values, so the value AT a rank is deterministic
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        vals, "grn", col("g"), col("v"))
+      val gstats = ranked.groupBy("g")
+        .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      // bounded target table: per (g, q) the interpolation floor/ceil
+      // ranks plus the ±tol envelope ranks (0-based within the group)
+      val targets = gstats
+        .select(col("g"), col("g0"), col("n"),
+          posexplode(qArr).as(Seq("pos", "q")))
+        .withColumn("pq", col("q") * (col("n") - 1))
+        .withColumn("frac", col("pq") - floor(col("pq")))
+        .withColumn("r_lo", floor(col("pq")).cast("long"))
+        .withColumn("r_hi", ceil(col("pq")).cast("long"))
+        .withColumn("r_elo",
+          greatest(lit(0L), floor((col("q") - lit(tol)) * (col("n") - 1)).cast("long")))
+        .withColumn("r_ehi",
+          least(col("n") - 1, ceil((col("q") + lit(tol)) * (col("n") - 1)).cast("long")))
+      val wanted = Seq(("r_lo", "lo"), ("r_hi", "hi"), ("r_elo", "elo"), ("r_ehi", "ehi"))
+        .map { case (rc, role) =>
+          targets.select(col("g"), col("pos"), col("q"), col("frac"), col("n"),
+            (col("g0") + col(rc)).as("grn"), lit(role).as("role"))
+        }.reduce(_ unionByName _)
+      val picked = ranked.join(broadcast(wanted), Seq("g", "grn"))
+        .groupBy("g", "pos").agg(
+          first(col("q")).as("q"), first(col("frac")).as("frac"),
+          first(col("n")).as("n"),
+          max(when(col("role") === "lo", col("v"))).as("v_lo"),
+          max(when(col("role") === "hi", col("v"))).as("v_hi"),
+          max(when(col("role") === "elo", col("v"))).as("env_lo"),
+          max(when(col("role") === "ehi", col("v"))).as("env_hi"))
+        .withColumn("exact_pct",
+          col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+      val rows = picked.join(ests, Seq("g", "pos"))
+        .withColumn("approx_ok",
+          col("est") >= col("env_lo") && col("est") <= col("env_hi"))
+        .select(col("g"), col("q"), round(col("exact_pct"), 6).as("exact_pct"),
+          col("n"), col("approx_ok"))
+        .orderBy("g", "q")
+        .collect()
+      val bad = rows.count(!_.getBoolean(4))
+      require(bad == 0,
+        s"KLL sketch regression: $bad estimates outside the ±$tol rank envelope")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("exact_pct", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("approx_ok", org.apache.spark.sql.types.BooleanType))))
+        .orderBy("g", "q")
     })
   )
 
@@ -487,6 +577,22 @@ object DiffStatsQueries extends QueryModule {
           FROM asg GROUP BY bucket, bs)"""
       Seq("l_quantity", "l_extendedprice", "l_discount").map(colSql)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", bucket")
-    }
+    },
+
+    "s11_kll_quantiles" -> """
+      WITH v AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'ALL', CAST(l_extendedprice AS DOUBLE) FROM lineitem),
+      qq AS (
+        SELECT g, quantile_cont(v, [0.25, 0.5, 0.75, 0.95]) AS qs,
+               COUNT(*) AS n
+        FROM v GROUP BY g)
+      SELECT g, CAST(([0.25, 0.5, 0.75, 0.95])[i] AS DOUBLE) AS q,
+             round(qs[i], 6) AS exact_pct,
+             CAST(n AS BIGINT) AS n, TRUE AS approx_ok
+      FROM qq CROSS JOIN (VALUES (1), (2), (3), (4)) t(i)
+      ORDER BY g, q"""
   )
 }
