@@ -154,6 +154,58 @@ case class Int8MaeQExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** [1, x, upper-triangle xᵢxⱼ] second-moment vector of an embedding —
+  * the one-scan covariance input for Ann.whiten / p99's whiteness
+  * proof (pairs with graft_vec_sum for dims²-bounded aggregate state). */
+case class MomentVectorExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_moments"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.momentVector(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.momentVector($v, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): MomentVectorExpr =
+    copy(child = newChild)
+}
+
+/** round₆(W·(x−μ)) — the ZCA whitening apply with the d×d literal
+  * matrix riding as a codegen reference object. */
+case class WhitenApplyExpr(child: Expression, w: Array[Double], mu: Array[Double])
+    extends UnaryExpression {
+  require(w.length == mu.length * mu.length,
+    s"W must be d×d row-major (got ${w.length} vs d=${mu.length})")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_whiten_apply"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.whitenApply(input.asInstanceOf[ArrayData], isFloat, w, mu)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("whitenW", w, "double[]")
+    val muRef = ctx.addReferenceObj("whitenMu", mu, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.whitenApply($v, $isFloat, $wRef, $muRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhitenApplyExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v, _) => v.toString.toInt
@@ -162,6 +214,11 @@ object VectorExprs {
   private def litLong(e: Expression, what: String): Long = e match {
     case Literal(v, _) => v.toString.toLong
     case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+  private def litDoubleArray(e: Expression, what: String): Array[Double] = e match {
+    case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal array<double>, got $other")
   }
 
   /** Register the kernels as temp SQL functions reachable through the
@@ -199,6 +256,17 @@ object VectorExprs {
       { exprs =>
         require(exprs.length == 2, "graft_int8_maeq(emb, scale)")
         Int8MaeQExpr(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_moments",
+      { exprs =>
+        require(exprs.length == 1, "graft_moments(vec)")
+        MomentVectorExpr(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_whiten_apply",
+      { exprs =>
+        require(exprs.length == 3, "graft_whiten_apply(vec, wFlat, mu)")
+        WhitenApplyExpr(exprs.head,
+          litDoubleArray(exprs(1), "wFlat"), litDoubleArray(exprs(2), "mu"))
       }, "built-in")
   }
 }

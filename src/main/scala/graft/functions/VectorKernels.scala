@@ -216,4 +216,58 @@ object VectorKernels {
     while (it.hasNext) { arr(x) = it.next(); x += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Second-moment vector [1, x₀…x_{d−1}, upper-triangle xᵢxⱼ (i≤j,
+    * row-major)] — one tight loop instead of the nested
+    * transform/flatten lambdas (higher-order functions are
+    * CodegenFallback, so at d=64 the declarative form pays ~2k
+    * interpreted closure calls + array allocations per row). Linear
+    * index of (i,j): 1 + d + i·(2d−i−1)/2 + j. */
+  def momentVector(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = x.numElements()
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      xs(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    val m = new Array[Double](1 + d + d * (d + 1) / 2)
+    m(0) = 1.0
+    var p = 1 + d
+    i = 0
+    while (i < d) {
+      m(1 + i) = xs(i)
+      var j = i
+      while (j < d) { m(p) = xs(i) * xs(j); p += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  /** y = round₆(W·(x−μ)) with W row-major d×d — the whitening apply as
+    * one fused kernel. Accumulation is left-to-right per output element
+    * and rounding is BigDecimal.valueOf + HALF_UP, bit-matching the
+    * zip_with/aggregate + round(…,6) pipeline it replaces. */
+  def whitenApply(x: ArrayData, isFloat: Boolean,
+                  w: Array[Double], mu: Array[Double]): ArrayData = {
+    val d = mu.length
+    val c = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      c(j) = (if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)) - mu(j)
+      j += 1
+    }
+    val y = new Array[Double](d)
+    var k = 0
+    while (k < d) {
+      var acc = 0.0
+      var off = k * d
+      j = 0
+      while (j < d) { acc += c(j) * w(off + j); j += 1 }
+      y(k) = java.math.BigDecimal.valueOf(acc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      k += 1
+    }
+    new GenericArrayData(y)
+  }
 }

@@ -821,15 +821,20 @@ object Ann {
           s"whiten: ragged embedding dims [${r.getInt(0)}, ${r.getInt(1)}]")
         r.getInt(0)
     }
-    val xd = transform(col("embedding"), x => x.cast("double"))
-    val upper = flatten(transform(sequence(lit(1), lit(d)), i =>
-      transform(sequence(i, lit(d)), j =>
-        element_at(col("x"), i) * element_at(col("x"), j))))
-    val sums = emb.select(xd.as("x"))
-      .select(posexplode(concat(array(lit(1.0d)), col("x"), upper))
-        .as(Seq("pos", "v")))
-      .groupBy("pos").agg(sum(col("v")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // ONE elementwise-sum aggregate over the compiled [1, x, upper-tri
+    // xᵢxⱼ] moment kernel — graft_vec_sum keeps state at one
+    // double[2145] per partition (the posexplode form this replaced
+    // multiplied the row count ×(1+d+d(d+1)/2) before the map-side
+    // combine), and graft_moments builds the vector in a tight loop
+    // (the nested transform/flatten lambdas are CodegenFallback HOFs —
+    // ~2k interpreted closures per row at d=64)
+    graft.functions.VecSumAgg.register(emb.sparkSession)
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val sumArr = emb
+      .select(call_function("graft_moments", col("embedding")).as("m"))
+      .agg(expr("graft_vec_sum(m)").as("s"))
+      .head().getSeq[Double](0)
+    val sums: Int => Double = sumArr
     val n = sums(0)
     require(n >= 2, s"whiten: need >= 2 vectors, got $n")
     val mu = Array.tabulate(d)(i => sums(1 + i) / n)
@@ -849,15 +854,11 @@ object Ann {
       val (r, c) = (p / d, p % d)
       (0 until d).map(k => v.getEntry(r, k) * invSqrt(k) * v.getEntry(c, k)).sum
     }
-    val muLit = lit(mu)
-    val wLit = lit(wFlat)
-    val centered = zip_with(xd, muLit, (x, m) => x - m)
-    emb.select(col("vec_id"), centered.as("c"))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(d - 1)), k =>
-          round(aggregate(
-            zip_with(col("c"), slice(wLit, k * lit(d) + 1, lit(d)),
-              (a, b) => a * b),
-            lit(0.0d), (acc, y) => acc + y), 6)).as("white"))
+    // fused codegen kernel: y = round₆(W·(x−μ)), W/μ as reference
+    // objects — same left-to-right accumulation and HALF_UP rounding as
+    // the zip_with/aggregate + round(…,6) pipeline it replaced
+    emb.select(col("vec_id"),
+      call_function("graft_whiten_apply", col("embedding"),
+        lit(wFlat), lit(mu)).as("white"))
   }
 }

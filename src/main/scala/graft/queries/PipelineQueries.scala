@@ -467,25 +467,40 @@ object PipelineQueries extends QueryModule {
       val e = embs(s, dir)
       Ann.whiten(e).write.mode("overwrite").parquet(s"$outRoot/whitened")
       val landed = s.read.parquet(s"$outRoot/whitened")
-      val ex = landed.select(col("vec_id"),
-        posexplode(col("white")).as(Seq("i", "x")))
-      val cov = ex
-        .join(ex.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
-          "vec_id")
-        .filter(col("i") <= col("j"))
-        .groupBy("i", "j")
-        // + 0.0 folds IEEE negative zero to +0.0 — DuckDB's round keeps
-        // the sign on a tiny negative mean product where Spark's drops
-        // it, and the driver hashes the canonical STRING ("-0.0" ≠ "0.0")
-        .agg((round(avg(col("x") * col("y")) -
-          avg(col("x")) * avg(col("y")), 6) + lit(0.0d)).as("cov"))
-      // dims²-bounded whiteness proof: every covariance cell sits on the
-      // identity (diag 1, offdiag 0) within eps + rounding tolerance
-      val bad = cov.filter(
-        when(col("i") === col("j"), abs(col("cov") - 1.0d) > 0.02d)
-          .otherwise(abs(col("cov")) > 0.02d)).count()
-      require(bad == 0, s"whitening broke: $bad covariance cells off identity")
-      cov.orderBy("i", "j")
+      // dims²-bounded whiteness proof over the LANDED artifact, via the
+      // same one-pass [1, x, upper-tri xᵢxⱼ] moment aggregate whiten
+      // itself uses — the posexplode self-join this replaced fanned each
+      // vector out ×d² before grouping (≈1.3·10⁸ intermediate rows at
+      // the ×10 probe scale); here the scan stays one row per vector
+      // with one double[1+d+d(d+1)/2] of aggregate state per partition
+      graft.functions.VecSumAgg.register(s)
+      graft.functions.VectorExprs.register(s)
+      val d = landed.agg(max(size(col("white")))).head().getInt(0)
+      val sums = landed
+        .select(call_function("graft_moments", col("white")).as("m"))
+        .agg(expr("graft_vec_sum(m)")).head().getSeq[Double](0)
+      val n = sums(0)
+      def ui(i: Int, j: Int) = 1 + d + (i * (2 * d - i - 1)) / 2 + j
+      // Spark-round semantics (HALF_UP) + the `+ 0.0` negative-zero fold
+      // the old in-engine round applied — DuckDB's round keeps the sign
+      // on a tiny negative mean product, and the driver hashes the
+      // canonical STRING ("-0.0" ≠ "0.0")
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0d
+      val cells = for (i <- 0 until d; j <- i until d) yield {
+        val cov = r6(sums(ui(i, j)) / n - (sums(1 + i) / n) * (sums(1 + j) / n))
+        require(if (i == j) math.abs(cov - 1.0d) <= 0.02d
+          else math.abs(cov) <= 0.02d,
+          s"whitening broke: covariance cell ($i,$j)=$cov off identity")
+        org.apache.spark.sql.Row(i, j, cov)
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(cells.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cov", org.apache.spark.sql.types.DoubleType))))
+        .orderBy("i", "j")
     }),
 
     // ---- user-level ε-DP count release (Laplace mechanism, bounded
