@@ -177,6 +177,28 @@ case class MomentVectorExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [x, ‖x‖₂, 1] accumulator vector — pairs with graft_vec_sum for
+  * one-pass grouped centroid + mean-norm + count statistics. */
+case class VecStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_stats"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.vecStats(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.vecStats($v, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecStatsExpr =
+    copy(child = newChild)
+}
+
 /** round₆(W·(x−μ)) — the ZCA whitening apply with the d×d literal
   * matrix riding as a codegen reference object. */
 case class WhitenApplyExpr(child: Expression, w: Array[Double], mu: Array[Double])
@@ -256,6 +278,11 @@ object VectorExprs {
       { exprs =>
         require(exprs.length == 2, "graft_int8_maeq(emb, scale)")
         Int8MaeQExpr(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_stats",
+      { exprs =>
+        require(exprs.length == 1, "graft_vec_stats(vec)")
+        VecStatsExpr(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_moments",
       { exprs =>

@@ -244,6 +244,27 @@ object VectorKernels {
     new GenericArrayData(m)
   }
 
+  /** [x₀…x_{d−1}, ‖x‖₂, 1] — the per-vector accumulator row for
+    * grouped centroid/norm statistics: graft_vec_sum of this vector
+    * yields per-dim sums, the summed L2 norm, and the count in ONE
+    * bounded-state aggregate (no posexplode row blow-up, no
+    * interpreted norm fold). */
+  def vecStats(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = x.numElements()
+    val m = new Array[Double](d + 2)
+    var nrm = 0.0
+    var i = 0
+    while (i < d) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      m(i) = v
+      nrm += v * v
+      i += 1
+    }
+    m(d) = math.sqrt(nrm)
+    m(d + 1) = 1.0
+    new GenericArrayData(m)
+  }
+
   /** y = round₆(W·(x−μ)) with W row-major d×d — the whitening apply as
     * one fused kernel. Accumulation is left-to-right per output element
     * and rounding is BigDecimal.valueOf + HALF_UP, bit-matching the

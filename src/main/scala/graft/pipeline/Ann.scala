@@ -743,21 +743,31 @@ object Ann {
     * (group, n_a, n_b, centroid_cos, mean_shift_l2, norm_ratio). */
   def embeddingDrift(emb: DataFrame, groupCol: String,
                      snapshot: Column): DataFrame = {
-    // lvl1 is bounded (groups × dims) but fans out to FOUR consumers
-    // (snapStats → both sides' stats, plus dimA and dimB) — persist it
-    // so the posexplode corpus scan runs exactly once.
-    val lvl1 = graft.operators.Broadcasts.trackedPersist(emb
+    // ONE corpus scan: the compiled [x, ‖x‖₂, 1] accumulator through
+    // graft_vec_sum — per-(group, snap) state is one double[d+2], the
+    // output is bounded (groups × 2 rows). Persisted: it fans out to
+    // FOUR consumers (snapStats → both sides' stats, plus dimA/dimB)
+    // and recomputation would re-scan the corpus. The posexplode form
+    // this replaced multiplied the scan ×d pre-combine and paid an
+    // interpreted HOF norm fold per vector.
+    graft.functions.VecSumAgg.register(emb.sparkSession)
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val sums = graft.operators.Broadcasts.trackedPersist(emb
       .select(col(groupCol).as("grp"), snapshot.cast("int").as("snap"),
-        sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("grp", "snap", "dim")
-      .agg(count(lit(1)).as("cnt"),
-        round(avg(col("x").cast("double")), 6).as("m"),
-        sum(when(col("dim") === 0, col("nrm"))).as("nrm_sum")))
-    val snapStats = lvl1.groupBy("grp", "snap").agg(
-      max(col("cnt")).as("n"),
-      round(max(col("nrm_sum")) / max(col("cnt")), 6).as("mean_norm"))
+        call_function("graft_vec_stats", col("embedding")).as("vs"))
+      .groupBy("grp", "snap")
+      .agg(expr("graft_vec_sum(vs)").as("s"))
+      .withColumn("n", element_at(col("s"), size(col("s"))).cast("long"))
+      .withColumn("nrm_sum", element_at(col("s"), size(col("s")) - 1)))
+    val snapStats = sums.select(col("grp"), col("snap"), col("n"),
+      round(col("nrm_sum") / col("n"), 6).as("mean_norm"))
+    // per-dim means: a posexplode over the BOUNDED (groups × 2) frame
+    val lvl1 = sums
+      .select(col("grp"), col("snap"), col("n"),
+        posexplode(slice(col("s"), lit(1), size(col("s")) - 2))
+          .as(Seq("dim", "sx")))
+      .select(col("grp"), col("snap"), col("dim"),
+        round(col("sx") / col("n"), 6).as("m"))
     def side(s: Int, suffix: String) = {
       val st = snapStats.filter(col("snap") === s)
         .select(col("grp"), col("n").as(s"n_$suffix"),
