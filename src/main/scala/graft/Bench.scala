@@ -121,15 +121,16 @@ object Bench {
         med > 1.4 * best && med - best > 0.05
       } => name
     }.take(24)
-    // Round-over-round movers (self-acting rule, VERDICT r6 item 7): any
-    // query whose interleaved median moved >1.5x vs the PREVIOUS round's
-    // recorded bench (the bench_result.json this run will overwrite) is
-    // re-timed solo UNCONDITIONALLY — a real regression deserves a clean
-    // number and a contention artifact deserves debunking, so movers are
-    // never capped out. >50 ms absolute keeps micro-query jitter quiet.
-    val prevQueries: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_result.json"))
+    // Round-over-round movers (self-acting rule, VERDICT r6 item 7 +
+    // r8 item 1b): any query whose interleaved median moved >1.5x vs
+    // EITHER the previous dev run (bench_result.json) OR the last
+    // COMMITTED round bench (highest BENCH_r{N}.json) is re-timed solo
+    // UNCONDITIONALLY — diffing only the latest dev file lets gradual
+    // cross-round creep (<1.5x per step) evade re-timing forever; the
+    // committed file anchors the comparison to a judged number.
+    // >50 ms absolute keeps micro-query jitter quiet.
+    def queriesOf(path: java.nio.file.Path): Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(path)
       // only comparable against the SAME scale factor: a dev run at
       // another sf would otherwise flag the whole surface as movers
       val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
@@ -141,22 +142,72 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    val prevQueries = queriesOf(java.nio.file.Paths.get("bench_result.json"))
+    val committedQueries: Map[String, Double] = {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some(n.toInt -> f.toPath)
+          case _ => None
+        })
+      if (files.isEmpty) Map.empty else queriesOf(files.maxBy(_._1)._2)
+    }
+    def moved(med: Double, p: Double): Boolean =
+      p > 0 && (med > 1.5 * p || p > 1.5 * med) && math.abs(med - p) > 0.05
     val movers = interleaved.collect {
-      case (name, med) if med >= 0 && prevQueries.get(name).exists(p =>
-        p > 0 && (med > 1.5 * p || p > 1.5 * med) && math.abs(med - p) > 0.05)
-        => name
+      case (name, med) if med >= 0 &&
+        (prevQueries.get(name).exists(moved(med, _)) ||
+          committedQueries.get(name).exists(moved(med, _))) => name
     }
     val suspects = (contentionSuspects ++ movers).distinct
     val fns = ordered.toMap
-    val isolated = suspects.map { name =>
-      System.gc(); Thread.sleep(100)
-      val ts = Vector.fill(3) {
-        val t0 = System.nanoTime()
-        runOnce(name, fns(name))
-        (System.nanoTime() - t0) / 1e9
+    // Isolated re-times run in a FRESH forked JVM (VERDICT r8 item 1a):
+    // re-timing inside this loaded 230+-query session overstates by
+    // 1.2-2.3x (GC pressure, code-cache churn, block-manager residue).
+    // `run / fork := true` means java.class.path IS the full classpath,
+    // so one child JVM runs graft.TimeQ over every suspect (each twice,
+    // min taken — TimeQ itself warms untimed per invocation). Falls back
+    // to in-process re-timing only if the fork cannot start.
+    def forkTimeQ(names: Seq[String]): Map[String, Double] = {
+      // same module-opens + heap as build.sbt's javaOptions (they arrive
+      // as paired argv elements, so RuntimeMXBean introspection would
+      // mangle them — restate the known set instead)
+      val jvmArgs = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}")
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.TimeQ", sfDir) ++
+        names.flatMap(n => Seq(n, n))
+      val out = scala.sys.process.Process(cmd).!!
+      """TIMEQ (\S+) ([0-9.]+) s""".r.findAllMatchIn(out)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        .groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val isolated: Map[String, Double] =
+      if (suspects.isEmpty) Map.empty
+      else try forkTimeQ(suspects) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fresh-JVM re-time failed (${e.getMessage}); falling back in-process")
+          suspects.map { name =>
+            System.gc(); Thread.sleep(100)
+            val ts = Vector.fill(3) {
+              val t0 = System.nanoTime()
+              runOnce(name, fns(name))
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> median(ts)
+          }.toMap
       }
-      name -> median(ts)
-    }.toMap
     // Headline per-query = solo median where re-timed (never the larger
     // of the two: re-timing exists because the contended number is wrong)
     val results = interleaved.map { case (name, med) =>
@@ -175,18 +226,24 @@ object Bench {
     // timed in in-process DuckDB over the same parquet, next to Spark's
     // own q-subset seconds. Best-effort — a missing python/duckdb yields
     // -1, never a failed bench.
-    val sparkSubset = results.collect {
-      case (n, v) if n.startsWith("q") && v >= 0 => v
-    }.sum
-    val duckSubset: Double = try {
+    // Both subset sums cover the SAME query set: DuckDB excludes its
+    // failures from its total, and Spark's sum drops those same names.
+    val (duckSubset: Double, duckFailed: Set[String]) = try {
       val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
       java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
       val out = scala.sys.process.Process(
         Seq("python3", "tools/duckdb_bench.py", sfDir, tmp.toString)).!!.trim
       java.nio.file.Files.deleteIfExists(tmp)
-      """"duckdb_subset_secs":\s*(-?[0-9.eE+]+)""".r.findFirstMatchIn(out)
+      val secs = """"duckdb_subset_secs":\s*(-?[0-9.eE+]+)""".r.findFirstMatchIn(out)
         .map(_.group(1).toDouble).getOrElse(-1.0)
-    } catch { case _: Throwable => -1.0 }
+      val failed = """"failed":\s*\[([^\]]*)\]""".r.findFirstMatchIn(out)
+        .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet).getOrElse(Set.empty[String])
+      (secs, failed)
+    } catch { case _: Throwable => (-1.0, Set.empty[String]) }
+    val sparkSubset = results.collect {
+      case (n, v) if n.startsWith("q") && v >= 0 && !duckFailed(n) => v
+    }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
     // Sole program-stdout line AND a file copy: when launched through sbt,
     // stdout lines get an "[info] " prefix that breaks a naive json parse.

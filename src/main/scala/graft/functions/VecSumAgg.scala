@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** graft_vec_sum(array<double>) → array<double>: ELEMENTWISE sum of
   * fixed-length vectors — the one-pass aggregate behind centroid /
@@ -33,6 +34,22 @@ case class VecSumAggExpr(
   override def nullable: Boolean = true
   override def prettyName: String = "graft_vec_sum"
 
+  // ArrayData.getDouble reads 8-byte slots: calling it over an
+  // array<float> (the raw embedding column's physical layout) would read
+  // across element boundaries and return garbage, so the element type is
+  // checked at analysis and float arrays take the getFloat path.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_sum expects array<double> or array<float>, got ${other.sql}")
+  }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def createAggregationBuffer(): Array[Double] = null
 
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
@@ -47,7 +64,8 @@ case class VecSumAggExpr(
             buffer
           }
         var i = 0
-        while (i < n) { b(i) += a.getDouble(i); i += 1 }
+        if (isFloat) { while (i < n) { b(i) += a.getFloat(i); i += 1 } }
+        else { while (i < n) { b(i) += a.getDouble(i); i += 1 } }
         b
       case other => throw new IllegalArgumentException(
         s"graft_vec_sum expects array<double>, got ${other.getClass.getName}")

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed global rank — the scalable replacement for
   * `row_number().over(Window.orderBy(...))`, which plans a SINGLE
@@ -11,36 +12,170 @@ import org.apache.spark.sql.functions._
   * corpus-shaped — a 100 TB web corpus has 10^8-10^9 distinct tokens,
   * so a vocabulary is tens of GB, not "megabytes".
   *
-  * Shape: range-repartition on the sort keys (partition i holds keys
-  * strictly below partition i+1's), rank locally inside each partition,
-  * then add per-partition offsets — a cumulative sum over the
-  * partition-count table, which has exactly numPartitions rows, the one
-  * place a single-partition window is the CORRECT plan. Every stage is
-  * Catalyst-visible; no RDD round-trip, no driver collect.
+  * Shape: sample range boundaries ONCE (a RangePartitioner-style
+  * per-partition reservoir sketch over the key projection, collected to
+  * the driver — bounded: ≤ ~60·numParts key tuples), turn them into
+  * LITERALS, and assign each row a partition id by binary-searching the
+  * literal boundaries in a codegen'd expression. Then rank locally
+  * inside each pid (a keyed window — one shuffle) and add per-pid
+  * offsets — a cumulative sum over the pid-count table, which has
+  * exactly numPartitions rows, the one place a single-partition window
+  * is the CORRECT plan.
+  *
+  * Why literals instead of `repartitionByRange`: the range partitioner
+  * re-SAMPLES per computation, and this frame feeds two consumers (the
+  * offsets aggregate and the final join). Recomputed independently,
+  * the two sides could partition differently and the offsets would be
+  * garbage against the other side's local ranks (observed in r8:
+  * missing + duplicated global ranks). r8 pinned one materialization
+  * with a persist — correct but it taxed every caller 15-40%
+  * (VERDICT r8 item 2). With driver-collected literal boundaries the
+  * pid is a PURE FUNCTION of the row's key values: both consumers agree
+  * under any recomputation, no persist, no pinned materialization —
+  * the offsets branch collapses to a map-side-combined count per pid.
+  *
+  * Null handling: a null key (or a comparison against a rare sampled
+  * null boundary, which is dropped) routes to the lowest pid — matching
+  * the window's asc-nulls-first order, so ranks stay consistent.
+  * Every stage is Catalyst-visible; the single RDD touch is the bounded
+  * sampling job over the pruned key projection.
   */
 object Ranks {
 
+  /** asc-nulls-first lexicographic ordering over sampled key rows
+    * (driver side, bounded input). */
+  private def rowOrdering(nCols: Int): Ordering[Row] = new Ordering[Row] {
+    def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < nCols) {
+        val x = a.get(i); val y = b.get(i)
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else (x, y) match {
+            // strings compare as UTF-8 BYTES — Spark's binary collation;
+            // Java's compareTo is UTF-16 code units, which disagrees for
+            // supplementary characters and would let a boundary sort
+            // out of Spark-order (breaking the binary search)
+            case (a: String, b: String) =>
+              java.util.Arrays.compareUnsigned(
+                a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** One bounded job: per-partition reservoir sketch of the key
+    * projection (deterministic per-partition seeds), weighted
+    * boundary sweep on the driver — the RangePartitioner recipe, run
+    * once so the boundaries can become plan literals. Returns at most
+    * numParts-1 strictly-increasing fully-non-null key rows. */
+  private[operators] def sampleBoundaries(df: DataFrame, sortCols: Seq[Column],
+                                          numParts: Int): Seq[Row] = {
+    if (numParts <= 1) return Seq.empty
+    val keys = df.select(sortCols.zipWithIndex.map {
+      case (c, i) => c.as(s"__k$i") }: _*)
+    val rdd = keys.rdd
+    val inputParts = math.max(1, rdd.getNumPartitions)
+    val sampleSize = math.min(20.0 * numParts, 1e6)
+    val perPart = math.max(1, math.ceil(3.0 * sampleSize / inputParts).toInt)
+    val sketched = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(0x9e3779b97f4a7c15L ^ idx)
+      val res = new Array[Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) res(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) res(j.toInt) = r
+        }
+        n += 1
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt).toSeq))
+    }
+    val parts = sketched.collect() // bounded: ≤ 60·numParts sampled key tuples
+    val total = parts.map(_._1).sum
+    if (total == 0L) return Seq.empty
+    val ord = rowOrdering(sortCols.length)
+    val weighted = parts.toSeq.flatMap { case (n, rows) =>
+      val w = n.toDouble / rows.length
+      rows.map(r => (r, w))
+    }.sortBy(_._1)(ord)
+    val step = total.toDouble / numParts
+    var target = step
+    var cum = 0.0
+    var prev: Row = null
+    var emitted = 0
+    val out = Seq.newBuilder[Row]
+    weighted.foreach { case (r, w) =>
+      cum += w
+      if (cum >= target && emitted < numParts - 1 &&
+          (prev == null || ord.compare(r, prev) > 0) &&
+          !(0 until r.length).exists(r.isNullAt)) {
+        out += r
+        prev = r
+        emitted += 1
+        while (target <= cum) target += step
+      }
+    }
+    out.result()
+  }
+
+  private def keyOf(sortCols: Seq[Column]): Column =
+    if (sortCols.length == 1) sortCols.head
+    else struct(sortCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+
+  private def boundLit(b: Row, schema: StructType): Column =
+    if (schema.length == 1) lit(b.get(0)).cast(schema(0).dataType)
+    else struct(schema.fields.zipWithIndex.map { case (f, i) =>
+      lit(b.get(i)).cast(f.dataType).as(f.name) }: _*)
+
+  /** Deterministic pid: binary search of the row key over the literal
+    * boundaries — O(log numParts) comparisons evaluated per row (the
+    * expression tree holds all branches; codegen walks one path). */
+  private def pidExpr(bounds: IndexedSeq[Row], schema: StructType,
+                      sortCols: Seq[Column]): Column = {
+    val key = keyOf(sortCols)
+    def go(lo: Int, hi: Int): Column =
+      if (lo > hi) lit(lo)
+      else {
+        val mid = (lo + hi) >>> 1
+        when(key >= boundLit(bounds(mid), schema), go(mid + 1, hi))
+          .otherwise(go(lo, mid - 1))
+      }
+    go(0, bounds.length - 1).cast("int")
+  }
+
+  private def withPid(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val schema = df.select(sortCols.zipWithIndex.map {
+      case (c, i) => c.as(s"__k$i") }: _*).schema
+    val bounds = sampleBoundaries(df, sortCols, numParts).toIndexedSeq
+    df.withColumn("__pid",
+      if (bounds.isEmpty) lit(0) else pidExpr(bounds, schema, sortCols))
+  }
+
   /** Append a 1-based global `row_number`-equivalent rank over `sortCols`
-    * (ties broken arbitrarily but deterministically only if `sortCols`
-    * form a unique key — same contract as row_number). */
+    * (plain ascending columns; ties broken arbitrarily but
+    * deterministically only if `sortCols` form a unique key — same
+    * contract as row_number). */
   def globalRowNumber(df: DataFrame, rankCol: String,
                       sortCols: Column*): DataFrame = {
-    val parted = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    // Local rank: the window partitions by __pid, whose values are the
-    // range-partition ids, so ordering (pid, local rank) == global order.
-    // PERSISTED: `local` feeds BOTH the offsets aggregate and the final
-    // join — recomputed independently, RangePartitioner's reservoir
-    // sampling can pick different boundaries per computation, and
-    // offsets from one partitioning are garbage against local ranks of
-    // another (observed: missing + duplicated global ranks). The cache
-    // pins ONE materialization for both consumers; Broadcasts.release
-    // evicts it with the rest of the library's per-query persists.
-    val local = Broadcasts.trackedPersist(
-      parted.withColumn("__lrk", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(sortCols: _*))))
-    // numPartitions rows -> the cumulative-offset window is bounded.
-    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val parted = withPid(df, sortCols)
+    val local = parted.withColumn("__lrk", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    // numPartitions rows -> the cumulative-offset window is bounded;
+    // counts per pid are a pure function of the input multiset, so this
+    // branch may recompute freely (no persist needed).
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -53,23 +188,18 @@ object Ranks {
   /** Distributed global CUMULATIVE SUM of `sumCol` in `sortCols` order —
     * the scalable replacement for `sum(c).over(Window.orderBy(...))`,
     * which (like the global rank) plans a single partition. Same shape
-    * as [[globalRowNumber]]: range-repartition on the sort keys, local
-    * running sum per partition, add per-partition offsets (a cumulative
-    * window over the numPartitions-row totals table — the one place a
-    * single-partition window is the correct plan). Inclusive of the
-    * current row; `sortCols` must be a unique key for a deterministic
-    * result (same contract as the window form over distinct keys). */
+    * as [[globalRowNumber]]: literal-boundary pid, local running sum per
+    * pid, add per-pid offsets (a cumulative window over the
+    * numPartitions-row totals table — the one place a single-partition
+    * window is the correct plan). Inclusive of the current row;
+    * `sortCols` must be a unique key for a deterministic result (same
+    * contract as the window form over distinct keys). */
   def globalCumSum(df: DataFrame, sumCol: String, outCol: String,
                    sortCols: Column*): DataFrame = {
-    val parted = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    // persisted for the same two-consumer reason as globalRowNumber's
-    // local: offsets must be computed against the SAME range partitioning
-    // the join side reads
-    val local = Broadcasts.trackedPersist(
-      parted.withColumn("__lcs", sum(col(sumCol)).over(
-        Window.partitionBy(col("__pid")).orderBy(sortCols: _*))))
-    val offsets = local.groupBy("__pid").agg(sum(col(sumCol)).as("__cnt"))
+    val parted = withPid(df, sortCols)
+    val local = parted.withColumn("__lcs", sum(col(sumCol)).over(
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    val offsets = parted.groupBy("__pid").agg(sum(col(sumCol)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

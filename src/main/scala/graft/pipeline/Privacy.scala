@@ -70,17 +70,25 @@ object Privacy {
 
   /** USER-LEVEL differentially-private count release (ε-DP, Laplace
     * mechanism with bounded contribution — Dwork et al. 2006; the
-    * per-user cap is the step every production DP release gets wrong
-    * first): releasing per-category event counts where one USER may
-    * contribute unboundedly many rows needs (1) each user's contribution
-    * to each category CAPPED at `cap` — sensitivity of the capped count
-    * to one user's entire presence is then `cap`, not ∞ — and (2)
-    * Laplace(cap/ε) noise on each released count.
+    * per-user bounds are the step every production DP release gets
+    * wrong first): releasing per-category event counts where one USER
+    * may contribute unboundedly many rows needs the user's contribution
+    * bounded in BOTH norms — (1) per-category: each user's count in any
+    * one category capped at `cap` (L∞ bound), and (2) across
+    * categories: each user contributes to at most `maxCats` categories
+    * (L0 bound — kept deterministically: the user's `maxCats` largest
+    * capped counts, ties broken by category). Removing one user then
+    * shifts the released VECTOR by at most cap·maxCats in L1, so
+    * Laplace(cap·maxCats/ε) noise per count gives user-level ε-DP; with
+    * only the per-category cap the guarantee would degrade to kε for a
+    * user touching k categories, k unbounded.
     *
-    * Scale shape: two map-side-combinable aggregates — rows →
+    * Scale shape: three map-side-friendly stages — rows →
     * (user, category) partial counts (the only corpus-sized shuffle,
-    * skinny keys), then capped sums → one row per category. The noise
-    * is DETERMINISTIC: Laplace via inverse-CDF of the salted md5 unit
+    * skinny keys), a per-user top-`maxCats` rank (window over the
+    * already-reduced per-user frame — rows ∝ users·min(cats, maxCats)),
+    * then capped sums → one row per category. The noise is
+    * DETERMINISTIC: Laplace via inverse-CDF of the salted md5 unit
     * hash of the category ([[Mixing.hashUnit]] — engine-portable, so an
     * auditor replays the exact released values; a production release
     * would swap the salt for a secret drawn once). No rand(): task
@@ -92,20 +100,31 @@ object Privacy {
     * it), n_released = max(0, n_capped + noise) rounded to `scale`
     * decimals. */
   def dpCountRelease(df: DataFrame, userCol: String, catCol: String,
-                     epsilon: Double, cap: Int, salt: String,
+                     epsilon: Double, cap: Int, maxCats: Int, salt: String,
                      scale: Int = 4): DataFrame = {
-    require(epsilon > 0 && cap >= 1, s"need epsilon>0, cap>=1; got $epsilon, $cap")
+    require(epsilon > 0 && cap >= 1 && maxCats >= 1,
+      s"need epsilon>0, cap>=1, maxCats>=1; got $epsilon, $cap, $maxCats")
     val perUser = df.groupBy(col(userCol).as("u"), col(catCol).as("category"))
       .agg(count(lit(1)).as("n_uc"))
-    val capped = perUser.groupBy("category")
+    // L0 bound: keep each user's maxCats largest capped counts
+    // (deterministic tie-break by category so retries can't flip the set).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u")
+      .orderBy(least(col("n_uc"), lit(cap.toLong)).desc, col("category"))
+    val bounded = perUser
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxCats)
+    val capped = bounded.groupBy("category")
       .agg(sum(least(col("n_uc"), lit(cap.toLong))).as("n_capped"))
     val uu = Mixing.hashUnit(col("category"), salt)
-    // Laplace(b) inverse CDF at u∈[0,1): -b·sgn(u-½)·ln(1-2|u-½|);
-    // u is quantized to 2^-32 steps, so the log argument is ≥ 2^-31 and
-    // the noise magnitude is bounded by ~21.5·b — no infinities.
-    val b = cap / epsilon
+    // Laplace(b) inverse CDF at u∈[0,1): -b·sgn(u-½)·ln(1-2|u-½|); the
+    // log argument is clamped at 2^-31 (u=0 would otherwise yield exactly
+    // 0 → -Infinity), so noise magnitude is bounded by ~21.5·b.
+    val b = cap.toDouble * maxCats / epsilon
     val noise = round(
-      -lit(b) * signum(uu - 0.5d) * log(lit(1.0d) - lit(2.0d) * abs(uu - 0.5d)),
+      -lit(b) * signum(uu - 0.5d) *
+        log(greatest(lit(1.0d) - lit(2.0d) * abs(uu - 0.5d),
+          lit(4.656612873077393e-10))),
       scale)
     capped.select(col("category"), col("n_capped"),
       noise.as("noise"),

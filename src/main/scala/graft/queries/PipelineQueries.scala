@@ -504,15 +504,18 @@ object PipelineQueries extends QueryModule {
     }),
 
     // ---- user-level ε-DP count release (Laplace mechanism, bounded
-    //      contribution): per-user-per-category counts capped at 8 (two
-    //      map-side-combinable aggregates — the cap is what makes the
-    //      sensitivity finite), then DETERMINISTIC Laplace(cap/ε) noise
-    //      from the salted md5 unit hash via inverse CDF — no rand(), so
-    //      task retries cannot change the release and the oracle replays
-    //      the exact released values ------------------------------------
+    //      contribution): per-user-per-category counts capped at 8 (L∞)
+    //      AND per-user distinct categories capped at 4 (L0 — top-4 by
+    //      capped count, deterministic tie-break), so removing one user
+    //      moves the released vector ≤ cap·maxCats in L1; then
+    //      DETERMINISTIC Laplace(cap·maxCats/ε) noise from the salted
+    //      md5 unit hash via inverse CDF (log arg clamped at 2^-31) — no
+    //      rand(), so task retries cannot change the release and the
+    //      oracle replays the exact released values --------------------
     "p100_dp_release" -> ((s, dir) =>
       graft.pipeline.Privacy.dpCountRelease(Tables.t(s, dir, "events"),
-        "user_id", "event_type", epsilon = 1.0, cap = 8, salt = "dp-r8")
+        "user_id", "event_type", epsilon = 1.0, cap = 8, maxCats = 4,
+        salt = "dp-r8")
         .orderBy("category")),
 
     // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
@@ -1591,15 +1594,20 @@ object PipelineQueries extends QueryModule {
       WITH pu AS (SELECT user_id AS u, event_type AS category,
                     COUNT(*) AS n_uc
                   FROM events GROUP BY 1, 2),
+      tk AS (SELECT u, category, n_uc,
+               row_number() OVER (PARTITION BY u
+                 ORDER BY least(n_uc, 8) DESC, category) AS rk
+             FROM pu),
       c AS (SELECT category, SUM(least(n_uc, 8)) AS n_capped
-            FROM pu GROUP BY 1),
+            FROM tk WHERE rk <= 4 GROUP BY 1),
       h AS (SELECT category, n_capped,
               ('0x' || substr(md5('dp-r8:' || category), 1, 8))::BIGINT
                 / 4294967296.0 AS uu
             FROM c),
       z AS (SELECT category, n_capped,
-              round(-8.0 * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 4)
-                AS noise
+              round(-32.0 * sign(uu - 0.5)
+                * ln(greatest(1 - 2 * abs(uu - 0.5), 4.656612873077393e-10)),
+                4) AS noise
             FROM h)
       SELECT category, CAST(n_capped AS BIGINT) AS n_capped, noise,
              round(greatest(0.0, n_capped + noise), 4) AS n_released

@@ -178,13 +178,22 @@ object Replay {
                    tickMs: Long = 50, timeoutMs: Long = 300000,
                    sessionFor: SparkSession => SparkSession = _.newSession())
       : Map[String, Seq[Result]] = {
+    // fireDue() runs on the streaming micro-batch thread while the
+    // driver thread polls `done` and, after query.stop(), collects
+    // `out` — every mutable field is volatile (and `out` appends happen
+    // before the volatile `idx` write that publishes them) so the
+    // cross-thread reads never depend solely on stop()'s thread join.
+    // Behavioral divergence vs the batch face, by design: the streaming
+    // face does NOT recycle idle sessions (connIdleMs) — a micro-batch
+    // tick fires everything due at once, so there is no per-client idle
+    // wait to recycle around.
     final class St(val sqls: Seq[ReplayStatement]) {
       val session: SparkSession = sessionFor(spark)
       session.sparkContext.setLocalProperty("spark.scheduler.pool", opts.cluster.orNull)
       @volatile var idx = 0
-      var prevTs: Long = minTs
-      var prevDur = 0L
-      var dueAt: Long = 0L
+      @volatile var prevTs: Long = minTs
+      @volatile var prevDur = 0L
+      @volatile var dueAt: Long = 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[Result]
       def done: Boolean = idx >= sqls.length
     }

@@ -75,9 +75,15 @@ object RemoteFetch {
   def listAuditLogs(runner: CommandRunner, privKey: String,
                     sshAddress: String, dir: String): Seq[String] = {
     val t = parseSshUrl(sshAddress)
-    val glob = (if (dir.endsWith("/")) dir else dir + "/") + "fe.audit.log*"
+    // The dir comes from a remote SHOW FRONTENDS DISKS row — shell-quote
+    // it (single quotes, ' → '\'' ) so spaces/metacharacters can't break
+    // the listing or execute remotely; the * stays OUTSIDE the quotes so
+    // the remote shell still globs it.
+    val base = if (dir.endsWith("/")) dir else dir + "/"
+    val quoted = "'" + base.replace("'", "'\\''") + "'"
     val (code, out) = runner.run(Seq("ssh", "-o", "BatchMode=yes",
-      "-i", privKey, "-p", t.port.toString, t.userAtHost, s"ls -1 $glob"))
+      "-i", privKey, "-p", t.port.toString, t.userAtHost,
+      s"ls -1 ${quoted}fe.audit.log*"))
     require(code == 0, s"SSH list remote audit log failed (exit $code)")
     out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }

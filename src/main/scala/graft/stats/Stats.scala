@@ -330,18 +330,26 @@ object Stats {
         // exact interpolated quantiles (= DuckDB quantile_cont) by sort
         // + rank-pick: pos = q·(n−1), linear interpolation between the
         // floor and ceil ranks — same definition, no per-group value
-        // buffer, and the sort runs DISTRIBUTED (range-partitioned
+        // buffer, and the sort runs DISTRIBUTED (literal-boundary
         // global rank on (column, value), per-column rank = global −
         // column base).
-        // per-column n and rank base both come from the ranked frame's
-        // OWN cache (globalRowNumber persists it), so the stack stream
-        // is scanned exactly once; wanted rows carry the absolute global
-        // rank (0-based position + base), killing the per-row rank
-        // rebase join the previous shape paid over the full stream
+        // per-column n and base come from an UNSORTED map-side count
+        // aggregate, not from the ranked frame: the global rank orders
+        // by (col_name, x), so column c's first rank is 1 + Σ n over
+        // columns before it — a running sum over the |columns|-row
+        // aggregate (bounded window). The sort pass is paid exactly
+        // once, by the rank-pick join below (r9: the rank frame is no
+        // longer persisted, so deriving n/base from it would have
+        // re-run the sort).
         val granked = graft.operators.Ranks.globalRowNumber(
           stacked, "grk", col("col_name"), col("x"))
-        val colstats = granked.groupBy("col_name").agg(
-          count(lit(1)).as("n"), min(col("grk")).as("base"))
+        val colstats = stacked.groupBy("col_name")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("base", lit(1L) + coalesce(
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .orderBy("col_name")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
         val targets = colstats.select(col("col_name"), col("n"), col("base"),
             posexplode(array(pcts.map(lit): _*)).as(Seq("qi", "qv")))
           .withColumn("posq", col("qv") * (col("n") - 1))

@@ -35,7 +35,8 @@ class PlanShapeSpec extends SparkSpec {
     "p91_weighted_sample" -> "re-rank window over limit(k=20) sample rows",
     "io07_range_layout" -> "file-rank window over one-row-per-file table (16 files)",
     "q17_cte" -> "rank window over supplier-grain aggregate (dimension-bounded)",
-    "q87_scd2_join" -> "SUM(COUNT) OVER () over GROUP BY ver output (3 rows)"
+    "q87_scd2_join" -> "SUM(COUNT) OVER () over GROUP BY ver output (3 rows)",
+    "s09_equiheight_histogram" -> "rank-base running sum over |columns|-row aggregate (3 rows)"
   )
 
   // Structural exception: Ranks.globalRowNumber / globalCumSum carry an

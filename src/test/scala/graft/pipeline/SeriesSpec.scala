@@ -108,7 +108,8 @@ class SeriesSpec extends SparkSpec {
       Seq((11L, "a"), (12L, "a"), (20L, "b"), (21L, "b"))
     val df = rows.toDF("user_id", "event_type")
     val out = Privacy.dpCountRelease(df, "user_id", "event_type",
-      epsilon = 1.0, cap = 3, salt = "t").orderBy("category").collect()
+      epsilon = 1.0, cap = 3, maxCats = 2, salt = "t")
+      .orderBy("category").collect()
     assert(out.length === 2)
     val a = out(0); val b = out(1)
     // a: user 10 capped 100→3, plus users 11, 12 → 5; b: two singletons
@@ -120,7 +121,8 @@ class SeriesSpec extends SparkSpec {
         .digest(s"t:$cat".getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
       val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-      val raw = -3.0 * math.signum(u - 0.5) * math.log(1 - 2 * math.abs(u - 0.5))
+      val raw = -6.0 * math.signum(u - 0.5) *
+        math.log(math.max(1 - 2 * math.abs(u - 0.5), 4.656612873077393e-10))
       BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     assert(a.getAs[Double]("noise") === lap("a"))
@@ -128,12 +130,24 @@ class SeriesSpec extends SparkSpec {
     assert(a.getAs[Double]("n_released") >= 0.0)
     // determinism: a second run releases identical values
     val out2 = Privacy.dpCountRelease(df, "user_id", "event_type",
-      epsilon = 1.0, cap = 3, salt = "t").orderBy("category").collect()
+      epsilon = 1.0, cap = 3, maxCats = 2, salt = "t")
+      .orderBy("category").collect()
     assert(out.map(_.toSeq).toSeq === out2.map(_.toSeq).toSeq)
     // a larger cap with the same data raises the capped count
     val wide = Privacy.dpCountRelease(df, "user_id", "event_type",
-      epsilon = 1.0, cap = 100, salt = "t").orderBy("category").collect()
+      epsilon = 1.0, cap = 100, maxCats = 2, salt = "t")
+      .orderBy("category").collect()
     assert(wide(0).getAs[Long]("n_capped") === 102L)
+    // L0 bound: a user spread over many categories only contributes its
+    // top-maxCats (largest capped counts, category tie-break)
+    val spread = (Seq.fill(5)((1L, "a")) ++ Seq.fill(4)((1L, "b")) ++
+      Seq((1L, "c")) ++ Seq((2L, "c"))).toDF("user_id", "event_type")
+    val l0 = Privacy.dpCountRelease(spread, "user_id", "event_type",
+      epsilon = 1.0, cap = 10, maxCats = 2, salt = "t")
+      .orderBy("category").collect()
+    // user 1 keeps a(5) and b(4); its c(1) is dropped → c only has user 2
+    assert(l0.map(r => r.getAs[String]("category") ->
+      r.getAs[Long]("n_capped")).toSeq === Seq("a" -> 5L, "b" -> 4L, "c" -> 1L))
   }
 
   // ---- EntityRes.blockedPairs ------------------------------------------

@@ -51,12 +51,22 @@ class RemoteFetchSpec extends SparkSpec {
     assert(runner.calls.length == 2)
     val ls = runner.calls(0)
     assert(ls.head == "ssh" && ls.contains("root@fe1") &&
-      ls.last == "ls -1 /doris/fe/log/fe.audit.log*")
+      ls.last == "ls -1 '/doris/fe/log/'fe.audit.log*")
     val scp = runner.calls(1)
     // default choose = lexicographically last = newest rotated file
     assert(scp.head == "scp" &&
       scp.contains("root@fe1:/doris/fe/log/fe.audit.log.20260810-1") &&
       scp.last == "/tmp/a.log")
+  }
+
+  test("listAuditLogs shell-quotes the DISKS-derived dir") {
+    val runner = new FakeRunner("/a dir/fe.audit.log\n")
+    RemoteFetch.listAuditLogs(runner, "/k", "root@fe1", "/a dir;echo x")
+    // metacharacters ride inside single quotes; embedded quotes escape
+    assert(runner.calls.head.last == "ls -1 '/a dir;echo x/'fe.audit.log*")
+    val r2 = new FakeRunner("/x/fe.audit.log\n")
+    RemoteFetch.listAuditLogs(r2, "/k", "root@fe1", "/it's/log")
+    assert(r2.calls.head.last == "ls -1 '/it'\\''s/log/'fe.audit.log*")
   }
 
   test("failures are loud: bad exit codes and empty listings") {

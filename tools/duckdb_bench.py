@@ -30,16 +30,22 @@ def main(sfdir, oracle_path):
     total = 0.0
     n = 0
     failed = []
+    per_query = {}
     for name, sql in qs.items():
         t0 = time.time()
         try:
             con.sql(sql).fetchall()
+            # failures are excluded from the total so the Spark/DuckDB
+            # ratio compares the SAME (successful) query set on both
+            # sides; per-query times let the consumer intersect exactly.
+            elapsed = time.time() - t0
+            total += elapsed
+            per_query[name] = round(elapsed, 4)
             n += 1
         except Exception:
             failed.append(name)
-        total += time.time() - t0
     print(json.dumps({"duckdb_subset_secs": round(total, 3),
-                      "n": n, "failed": failed}))
+                      "n": n, "failed": failed, "queries": per_query}))
 
 
 if __name__ == "__main__":
