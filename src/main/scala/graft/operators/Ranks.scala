@@ -154,7 +154,27 @@ object Ranks {
     go(0, bounds.length - 1).cast("int")
   }
 
-  private def withPid(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+  /** The rank machinery reads its input three times (boundary sample,
+    * per-pid counts, the sort itself). When the input is a plain
+    * pushdown-prunable scan chain, re-reading beats materializing — but
+    * when it sits behind a shuffle (an aggregate like a vocabulary, a
+    * join, a distinct), three recomputations of that shuffle dwarf one
+    * persist. Heuristic: persist iff the logical plan contains a
+    * shuffle-inducing node. Tracked, so Broadcasts.release reclaims it
+    * with the library's other per-query persists. */
+  private def maybePersistInput(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
+    val shuffley = df.queryExecution.analyzed.exists {
+      case _: l.Aggregate | _: l.Join | _: l.Window | _: l.Sort |
+           _: l.Distinct | _: l.Deduplicate | _: l.RepartitionOperation |
+           _: l.GlobalLimit => true
+      case _ => false
+    }
+    if (shuffley) Broadcasts.trackedPersist(df) else df
+  }
+
+  private def withPid(df0: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val df = maybePersistInput(df0)
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val schema = df.select(sortCols.zipWithIndex.map {
       case (c, i) => c.as(s"__k$i") }: _*).schema

@@ -670,43 +670,69 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
-    // localCheckpoint, not cache: `labels` is referenced TWICE per round
-    // (neighbor minima + the join back), so the LOGICAL plan doubles per
-    // iteration — cache keeps the data but not the plan, and a window-
-    // heavy pairs input (e.g. prefixJaccardPairs) OOMs the analyzer
-    // within a handful of rounds (bitten in round 6, p86). Eager
-    // checkpoints truncate lineage each round; superseded blocks are
-    // released explicitly so peak storage is two label sets.
-    val edges = pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
-      .unionByName(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
+    // localCheckpoint, not cache: each round's output feeds the next
+    // round's join AND the convergence aggregate, so without truncation
+    // the LOGICAL plan doubles per iteration — cache keeps the data but
+    // not the plan, and a window-heavy pairs input (e.g.
+    // prefixJaccardPairs) OOMs the analyzer within a handful of rounds
+    // (bitten in round 6, p86). Eager checkpoints truncate lineage each
+    // round; superseded blocks are released explicitly so peak storage
+    // is two label sets.
+    //
+    // Round shape (r9): the edge set carries SELF-LOOPS, so one
+    // broadcast join + one min-aggregate computes
+    //   newLbl(v) = min over (Γ(v) ∪ {v}) of lbl
+    // directly — fusing r8's three stages (neighbor-min aggregate,
+    // join-back, least) into one shuffle. Convergence is read off the
+    // new checkpoint alone: labels only ever DECREASE, so any
+    // improvement strictly decreases the exact decimal label sum — no
+    // old-vs-new comparison join, one tiny aggregate per round.
+    val base = pairs.select(col("i").cast("long").as("a"),
+      col("j").cast("long").as("b"))
+    val sym = base.unionByName(
+      base.select(col("b").as("a"), col("a").as("b")))
+    val edges = sym.unionByName(sym.select(col("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
-    // Per-round join strategy, decided ONCE from the measured node count
-    // (the label/neighbor-min tables are node-bounded (long,long) rows):
-    // a checkpointed frame has no stats, so without the hint EVERY round
-    // pays a full shuffle join of the edge list against a table the
-    // planner cannot see is tiny. Same gate discipline as
-    // Broadcasts.sizeGated — measured size under the conf cap → hint;
-    // past it (a 100 TB corpus has corpus-linear nodes) → no hint, the
-    // planner shuffles. 48 B/row is UnsafeRow(2×long) plus overhead.
-    val bcast = hintIfNodeBounded(labels)
+    // Per-round join strategy, decided ONCE from the measured CHECKPOINT
+    // bytes (free, off the block manager): label tables are node-bounded
+    // and strictly smaller than the edge set, so edges-under-cap ⇒
+    // labels broadcastable; past the cap (a 100 TB corpus has
+    // corpus-linear nodes) no hint is applied and the planner shuffles.
+    val bcast = hintIfNodeBounded(edges)
+    var labels = edges.filter(col("a") === col("b"))
+      .select(col("a").as("v"), col("a").as("lbl"))
+    var prevCk: Option[DataFrame] = None
+    var prevSum: Option[java.math.BigDecimal] = None
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val nbrMin = edges.join(bcast(labels), edges("b") === labels("v"))
-        .groupBy(edges("a").as("nv")).agg(min(col("lbl")).as("nmin"))
-      val updated = labels.join(bcast(nbrMin), labels("v") === nbrMin("nv"), "left")
-        .select(col("v"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl2"))
+      // propagate: newLbl(v) = min over (Γ(v) ∪ {v}) of lbl
+      val prop = edges.join(bcast(labels), edges("b") === labels("v"))
+        .groupBy(edges("a").as("v")).agg(min(col("lbl")).as("lbl"))
+      // shortcut (pointer doubling): lbl(v) ← lbl(lbl(v)). Labels obey
+      // lbl(u) ≤ u, so shortcutting also only decreases; propagate
+      // alone needs one round per hop of component diameter (a
+      // 190k-pair near-dup graph at sf0.1 measured ELEVEN rounds —
+      // chained similarity builds long paths), compression halves the
+      // remaining diameter per round → O(log d) rounds. The doubled
+      // reference to `prop` reuses the same shuffle exchange
+      // (ReuseExchange); both join sides are node-bounded.
+      val updated = prop.as("x")
+        .join(bcast(prop.select(col("v").as("cv"), col("lbl").as("clbl"))),
+          col("x.lbl") === col("cv"), "left")
+        .select(col("x.v").as("v"),
+          coalesce(col("clbl"), col("x.lbl")).as("lbl"))
         .localCheckpoint() // eager: materializes this round, truncates plan
-      // one extra tiny action on the checkpointed result reads the
-      // improvement bit (max over booleans = "any label got smaller");
-      // null means zero rows, which is trivially converged
-      val row = updated.agg(max(col("lbl2") < col("lbl"))).head()
-      converged = row.isNullAt(0) || !row.getBoolean(0)
-      releaseCheckpoint(labels)
-      labels = updated.select(col("v"), col("lbl2").as("lbl"))
+      val s = updated.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      // null sum means zero rows — trivially converged
+      converged = s == null || prevSum.exists(_.compareTo(s) == 0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC round=$it sum=$s converged=$converged")
+      prevCk.foreach(releaseCheckpoint)
+      prevCk = Some(updated)
+      prevSum = Some(s)
+      labels = updated
       it += 1
     }
     releaseCheckpoint(edges)
@@ -842,8 +868,24 @@ object Dedup {
     // rank join + two id-windows — measured 21.6 s -> ~8 s at sf0.1 from
     // these two persists alone. Both tables are corpus-linear and skinny
     // (postings of longs); MEMORY_AND_DISK spills rather than OOMs.
-    val rp = rankedPostings(df, idCol, textCol)
+    // posts feeds THREE consumers (the vocab aggregate, the prefix-cut
+    // join, the verify set table) — persist the skinny (id, tok) frame
+    // so tokenize + explode runs once. pref feeds both sides of the
+    // candidate self-join — persisted for the same reason (un-persisted,
+    // each consumer replays the id-windows; measured 21.6 s -> ~8 s at
+    // sf0.1 in r7 from these persists). Corpus-linear and skinny;
+    // MEMORY_AND_DISK spills rather than OOMs.
+    val posts = tokenPostings(df, idCol, textCol)
       .transform(graft.operators.Broadcasts.trackedPersist)
+    // the gate persists the vocab, so the injectivity aggregate below
+    // reads the cache, not the corpus
+    val voc = graft.operators.Broadcasts.sizeGated(vocabOf(posts))
+    val injective = voc.agg(
+      (count(lit(1)) - countDistinct(col("h"))).as("c"))
+      .head().getLong(0) == 0L
+    // single consumer (the prefix cut) — no persist: the join streams
+    // out of the posts cache against the gated vocab
+    val rp = posts.join(voc, "tok")
     val pref = prefixCut(rp, threshold)
       .transform(graft.operators.Broadcasts.trackedPersist)
     // LENGTH filter (the second PPJoin prune, equally lossless):
@@ -851,11 +893,14 @@ object Dedup {
     // candidates die INSIDE the join before any pair materializes
     // downstream - measured 13.4M -> 3.4M at t=0.95 on the bounded-
     // vocab corpus
-    // join on the LONG rank, not the token string: the probe hashes the
-    // key once per posting pair, and long hashing beats string hashing
-    val a = pref.select(col("rk"), col("id").as("i"), col("n").as("ni"),
+    // join on the LONG token hash, not the token string: the probe
+    // hashes the key once per posting pair, and long hashing beats
+    // string hashing. An xxhash64 collision between distinct tokens can
+    // only ADD candidate rows (a superset join); it cannot drop a true
+    // pair (same token => same hash), and the verify below stays exact.
+    val a = pref.select(col("h"), col("id").as("i"), col("n").as("ni"),
       col("pos").as("pa"))
-    val b = pref.select(col("rk"), col("id").as("j"), col("n").as("nj"),
+    val b = pref.select(col("h"), col("id").as("j"), col("n").as("nj"),
       col("pos").as("pb"))
     // POSITIONAL filter (PPJoin's third lossless prune, Xiao et al. §3):
     // for a shared token at rank positions (pa, pb), common tokens ranked
@@ -869,27 +914,35 @@ object Dedup {
     // float-exact alpha from rounding up and pruning a boundary pair.
     val alpha = ceil((col("ni") + col("nj")) * lit(threshold / (1.0 + threshold))
       - lit(1e-9))
-    val cands = a.join(b, "rk")
+    val cands = a.join(b, "h")
       .filter(col("i") < col("j") &&
         col("ni") >= lit(threshold) * col("nj") &&
         col("nj") >= lit(threshold) * col("ni") &&
         (least(col("pa"), col("pb")) +
           least(col("ni") - col("pa"), col("nj") - col("pb"))) >= alpha)
       .select("i", "j").distinct()
-    // Verify on RANK-array sets (longs, not token strings:
+    // Verify on HASH-array sets (longs, not token strings:
     // array_intersect hashes every element per pair, and integer
-    // hashing is several times cheaper). Candidates are the big side
+    // hashing is several times cheaper). The long ids must be a
+    // BIJECTION of the vocabulary for |intersection| to be exact, so
+    // the one bounded aggregate below CHECKS xxhash64 injectivity on
+    // this corpus's cached vocabulary (collision odds ~ V²/2⁶⁴ ≈ 0.03
+    // even at 10⁹ tokens) and falls back to token-string sets in the
+    // astronomically-rare hit — exact by construction, never
+    // exact-with-high-probability. Candidates are the big side
     // (quadratic on degenerate corpora - ScalingSpec) and should not be
-    // shuffled twice just to fetch two tiny arrays - BUT the rank-set
-    // table is corpus-linear (one row per document), so the broadcast
-    // hint is applied ONLY under Broadcasts.sizeGated's measured byte
-    // cap: an explicit hint is honored regardless of
-    // autoBroadcastJoinThreshold and would fail outright (8 GB limit /
-    // driver OOM) on a corpus past the cap, where the gate instead emits
-    // no hint and the planner shuffles. Ranks are a bijection of the
-    // vocabulary, so |intersection| and the set sizes are unchanged.
+    // shuffled twice just to fetch two tiny arrays - BUT the set table
+    // is corpus-linear (one row per document), so the broadcast hint is
+    // applied ONLY under Broadcasts.sizeGated's measured byte cap: an
+    // explicit hint is honored regardless of autoBroadcastJoinThreshold
+    // and would fail outright (8 GB limit / driver OOM) on a corpus
+    // past the cap, where the gate instead emits no hint and the
+    // planner shuffles.
+    // built from the POSTS cache directly (h = xxhash64(tok) needs no
+    // vocab join), which is what lets rp above go un-persisted
+    val setCol = if (injective) xxhash64(col("tok")) else col("tok")
     val rankSets = graft.operators.Broadcasts.sizeGated(
-      rp.groupBy("id").agg(collect_list(col("rk")).as("tr")))
+      posts.groupBy("id").agg(collect_list(setCol).as("tr")))
     cands
       .join(rankSets.select(col("id").as("i"), col("tr").as("ta")), "i")
       .join(rankSets.select(col("id").as("j"), col("tr").as("tb")), "j")
@@ -900,36 +953,59 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** Distinct (id, tok, rk) postings under the global rarest-first rank
-    * (df asc, token asc). The rank is a DISTRIBUTED global row_number
-    * ([[graft.operators.Ranks.globalRowNumber]]: range partition + local
-    * rank + partition offsets) — a vocabulary obeys Heaps' law, so at
-    * web-corpus scale it is 10^8-10^9 distinct tokens / tens of GB, far
-    * past what one task can sort or one hint can broadcast; the join
-    * back to the postings is size-gated for the same reason. */
-  private[pipeline] def rankedPostings(df: DataFrame, idCol: String,
-                             textCol: String): DataFrame = {
-    val posts = df.select(col(idCol).as("id"),
+  /** Distinct (id, tok, tdf, h) postings: each document's distinct
+    * tokens joined with their corpus document frequency `tdf` and
+    * 64-bit token hash `h`. The PPJoin machinery needs the vocabulary
+    * ORDERED rarest-first — which (tdf, tok) provides directly as a
+    * sort key — and a cheap join/verify surrogate for the token —
+    * which `xxhash64(tok)` provides. r8 materialized that order as a
+    * DENSE global row_number (a distributed range-partitioned sort of
+    * the whole vocabulary); r9 removes the sort entirely: no PPJoin
+    * stage needs rank VALUES, only the order and a bijection, so the
+    * vocab aggregate goes straight to the size-gated join (a vocabulary
+    * obeys Heaps' law — 10^8-10^9 tokens at web scale, past any
+    * unconditional broadcast). Hash collisions cannot lose a pair (the
+    * candidate join becomes a superset) and the verify checks
+    * injectivity before trusting hash sets (see prefixJaccardPairs). */
+  private def tokenPostings(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("id"), explode(col("ts")).as("tok"))
-    val vocab = posts.groupBy("tok").agg(count(lit(1)).as("tdf"))
-    val ranked = graft.operators.Broadcasts.sizeGated(
-      graft.operators.Ranks.globalRowNumber(vocab, "rk",
-        col("tdf"), col("tok")).select("tok", "rk"))
-    posts.join(ranked, "tok")
+
+  private def vocabOf(posts: DataFrame): DataFrame =
+    posts.groupBy("tok").agg(count(lit(1)).as("tdf"))
+      .withColumn("h", xxhash64(col("tok")))
+
+  private[pipeline] def rankedPostings(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val posts = tokenPostings(df, idCol, textCol)
+    posts.join(graft.operators.Broadcasts.sizeGated(vocabOf(posts)), "tok")
   }
 
-  /** Keep each record's first |x| - ceil(t*|x|) + 1 rank-ordered tokens,
-    * with each kept token's rank position `pos` (1-based) and the record
-    * set size `n` — `pos` feeds the positional filter. */
+  /** Keep each record's first |x| - ceil(t*|x|) + 1 rarest-first tokens
+    * (global order = (tdf asc, tok asc) — the order IS the sort key, no
+    * materialized rank needed), with each kept token's position `pos`
+    * (1-based) and the record set size `n` — `pos` feeds the positional
+    * filter. */
   private def prefixCut(rp: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    rp.withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("rk"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
-      .select(col("tok"), col("rk"), col("id"), col("n"), col("pos"))
+    // ONE shuffle: per-doc sorted token array (record sets are bounded —
+    // documents have bounded distinct tokens — so the array state is
+    // small), then explode ONLY the prefix slice. r8 paid two full
+    // windows over every posting (shuffle + per-id sort of the whole
+    // posting stream, then a filter that threw 95% of it away); the
+    // aggregate emits |prefix| rows per doc directly.
+    rp.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok"), col("h"))))
+        .as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      .select(col("id"), col("n"),
+        posexplode(slice(col("ts"), lit(1), col("plen"))).as(Seq("p0", "t")))
+      .select(col("t.tok").as("tok"), col("t.h").as("h"), col("id"),
+        col("n"), (col("p0") + 1).as("pos"))
   }
 
   /** Prefix-postings candidate volume vs the full inverted index - the
