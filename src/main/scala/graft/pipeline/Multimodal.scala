@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * AUDIO DECODES FOR REAL on the PCM container path: the JDK ships
   * WAV/AIFF/AU readers (javax.sound.sampled), so `decodeAudioBatch`
   * extracts true format facts and signal features (RMS, peak,
-  * zero-crossing rate). Compressed codecs (MP3/AAC, all video) are NOT
-  * in the JVM; for those `decodeBatch` remains a deterministic
-  * byte-histogram stand-in, and a real deployment swaps only that body
-  * (JNI/ONNX) over the same batch shape.
+  * zero-crossing rate).
+  *
+  * VIDEO DECODES FOR REAL on two container paths: Y4M (uncompressed
+  * planar YUV — `y4mFrameSamples`) and MJPEG-in-AVI (`aviFrameSamples`:
+  * a RIFF chunk walk finds the `LIST movi` frame chunks and the JDK's
+  * own JPEG codec decodes each frame — no external library). Remaining
+  * out of pure-JVM reach: inter-frame codecs (H.264/VP9/AV1) and
+  * compressed audio (MP3/AAC); for those `decodeBatch` remains a
+  * deterministic byte-histogram stand-in, and a real deployment swaps
+  * only that body (JNI/ONNX) over the same batch shape.
   */
 object Multimodal {
 
@@ -454,8 +460,9 @@ object Multimodal {
   // "YUV4MPEG2 W<w> H<h> F<n>:<d> [I?] [A?] [C<colorspace>]\n" followed
   // by frames, each "FRAME[params]\n" + raw planar YUV bytes. No codec
   // involved — so the container parse here is REAL (magic, geometry,
-  // colorspace → plane sizes, per-frame markers), not a stand-in; only
-  // COMPRESSED codecs remain out of JVM reach.
+  // colorspace → plane sizes, per-frame markers), not a stand-in. For a
+  // COMPRESSED path see aviFrameSamples (MJPEG-in-AVI, JDK JPEG codec);
+  // only inter-frame codecs remain out of pure-JVM reach.
 
   /** Parsed Y4M geometry: true header fields + derived plane sizes. */
   case class Y4mInfo(width: Int, height: Int, colorspace: String,
@@ -556,6 +563,202 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ===== MJPEG-in-AVI — a REAL compressed-video path, pure JVM ========
+  // AVI is a RIFF container: "RIFF"<size>"AVI " then chunks, each
+  // fourcc(4) + size(4, LE) + data (padded to even). "LIST"<size><type>
+  // nests: LIST hdrl carries the avih main header (total frames, WxH),
+  // LIST movi carries the frame chunks ("00dc"/"00db" for stream 0).
+  // With the MJPG handler every frame chunk is a complete baseline JPEG
+  // — which the JDK's own ImageIO codec decodes — so BOTH the container
+  // walk and the per-frame decode are real here; only inter-frame
+  // codecs (H.264 etc.) remain out of pure-JVM reach.
+
+  /** Parsed AVI facts: header geometry + declared frame count. */
+  case class AviInfo(width: Int, height: Int, totalFrames: Int)
+
+  private def le32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+
+  private def fourcc(p: Array[Byte], off: Int): String =
+    new String(p, off, 4, "US-ASCII")
+
+  /** Strict RIFF/AVI walk: validates the magics, reads geometry and the
+    * declared frame count from `avih`, and returns every video frame
+    * chunk ("00dc"/"00db") payload from `LIST movi` in stream order.
+    * Malformed containers fail LOUDLY — a silent partial parse would
+    * fabricate frame statistics. */
+  private[graft] def parseAviMjpeg(p: Array[Byte]): (AviInfo, IndexedSeq[Array[Byte]]) = {
+    require(p.length >= 12 && fourcc(p, 0) == "RIFF",
+      "AVI: missing RIFF magic")
+    require(fourcc(p, 8) == "AVI ", s"AVI: bad form type '${fourcc(p, 8)}'")
+    val riffEnd = math.min(p.length.toLong, 8L + le32(p, 4)).toInt
+    var info: Option[AviInfo] = None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val cc = fourcc(p, off)
+      val sz = le32(p, off + 4)
+      require(sz >= 0 && off + 8 + sz <= riffEnd,
+        s"AVI: chunk '$cc' at byte $off overruns the container")
+      if (cc == "LIST") {
+        require(sz >= 4, s"AVI: LIST at byte $off too short for a type")
+        val listType = fourcc(p, off + 8)
+        val body0 = off + 12
+        val bodyEnd = off + 8 + sz
+        if (listType == "hdrl") {
+          // first subchunk must be avih (56-byte MainAVIHeader)
+          require(body0 + 8 <= bodyEnd && fourcc(p, body0) == "avih",
+            "AVI: hdrl does not start with avih")
+          val ahSz = le32(p, body0 + 4)
+          require(ahSz >= 40 && body0 + 8 + ahSz <= bodyEnd,
+            "AVI: truncated avih")
+          val ah = body0 + 8
+          info = Some(AviInfo(le32(p, ah + 32), le32(p, ah + 36),
+            le32(p, ah + 16)))
+        } else if (listType == "movi") {
+          var o = body0
+          while (o + 8 <= bodyEnd) {
+            val fcc = fourcc(p, o)
+            val fsz = le32(p, o + 4)
+            require(fsz >= 0 && o + 8 + fsz <= bodyEnd,
+              s"AVI: movi chunk '$fcc' at byte $o overruns the list")
+            if (fcc == "00dc" || fcc == "00db")
+              frames += java.util.Arrays.copyOfRange(p, o + 8, o + 8 + fsz)
+            o += 8 + fsz + (fsz & 1) // chunks pad to even
+          }
+        }
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    val i = info.getOrElse(sys.error("AVI: no hdrl/avih header found"))
+    require(i.totalFrames == frames.length,
+      s"AVI: header declares ${i.totalFrames} frames, movi carries ${frames.length}")
+    (i, frames.toIndexedSeq)
+  }
+
+  /** Mean luma of a decoded frame: band 0 directly for grayscale, the
+    * BT.601 luma weights over RGB otherwise. */
+  private def meanLuma(im: java.awt.image.BufferedImage): Double = {
+    val w = im.getWidth; val h = im.getHeight
+    require(w > 0 && h > 0, "AVI: decoded frame has zero area")
+    var s = 0.0
+    if (im.getRaster.getNumBands == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += im.getRaster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    s / (w.toLong * h)
+  }
+
+  /** Batched per-partition MJPEG-in-AVI frame sampling: REAL RIFF walk
+    * + REAL ImageIO JPEG decode of every `stride`-th frame, emitting its
+    * mean luma — same plumbing discipline as y4mFrameSamples (partition
+    * iterator → bounded batches → flattened rows; output ∝ sampled
+    * frames, one payload decoded at a time). */
+  def aviFrameSamples(spark: SparkSession, media: DataFrame,
+                      stride: Int = 2, batchSize: Int = 64): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.selectExpr("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { b =>
+          b.flatMap { case (id, p) =>
+            val (_, frames) = parseAviMjpeg(p)
+            (0 until frames.length by stride).map { f =>
+              val im = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frames(f)))
+              require(im != null, s"AVI: frame $f of media $id did not decode")
+              VideoFrame(id, frames.length.toLong, f.toLong, meanLuma(im))
+            }
+          }
+        }
+      }
+  }
+
+  /** Write a 16×16 uniform-gray baseline JPEG with the JDK encoder. */
+  private def grayJpeg(gray: Int, w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.getRaster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI container: a REAL RIFF/AVI
+    * (hdrl with avih + vids/MJPG strl, movi with one baseline-JPEG
+    * "00dc" chunk per frame) of 6 + id%5 frames, frame f a UNIFORM
+    * gray g = (id·37 + f·11) mod 236 + 10. Uniform grays round-trip
+    * the JDK JPEG codec EXACTLY (DC-only blocks — MultimodalSpec pins
+    * all 256 values), so a SQL oracle recomputes every sampled frame's
+    * mean luma analytically while the engine genuinely walks the
+    * container and decodes the JPEG bytes. */
+  def synthAviMjpeg(id: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val n = (6 + id % 5).toInt
+    val jpegs = (0 until n).map(f =>
+      grayJpeg(((id * 37 + f * 11) % 236 + 10).toInt, w, h))
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(tp: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.foldLeft(tp.getBytes("US-ASCII"))(_ ++ _)
+      chunk("LIST", inner)
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40000).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
+      b.putInt(n).putInt(0).putInt(1).putInt(0)     // totalFrames, init, streams, bufSize
+      b.putInt(w).putInt(h)                         // width, height
+      b.array()                                     // 16 reserved bytes stay 0
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, init
+      b.putInt(1).putInt(25).putInt(0).putInt(n)    // scale, rate, start, length
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      b.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)))
+    val form = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    chunk("RIFF", form)
   }
 
   /** Deterministic synthetic "video" payload: 10 + id%7 contiguous raw

@@ -847,6 +847,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- MJPEG-in-AVI frame sampling over a REAL RIFF walk + REAL JDK
+    //      JPEG decode (the compressed-video path): each frame is a
+    //      uniform-gray baseline JPEG, and uniform grays round-trip the
+    //      JDK codec exactly (DC-only blocks, MultimodalSpec pins all
+    //      256 values), so the oracle recomputes every sampled frame's
+    //      mean luma analytically while the engine genuinely parses the
+    //      container and decodes the JPEG bytes ----------------------
+    "m05_avi_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 60)
+        .as[Long]
+        .map(id => (id, Multimodal.synthAviMjpeg(id)))
+        .toDF("id", "video")
+      Multimodal.aviFrameSamples(s,
+          Multimodal.asMedia(media, "id", "video", "video"), stride = 2)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- energy-based voice-activity segmentation over REAL WAV decode
     //      (javax.sound.sampled): windows → active runs → segments, the
     //      silence-trim / utterance-split pass of any speech pipeline.
@@ -1849,6 +1870,17 @@ object PipelineQueries extends QueryModule {
              round(AVG(CAST((media_id * 31 + frame_idx * 7 + i) % 256 AS DOUBLE)), 4)
                AS mean_byte
       FROM b GROUP BY 1, 2, 3 ORDER BY media_id, frame_idx""",
+
+    "m05_avi_mjpeg_frames" -> """
+      WITH m AS (SELECT doc_id AS media_id, 6 + doc_id % 5 AS nf
+                 FROM documents WHERE doc_id < 60),
+      f AS (SELECT media_id, nf, unnest(range(0, nf, 2)) AS frame_idx FROM m)
+      SELECT media_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(frame_idx AS BIGINT) AS frame_idx,
+             round(CAST((media_id * 37 + frame_idx * 11) % 236 + 10 AS DOUBLE), 4)
+               AS mean_byte
+      FROM f ORDER BY media_id, frame_idx""",
 
     "p21_audio_decode" -> """
       SELECT doc_id AS media_id,

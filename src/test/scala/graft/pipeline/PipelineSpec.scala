@@ -394,6 +394,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: MJPEG-in-AVI parse + JDK JPEG decode are real") {
+    val p = Multimodal.synthAviMjpeg(7L) // 6 + 7%5 = 8 frames
+    val (info, frames) = Multimodal.parseAviMjpeg(p)
+    assert(info.width == 16 && info.height == 16 && info.totalFrames == 8)
+    assert(frames.length == 8)
+    // every frame chunk is a genuine JPEG the JDK can decode
+    frames.foreach { f =>
+      assert(f.take(2).map(_ & 0xff).toSeq === Seq(0xff, 0xd8), "JPEG SOI")
+    }
+    val media = Multimodal.asMedia(
+      Seq((7L, p)).toDF("id", "v"), "id", "v", "video")
+    val out = Multimodal.aviFrameSamples(spark, media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0L, 2L, 4L, 6L))
+    out.foreach { fr =>
+      val exp = ((7L * 37 + fr.frame_idx * 11) % 236 + 10).toDouble
+      assert(math.abs(fr.mean_byte - exp) < 1e-12,
+        s"frame ${fr.frame_idx}: got ${fr.mean_byte}, want $exp")
+    }
+    // malformed containers fail LOUDLY
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAviMjpeg("RIFX1234AVI ".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAviMjpeg(p.dropRight(40)) // truncated movi chunk
+    }
+    // header/movi frame-count mismatch is a loud error, not a guess
+    val bad = p.clone()
+    // dwTotalFrames lives 16 bytes into avih; avih body starts at
+    // RIFF(12) + LIST hdr(12) + avih hdr(8) = 32
+    bad(32 + 16) = 99.toByte
+    intercept[IllegalArgumentException] { Multimodal.parseAviMjpeg(bad) }
+  }
+
+  test("multimodal: uniform-gray JPEG round-trip is exact for all 256 values") {
+    for (g <- 0 until 256) {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) im.getRaster.setSample(x, y, 0, g)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      var s = 0L
+      for (y <- 0 until 16; x <- 0 until 16) s += back.getRaster.getSample(x, y, 0)
+      assert(s == 256L * g, s"gray $g decoded mean ${s / 256.0}")
+    }
+  }
+
   test("multimodal: REAL audio decode (JDK WAV reader), signal features") {
     import javax.sound.sampled._
     // synthesize a 0.5 s, 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8 kHz
