@@ -86,6 +86,46 @@ class BroadcastsSpec extends SparkSpec {
     assert(Broadcasts.release(spark) == 0)
   }
 
+  test("autoRelease drops a finished operator's persists without explicit release") {
+    spark.catalog.clearCache()
+    Broadcasts.release(spark)
+    val h = Broadcasts.autoRelease(spark)
+    try {
+      // operator 1: gate persists its frame and materializes it
+      val a = Broadcasts.sizeGated(
+        spark.range(5000).select(col("id"), (col("id") % 3).as("k")))
+      a.count()
+      assert(a.storageLevel.useMemory || a.storageLevel.useDisk)
+      // operator 2 runs actions that never reference operator 1's frame;
+      // after the one-execution grace, the listener must release it
+      val b = Broadcasts.sizeGated(
+        spark.range(7000).select(col("id"), (col("id") % 5).as("j")))
+      b.count(); b.count(); b.count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (a.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "operator 1's persist must be auto-released after two unused executions")
+      // the in-use frame survives (every b action reads its cache)
+      assert(b.storageLevel.useMemory || b.storageLevel.useDisk)
+    } finally {
+      h.stop()
+      Broadcasts.release(spark)
+    }
+  }
+
+  test("withReleased releases the scope's tracked persists on exit") {
+    spark.catalog.clearCache()
+    Broadcasts.release(spark)
+    var inner: org.apache.spark.sql.DataFrame = null
+    Broadcasts.withReleased(spark) {
+      inner = Broadcasts.trackedPersist(spark.range(100).toDF())
+      inner.count()
+      assert(inner.storageLevel.useMemory || inner.storageLevel.useDisk)
+    }
+    assert(inner.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("globalCumSum matches the single-partition cumulative window") {
     val df = (1 to 4000).map(i => (((i * 2654435761L) % 1999).toDouble / 7.0,
       (i % 13).toLong)).toDF("v", "c")
