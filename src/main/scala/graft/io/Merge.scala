@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE (lakehouse upsert) into a hive-partitioned parquet
+  * table — the incremental-corpus write path beyond append/overwrite:
+  * matched keys take the update row, unmatched update rows insert,
+  * unmatched target rows survive untouched.
+  *
+  * PARTITION-SCOPED by construction: only partitions named by the
+  * update batch are read into the merge join and only those (plus any
+  * brand-new partitions the inserts create) are rewritten — dynamic
+  * partition overwrite leaves every other partition's files
+  * byte-identical. At 100 TB that is the whole point: a daily upsert
+  * touching 30 date-partitions rewrites 30 partitions, not the table.
+  * The merge join shuffles only the touched slice against the update
+  * batch, both sides keyed on the merge key.
+  *
+  * Contract: a key's partition value is FIXED (it is the row's physical
+  * address — the usual lakehouse discipline of partitioning by an
+  * immutable column). An update that tries to MOVE a key across
+  * partitions is a loud error, not a silent duplicate: the old copy
+  * would live in a partition this merge never reads.
+  *
+  * The returned stats prove row conservation in-query:
+  * after == before + inserted (and matched ≤ updates). */
+object Merge {
+
+  case class MergeStats(touchedPartitions: Seq[String], before: Long,
+                        updates: Long, matched: Long, inserted: Long,
+                        after: Long)
+
+  /** @param verifyKeys when true (default), one column-pruned semi-join
+    *   proves no update key already lives in an UNTOUCHED partition —
+    *   the violation the scoped merge could not otherwise see (it would
+    *   silently insert a duplicate). The check scans only the key +
+    *   partition columns of the untouched slice; a deployment whose
+    *   partition value is derived from the key can switch it off. */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                keyCols: Seq[String], partCol: String,
+                verifyKeys: Boolean = true): MergeStats = {
+    require(keyCols.nonEmpty && !keyCols.contains(partCol),
+      "need a non-empty merge key distinct from the partition column")
+    val target = spark.read.parquet(root)
+    require(target.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: target ${target.columns.mkString(",")} vs " +
+        s"updates ${updates.columns.mkString(",")}")
+    val before = target.count()
+    // touched partitions: bounded METADATA (one value per partition of
+    // the update batch) — the same bounded-collect class as boundary
+    // arrays; this is what scopes both the read and the rewrite
+    val touched = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val scoped = target.filter(col(partCol).cast("string").isin(touched: _*))
+    val u = graft.operators.Broadcasts.trackedPersist(updates)
+    val nUpdates = u.count()
+    if (verifyKeys) {
+      val strays = u.join(
+        target.filter(!col(partCol).cast("string").isin(touched: _*))
+          .select(keyCols.map(col): _*),
+        keyCols, "left_semi").count()
+      require(strays == 0L,
+        s"$strays update keys already live in partitions this merge does " +
+          "not touch — honoring them would duplicate the key; fix the " +
+          "update batch's partition values")
+    }
+    val cond = keyCols.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    // localCheckpoint, not persist: the merged frame is REWRITTEN over
+    // the very files it reads, so it must be fully materialized (eager)
+    // with its file lineage truncated before the overwrite starts — a
+    // lazy cache could re-read files the write is deleting
+    val joined = scoped.as("t").join(u.as("u"), cond, "full_outer")
+      .localCheckpoint()
+    val uHas = col(s"u.${keyCols.head}").isNotNull
+    val tHas = col(s"t.${keyCols.head}").isNotNull
+    // one bounded aggregate: match/insert counts + the moved-key guard
+    val stats = joined.agg(
+      sum(when(uHas && tHas, 1L).otherwise(0L)).as("matched"),
+      sum(when(uHas && !tHas, 1L).otherwise(0L)).as("inserted"),
+      sum(when(uHas && tHas &&
+        !(col(s"t.$partCol") <=> col(s"u.$partCol")), 1L).otherwise(0L))
+        .as("moved")).head()
+    val matched = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val inserted = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val moved = Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(moved == 0L,
+      s"$moved update rows try to move keys across partitions — a key's " +
+        "partition value is its physical address and cannot change in a merge")
+    val merged = joined.select(target.columns.toIndexedSeq.map(c =>
+      when(uHas, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(root)
+    u.unpersist(false)
+    joined.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+    val after = spark.read.parquet(root).count()
+    require(after == before + inserted,
+      s"row conservation violated: before=$before inserted=$inserted after=$after")
+    MergeStats(touched, before, nUpdates, matched, inserted, after)
+  }
+}

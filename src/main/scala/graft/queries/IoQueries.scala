@@ -441,6 +441,49 @@ object IoQueries extends QueryModule {
         !readSchema.contains("src") && !readSchema.contains("arr"),
         s"nested pruning regressed — scan reads untouched leaves: $readSchema")
       rb
+    }),
+
+    // Keyed MERGE/upsert (io/Merge.scala) on the VERIFIED path: documents
+    // land hive-partitioned by lang, an update batch upserts into the
+    // 'en' partition (matched keys replaced) and inserts a brand-new
+    // 'xx' partition; the merge is PARTITION-SCOPED (only en+xx
+    // rewritten — the in-query guard proves every other partition's
+    // files stayed byte-identical) and row conservation (after = before
+    // + inserted) is required inside mergeInto. The oracle restates the
+    // merge as update ∪ (target ANTI JOIN update) over the original
+    // parquet, so any lost/duplicated/mis-merged row breaks the hash.
+    "io13_merge_upsert" -> ((s, dir) => {
+      val root = s"${graft.Land.root}/io/merge"
+      val d = Tables.t(s, dir, "documents")
+      d.write.mode("overwrite").partitionBy("lang").parquet(root)
+      def fileSet(): Map[String, Set[(String, Long)]] = {
+        val base = new java.io.File(root)
+        base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+          .map(p => p.getName ->
+            p.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.length)).toSet).toMap
+      }
+      val before = fileSet()
+      val updates = d
+        .filter(col("doc_id") % 7 === 0 && col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + lit(5000L))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("lang", lit("xx"))
+          .withColumn("source", lit("merge"))
+          .withColumn("n_chars", col("doc_id") % 997))
+      val st = graft.io.Merge.mergeInto(s, root, updates,
+        keyCols = Seq("doc_id"), partCol = "lang")
+      val after = fileSet()
+      val touched = st.touchedPartitions.map("lang=" + _).toSet
+      for ((part, files) <- before if !touched.contains(part))
+        require(after.get(part).contains(files),
+          s"merge disturbed untouched partition $part")
+      s.read.parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
     })
   )
 
@@ -623,6 +666,26 @@ object IoQueries extends QueryModule {
     "io12_nested_pruning" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      FROM documents GROUP BY lang ORDER BY lang"""
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    // the merge restated from the ORIGINAL parquet as update ∪ anti-join
+    // — equality with the engine's read-back of the merged table proves
+    // upsert semantics row for row
+    "io13_merge_upsert" -> """
+      WITH upd AS (
+        SELECT doc_id, 'en' AS lang, n_chars + 5000 AS n_chars
+        FROM documents WHERE doc_id % 7 = 0 AND lang = 'en'
+        UNION ALL
+        SELECT doc_id + 1000000, 'xx', (doc_id + 1000000) % 997
+        FROM documents WHERE doc_id % 13 = 0),
+      merged AS (
+        SELECT doc_id, lang, n_chars FROM upd
+        UNION ALL
+        SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id))
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM merged GROUP BY lang ORDER BY lang"""
   )
 }

@@ -1,0 +1,74 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** io/Merge — keyed partition-scoped upsert into hive-partitioned
+  * parquet. The io13 query proves oracle-level semantics; this spec
+  * pins the stats contract and the loud error paths. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("merge_spec")
+    d.toFile.deleteOnExit()
+    s"$d/t"
+  }
+
+  private val base = Seq(
+    (1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L), (4L, "fr", 40L))
+    .toDF("id", "part", "v")
+
+  test("mergeInto upserts matched keys, inserts new ones, conserves rows") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    val updates = Seq((2L, "en", 99L), (5L, "en", 50L), (6L, "xx", 60L))
+      .toDF("id", "part", "v")
+    val st = Merge.mergeInto(spark, root, updates, Seq("id"), "part")
+    assert(st.touchedPartitions == Seq("en", "xx"))
+    assert(st.before == 4L && st.updates == 3L &&
+      st.matched == 1L && st.inserted == 2L && st.after == 6L)
+    val out = spark.read.parquet(root).orderBy("id")
+      .select("id", "part", "v").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "en", 10L), (2L, "en", 99L), (3L, "de", 30L),
+      (4L, "fr", 40L), (5L, "en", 50L), (6L, "xx", 60L)))
+  }
+
+  test("untouched partitions keep their files byte-identical") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    def files(p: String): Set[(String, Long)] =
+      new java.io.File(s"$root/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    val deBefore = files("de"); val frBefore = files("fr")
+    Merge.mergeInto(spark, root,
+      Seq((1L, "en", 11L)).toDF("id", "part", "v"), Seq("id"), "part")
+    assert(files("de") == deBefore && files("fr") == frBefore,
+      "merge must not rewrite partitions the update batch never names")
+  }
+
+  test("moving a key across partitions is a loud error, not a duplicate") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      // id=3 lives in de; the update claims en — but only en is scoped,
+      // so honoring it would leave a stale copy in de
+      Merge.mergeInto(spark, root,
+        Seq((3L, "en", 99L)).toDF("id", "part", "v"), Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("schema and key contracts are enforced") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    intercept[IllegalArgumentException] {
+      Merge.mergeInto(spark, root,
+        Seq((1L, "en")).toDF("id", "part"), Seq("id"), "part")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.mergeInto(spark, root, base, Seq("part"), "part")
+    }
+  }
+}
