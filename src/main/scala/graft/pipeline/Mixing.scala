@@ -23,6 +23,28 @@ object Mixing {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
 
+  /** Deterministic per-epoch corpus SHUFFLE — the curation pipeline's
+    * final step (clean → dedup → mix → pack → shuffle): epoch e orders
+    * the corpus by the salted unit hash of (id, e), a fresh
+    * pseudo-random permutation per epoch that any engine and any task
+    * retry reproduces exactly — no rand(), no shuffle-service state.
+    * The hash is uniform on [0,1), so `shard = floor(k·S)` IS range
+    * partitioning on the sort key: one exchange moves every row to its
+    * shard, a partition-local sort orders it, and a reader streaming
+    * shards 0..S-1 sees the full permutation — the terasort shape io07
+    * proves at the layout level. Appends (epoch, k, shard); land it
+    * `partitionBy(epoch, shard).sortWithinPartitions(k)`. Ties in the
+    * 32-bit hash are broken by id downstream (order by (k, id)). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int, shards: Int,
+                   salt: String = "eshuf"): DataFrame = {
+    require(epochs >= 1 && shards >= 1,
+      s"need epochs/shards >= 1, got $epochs/$shards")
+    df.withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("k", hashUnit(concat(col(idCol).cast("string"),
+        lit("#"), col("epoch").cast("string")), salt))
+      .withColumn("shard", floor(col("k") * shards).cast("long"))
+  }
+
   /** Train/val/test assignment from a unit hash. */
   def splitAssign(u: Column, trainFrac: Double = 0.8, valFrac: Double = 0.1): Column =
     when(u < trainFrac, "train")

@@ -847,6 +847,51 @@ object PipelineQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- deterministic EPOCH SHUFFLE (curation's final step): per-epoch
+    //      hash-permutation order (md5 unit hash of (id, epoch) — engine-
+    //      portable, retry-invariant), shard = floor(k·S) ≡ range
+    //      partitioning on the sort key, landed partitionBy(epoch, shard)
+    //      with a partition-local sort — ONE exchange, the terasort
+    //      shape. In-query proofs: cross-epoch rank correlation ≈ 0 and
+    //      within-shard adjacent-id gap ≈ n/3 (a sorted-by-id "shuffle"
+    //      would score 1); the oracle replays the identical permutation
+    //      from the same md5 arithmetic -----------------------------
+    "p103_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = s"${graft.Land.root}/pipeline/epoch_shuffle"
+      val d = docs(s, dir).select(col("doc_id"))
+      val sh = graft.pipeline.Mixing.epochShuffle(d, "doc_id",
+        epochs = 2, shards = 8)
+      sh.repartition(col("epoch"), col("shard"))
+        .sortWithinPartitions(col("k"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("epoch", "shard").parquet(root)
+      val rb = s.read.parquet(root)
+      // cross-epoch decorrelation: the two permutations share nothing
+      val kw = rb.groupBy("doc_id").agg(
+        max(when(col("epoch") === 0, col("k"))).as("k0"),
+        max(when(col("epoch") === 1, col("k"))).as("k1"))
+      val rho = kw.agg(corr(col("k0"), col("k1"))).head().getDouble(0)
+      require(math.abs(rho) < 0.05,
+        f"epoch permutations correlate: rho=$rho%.4f")
+      // within-epoch decorrelation: adjacent ids in shuffle order are
+      // ~uniform draws, so the mean |gap| must be a large fraction of n
+      val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+      val gapped = rb.withColumn("gap",
+        abs(col("doc_id") - lag(col("doc_id"), 1).over(w)))
+      val nDocs = d.count()
+      gapped.groupBy("epoch").agg(avg(col("gap")).as("g")).collect()
+        .foreach(r => require(r.getDouble(1) > 0.2 * nDocs,
+          s"epoch ${r.get(0)} under-shuffled: mean gap ${r.getDouble(1)}"))
+      gapped
+        .groupBy(col("epoch").cast("long").as("epoch"),
+          col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("gap")), 4).as("mean_gap"),
+          round(min(col("k")), 6).as("k_lo"),
+          round(max(col("k")), 6).as("k_hi"))
+        .orderBy("epoch", "shard")
+    }),
+
     // ---- MJPEG-in-AVI frame sampling over a REAL RIFF walk + REAL JDK
     //      JPEG decode (the compressed-video path): each frame is a
     //      uniform-gray baseline JPEG, and uniform grays round-trip the
@@ -1870,6 +1915,23 @@ object PipelineQueries extends QueryModule {
              round(AVG(CAST((media_id * 31 + frame_idx * 7 + i) % 256 AS DOUBLE)), 4)
                AS mean_byte
       FROM b GROUP BY 1, 2, 3 ORDER BY media_id, frame_idx""",
+
+    "p103_epoch_shuffle" -> """
+      WITH e AS (SELECT doc_id, ep FROM documents, (VALUES (0), (1)) t(ep)),
+      k AS (SELECT doc_id, ep,
+              ('0x' || substr(md5('eshuf:' || doc_id || '#' || ep), 1, 8))::BIGINT
+                / 4294967296.0 AS k
+            FROM e),
+      s AS (SELECT doc_id, ep, k, CAST(floor(k * 8) AS BIGINT) AS shard FROM k),
+      g AS (SELECT ep, shard, doc_id, k,
+              abs(doc_id - lag(doc_id) OVER
+                (PARTITION BY ep, shard ORDER BY k, doc_id)) AS gap
+            FROM s)
+      SELECT CAST(ep AS BIGINT) AS epoch, shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(AVG(gap), 4) AS mean_gap,
+             round(MIN(k), 6) AS k_lo, round(MAX(k), 6) AS k_hi
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "m05_avi_mjpeg_frames" -> """
       WITH m AS (SELECT doc_id AS media_id, 6 + doc_id % 5 AS nf
