@@ -143,14 +143,23 @@ object Bench {
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val prevQueries = queriesOf(java.nio.file.Paths.get("bench_result.json"))
+    // BENCH_baseline.json is the last JUDGED round's bench (refreshed
+    // from git history each round — the driver's BENCH_r{N}.json keeps
+    // only a truncated tail, so the full per-query map must be
+    // snapshotted explicitly); falls back to the newest BENCH_r{N}.json
+    // for repos without the snapshot.
     val committedQueries: Map[String, Double] = {
-      val rx = """BENCH_r(\d+)\.json""".r
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some(n.toInt -> f.toPath)
-          case _ => None
-        })
-      if (files.isEmpty) Map.empty else queriesOf(files.maxBy(_._1)._2)
+      val base = queriesOf(java.nio.file.Paths.get("BENCH_baseline.json"))
+      if (base.nonEmpty) base
+      else {
+        val rx = """BENCH_r(\d+)\.json""".r
+        val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case rx(n) => Some(n.toInt -> f.toPath)
+            case _ => None
+          })
+        if (files.isEmpty) Map.empty else queriesOf(files.maxBy(_._1)._2)
+      }
     }
     def moved(med: Double, p: Double): Boolean =
       p > 0 && (med > 1.5 * p || p > 1.5 * med) && math.abs(med - p) > 0.05

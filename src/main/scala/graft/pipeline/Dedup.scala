@@ -717,12 +717,16 @@ object Dedup {
       // remaining diameter per round → O(log d) rounds. The doubled
       // reference to `prop` reuses the same shuffle exchange
       // (ReuseExchange); both join sides are node-bounded.
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // round's first action, so ONE job materializes the checkpoint
+      // blocks AND reads the label sum (eager would spend a separate
+      // materialization job per round — measured 2 jobs/round → 1)
       val updated = prop.as("x")
         .join(bcast(prop.select(col("v").as("cv"), col("lbl").as("clbl"))),
           col("x.lbl") === col("cv"), "left")
         .select(col("x.v").as("v"),
           coalesce(col("clbl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint() // eager: materializes this round, truncates plan
+        .localCheckpoint(false)
       val s = updated.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
         .getDecimal(0)
       // null sum means zero rows — trivially converged
@@ -815,7 +819,9 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // lazy: the signature aggregate is the round's first action, so
+      // one job materializes the checkpoint AND reads the signature
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val row = next.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
       val nextSig = (row.getLong(0), row.getLong(1))

@@ -1101,7 +1101,9 @@ object CurationQueries extends QueryModule {
     // the pair set feeds THREE consumers (CC edges + both sides of the
     // crossing audit); checkpoint it once — recomputing the prefix
     // join per consumer tripled the query's cost at sf0.1
-    val pairs = pairsOf(d).select("i", "j").localCheckpoint()
+    // lazy checkpoint: CC's edge build is the first consumer, so the
+    // pair join materializes inside that job instead of its own
+    val pairs = pairsOf(d).select("i", "j").localCheckpoint(false)
     val labels = cc(pairs)
     // (doc_id, grp, split) fans out to FOUR consumers (fold counts,
     // group count, both sides of the crossing audit) — persist the
