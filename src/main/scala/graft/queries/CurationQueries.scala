@@ -678,8 +678,11 @@ object CurationQueries extends QueryModule {
           lit(" size "), col("p_size").cast("string")).as("nm"))
         .distinct()
       // entity table is corpus-linear — ids come from the DISTRIBUTED
-      // global rank, not a single-partition row_number window
-      val ids = graft.operators.Ranks.globalRowNumber(ents, "rn", col("nm"))
+      // global rank, not a single-partition row_number window; persisted
+      // because the id frame fans out (originals + variants + recall
+      // accounting) and r9's Ranks no longer caches its output
+      val ids = graft.operators.Broadcasts.trackedPersist(
+        graft.operators.Ranks.globalRowNumber(ents, "rn", col("nm")))
       val originals = ids.select((col("rn") * 2).as("id"), col("nm"))
       val variants = ids.filter(col("rn") % 3 === 0)
         .select((col("rn") * 2 + 1).as("id"),

@@ -256,8 +256,17 @@ object DiffStatsQueries extends QueryModule {
       // values, so the value AT a rank is deterministic
       val ranked = graft.operators.Ranks.globalRowNumber(
         vals, "grn", col("g"), col("v"))
-      val gstats = ranked.groupBy("g")
-        .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      // per-group n and first-rank base come from an UNSORTED count
+      // aggregate + a |groups|-row running sum (the rank orders by
+      // (g, v), so group g starts at 1 + Σ earlier groups' n) — reading
+      // them off `ranked` would re-run the sort per consumer now that
+      // Ranks no longer persists its output
+      val gstats = vals.groupBy("g").agg(count(lit(1)).as("n"))
+        .withColumn("g0", lit(1L) + coalesce(
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("g")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
       // bounded target table: per (g, q) the interpolation floor/ceil
       // ranks plus the ±tol envelope ranks (0-based within the group)
       val targets = gstats

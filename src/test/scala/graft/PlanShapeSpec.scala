@@ -36,6 +36,9 @@ class PlanShapeSpec extends SparkSpec {
     "io07_range_layout" -> "file-rank window over one-row-per-file table (16 files)",
     "q17_cte" -> "rank window over supplier-grain aggregate (dimension-bounded)",
     "q87_scd2_join" -> "SUM(COUNT) OVER () over GROUP BY ver output (3 rows)"
+    // s09/s11 run their |columns|- or |groups|-row rank-base windows at
+    // BUILD time (results collect to bounded literals), so the returned
+    // plans carry no window — nothing to allowlist.
     // s09's |columns|-row rank-base running sum happens at BUILD time
     // (boundaries collect to literals), so the returned plan carries no
     // window at all — nothing to allowlist.
