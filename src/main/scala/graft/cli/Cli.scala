@@ -385,7 +385,12 @@ object Cli {
         case other => throw new IllegalArgumentException(
           s"unknown pipeline op '$other'\n$usage")
       }
-      result.write.mode("overwrite").parquet(out)
+      // the op's internal persists (sizeGated measures, PPJoin fan-outs)
+      // are released when the write lands — a CLI session chaining ops
+      // stays flat without relying on the JVM exiting
+      graft.operators.Broadcasts.withReleased(spark) {
+        result.write.mode("overwrite").parquet(out)
+      }
       println(s"pipeline ${o("op")}: wrote -> $out") // no re-read just for a count
 
     case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")

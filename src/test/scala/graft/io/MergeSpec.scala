@@ -60,6 +60,29 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("mergeStream upserts one partition-scoped merge per micro-batch") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    val updDir = java.nio.file.Files.createTempDirectory("merge_upd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("merge_ck").toString
+    Seq((2L, "en", 99L), (5L, "en", 50L)).toDF("id", "part", "v")
+      .write.mode("append").parquet(updDir)
+    val updates = spark.readStream
+      .schema("id LONG, part STRING, v LONG").parquet(updDir)
+    val q = Merge.mergeStream(spark, root, updates, Seq("id"), "part", ckpt)
+    try {
+      q.processAllAvailable()
+      // second batch arrives as new files: re-updates key 5, inserts 6
+      Seq((5L, "en", 55L), (6L, "xx", 60L)).toDF("id", "part", "v")
+        .write.mode("append").parquet(updDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(root).orderBy("id")
+      .select("id", "part", "v").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "en", 10L), (2L, "en", 99L), (3L, "de", 30L),
+      (4L, "fr", 40L), (5L, "en", 55L), (6L, "xx", 60L)))
+  }
+
   test("schema and key contracts are enforced") {
     val root = freshRoot()
     base.write.partitionBy("part").parquet(root)
