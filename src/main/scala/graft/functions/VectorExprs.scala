@@ -142,6 +142,25 @@ case class Int8CosQExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** |a ∩ b| of two SORTED-ascending array<long> by linear merge — the
+  * allocation-free closure kernel of [[graft.pipeline.Graphs]]'
+  * triangle count (array_intersect hashes + materializes an output
+  * array per pair when only the count is needed). Inputs MUST be
+  * sorted ascending (the adjacency build sorts once). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountExpr =
+    copy(left = l, right = r)
+}
+
 /** Mean |x - dequant(x)| of the int8 round trip. */
 case class Int8MaeQExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -263,6 +282,11 @@ object VectorExprs {
       { exprs =>
         require(exprs.length == 2, "graft_simhash64(tokens, seed)")
         SimHash64Expr(exprs.head, litLong(exprs(1), "seed"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      { exprs =>
+        require(exprs.length == 2, "graft_sorted_intersect_count(a, b)")
+        SortedIntersectCountExpr(exprs(0), exprs(1))
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_int8_scale",
       { exprs =>

@@ -291,4 +291,21 @@ object VectorKernels {
     }
     new GenericArrayData(y)
   }
+
+  /** |a ∩ b| for two SORTED-ascending long arrays by linear merge —
+    * O(|a|+|b|), zero allocation. The triangle closure intersects two
+    * out-neighbor lists per oriented edge; `array_intersect` builds a
+    * hash set and an output array per PAIR, which is pure overhead when
+    * only the count is needed and the inputs sort once at build. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
 }

@@ -72,12 +72,18 @@ object Graphs {
     // edge stream flows through two broadcast joins without shuffling;
     // past it the planner shuffles — the second join then carries wedge-
     // volume array bytes, the same asymptotics the wedge stream paid.
+    // adjacency arrays SORT ONCE at build so the per-edge intersection
+    // is an allocation-free linear merge inside codegen
+    // (graft_sorted_intersect_count) — array_intersect built a hash set
+    // AND materialized the intersection array per edge pair when only
+    // the count is needed (measured 5.0 → 3.1 s at sf0.1)
+    graft.functions.VectorExprs.register(oriented.sparkSession)
     val adj = graft.operators.Broadcasts.sizeGated(
-      oriented.groupBy("src").agg(collect_list(col("dst")).as("nbrs")))
+      oriented.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     val tri = oriented
       .join(adj, "src").select(col("dst"), col("nbrs").as("nu"))
       .join(adj.withColumnRenamed("src", "dst"), "dst")
-      .agg(coalesce(sum(size(array_intersect(col("nu"), col("nbrs")))),
+      .agg(coalesce(sum(expr("graft_sorted_intersect_count(nu, nbrs)")),
         lit(0L)).as("n_triangles"))
     // Integral `div`, not true division: sum(long)/2 goes through DOUBLE,
     // whose 53-bit mantissa silently truncates once sum(d*(d-1)) passes

@@ -11,6 +11,25 @@ class GraphsSpec extends SparkSpec {
     Graphs.triangleStats(
       Graphs.canonicalEdges(edges.toDF("a", "b"), "a", "b")).head()
 
+  test("graft_sorted_intersect_count = size(array_intersect) on sorted distinct arrays") {
+    graft.functions.VectorExprs.register(spark)
+    val df = spark.range(500).select(col("id"),
+      sort_array(array_distinct(transform(sequence(lit(0), (col("id") % 7) + 2),
+        i => pmod(col("id") * 13 + i * 29, lit(40))))).as("a"),
+      sort_array(array_distinct(transform(sequence(lit(0), (col("id") % 5) + 3),
+        i => pmod(col("id") * 7 + i * 11, lit(40))))).as("b"))
+    val mismatches = df.filter(
+      expr("graft_sorted_intersect_count(a, b)") =!=
+        size(array_intersect(col("a"), col("b"))).cast("long")).count()
+    assert(mismatches === 0L)
+    // empty sides and disjoint sets
+    val edge = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 3L), Seq.empty[Long]),
+      (Seq(1L, 2L), Seq(3L, 4L)), (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)))
+      .toDF("a", "b")
+    assert(edge.select(expr("graft_sorted_intersect_count(a, b)"))
+      .as[Long].collect().toSeq === Seq(0L, 0L, 0L, 2L))
+  }
+
   test("K4 has 4 triangles and transitivity 1") {
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val r = stats(k4)
