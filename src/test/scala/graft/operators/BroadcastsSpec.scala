@@ -66,6 +66,44 @@ class BroadcastsSpec extends SparkSpec {
     assert(phys.contains("Window"), "sanity: window-based rank")
   }
 
+  test("globalRowNumber property: 40 seeded random frames match the reference rank") {
+    // the r9 redesign (literal sampled boundaries + binary-search pid)
+    // must agree with the single-partition reference under skew, ties
+    // in the leading key, negative/extreme numerics, and unicode tokens
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 40) {
+      val n = 200 + rnd.nextInt(2000)
+      val skew = rnd.nextInt(4) // 0 = unique keys, 3 = heavy ties
+      val rows = (1 to n).map { i =>
+        val w = skew match {
+          case 0 => rnd.nextLong()
+          case 1 => rnd.nextInt(50).toLong
+          case 2 => if (rnd.nextBoolean()) 7L else rnd.nextLong()
+          case _ => 1L
+        }
+        val tok = rnd.nextInt(3) match {
+          case 0 => s"t$i"
+          case 1 => s"ß${i}äé"
+          case _ => f"key$i%08d"
+        }
+        (w, tok)
+      }
+      val df = rows.toDF("w", "tok").repartition(1 + rnd.nextInt(8))
+      val got = Ranks.globalRowNumber(df, "rk", col("w"), col("tok"))
+        .select("w", "tok", "rk")
+      val want = {
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("rk", row_number().over(
+          Window.orderBy(col("w"), col("tok"))).cast("long"))
+          .select("w", "tok", "rk")
+      }
+      // (w, tok) is a unique key in every trial (tok carries i), so the
+      // rank is fully determined
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (n=$n skew=$skew) diverged from the reference rank")
+    }
+  }
+
   test("globalRowNumber on an empty frame returns empty with the rank column") {
     val df = Seq.empty[(Long, String)].toDF("w", "tok")
     val out = Ranks.globalRowNumber(df, "rk", col("w"), col("tok"))
