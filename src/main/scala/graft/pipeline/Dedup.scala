@@ -720,7 +720,12 @@ object Dedup {
       // LAZY checkpoint: the convergence aggregate right below is the
       // round's first action, so ONE job materializes the checkpoint
       // blocks AND reads the label sum (eager would spend a separate
-      // materialization job per round — measured 2 jobs/round → 1)
+      // materialization job per round — measured 2 jobs/round → 1).
+      // ONE shortcut hop per round: a second compress was measured
+      // (6 → 5 rounds on the sf0.1 diameter-10 graph) but the extra
+      // node-table self-join cost MORE than the round it saved
+      // (2.7 → 3.7 s warm) — the doubled `prop` reference recomputes
+      // past the reused exchange.
       val updated = prop.as("x")
         .join(bcast(prop.select(col("v").as("cv"), col("lbl").as("clbl"))),
           col("x.lbl") === col("cv"), "left")
