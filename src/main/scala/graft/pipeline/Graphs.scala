@@ -39,10 +39,21 @@ object Graphs {
     * transitivity) where n_wedges counts UNDIRECTED wedges Σ C(deg,2)
     * and transitivity = 3·triangles / wedges (NULL when wedge-free). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Persisted: the canonical edge frame is consumed THREE times (both
+    // legs of the degree union + the orientation base), and the caller's
+    // edge build is typically an explode+distinct shuffle that would
+    // otherwise re-run per consumer. Skinny (long,long) rows.
+    val e = graft.operators.Broadcasts.trackedPersist(
+      edges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v")))
+    // Degree table is node-linear (one skinny row per vertex) and feeds
+    // BOTH orientation joins plus the wedge aggregate — size-gate it:
+    // under the measured cap both joins become broadcast hash joins over
+    // one cached build (no shuffle of the m-row edge stream); past the
+    // cap the planner shuffles, which is the only correct shape then.
+    val deg = graft.operators.Broadcasts.sizeGated(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     // orient by (deg, id): src = the ≺-smaller endpoint. Persisted: the
     // oriented edge set is consumed THREE times (both wedge legs + the
     // closure probe) and its build re-runs two edge×degree joins per
