@@ -781,23 +781,30 @@ object Dedup {
     // per-node minima tables are node-bounded — same measured broadcast
     // gate as connectedComponents (decided once; see hintIfNodeBounded)
     var bcast: DataFrame => DataFrame = identity
+    // Each round is largeStar ∘ smallStar with ONE dedup at the end:
+    // largeStar emits strictly-oriented rows (a > b: it attaches only
+    // larger neighbors to the per-node minimum, and m < b by
+    // construction), so smallStar's textbook greatest/least
+    // canonicalization is a no-op here, and intermediate duplicates ride
+    // to smallStar's single closing distinct — dropping two of the five
+    // per-round shuffles the literal formulation pays. Duplicate volume
+    // between the dedups is bounded by the symmetrized edge set.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a"), col("b"))
         .unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min(col("b")).as("nmin"))
         .select(col("a"), least(col("a"), col("nmin")).as("m"))
       sym.join(bcast(mins), "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")).distinct()
+        .select(col("b").as("a"), col("m").as("b"))
     }
+    // PRECONDITION (local helper): `e` is largeStar output — oriented
+    // a > b, self-loop-free, possibly with duplicate rows.
     def smallStar(e: DataFrame): DataFrame = {
-      val directed = e.select(greatest(col("a"), col("b")).as("hi"),
-        least(col("a"), col("b")).as("lo")).filter(col("hi") =!= col("lo"))
-        .distinct()
-      val mins = directed.groupBy("hi").agg(min(col("lo")).as("m"))
-      directed.join(bcast(mins), "hi")
-        .select(col("lo").as("a"), col("m").as("b"))
+      val mins = e.groupBy("a").agg(min(col("b")).as("m"))
+      e.join(bcast(mins), "a")
+        .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .unionByName(mins.select(col("hi").as("a"), col("m").as("b")))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
         .distinct()
     }
     // each phase references the edge set FOUR times (symmetrize + join
