@@ -655,6 +655,29 @@ class CurationSpec extends SparkSpec {
     assert(alt === ml)
   }
 
+  test("alternating CC == min-label across seeded graph shapes") {
+    // property sweep guarding smallStar's oriented-input precondition
+    // (r9 drops its canonicalization as a no-op on largeStar output):
+    // densities from forest-sparse to near-complete, parallel edges
+    // left IN (the operator must dedup them itself); self loops are
+    // excluded because an isolated self-looped node's membership is a
+    // caller contract, not part of the equivalence under test
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(60)
+      val m = n / 2 + rnd.nextInt(n * 3)
+      val pairs = (0 until m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("i", "j")
+      val alt = Dedup.connectedComponentsAlternating(pairs)
+        .as[(Long, Long)].collect().toMap
+      val ml = Dedup.connectedComponents(pairs, maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(alt === ml, s"seed=$seed n=$n m=$m")
+    }
+  }
+
   test("alternating CC converges on a 200-node chain in few rounds") {
     // diameter 199: min-label would need 199 rounds; star contraction
     // must do it within the default budget (O(log n))
