@@ -237,22 +237,30 @@ object Bench {
     // -1, never a failed bench.
     // Both subset sums cover the SAME query set: DuckDB excludes its
     // failures from its total, and Spark's sum drops those same names.
-    val (duckSubset: Double, duckFailed: Set[String]) = try {
+    val duckPerQuery: Map[String, Double] = try {
       val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
       java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
       val out = scala.sys.process.Process(
         Seq("python3", "tools/duckdb_bench.py", sfDir, tmp.toString)).!!.trim
       java.nio.file.Files.deleteIfExists(tmp)
-      val secs = """"duckdb_subset_secs":\s*(-?[0-9.eE+]+)""".r.findFirstMatchIn(out)
-        .map(_.group(1).toDouble).getOrElse(-1.0)
-      val failed = """"failed":\s*\[([^\]]*)\]""".r.findFirstMatchIn(out)
-        .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
-          .map(_.group(1)).toSet).getOrElse(Set.empty[String])
-      (secs, failed)
-    } catch { case _: Throwable => (-1.0, Set.empty[String]) }
+      """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(out)
+        .map(m => """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
+          .map(q => q.group(1) -> q.group(2).toDouble).toMap)
+        .getOrElse(Map.empty[String, Double])
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    // both subset sums cover EXACTLY the intersection of successes:
+    // queries DuckDB failed drop from Spark's sum AND queries Spark
+    // failed drop from DuckDB's — a one-sided failure can no longer
+    // skew the published ratio in either direction
+    val common = results.collect {
+      case (n, v) if n.startsWith("q") && v >= 0 && duckPerQuery.contains(n) => n
+    }.toSet
     val sparkSubset = results.collect {
-      case (n, v) if n.startsWith("q") && v >= 0 && !duckFailed(n) => v
+      case (n, v) if common(n) => v
     }.sum
+    val duckSubset =
+      if (duckPerQuery.isEmpty) -1.0
+      else math.round(common.toSeq.map(duckPerQuery).sum * 1000) / 1000.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
     // Sole program-stdout line AND a file copy: when launched through sbt,
     // stdout lines get an "[info] " prefix that breaks a naive json parse.

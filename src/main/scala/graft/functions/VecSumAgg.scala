@@ -68,7 +68,7 @@ case class VecSumAggExpr(
         else { while (i < n) { b(i) += a.getDouble(i); i += 1 } }
         b
       case other => throw new IllegalArgumentException(
-        s"graft_vec_sum expects array<double>, got ${other.getClass.getName}")
+        s"graft_vec_sum expects array<double> or array<float>, got ${other.getClass.getName}")
     }
   }
 

@@ -151,6 +151,25 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
+  // Analysis-time guard, same hazard class the r8 ADVICE caught in
+  // graft_vec_sum: the kernel reads 8-byte long slots, so an array<int>
+  // input (integer literals!) would stride wrong under UnsafeArrayData
+  // and return silently garbage counts. Element NULLABILITY cannot be
+  // pinned here (lambda-built arrays are marked nullable even when
+  // value-free of nulls), so actual null elements are rejected at
+  // runtime by the kernel instead of read as garbage zeros.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.sortedIntersectCount(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

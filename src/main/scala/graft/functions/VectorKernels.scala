@@ -301,6 +301,13 @@ object VectorKernels {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
+      // null elements would read as garbage zeros through getLong —
+      // reject loudly (the type check can't pin nullability: lambda-
+      // built arrays are marked nullable regardless of their values).
+      // One predictable never-taken branch per step on the hot path.
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "graft_sorted_intersect_count: null array element")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x < y) i += 1
       else if (x > y) j += 1

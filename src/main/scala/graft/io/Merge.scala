@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   * partitions is a loud error, not a silent duplicate: the old copy
   * would live in a partition this merge never reads.
   *
-  * The returned stats prove row conservation in-query:
-  * after == before + inserted (and matched ≤ updates). */
+  * The returned stats prove row conservation in-query over the TOUCHED
+  * slice: afterTouched == beforeTouched + inserted (and matched ≤
+  * updates). Untouched partitions are byte-identical by dynamic-
+  * overwrite construction (spec-pinned), so global conservation follows
+  * without ever counting the full table — the counts scan only the
+  * partitions the merge reads anyway, keeping the proof itself
+  * partition-scoped at 100 TB. */
 object Merge {
 
-  case class MergeStats(touchedPartitions: Seq[String], before: Long,
+  case class MergeStats(touchedPartitions: Seq[String], beforeTouched: Long,
                         updates: Long, matched: Long, inserted: Long,
-                        after: Long)
+                        afterTouched: Long)
 
   /** @param verifyKeys when true (default), one column-pruned semi-join
     *   proves no update key already lives in an UNTOUCHED partition —
@@ -46,15 +51,27 @@ object Merge {
     require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: target ${target.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")
-    val before = target.count()
     // touched partitions: bounded METADATA (one value per partition of
     // the update batch) — the same bounded-collect class as boundary
     // arrays; this is what scopes both the read and the rewrite
     val touched = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val scoped = target.filter(col(partCol).cast("string").isin(touched: _*))
+    val before = scoped.count()
     val u = graft.operators.Broadcasts.trackedPersist(updates)
     val nUpdates = u.count()
+    // duplicate-key guard BEFORE anything is written: SQL MERGE rejects
+    // a source that updates the same target row twice, and for good
+    // reason — matched duplicates would write two copies of the key
+    // into the partition, unmatched duplicates would insert the key
+    // twice, and the conservation check either fires AFTER the
+    // destructive rewrite or (the insert case) not at all
+    val dupKeys = u.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupKeys == 0L,
+      s"$dupKeys merge keys appear more than once in the update batch — " +
+        "a key must resolve to exactly one update row; dedup the batch " +
+        "(e.g. keep the latest CDC event per key) before merging")
     if (verifyKeys) {
       val strays = u.join(
         target.filter(!col(partCol).cast("string").isin(touched: _*))
@@ -70,10 +87,15 @@ object Merge {
     // the very files it reads, so it must be fully materialized (eager)
     // with its file lineage truncated before the overwrite starts — a
     // lazy cache could re-read files the write is deleting
-    val joined = scoped.as("t").join(u.as("u"), cond, "full_outer")
+    // presence flags, not key-null checks: the join condition is
+    // null-safe (<=>), so an update row whose merge key is NULL is a
+    // legitimate row that must match a null-key target row or insert —
+    // keyCol.isNotNull would silently drop it (or emit an all-NULL row)
+    val joined = scoped.withColumn("__t_present", lit(true)).as("t")
+      .join(u.withColumn("__u_present", lit(true)).as("u"), cond, "full_outer")
       .localCheckpoint()
-    val uHas = col(s"u.${keyCols.head}").isNotNull
-    val tHas = col(s"t.${keyCols.head}").isNotNull
+    val uHas = col("u.__u_present").isNotNull
+    val tHas = col("t.__t_present").isNotNull
     // one bounded aggregate: match/insert counts + the moved-key guard
     val stats = joined.agg(
       sum(when(uHas && tHas, 1L).otherwise(0L)).as("matched"),
@@ -96,9 +118,14 @@ object Merge {
     joined.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
-    val after = spark.read.parquet(root).count()
+    // conservation over the TOUCHED slice only (inserts cannot land
+    // outside it — their partition values define `touched`); untouched
+    // partitions are byte-identical by dynamic-overwrite construction
+    val after = spark.read.parquet(root)
+      .filter(col(partCol).cast("string").isin(touched: _*)).count()
     require(after == before + inserted,
-      s"row conservation violated: before=$before inserted=$inserted after=$after")
+      s"row conservation violated on the touched slice: " +
+        s"before=$before inserted=$inserted after=$after")
     MergeStats(touched, before, nUpdates, matched, inserted, after)
   }
 

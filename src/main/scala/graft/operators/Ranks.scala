@@ -161,7 +161,18 @@ object Ranks {
     * join, a distinct), three recomputations of that shuffle dwarf one
     * persist. Heuristic: persist iff the logical plan contains a
     * shuffle-inducing node. Tracked, so Broadcasts.release reclaims it
-    * with the library's other per-query persists. */
+    * with the library's other per-query persists.
+    *
+    * Determinism contract of the unpersisted branch: the three reads
+    * agree because the pid is a pure function of the row's key values
+    * over DRIVER-LITERAL boundaries — any recomputation of the same
+    * row set re-derives identical ranks. It does NOT defend against the
+    * underlying source mutating BETWEEN the jobs (files appended to the
+    * scanned directory mid-query): that breaks the row set itself,
+    * which is outside Spark's immutable-input execution contract (the
+    * same mutation corrupts any multi-job query, persisted or not —
+    * persist merely narrows the window). Sources that mutate under
+    * readers must be snapshotted (or the caller persists) first. */
   private def maybePersistInput(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{logical => l}
     val shuffley = df.queryExecution.analyzed.exists {
@@ -228,4 +239,26 @@ object Ranks {
       .withColumn(outCol, col("__off") + col("__lcs"))
       .drop("__pid", "__lcs", "__off")
   }
+
+  /** Per-group (count, first-global-rank base) for a
+    * [[globalRowNumber]] keyed (groupCol, value...): group g's first
+    * rank is 1 + Σ n over groups ordered BEFORE it, so rank targets can
+    * be derived from an UNSORTED count aggregate instead of re-running
+    * the ranked sort per consumer (Ranks does not persist its output).
+    *
+    * INVARIANT both consumers rely on: the running sum's ordering must
+    * equal globalRowNumber's ordering of `groupCol` — Spark's binary
+    * (UTF-8 byte) collation, nulls first — which holds because both are
+    * plain `orderBy(groupCol)` in the same session. Keep this helper as
+    * the single home of that coupling (s09 and s11 each inlined it once;
+    * a collation tweak to one silently strands the other).
+    *
+    * The window is BOUNDED — one row per group — and callers treat the
+    * result as build-time metadata. */
+  def groupBases(df: DataFrame, groupCol: String,
+                 nCol: String = "n", baseCol: String = "base"): DataFrame =
+    df.groupBy(groupCol).agg(count(lit(1)).as(nCol))
+      .withColumn(baseCol, lit(1L) + coalesce(
+        sum(col(nCol)).over(Window.orderBy(groupCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 }

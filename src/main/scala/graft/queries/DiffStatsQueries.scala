@@ -261,12 +261,7 @@ object DiffStatsQueries extends QueryModule {
       // (g, v), so group g starts at 1 + Σ earlier groups' n) — reading
       // them off `ranked` would re-run the sort per consumer now that
       // Ranks no longer persists its output
-      val gstats = vals.groupBy("g").agg(count(lit(1)).as("n"))
-        .withColumn("g0", lit(1L) + coalesce(
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window
-            .orderBy("g")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, -1)), lit(0L)))
+      val gstats = graft.operators.Ranks.groupBases(vals, "g", baseCol = "g0")
       // bounded target table: per (g, q) the interpolation floor/ceil
       // ranks plus the ±tol envelope ranks (0-based within the group)
       val targets = gstats

@@ -464,11 +464,18 @@ object IoQueries extends QueryModule {
               .map(f => (f.getName, f.length)).toSet).toMap
       }
       val before = fileSet()
+      // insert-key offset derived from the corpus, not a fixed literal:
+      // doc_ids are dense from 0, so a constant offset collides with
+      // real ids once the corpus outgrows it (and mergeInto's own
+      // guards would then abort the query at exactly the large scale
+      // factors the partition-scoped story targets). max+1 is one
+      // column-stats aggregate; the oracle recomputes the same scalar.
+      val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val updates = d
         .filter(col("doc_id") % 7 === 0 && col("lang") === "en")
         .withColumn("n_chars", col("n_chars") + lit(5000L))
         .unionByName(d.filter(col("doc_id") % 13 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("doc_id", col("doc_id") + lit(off))
           .withColumn("lang", lit("xx"))
           .withColumn("source", lit("merge"))
           .withColumn("n_chars", col("doc_id") % 997))
@@ -672,12 +679,13 @@ object IoQueries extends QueryModule {
     // — equality with the engine's read-back of the merged table proves
     // upsert semantics row for row
     "io13_merge_upsert" -> """
-      WITH upd AS (
+      WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      upd AS (
         SELECT doc_id, 'en' AS lang, n_chars + 5000 AS n_chars
         FROM documents WHERE doc_id % 7 = 0 AND lang = 'en'
         UNION ALL
-        SELECT doc_id + 1000000, 'xx', (doc_id + 1000000) % 997
-        FROM documents WHERE doc_id % 13 = 0),
+        SELECT doc_id + off.o, 'xx', (doc_id + off.o) % 997
+        FROM documents, off WHERE doc_id % 13 = 0),
       merged AS (
         SELECT doc_id, lang, n_chars FROM upd
         UNION ALL

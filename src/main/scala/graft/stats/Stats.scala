@@ -343,13 +343,7 @@ object Stats {
         // re-run the sort).
         val granked = graft.operators.Ranks.globalRowNumber(
           stacked, "grk", col("col_name"), col("x"))
-        val colstats = stacked.groupBy("col_name")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("base", lit(1L) + coalesce(
-            sum(col("n")).over(org.apache.spark.sql.expressions.Window
-              .orderBy("col_name")
-              .rowsBetween(org.apache.spark.sql.expressions.Window
-                .unboundedPreceding, -1)), lit(0L)))
+        val colstats = graft.operators.Ranks.groupBases(stacked, "col_name")
         val targets = colstats.select(col("col_name"), col("n"), col("base"),
             posexplode(array(pcts.map(lit): _*)).as(Seq("qi", "qv")))
           .withColumn("posq", col("qv") * (col("n") - 1))

@@ -39,9 +39,6 @@ class PlanShapeSpec extends SparkSpec {
     // s09/s11 run their |columns|- or |groups|-row rank-base windows at
     // BUILD time (results collect to bounded literals), so the returned
     // plans carry no window — nothing to allowlist.
-    // s09's |columns|-row rank-base running sum happens at BUILD time
-    // (boundaries collect to literals), so the returned plan carries no
-    // window at all — nothing to allowlist.
   )
 
   // Structural exception: Ranks.globalRowNumber / globalCumSum carry an

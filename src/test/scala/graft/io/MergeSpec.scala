@@ -26,8 +26,10 @@ class MergeSpec extends SparkSpec {
       .toDF("id", "part", "v")
     val st = Merge.mergeInto(spark, root, updates, Seq("id"), "part")
     assert(st.touchedPartitions == Seq("en", "xx"))
-    assert(st.before == 4L && st.updates == 3L &&
-      st.matched == 1L && st.inserted == 2L && st.after == 6L)
+    // counts are scoped to the touched partitions (en: ids 1,2 before;
+    // en ids 1,2,5 + xx id 6 after) — untouched de/fr never counted
+    assert(st.beforeTouched == 2L && st.updates == 3L &&
+      st.matched == 1L && st.inserted == 2L && st.afterTouched == 4L)
     val out = spark.read.parquet(root).orderBy("id")
       .select("id", "part", "v").as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "en", 10L), (2L, "en", 99L), (3L, "de", 30L),
@@ -81,6 +83,47 @@ class MergeSpec extends SparkSpec {
       .select("id", "part", "v").as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "en", 10L), (2L, "en", 99L), (3L, "de", 30L),
       (4L, "fr", 40L), (5L, "en", 55L), (6L, "xx", 60L)))
+  }
+
+  test("duplicate update keys fail loudly BEFORE any file is rewritten") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    def files(p: String): Set[(String, Long)] =
+      new java.io.File(s"$root/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    val enBefore = files("en")
+    val e = intercept[IllegalArgumentException] {
+      // two CDC events for key 2 in one batch — SQL MERGE rejects this
+      Merge.mergeInto(spark, root,
+        Seq((2L, "en", 98L), (2L, "en", 99L), (7L, "en", 70L))
+          .toDF("id", "part", "v"), Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("more than once"))
+    assert(files("en") == enBefore,
+      "the guard must fire before the destructive rewrite")
+    // the silent case: duplicate keys that match NOTHING would insert
+    // the key twice and pass a pure conservation check
+    intercept[IllegalArgumentException] {
+      Merge.mergeInto(spark, root,
+        Seq((8L, "en", 80L), (8L, "en", 81L)).toDF("id", "part", "v"),
+        Seq("id"), "part")
+    }
+  }
+
+  test("null merge keys are rows, not sentinels: they match null-safely") {
+    val root = freshRoot()
+    Seq((Option(1L), "en", 10L), (Option.empty[Long], "en", 20L))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(root)
+    // the null-key update must REPLACE the null-key target row (<=> match)
+    val st = Merge.mergeInto(spark, root,
+      Seq((Option.empty[Long], "en", 99L)).toDF("id", "part", "v"),
+      Seq("id"), "part")
+    assert(st.matched == 1L && st.inserted == 0L && st.afterTouched == 2L)
+    val out = spark.read.parquet(root).orderBy(col("v"))
+      .select("id", "v").collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))).toSeq
+    assert(out == Seq((Some(1L), 10L), (None, 99L)))
   }
 
   test("schema and key contracts are enforced") {
