@@ -124,6 +124,7 @@ object Mixing {
     * Emits (source, doc order cols…, toks, cum, bin). */
   def packBins(df: DataFrame, sourceCol: String, orderCol: String,
                toksCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
     val w = Window.partitionBy(sourceCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum", sum(col(toksCol)).over(w))
@@ -182,7 +183,11 @@ object Mixing {
     val feats = base
       .select(col("id"), col("is_target"),
         explode(concat(col("t"), bigrams)).as("f"))
-      .filter(col("f").isNotNull)
+      // drop the empty string too: splitting an empty/whitespace-only
+      // document yields [""], which would otherwise count as a real
+      // feature — giving empty docs n_feats = 1 and inflating one
+      // bucket's c_r across the whole model
+      .filter(col("f").isNotNull && col("f") =!= "")
       .withColumn("bucket",
         pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
@@ -317,8 +322,10 @@ object Mixing {
     * correct 100 TB shape for "give me k representative docs, long ones
     * more likely". Keys are rounded to 1e-8 BEFORE ranking with an id
     * tie-break (the engine-portable ranking discipline used repo-wide).
-    * Non-positive weights cannot be sampled (u^(1/w) is not a valid race
-    * key there) and are filtered loudly by contract.
+    * Non-positive (and NULL) weights cannot be sampled — u^(1/w) is not
+    * a valid race key there — and are EXCLUDED deterministically, the
+    * A-Res definition of zero selection probability; an unexpectedly
+    * small sample is the caller's signal to audit the weight column.
     * Returns (rk 1..k, id, weight, key_r). */
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
                       k: Int, salt: String): DataFrame = {

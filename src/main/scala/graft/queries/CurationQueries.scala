@@ -1607,7 +1607,7 @@ object CurationQueries extends QueryModule {
                 FROM base),
       fb AS (SELECT doc_id, is_target,
                     (('0x' || substr(md5(f), 1, 8))::BIGINT) % 1024 AS bucket
-             FROM feats),
+             FROM feats WHERE f <> ''),
       r AS (SELECT bucket, COUNT(*) AS c_r,
                    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
             FROM fb GROUP BY bucket),

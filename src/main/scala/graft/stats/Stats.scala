@@ -372,14 +372,26 @@ object Stats {
     // table — no row explosion, no shuffle of data rows, fully codegen.
     val bmap: Map[String, Seq[Double]] = bnds.collect().map(r =>
       r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    // loud, descriptive failure for a column the boundary pass produced
+    // nothing for (all-null / non-numeric-string / empty) — bmap(c)
+    // alone would throw a bare key-not-found at plan-build time
+    columns.foreach(c => require(bmap.contains(c),
+      s"column '$c' has no non-null numeric values — cannot build an " +
+        "equi-height histogram over it"))
     val aggExprs = columns.flatMap { c =>
       val bs = bmap(c)
       val bucketCol = bs.foldLeft(lit(1)) { (acc, b) =>
         acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
       }
       (1 to buckets).map { k =>
-        sum(when(col(c).isNotNull && bucketCol === k, 1L).otherwise(0L))
-          .as(s"cnt__${c}__$k")
+        // guard on the CAST value, matching the boundary pass exactly:
+        // a non-castable string (or NULL) must not be counted into
+        // bucket 1 — the ranked population is the castable rows only.
+        // NaN stays IN on both passes (Spark sorts and compares NaN as
+        // the largest double, so it ranks last and lands in the last
+        // bucket — Σ cnt = n holds).
+        sum(when(col(c).cast("double").isNotNull && bucketCol === k, 1L)
+          .otherwise(0L)).as(s"cnt__${c}__$k")
       }
     }
     val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
@@ -474,9 +486,11 @@ object Stats {
       col(valCol).cast("double").as("x")).filter(col("x").isNotNull)
     val reps = base.select(col("id"), col("x"),
       explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    val u = conv(substring(md5(concat(lit(salt + ":"), col("rep"),
-      lit(":"), col("id"))), 1, 8), 16, 10)
-      .cast("long").cast("double") / 4294967296.0
+    // the salted unit hash IS Mixing.hashUnit over the "rep:id" key —
+    // reuse it so the engine-portability contract (8 hex chars, 2^-32
+    // quantization) lives in exactly one place
+    val u = graft.pipeline.Mixing.hashUnit(
+      concat(col("rep"), lit(":"), col("id")), salt)
     val w = cum.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (c, k)) => acc.when(u < c, k)
     }.otherwise(8)

@@ -118,23 +118,9 @@ object EventStream extends Serializable {
   def attribution(purchases: DataFrame, clicks: DataFrame,
                   windowMinutes: Long = 30,
                   watermark: String = "2 hours",
-                  streaming: Boolean = false): DataFrame = {
-    val p0 = purchases.select(col("event_id").as("purchase_id"),
-      col("user_id"), col("ts").as("purchase_ts"))
-    val c0 = clicks.select(col("event_id").as("click_id"),
-      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
-    val (p, c) =
-      if (streaming) (p0.withWatermark("purchase_ts", watermark),
-        c0.withWatermark("click_ts", watermark))
-      else (p0, c0)
-    p.join(c,
-      col("user_id") === col("c_user_id") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"),
-        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L).as("gap_s"))
-  }
+                  streaming: Boolean = false): DataFrame =
+    attributionJoin(purchases, clicks, windowMinutes, watermark, streaming,
+      joinType = "inner")
 
   /** LEFT-OUTER attribution — the "unattributed conversions" flavor of
     * [[attribution]]: every purchase emits, with null click columns when
@@ -148,7 +134,17 @@ object EventStream extends Serializable {
   def attributionOuter(purchases: DataFrame, clicks: DataFrame,
                        windowMinutes: Long = 30,
                        watermark: String = "2 hours",
-                       streaming: Boolean = false): DataFrame = {
+                       streaming: Boolean = false): DataFrame =
+    attributionJoin(purchases, clicks, windowMinutes, watermark, streaming,
+      joinType = "left_outer")
+
+  /** Shared body of [[attribution]]/[[attributionOuter]] — one home for
+    * the projections, watermark wiring, and interval predicate so the
+    * two flavors cannot drift. */
+  private def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                              windowMinutes: Long, watermark: String,
+                              streaming: Boolean,
+                              joinType: String): DataFrame = {
     val p0 = purchases.select(col("event_id").as("purchase_id"),
       col("user_id"), col("ts").as("purchase_ts"))
     val c0 = clicks.select(col("event_id").as("click_id"),
@@ -161,7 +157,7 @@ object EventStream extends Serializable {
         col("user_id") === col("c_user_id") &&
           col("click_ts") <= col("purchase_ts") &&
           col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-        "left_outer")
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"),
         ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L)
@@ -206,38 +202,94 @@ object EventStream extends Serializable {
       Session(userId, usToTs(st.startUs), usToTs(st.lastUs + gapUs),
         st.n, st.sum, st.types)
 
-    def fn(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
-           state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(close(userId, _)).iterator
-        state.remove()
-        return out
-      }
-      // within one trigger the group's rows arrive unordered — sort here;
-      // cross-trigger order is the watermark's job
-      val sorted = rows.toSeq.sortBy(_._3)
-      var st = state.getOption.orNull
+    def absorb(st: SessionState, us: Long, tpe: String, v: Double): SessionState =
+      if (st == null) SessionState(us, us, 1, v, Map(tpe -> 1L))
+      else st.copy(lastUs = us, n = st.n + 1, sum = st.sum + v,
+        types = st.types + (tpe -> (st.types.getOrElse(tpe, 0L) + 1L)))
+
+    // BATCH: one invocation per group sees every row — sort, fold, flush.
+    def fnBatch(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+                state: GroupState[SessionState]): Iterator[Session] = {
+      var st: SessionState = null
       val closed = Seq.newBuilder[Session]
-      sorted.foreach { case (_, _, us, tpe, v) =>
+      rows.toSeq.sortBy(_._3).foreach { case (_, _, us, tpe, v) =>
         if (st != null && us - st.lastUs >= gapUs) { closed += close(userId, st); st = null }
-        st =
-          if (st == null) SessionState(us, us, 1, v, Map(tpe -> 1L))
-          else st.copy(lastUs = us, n = st.n + 1, sum = st.sum + v,
-            types = st.types + (tpe -> (st.types.getOrElse(tpe, 0L) + 1L)))
+        st = absorb(st, us, tpe, v)
       }
-      if (st != null) {
-        if (streaming) {
-          state.update(st)
-          state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L)
-        } else closed += close(userId, st) // batch: flush at end of input
+      if (st != null) closed += close(userId, st)
+      closed.result().iterator
+    }
+
+    // STREAMING: SEAL-BEFORE-EMIT (the funnelCompletions discipline).
+    // Events above the watermark are buffered, not folded: an admitted
+    // late event may land inside any unsealed region, so folding it
+    // eagerly both regresses lastUs (st.copy with us < lastUs) and
+    // emits sessions a later event could still extend/merge. Only the
+    // sealed prefix (ts ≤ watermark) folds into the open session, and a
+    // session closes only when its gap region is entirely sealed —
+    // every emission is final by watermark guarantee. State = the open
+    // sealed session + the unsealed tail (watermark-bounded).
+    def fnStream(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+                 state: GroupState[SessionBufState]): Iterator[Session] = {
+      val closed = Seq.newBuilder[Session]
+      val prev = state.getOption
+      var open: SessionState = prev.filter(_.openN > 0)
+        .map(p => SessionState(p.openStart, p.openLast, p.openN, p.openSum,
+          p.openTypes)).orNull
+      val prevBuf = prev.map(_.buf).getOrElse(Seq.empty)
+      // on event-time timeout the watermark has passed (max known us) +
+      // gap, so EVERYTHING seals and the trailing gap is final
+      val timedOut = state.hasTimedOut
+      val wmUs =
+        if (timedOut) Long.MaxValue else state.getCurrentWatermarkMs() * 1000L
+      val incoming =
+        if (timedOut) Seq.empty
+        else rows.map(r => BufEv(r._3, r._4, r._5)).toSeq
+      val (sealedEvs, unsealedEvs) =
+        (prevBuf ++ incoming).sortBy(_.us).partition(_.us <= wmUs)
+      sealedEvs.foreach { e =>
+        if (open != null && e.us - open.lastUs >= gapUs) {
+          closed += close(userId, open); open = null
+        }
+        open = absorb(open, e.us, e.tpe, e.v)
+      }
+      // the watermark itself can close the open session: the gap region
+      // (lastUs, lastUs + gap] is sealed and provably empty
+      if (open != null && !timedOut && wmUs - open.lastUs >= gapUs) {
+        closed += close(userId, open); open = null
+      }
+      if (timedOut || (open == null && unsealedEvs.isEmpty)) {
+        if (open != null) closed += close(userId, open)
+        state.remove()
+      } else {
+        state.update(SessionBufState(
+          if (open != null) open.startUs else 0L,
+          if (open != null) open.lastUs else 0L,
+          if (open != null) open.n else 0L,
+          if (open != null) open.sum else 0.0,
+          if (open != null) open.types else Map.empty[String, Long],
+          unsealedEvs))
+        // wake when everything currently known has sealed AND its
+        // trailing gap has passed; always > current watermark (an open
+        // session that survived the close-check has lastUs + gap > wm,
+        // and unsealed events have us > wm)
+        val maxKnown = math.max(
+          if (open != null) open.lastUs else Long.MinValue,
+          if (unsealedEvs.nonEmpty) unsealedEvs.iterator.map(_.us).max
+          else Long.MinValue)
+        state.setTimeoutTimestamp((maxKnown + gapUs) / 1000L)
       }
       closed.result().iterator
     }
 
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (streaming) GroupStateTimeout.EventTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(fn)
+    if (streaming)
+      typed.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(fnStream)
+    else
+      typed.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(fnBatch)
   }
 
   /** One completed funnel (greedy non-overlapping; see
@@ -370,11 +422,19 @@ private[streaming] class ProfileProcessor
   override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
       timerValues: TimerValues): Iterator[EventStream.UserProfile] = {
     var added = 0L
-    // point-increment only the types present in THIS batch
+    // accumulate the batch LOCALLY first, then point-touch each DISTINCT
+    // type once — per-row containsKey+getValue+updateValue would be
+    // O(rows in batch) state-store operations (a hot user's 100k-event
+    // batch = ~300k RocksDB point ops); this is O(types in batch) = the
+    // cost the scaladoc promises, with identical output
+    val batchCounts = scala.collection.mutable.Map.empty[String, Long]
     rows.foreach { case (_, tpe) =>
       added += 1L
+      batchCounts.update(tpe, batchCounts.getOrElse(tpe, 0L) + 1L)
+    }
+    batchCounts.foreach { case (tpe, n) =>
       val cur = if (perType.containsKey(tpe)) perType.getValue(tpe) else 0L
-      perType.updateValue(tpe, cur + 1L)
+      perType.updateValue(tpe, cur + n)
     }
     val total = (if (nEvents.exists()) nEvents.get() else 0L) + added
     nEvents.update(total)
@@ -397,6 +457,17 @@ private[streaming] class ProfileProcessor
 // millis-only and silently truncates the event time's micros
 private[streaming] case class SessionState(startUs: Long, lastUs: Long, n: Long,
                                            sum: Double, types: Map[String, Long])
+
+/** One buffered (unsealed) event in the seal-before-emit session path. */
+private[streaming] case class BufEv(us: Long, tpe: String, v: Double)
+
+/** Streaming session state: the open session built from SEALED events
+  * (openN == 0 ⇔ none open) plus the unsealed tail — bounded by the
+  * watermark delay's worth of events per user. */
+private[streaming] case class SessionBufState(openStart: Long, openLast: Long,
+                                              openN: Long, openSum: Double,
+                                              openTypes: Map[String, Long],
+                                              buf: Seq[BufEv])
 
 /** Held funnel-relevant (tsMicros, condMask) pairs per user. */
 private[streaming] case class FunnelBuf(ts: Seq[Long], mask: Seq[Int])

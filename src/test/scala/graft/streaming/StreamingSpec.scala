@@ -160,6 +160,57 @@ class StreamingSpec extends SparkSpec {
     assert(sums.forall(s => s.eventTypes.values.sum == s.nEvents))
   }
 
+  test("custom-state streaming sessionization seals before emitting " +
+      "(late-but-admitted events merge, never regress)") {
+    // gap 30m, watermark 2h. Trigger 1 delivers 10:00 and 11:00; the
+    // eager fold would emit [10:00,10:30] immediately and open a session
+    // at 11:00. Trigger 2 delivers the LATE 10:15 (still above
+    // watermark, so admitted) and 10:50 — under seal-before-emit the
+    // true sessions are {10:00,10:15} and {10:50,11:00}; the old fold
+    // produced a Session(end < start). Trigger 3 is a heartbeat that
+    // advances the watermark past every timeout.
+    import spark.implicits._
+    def ev(user: Long, mins: Long, tpe: String) =
+      (user, mins * 60000000L, tpe, 1.0)
+    val f1 = Seq(ev(1, 600, "view"), ev(1, 660, "click"))
+    val f2 = Seq(ev(1, 615, "view"), ev(1, 650, "click"))
+    val f3 = Seq(ev(99, 4000, "view"))
+    def toDf(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("user_id", "us", "event_type", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_type"), col("value"))
+
+    val batch = EventStream.sessionizeWithState(toDf(f1 ++ f2 ++ f3))
+      .collect().map(s => (s.userId, s.sessionStart, s.sessionEnd, s.nEvents)).toSet
+    // sanity: u1 splits exactly at the sealed 35-minute gap
+    assert(batch.count(_._1 == 1L) == 2, s"expected 2 u1 sessions: $batch")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("sess_state_stream")
+    toDf(f1).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    toDf(f2).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
+    toDf(f3).coalesce(1).write.parquet(streamDir.resolve("f3").toString)
+    val schema = toDf(f1).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/*")
+    val q = EventStream.sessionizeWithState(streamIn, streaming = true)
+      .writeStream.format("memory").queryName("sess_state_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_state_stream")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // the heartbeat user's own session never seals (no later watermark
+    // passes its timeout), so append mode correctly withholds it —
+    // compare the sealed user only
+    assert(streamed == batch.filter(_._1 == 1L),
+      s"stream $streamed\nbatch $batch")
+    // no emitted session may end before it starts (the old fold's bug)
+    assert(streamed.forall(s => !s._3.before(s._2)), s"end<start in $streamed")
+  }
+
   test("streaming sessionization (session_window + watermark) matches batch") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStream.sessionize(Tables.t(spark, dir, "events"))
