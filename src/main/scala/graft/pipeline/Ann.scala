@@ -32,7 +32,9 @@ object Ann {
   }
 
   /** Exact top-k neighbors for each query vector (queries must be small —
-    * they are broadcast). Returns (query_id, rank, neighbor_id, cos). */
+    * they are broadcast). Returns (query_id, rank, neighbor_id, cos_r)
+    * — the 1e-8-rounded ranking cosine, the same score column the
+    * sibling [[ivfTopK]]/[[bruteForceTopKL2]] faces return. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb")))
@@ -46,7 +48,8 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_r"))
   }
 
   /** IVF (inverted-file) top-k similarity search: the corpus is
@@ -75,10 +78,13 @@ object Ann {
       struct(lit(i).as("cell"),
         array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
     }: _*)
+    // round the probe ranking too (house rule): a near-tie between two
+    // centroids flipped by FP accumulation order changes which CELLS are
+    // scanned — a different neighbor set entirely, not just a rank swap
     val wProbe = Window.partitionBy("query_id").orderBy(col("cc").desc, col("c.cell"))
     val probed = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .select(col("query_id"), col("q_emb"), explode(centArr).as("c"))
-      .withColumn("cc", cosine(col("q_emb"), col("c.cent")))
+      .withColumn("cc", round(cosine(col("q_emb"), col("c.cent")), 8))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("c.cell").as("cell"))
@@ -697,19 +703,26 @@ object Ann {
     require(k >= 1, s"k >= 1, got $k")
     val spark = emb.sparkSession
     graft.functions.VectorExprs.register(spark)
-    val seedRow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    val seedRows = emb.orderBy("vec_id").select("vec_id", "embedding")
+      .limit(1).collect()
+    require(seedRows.nonEmpty, "kCenterSelect over an EMPTY embedding frame")
     var selected = Vector[(Long, Seq[Float], Option[Double])](
-      (seedRow.getLong(0), seedRow.getSeq[Float](1), None))
+      (seedRows(0).getLong(0), seedRows(0).getSeq[Float](1), None))
     while (selected.size < k) {
       val minDist = selected.map { case (_, v, _) =>
         round(lit(1.0) - cosine(col("embedding"),
           array(v.map(x => lit(x)): _*)), 8)
       }.reduce(least(_, _))
       val ids = selected.map(_._1)
-      val next = emb.filter(!col("vec_id").isin(ids: _*))
+      val nextRows = emb.filter(!col("vec_id").isin(ids: _*))
         .select(col("vec_id"), col("embedding"), minDist.as("d"))
         .orderBy(col("d").desc, col("vec_id"))
-        .limit(1).head()
+        .limit(1).collect()
+      // loud instead of a bare head-on-empty crash mid-loop
+      require(nextRows.nonEmpty,
+        s"kCenterSelect: k=$k exceeds the corpus size (${selected.size} " +
+          "distinct vectors available)")
+      val next = nextRows(0)
       selected :+= ((next.getLong(0), next.getSeq[Float](1),
         Some(next.getDouble(2))))
     }
@@ -738,6 +751,12 @@ object Ann {
     * groups × dims regardless of corpus size. Per-dim means round 1e-6
     * before the comparison algebra (house rule: each derived stage
     * quantizes before the next, so engines cannot drift).
+    *
+    * CONTRACT: `snapshot` must evaluate to exactly 0 (baseline) and 1
+    * (candidate) — the two sides filter on those literals, so any other
+    * encoding (1/2 labels, dates, versions) leaves at most one side
+    * populated and the inner join returns an EMPTY report rather than
+    * an error; map the snapshot column (`when(...)`) before calling.
     *
     * Returns one row per group present in BOTH snapshots:
     * (group, n_a, n_b, centroid_cos, mean_shift_l2, norm_ratio). */

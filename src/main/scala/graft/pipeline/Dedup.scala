@@ -36,10 +36,7 @@ object Dedup {
     // of the Jaccard verify), each otherwise re-running the shingle
     // regex over the corpus — persist once (the p80 lesson applied
     // family-wide); MEMORY_AND_DISK spills rather than OOMs
-    val base = df.select(
-      col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingled(df, idCol, textCol, shingleN)
       .transform(graft.operators.Broadcasts.trackedPersist)
     val banded = minhashPostings(base, k, bands, seed)
     val a = banded.select(col("bkt"), col("id").as("i"))
@@ -118,10 +115,7 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0 (J >= t > 0 implies a shared shingle)")
     // same fan-out as minhashPairs: postings + the two size joins all
     // re-shingle the corpus without this persist
-    val base = df.select(
-      col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingled(df, idCol, textCol, shingleN)
       .transform(graft.operators.Broadcasts.trackedPersist)
     val sized = base.select(col("id"), size(col("sh")).as("n"))
     // The exchange is load-bearing (same discipline as minhashPairs):
@@ -202,10 +196,7 @@ object Dedup {
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("i", "j")
-    val base = df.select(
-      col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol))).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingled(df, idCol, textCol)
     verifyJaccard(candidates, base, threshold)
   }
 
@@ -328,14 +319,26 @@ object Dedup {
                               threshold: Double = 0.5, shingleN: Int = 3,
                               seed: Long = 7): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    index.select("params.k", "params.bands", "params.shingle_n", "params.seed")
-      .head(1).foreach { p =>
-        val stamped = (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
-        require(stamped == ((k, bands, shingleN, seed)),
-          s"index was built with (k, bands, shingleN, seed) = $stamped but " +
-            s"the batch uses (${(k, bands, shingleN, seed)}) — band hashes " +
-            "would never collide; rebuild the index or match its parameters")
-      }
+    // validate EVERY distinct stamp, not one sampled row: a mixed-params
+    // index (two seeding writers racing, or an append with different
+    // knobs) must fail here too — head(1) could sample the matching
+    // partition and let the mismatched one silently contribute zero
+    // candidates. The distinct aggregate is over an RLE'd constant
+    // column: one skinny job, index-partition-count rows at most.
+    val stamps = index
+      .select("params.k", "params.bands", "params.shingle_n", "params.seed")
+      .distinct().collect()
+      .map(p => (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3)))
+    require(stamps.length <= 1,
+      s"index carries ${stamps.length} DIFFERENT parameter stamps " +
+        s"(${stamps.mkString(", ")}) — it was written by inconsistent " +
+        "builders and must be rebuilt")
+    stamps.foreach { stamped =>
+      require(stamped == ((k, bands, shingleN, seed)),
+        s"index was built with (k, bands, shingleN, seed) = $stamped but " +
+          s"the batch uses (${(k, bands, shingleN, seed)}) — band hashes " +
+          "would never collide; rebuild the index or match its parameters")
+    }
     val newBase = shingled(newDocs, idCol, textCol, shingleN)
     val newPosts = minhashPostings(newBase, k, bands, seed)
       .select(col("bkt.band").as("band"), col("bkt.bandHash").as("band_hash"),
@@ -593,20 +596,6 @@ object Dedup {
       .select(struct(col("band"), col("bandVal")).as("bkt"), col("id"), col("sig"))
   }
 
-  /** Connected components over near-dup PAIRS → per-doc cluster labels
-    * (label = min doc id in the component) — the step that turns a pair
-    * report into actionable dedup: one canonical keep per cluster,
-    * everything else dropped. Min-label propagation: each round every
-    * node takes the min of its own and its neighbors' labels; rounds
-    * needed = component diameter, and near-dup components are
-    * SMALL-DIAMETER by construction (members all resemble the same
-    * text), so the loop converges in a handful of bounded-size joins —
-    * each one a skinny (node, label) shuffle. ONE action per round: the
-    * aggregate that reads the did-anything-improve bit also materializes
-    * the round's cache (r5 review: isEmpty + count was two jobs).
-    * (Web-scale graphs with long chains want large-star/small-star
-    * [Kiveris et al.]; for dedup clusters the simple propagation IS the
-    * right cost.) */
   /** Canonical-keep — the DECISION half of near-dup dedup: given cluster
     * labels (v, lbl) from connected components and a per-doc quality
     * score, keep exactly one doc per cluster (best score, ties to the
@@ -618,11 +607,16 @@ object Dedup {
     * unigram NLL…). Returns (doc_id, cluster, score, keep). */
   def canonicalKeep(labels: DataFrame, docs: DataFrame, idCol: String,
                     scoreCol: String): DataFrame = {
+    // the score column keeps its ORIGINAL type in the output, but the
+    // argmax ranks on its double view — a long cast would truncate the
+    // fractional scores the contract advertises (a Gopher keep-score in
+    // [0,1] would rank every cluster as all-ties and "keep" the
+    // smallest id regardless of quality)
     val scored = labels.join(
-      docs.select(col(idCol).cast("long").as("v"),
-        col(scoreCol).cast("long").as("score")), "v")
+      docs.select(col(idCol).cast("long").as("v"), col(scoreCol).as("score")),
+      "v")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lbl").orderBy(col("score").desc, col("v"))
+      .partitionBy("lbl").orderBy(col("score").cast("double").desc, col("v"))
     scored.select(col("v").as("doc_id"), col("lbl").as("cluster"),
       col("score"), (row_number().over(w) === 1).as("keep"))
   }
@@ -668,6 +662,20 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
 
+  /** Connected components over near-dup PAIRS → per-doc cluster labels
+    * (label = min doc id in the component) — the step that turns a pair
+    * report into actionable dedup: one canonical keep per cluster,
+    * everything else dropped. Min-label propagation: each round every
+    * node takes the min of its own and its neighbors' labels; rounds
+    * needed = component diameter, and near-dup components are
+    * SMALL-DIAMETER by construction (members all resemble the same
+    * text), so the loop converges in a handful of bounded-size joins —
+    * each one a skinny (node, label) shuffle. ONE action per round: the
+    * aggregate that reads the did-anything-improve bit also materializes
+    * the round's cache (r5 review: isEmpty + count was two jobs).
+    * (Web-scale graphs with long chains want large-star/small-star
+    * [Kiveris et al.]; for dedup clusters the simple propagation IS the
+    * right cost.) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
     // localCheckpoint, not cache: each round's output feeds the next
@@ -932,10 +940,14 @@ object Dedup {
     // float-exact alpha from rounding up and pruning a boundary pair.
     val alpha = ceil((col("ni") + col("nj")) * lit(threshold / (1.0 + threshold))
       - lit(1e-9))
+    // the same 1e-9 slack on the length filter: t·n floats ABOVE the
+    // exact integer product for many (n, t) pairs (100·0.55 =
+    // 55.000000000000007), and this prune is lossless-by-proof only if
+    // an exact-boundary pair (ni = t·nj) survives it
     val cands = a.join(b, "h")
       .filter(col("i") < col("j") &&
-        col("ni") >= lit(threshold) * col("nj") &&
-        col("nj") >= lit(threshold) * col("ni") &&
+        col("ni") >= lit(threshold) * col("nj") - lit(1e-9) &&
+        col("nj") >= lit(threshold) * col("ni") - lit(1e-9) &&
         (least(col("pa"), col("pb")) +
           least(col("ni") - col("pa"), col("nj") - col("pb"))) >= alpha)
       .select("i", "j").distinct()
@@ -1018,8 +1030,13 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("tdf"), col("tok"), col("h"))))
         .as("ts"))
       .withColumn("n", size(col("ts")))
+      // 1e-9 slack: n·t floats above the exact integer product for many
+      // (n, t) pairs (100·0.55 → ceil 56, not 55), which would shorten
+      // the prefix by one token and silently lose boundary true pairs —
+      // the same guard alpha already carries. Slack only ever LENGTHENS
+      // the prefix, adding candidates the exact verify then rejects.
       .withColumn("plen",
-        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+        (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n"),
         posexplode(slice(col("ts"), lit(1), col("plen"))).as(Seq("p0", "t")))
       .select(col("t.tok").as("tok"), col("t.h").as("h"), col("id"),

@@ -116,6 +116,9 @@ object PipelineQueries extends QueryModule {
     "p06_ann_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 3)
+        // surface at the 1e-6 cross-engine precision (p07's discipline);
+        // the operator ranks at 1e-8 internally
+        .withColumn("cos_r", round(col("cos_r"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -1295,8 +1298,12 @@ object PipelineQueries extends QueryModule {
       ORDER BY i, j""",
 
     "p06_ann_bruteforce" -> """
-      SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, rank, neighbor_id, cos_r FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               -- same double rounding as the Spark side: the operator
+               -- rounds to 1e-8 for ranking, the surface re-rounds to 1e-6
+               round(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])), 8), 6) AS cos_r,
                CAST(row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

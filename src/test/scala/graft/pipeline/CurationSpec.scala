@@ -251,6 +251,19 @@ class CurationSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("canonicalKeep ranks FRACTIONAL quality scores (no long truncation)") {
+    // Gopher-style keep-scores in [0,1]: a long cast would truncate all
+    // of these to 0, tie every cluster, and keep the smallest id
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("v", "lbl")
+    val docs = Seq((1L, 0.17), (2L, 0.92), (3L, -0.4), (4L, -0.1))
+      .toDF("doc_id", "q")
+    val keep = Dedup.canonicalKeep(labels, docs, "doc_id", "q")
+      .filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keep === Set(2L, 4L),
+      "the HIGHER fractional (and the less-negative) score must win")
+  }
+
   // ---- Dedup.bloomContaminationPairs -------------------------------------
 
   private def corpus(n: Int) = {
