@@ -59,11 +59,8 @@ object CdcBoundariesExpr {
       "graft_cdc_boundaries",
       { exprs =>
         require(exprs.length == 3, "graft_cdc_boundaries(text, w, div)")
-        def litLong(e: Expression) = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toLong
-          case other => throw new IllegalArgumentException(s"literal expected, got $other")
-        }
-        CdcBoundariesExpr(exprs.head, litLong(exprs(1)).toInt, litLong(exprs(2)))
+        CdcBoundariesExpr(exprs.head, ExprLits.litInt(exprs(1), "w"),
+          ExprLits.litLong(exprs(2), "div"))
       },
       "built-in")
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, ArrayPosition, Cast, CaseWhen, Ceil, CreateArray, DateAdd, DateDiff, Divide, Floor, FormatNumber, GreaterThanOrEqual, Literal, Multiply, Pow, Size, SortArray, Subtract, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, ArrayPosition, Cast, CaseWhen, Ceil, Coalesce, CreateArray, DateAdd, DateDiff, Divide, Floor, FormatNumber, GreaterThanOrEqual, Literal, Multiply, Pow, Size, SortArray, Subtract, XxHash64}
 import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, LongType}
 
 /** Doris-dialect function compatibility (SURVEY.md §2.7 X-BH): the
@@ -65,11 +65,16 @@ object DorisCompat {
             Divide(Cast(Floor(Multiply(x, p)), DoubleType), p))),
           Some(Divide(Cast(Ceil(Multiply(x, p)), DoubleType), p)))
       }, "built-in")
-    // field(str, s1, s2, …): 1-based index of str in the list, 0 if absent
+    // field(str, s1, s2, …): 1-based index of str in the list, 0 if
+    // absent AND 0 for a NULL search value — MySQL/Doris FIELD(NULL,…)
+    // is 0, but ArrayPosition(…, NULL) is NULL, which would give NULL
+    // sort keys and NULL→false predicates where the emulated dialect
+    // sorts/compares with 0
     reg.createOrReplaceTempFunction("field",
       { exprs =>
         require(exprs.length >= 2, "field(str, s1, ...)")
-        ArrayPosition(CreateArray(exprs.tail), exprs.head)
+        Coalesce(Seq(ArrayPosition(CreateArray(exprs.tail), exprs.head),
+          Literal(0L)))
       }, "built-in")
     // to_days(date): days since year 0 (MySQL epoch: 1970-01-01 = 719528)
     reg.createOrReplaceTempFunction("to_days",

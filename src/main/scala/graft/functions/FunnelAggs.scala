@@ -281,16 +281,11 @@ object FunnelAggs {
 
   // ----------------------------------------------------------- registration
 
-  private def litLong(e: Expression, what: String): Long = e match {
-    case Literal(v, _) => v.toString.toLong
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_window_funnel",
       { exprs =>
         require(exprs.length >= 3, "graft_window_funnel(windowMicros, ts, cond1, ...)")
-        WindowFunnelAggExpr(litLong(exprs.head, "windowMicros"), exprs(1), exprs.drop(2))
+        WindowFunnelAggExpr(ExprLits.litLong(exprs.head, "windowMicros"), exprs(1), exprs.drop(2))
           .toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_retention",

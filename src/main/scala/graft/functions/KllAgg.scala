@@ -165,21 +165,16 @@ case class KllQuantilesExpr(left: Expression, right: Expression)
 }
 
 object KllAgg {
-  private def litInt(e: Expression, what: String): Int = e match {
-    case Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kll",
       { exprs =>
         require(exprs.length == 2, "graft_kll(value, k)")
-        KllAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
+        KllAggExpr(exprs.head, ExprLits.litInt(exprs(1), "k")).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kll_merge",
       { exprs =>
         require(exprs.length == 2, "graft_kll_merge(sketch, k)")
-        KllMergeAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
+        KllMergeAggExpr(exprs.head, ExprLits.litInt(exprs(1), "k")).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kll_quantiles",
       { exprs =>

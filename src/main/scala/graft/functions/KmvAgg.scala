@@ -182,21 +182,16 @@ case class KmvMinsAggExpr(
 }
 
 object KmvAgg {
-  private def litInt(e: Expression, what: String): Int = e match {
-    case Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv",
       { exprs =>
         require(exprs.length == 2, "graft_kmv(unitHash, k)")
-        KmvAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
+        KmvAggExpr(exprs.head, ExprLits.litInt(exprs(1), "k")).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv_mins",
       { exprs =>
         require(exprs.length == 2, "graft_kmv_mins(unitHash, k)")
-        KmvMinsAggExpr(exprs.head, litInt(exprs(1), "k")).toAggregateExpression()
+        KmvMinsAggExpr(exprs.head, ExprLits.litInt(exprs(1), "k")).toAggregateExpression()
       }, "built-in")
   }
 }

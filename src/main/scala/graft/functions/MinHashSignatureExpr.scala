@@ -31,13 +31,10 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
   override def prettyName: String = "minhash_signature"
 
   // per-slot affine permutation parameters, derived from the seed
+  // one splitmix64 in the package (graft.functions.splitmix): a private
+  // copy drifting a bit from it would silently stop signatures matching
+  // historical landed indexes
   private lazy val (as, bs): (Array[Long], Array[Long]) = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
     val a = Array.tabulate(k)(j => splitmix(seed * 0x100000001b3L + j) | 1L) // odd
     val b = Array.tabulate(k)(j => splitmix(seed ^ (j * 0xff51afd7ed558ccdL)))
     (a, b)
@@ -66,14 +63,8 @@ object MinHashSignatureExpr {
       "graft_minhash_sig",
       { exprs =>
         require(exprs.length == 3, "graft_minhash_sig(shingles, k, seed)")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
-        }
-        val seed = exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toLong
-          case other => throw new IllegalArgumentException(s"seed must be a literal, got $other")
-        }
+        val k = ExprLits.litInt(exprs(1), "k")
+        val seed = ExprLits.litLong(exprs(2), "seed")
         MinHashSignatureExpr(exprs.head, k, seed)
       },
       "built-in")

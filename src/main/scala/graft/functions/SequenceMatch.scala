@@ -81,7 +81,14 @@ object SequenceMatch {
                 case ">=" => '≥'; case "==" => '='
               }
               // a time constraint implies a gap (ClickHouse: `(?t>n)` sits
-              // between anchors and composes with .*)
+              // between anchors and composes with .*); a SECOND time
+              // constraint between the same pair of anchors is rejected
+              // loudly — silently keeping only the last one would match
+              // sequences the written pattern excludes (e.g.
+              // `(?1)(?t>2)(?t<5)(?2)` acting as just `(?t<5)`)
+              require(!pendingGap.exists(_.op != 0),
+                s"two time constraints between the same anchors at: '$rest' " +
+                  "— only one (?t OP n) is allowed per separator")
               pendingGap = Some(Gap(op, m.group(2).toLong))
               rest = rest.drop(m.matched.length)
             case None =>
@@ -300,22 +307,17 @@ object SequenceMatch {
 
   // --------------------------------------------------------- registration
 
-  private def litStr(e: Expression, what: String): String = e match {
-    case Literal(v: UTF8String, _) => v.toString
-    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
-  }
-
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_sequence_match",
       { exprs =>
         require(exprs.length >= 3, "graft_sequence_match(pattern, ts, cond1, ...)")
-        SequenceAggExpr(litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
+        SequenceAggExpr(ExprLits.litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
           countMode = false).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_sequence_count",
       { exprs =>
         require(exprs.length >= 3, "graft_sequence_count(pattern, ts, cond1, ...)")
-        SequenceAggExpr(litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
+        SequenceAggExpr(ExprLits.litStr(exprs.head, "pattern"), exprs(1), exprs.drop(2),
           countMode = true).toAggregateExpression()
       }, "built-in")
   }

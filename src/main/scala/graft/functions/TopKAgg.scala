@@ -31,23 +31,43 @@ import org.apache.spark.unsafe.types.UTF8String
 object SpaceSaving {
   /** counters: value → (count, err). Deterministic eviction: among
     * minimum-count entries the lexicographically LARGEST value is
-    * evicted, so results don't depend on hash-map iteration order. */
+    * evicted, so results don't depend on hash-map iteration order.
+    *
+    * An ordered eviction INDEX ((count asc, value desc) TreeSet, kept in
+    * lockstep with the map) makes eviction O(log capacity) — the naive
+    * minBy scan was O(capacity) per non-resident row, which dominates
+    * the aggregate once a high-cardinality group saturates the summary
+    * (capacity · rows tuple comparisons); resident increments pay one
+    * O(log capacity) re-index, a constant-factor trade the eviction
+    * path repays at any real skew. */
   final class Summary(val capacity: Int) {
     val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+    private val order = mutable.TreeSet.empty[(Long, String)](
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
 
-    def offer(v: String, weight: Long = 1L): Unit = counters.get(v) match {
-      case Some((c, e)) => counters.update(v, (c + weight, e))
-      case None if counters.size < capacity => counters.update(v, (weight, 0L))
-      case None =>
-        val (mv, (mc, _)) = counters.minBy { case (value, (c, _)) => (c, reverseOrd(value)) }
-        counters.remove(mv)
-        counters.update(v, (mc + weight, mc))
+    /** Insert/overwrite keeping the index in lockstep (the ONLY mutation
+      * path — ser/merge/deser all go through it). */
+    private[SpaceSaving] def put(v: String, c: Long, e: Long): Unit = {
+      counters.get(v).foreach { case (oc, _) => order.remove((oc, v)) }
+      counters.update(v, (c, e))
+      order.add((c, v))
     }
 
-    // order helper: smallest count first; ties broken to evict the
-    // lexicographically largest value (so keep-side favors small values,
-    // matching the deterministic output ordering below)
-    private def reverseOrd(s: String): ReverseString = new ReverseString(s)
+    private[SpaceSaving] def clearAll(): Unit = { counters.clear(); order.clear() }
+
+    /** Minimum resident count (the merge charge when full) — O(log n). */
+    private[SpaceSaving] def minCount: Long =
+      if (counters.isEmpty) 0L else order.head._1
+
+    def offer(v: String, weight: Long = 1L): Unit = counters.get(v) match {
+      case Some((c, e)) => put(v, c + weight, e)
+      case None if counters.size < capacity => put(v, weight, 0L)
+      case None =>
+        val (mc, mv) = order.head // smallest count, lexicographically largest value
+        order.remove((mc, mv))
+        counters.remove(mv)
+        put(v, mc + weight, mc)
+    }
 
     /** Mergeable-summaries combine (Agarwal et al.): a value ABSENT from
       * a FULL summary may still have appeared up to that summary's
@@ -57,19 +77,16 @@ object SpaceSaving {
       * later re-insertion would restart below the true count. A summary
       * that never filled charges 0 (absence there really means 0). */
     def merge(other: Summary): Unit = {
-      val thisMin =
-        if (counters.size >= capacity) counters.valuesIterator.map(_._1).min else 0L
-      val otherMin =
-        if (other.counters.size >= capacity) other.counters.valuesIterator.map(_._1).min
-        else 0L
+      val thisMin = if (counters.size >= capacity) minCount else 0L
+      val otherMin = if (other.counters.size >= capacity) other.minCount else 0L
       val merged = (counters.keySet ++ other.counters.keySet).toSeq.map { v =>
         val (c1, e1) = counters.getOrElse(v, (thisMin, thisMin))
         val (c2, e2) = other.counters.getOrElse(v, (otherMin, otherMin))
         v -> (c1 + c2, e1 + e2)
       }
       val keep = merged.sortBy { case (v, (c, _)) => (-c, v) }.take(capacity)
-      counters.clear()
-      keep.foreach { case (v, ce) => counters.update(v, ce) }
+      clearAll()
+      keep.foreach { case (v, (c, e)) => put(v, c, e) }
     }
 
     /** top-k rows ordered (count desc, value asc) — deterministic. */
@@ -77,12 +94,6 @@ object SpaceSaving {
       counters.toSeq.sortBy { case (v, (c, _)) => (-c, v) }
         .take(k).map { case (v, (c, e)) => (v, c, e) }
   }
-
-  private final class ReverseString(val s: String) extends Comparable[ReverseString] {
-    override def compareTo(o: ReverseString): Int = o.s.compareTo(s)
-  }
-  private implicit val revOrdering: Ordering[ReverseString] =
-    (a: ReverseString, b: ReverseString) => a.compareTo(b)
 
   def ser(s: Summary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -104,7 +115,7 @@ object SpaceSaving {
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      s.counters.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
+      s.put(new String(b, "UTF-8"), in.readLong(), in.readLong())
       i += 1
     }
     s
@@ -161,16 +172,11 @@ case class TopNAggExpr(
 }
 
 object TopKAgg {
-  private def litInt(e: Expression, what: String): Int = e match {
-    case Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_topn",
       { exprs =>
         require(exprs.length == 3, "graft_topn(col, k, capacity)")
-        TopNAggExpr(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "capacity"))
+        TopNAggExpr(exprs.head, ExprLits.litInt(exprs(1), "k"), ExprLits.litInt(exprs(2), "capacity"))
           .toAggregateExpression()
       }, "built-in")
 }

@@ -41,6 +41,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any =
     VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -63,6 +66,8 @@ case class HyperplaneBucketsExpr(child: Expression, dims: Int, planes: Int,
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_buckets"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName, "embedding" -> child.dataType)
 
   // weights(t*planes + p)(d) ∈ [-1, 1]
   private lazy val weights: Array[Array[Double]] =
@@ -120,6 +125,8 @@ case class SimHash64Expr(child: Expression, seed: Long)
 case class Int8ScaleExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_int8_scale"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName, "embedding" -> child.dataType)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.int8Scale(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,6 +141,8 @@ case class Int8ScaleExpr(child: Expression) extends UnaryExpression {
 case class Int8CosQExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_int8_cosq"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName, "embedding" -> left.dataType)
   override def nullSafeEval(emb: Any, scale: Any): Any =
     VectorKernels.int8CosQ(emb.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -184,6 +193,8 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 case class Int8MaeQExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_int8_maeq"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName, "embedding" -> left.dataType)
   override def nullSafeEval(emb: Any, scale: Any): Any =
     VectorKernels.int8MaeQ(emb.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -245,6 +256,8 @@ case class WhitenApplyExpr(child: Expression, w: Array[Double], mu: Array[Double
     s"W must be d×d row-major (got ${w.length} vs d=${mu.length})")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprLits.floatArrayCheck(prettyName, "embedding" -> child.dataType)
   override def prettyName: String = "graft_whiten_apply"
 
   private lazy val isFloat: Boolean = child.dataType match {
@@ -267,19 +280,6 @@ case class WhitenApplyExpr(child: Expression, w: Array[Double], mu: Array[Double
 }
 
 object VectorExprs {
-  private def litInt(e: Expression, what: String): Int = e match {
-    case Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-  private def litLong(e: Expression, what: String): Long = e match {
-    case Literal(v, _) => v.toString.toLong
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
-  private def litDoubleArray(e: Expression, what: String): Array[Double] = e match {
-    case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
-    case other => throw new IllegalArgumentException(
-      s"$what must be a literal array<double>, got $other")
-  }
 
   /** Register the kernels as temp SQL functions reachable through the
     * public Column API via `functions.call_function`. */
@@ -293,14 +293,14 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_hyperplane_buckets",
       { exprs =>
         require(exprs.length == 5, "graft_hyperplane_buckets(emb, dims, planes, tables, seed)")
-        HyperplaneBucketsExpr(exprs.head, litInt(exprs(1), "dims"),
-          litInt(exprs(2), "planes"), litInt(exprs(3), "tables"),
-          litLong(exprs(4), "seed"))
+        HyperplaneBucketsExpr(exprs.head, ExprLits.litInt(exprs(1), "dims"),
+          ExprLits.litInt(exprs(2), "planes"), ExprLits.litInt(exprs(3), "tables"),
+          ExprLits.litLong(exprs(4), "seed"))
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       { exprs =>
         require(exprs.length == 2, "graft_simhash64(tokens, seed)")
-        SimHash64Expr(exprs.head, litLong(exprs(1), "seed"))
+        SimHash64Expr(exprs.head, ExprLits.litLong(exprs(1), "seed"))
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       { exprs =>
@@ -336,7 +336,7 @@ object VectorExprs {
       { exprs =>
         require(exprs.length == 3, "graft_whiten_apply(vec, wFlat, mu)")
         WhitenApplyExpr(exprs.head,
-          litDoubleArray(exprs(1), "wFlat"), litDoubleArray(exprs(2), "mu"))
+          ExprLits.litDoubleArray(exprs(1), "wFlat"), ExprLits.litDoubleArray(exprs(2), "mu"))
       }, "built-in")
   }
 }

@@ -20,7 +20,13 @@ object VectorKernels {
     * Zero-norm vectors yield 0.0, not NaN — a NaN neither sorts nor
     * compares, which silently poisons top-k ranking downstream. */
   def cosine(l: ArrayData, r: ArrayData): Double = {
-    val n = math.min(l.numElements(), r.numElements())
+    // ragged input is a LOUD error (the graft_vec_sum contract): a
+    // min-length truncation returns a plausible but wrong similarity
+    // that passes every sanity bound
+    if (l.numElements() != r.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: ragged input (${l.numElements()} vs ${r.numElements()} dims)")
+    val n = l.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -184,7 +190,11 @@ object VectorKernels {
     * window-of-w minima (rightmost on ties) via a monotone deque,
     * distinct, in first-seen order. */
   def winnowing(input: UTF8String, k: Int, w: Int, bk: Long): ArrayData = {
-    val s = input.toString.toLowerCase
+    // Locale.ROOT: the default-locale overload is locale-SENSITIVE
+    // (tr_TR lowercases "I" to dotless ı), so fingerprints would differ
+    // across JVMs/executors with different default locales — silently
+    // breaking dedup joins and the oracle comparison
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
@@ -272,6 +282,11 @@ object VectorKernels {
   def whitenApply(x: ArrayData, isFloat: Boolean,
                   w: Array[Double], mu: Array[Double]): ArrayData = {
     val d = mu.length
+    // a ragged (shorter) vector would read past its end: AIOOBE on the
+    // generic path, silently garbage slots on the unsafe path
+    if (x.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_whiten_apply: input has ${x.numElements()} dims, model has $d")
     val c = new Array[Double](d)
     var j = 0
     while (j < d) {

@@ -50,11 +50,8 @@ object WinnowingExpr {
       "graft_winnowing",
       { exprs =>
         require(exprs.length == 3, "graft_winnowing(text, k, w)")
-        def litInt(e: Expression) = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(s"literal expected, got $other")
-        }
-        WinnowingExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))
+        WinnowingExpr(exprs.head, ExprLits.litInt(exprs(1), "k"),
+          ExprLits.litInt(exprs(2), "w"))
       },
       "built-in")
 }
