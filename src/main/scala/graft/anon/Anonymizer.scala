@@ -283,10 +283,14 @@ object Anonymizer {
     var prevMeaningful = ""  // lower-cased text of the previous meaningful token
     toks.zipWithIndex.foreach { case (t, i) =>
       t match {
-        case Word(w, _) =>
+        case Word(w, quoted) =>
           val lw = w.toLowerCase
-          val isKeyword = Keywords.contains(lw)
-          val isFunction = !NonCallContext.contains(prevMeaningful) &&
+          // a BACKTICK-QUOTED word is an identifier BY QUOTATION — the
+          // keyword/function escapes must not apply, or `order`/`table`
+          // columns would be kept verbatim AND emitted bare, producing
+          // SQL that no longer parses (the N5 replayability invariant)
+          val isKeyword = !quoted && Keywords.contains(lw)
+          val isFunction = !quoted && !NonCallContext.contains(prevMeaningful) &&
             (nextMeaningful(i + 1) match {
               case Some(Other("(")) => true
               case _ => false
@@ -295,9 +299,14 @@ object Anonymizer {
           else if (isKeyword || isFunction) sb ++= w
           else {
             val alias = f(w)
-            // hex aliases may start with a digit; quote those so the
-            // rewritten statement stays parseable (N5 replayability)
-            if (alias.nonEmpty && alias.head.isDigit && alias != w) sb ++= s"`$alias`"
+            // backticks are STRIPPED by design (reference ToSQL parity),
+            // so re-quote only where the bare emission would not parse:
+            // digit-leading hex aliases, and a quoted identifier whose
+            // alias text collides with a keyword (`order` under an
+            // identity/dictionary rewrite) — N5 replayability
+            if ((alias.nonEmpty && alias.head.isDigit && alias != w) ||
+                (quoted && Keywords.contains(alias.toLowerCase)))
+              sb ++= s"`$alias`"
             else sb ++= alias
           }
           if (lw == "engine") pendingEngineValue = true

@@ -589,10 +589,14 @@ object ColumnGen {
     case DBitmap =>
       val (lmn, lmx) = lengthOf(r)
       val (mn, mx) = minMaxLong(r, 0, Int.MaxValue)
-      val len = ctx.uniform("blen", lmn, lmx).cast("int")
+      // greatest(len, 0) alone cannot fix len = 0: Spark's sequence(1, 0)
+      // defaults to step -1 and yields [1, 0] — an explicit empty branch
+      // keeps a `length: {min: 0}` rule honest (same for array/map below)
+      val len = greatest(ctx.uniform("blen", lmn, lmx).cast("int"), lit(0))
+      when(len <= 0, array().cast("array<bigint>")).otherwise(
       transform(sequence(lit(1), len),
         i => pmod(xxhash64(lit(ctx.seed), lit(ctx.path), lit("bit"), i, ctx.salts.head),
-                  lit(mx - mn + 1)) + lit(mn))
+                  lit(mx - mn + 1)) + lit(mn)))
 
     case DHll =>
       rule(r, "from") match {
@@ -609,21 +613,24 @@ object ColumnGen {
 
     case DArray(elem) =>
       val (lmn, lmx) = lengthOf(r)
-      val len = ctx.uniform("alen", lmn, lmx).cast("int")
+      val len = greatest(ctx.uniform("alen", lmn, lmx).cast("int"), lit(0))
       val elemRule = GenRules.asRule(r.getOrElse("element", GenRules.empty))
-      transform(sequence(lit(1), len),
+      val body = transform(sequence(lit(1), len),
         i => build(elem, elemRule, ctx.child("element", Seq(i)), env))
+      when(len <= 0, slice(body, 1, 0)).otherwise(body)
 
     case DMap(k, v) =>
       val (lmn, lmx) = lengthOf(r)
-      val len = ctx.uniform("mlen", lmn, lmx).cast("int")
+      val len = greatest(ctx.uniform("mlen", lmn, lmx).cast("int"), lit(0))
       val keyRule = GenRules.asRule(r.getOrElse("key", GenRules.empty))
       val valRule = GenRules.asRule(r.getOrElse("value", GenRules.empty))
+      val ks = transform(sequence(lit(1), len), i => build(k, keyRule, ctx.child("key", Seq(i)), env))
+      val vs = transform(sequence(lit(1), len), i => build(v, valRule, ctx.child("value", Seq(i)), env))
       // Requires spark.sql.mapKeyDedupPolicy=LAST_WIN in the session (random
       // keys can collide); set in the engine's session builders.
       map_from_arrays(
-        transform(sequence(lit(1), len), i => build(k, keyRule, ctx.child("key", Seq(i)), env)),
-        transform(sequence(lit(1), len), i => build(v, valRule, ctx.child("value", Seq(i)), env)))
+        when(len <= 0, slice(ks, 1, 0)).otherwise(ks),
+        when(len <= 0, slice(vs, 1, 0)).otherwise(vs))
 
     case DStruct(fields) =>
       val fieldRules: Map[String, Rule] = rule(r, "fields").orElse(rule(r, "field")) match {

@@ -54,8 +54,29 @@ object Merge {
     // touched partitions: bounded METADATA (one value per partition of
     // the update batch) — the same bounded-collect class as boundary
     // arrays; this is what scopes both the read and the rewrite
-    val touched = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touchedRaw = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    // a NULL partition value cannot be scoped: isin(null) never matches,
+    // so the existing __HIVE_DEFAULT_PARTITION__ rows would be EXCLUDED
+    // from the merge read yet REPLACED by the dynamic overwrite — silent
+    // data loss the conservation check would flag only after the rewrite
+    require(!touchedRaw.contains(None),
+      s"update batch has rows with a NULL '$partCol' — a key's partition " +
+        "value is its physical address and must be non-null")
+    val touched = touchedRaw.flatten.sorted
+    // the scoping filter compares string views across a disk round-trip,
+    // so the partition value must survive the target's read-back type
+    // (Hive partition-column inference turns '01' into int 1 → '1', and
+    // the scoped read would then MISS the existing partition before the
+    // overwrite replaces it). One skinny aggregate proves stability.
+    val pType = target.schema(partCol).dataType
+    val unstable = updates.filter(!(col(partCol).cast("string")
+        .cast(pType).cast("string") <=> col(partCol).cast("string"))).count()
+    require(unstable == 0L,
+      s"$unstable update rows carry '$partCol' values that do not survive " +
+        s"the partition-column round trip to ${pType.sql} (e.g. zero-padded " +
+        "numerics) — they would scope to a DIFFERENT partition than the " +
+        "one the write replaces")
     val scoped = target.filter(col(partCol).cast("string").isin(touched: _*))
     val before = scoped.count()
     val u = graft.operators.Broadcasts.trackedPersist(updates)
@@ -73,10 +94,15 @@ object Merge {
         "a key must resolve to exactly one update row; dedup the batch " +
         "(e.g. keep the latest CDC event per key) before merging")
     if (verifyKeys) {
-      val strays = u.join(
-        target.filter(!col(partCol).cast("string").isin(touched: _*))
-          .select(keyCols.map(col): _*),
-        keyCols, "left_semi").count()
+      // null-safe on BOTH axes: the untouched filter must keep a
+      // NULL-partition target row (plain !isin evaluates NULL and drops
+      // it), and the key comparison must be <=> — NULL merge keys are
+      // first-class rows here, so a NULL-key stray must be caught too
+      val untouched = target.filter(
+        !coalesce(col(partCol).cast("string").isin(touched: _*), lit(false)))
+        .select(keyCols.map(c => col(c).as(s"__s_$c")): _*)
+      val strayCond = keyCols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _)
+      val strays = u.join(untouched, strayCond, "left_semi").count()
       require(strays == 0L,
         s"$strays update keys already live in partitions this merge does " +
           "not touch — honoring them would duplicate the key; fix the " +

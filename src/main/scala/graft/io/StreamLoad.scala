@@ -93,11 +93,21 @@ object StreamLoad {
     * `mapping` is the BITMAP/HLL `columns` transform (streamLoadMapping,
     * without the file-prefix framing). The driver never sees the data. */
   def loadDataset(df: DataFrame, cfg: Config, db: String, table: String,
-                  mapping: Option[String] = None): Unit = {
+                  mapping: Option[String] = None,
+                  loadId: Option[String] = None): Unit = {
     val sep = ColumnSeparator
+    // idempotency label: stream load dedups ONLY by label, and Spark
+    // re-runs tasks (failure retries, speculation) — an unlabeled PUT
+    // that succeeded on a dying executor would commit a second copy.
+    // The id is fixed at JOB SUBMIT (captured in the closure), so every
+    // attempt of partition p sends the same label and the server keeps
+    // exactly one.
+    val runId = loadId.getOrElse(
+      java.lang.Long.toHexString(System.nanoTime()))
     val wire = graft.gen.TableGen.csvWireFrame(df)
     wire.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val sb = new java.lang.StringBuilder(1 << 20)
         rows.foreach { r =>
           var i = 0
@@ -105,13 +115,27 @@ object StreamLoad {
           while (i < n) {
             if (i > 0) sb.append(sep)
             val v = r.get(i)
-            sb.append(if (v == null) "\\N" else v.toString)
+            if (v == null) sb.append("\\N")
+            else {
+              val t = v.toString
+              // no quoting on this wire: a value containing the
+              // separator or a newline would silently shift columns /
+              // split rows — reject loudly (writeCsv's Spark-CSV path
+              // quotes; this hand-rolled frame cannot)
+              if (t.contains(sep) || t.indexOf('\n') >= 0)
+                throw LoadError(s"stream-load value in column $i contains " +
+                  "the column separator or a newline and would corrupt " +
+                  "row framing; route this dataset through writeCsv + " +
+                  "loadDir (quoted CSV) instead")
+              sb.append(t)
+            }
             i += 1
           }
           sb.append('\n')
         }
         put(cfg, db, table, mapping, 0,
-          sb.toString.getBytes(StandardCharsets.UTF_8))
+          sb.toString.getBytes(StandardCharsets.UTF_8),
+          label = Some(s"graft_${table}_${runId}_p$pid"))
         ()
       }
     }
@@ -121,13 +145,14 @@ object StreamLoad {
 
   private def put(cfg: Config, db: String, table: String,
                   columnsHeader: Option[String], skipLines: Int,
-                  body: Array[Byte]): LoadResult = {
+                  body: Array[Byte],
+                  label: Option[String] = None): LoadResult = {
     val url = s"http://${cfg.host}:${cfg.httpPort}/api/$db/$table/_stream_load"
     var lastErr: Throwable = null
     var attempt = 0
     while (attempt < math.max(cfg.maxRetries, 1)) {
       attempt += 1
-      try return putOnce(cfg, url, columnsHeader, skipLines, body)
+      try return putOnce(cfg, url, columnsHeader, skipLines, body, label)
       catch { case scala.util.control.NonFatal(e) => lastErr = e }
     }
     throw LoadError(s"stream load failed for '$db.$table' after " +
@@ -135,7 +160,8 @@ object StreamLoad {
   }
 
   private def putOnce(cfg: Config, url: String, columnsHeader: Option[String],
-                      skipLines: Int, body: Array[Byte]): LoadResult = {
+                      skipLines: Int, body: Array[Byte],
+                      label: Option[String]): LoadResult = {
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NEVER) // manual: location-trusted
       .connectTimeout(Duration.ofSeconds(30))
@@ -155,6 +181,7 @@ object StreamLoad {
         .header("column_separator", ColumnSeparatorHeader)
         .header("skip_lines", skipLines.toString)
       columnsHeader.foreach(m => b.header("columns", m))
+      label.foreach(l => b.header("label", l))
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
       resp.statusCode() match {
         case 307 | 302 | 301 =>

@@ -243,7 +243,13 @@ object Unescape {
       val curr = stmt.charAt(i)
       if (i < stmt.length - 1) {
         if (ignoreUntil.nonEmpty) {
-          if (curr == ignoreUntil.charAt(0) &&
+          // a `--` comment ends at the ESCAPED newline ("\n" two-char
+          // sequence, the audit-log encoding) OR a REAL newline —
+          // reassembled multi-line records contain real '\n' chars, and
+          // staying in comment mode past the true line end would let the
+          // scanner "unescape" sequences inside a later string literal
+          if (ignoreUntil == "\\n" && curr == '\n') ignoreUntil = ""
+          else if (curr == ignoreUntil.charAt(0) &&
               (ignoreUntil.length < 2 || stmt.charAt(i + 1) == ignoreUntil.charAt(1)))
             ignoreUntil = ""
         } else if (curr == '\'' || curr == '"') ignoreUntil = curr.toString

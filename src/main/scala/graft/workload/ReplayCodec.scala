@@ -71,8 +71,15 @@ object ReplayCodec {
   /** A4: per-client statement lists in file order. */
   def byClient(decoded: DataFrame): Map[String, Seq[ReplayStatement]] = {
     import scala.collection.immutable.ListMap
+    // a record whose meta ts was missing/unparseable has NULL tsMs and
+    // cannot be scheduled against the epoch — drop it here (decode only
+    // filters null queryId) instead of NPEing the whole plan build on
+    // getLong; a NULL duration defaults to 0 (it only feeds reporting)
     val rows = decoded
-      .select("client", "file", "sqlIdx", "ts", "tsMs", "db", "queryId", "durationMs", "stmt")
+      .filter(col("tsMs").isNotNull)
+      .select(col("client"), col("file"), col("sqlIdx"), col("ts"),
+        col("tsMs"), col("db"), col("queryId"),
+        coalesce(col("durationMs"), lit(0L)).as("durationMs"), col("stmt"))
       .orderBy("file", "sqlIdx").collect()
     ListMap(rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (c, rs) =>
       c -> rs.toSeq.map(r => ReplayStatement(

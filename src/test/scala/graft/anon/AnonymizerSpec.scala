@@ -54,6 +54,16 @@ select count(foo), foo from foo"""
     }
   }
 
+  test("quoted identifiers colliding with keywords stay identifiers AND parseable") {
+    // `order` is an identifier BY QUOTATION: the keyword escape must not
+    // keep it verbatim-and-bare (unparseable). Hashed, the alias is safe
+    // bare; under identity the emission must re-quote it.
+    assert(Anonymizer.anonymizeSqlWith(w => s"x_$w", "select `order` from t1")
+      == "select x_order from x_t1")
+    assert(Anonymizer.anonymizeSqlWith(identity, "select `order` from t1")
+      == "select `order` from t1")
+  }
+
   test("variables are never rewritten; string literals survive") {
     val ctx = new Anonymizer.Context("hash")
     val got = Anonymizer.anonymizeSql(ctx,
