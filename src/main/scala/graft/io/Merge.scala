@@ -29,7 +29,20 @@ import org.apache.spark.sql.functions._
   * overwrite construction (spec-pinned), so global conservation follows
   * without ever counting the full table — the counts scan only the
   * partitions the merge reads anyway, keeping the proof itself
-  * partition-scoped at 100 TB. */
+  * partition-scoped at 100 TB.
+  *
+  * DURABILITY WINDOW (non-atomic, by design): the touched partitions are
+  * rewritten IN PLACE via dynamic overwrite. The read side is safe (the
+  * merged frame is localCheckpoint'ed before any file is deleted), but a
+  * crash mid-write leaves the touched partitions partially rewritten —
+  * the conservation `require` detects that on the next run; it cannot
+  * undo it. This is the same window every directory-layout lakehouse
+  * write has without a table format's commit log. Callers must be able
+  * to REPLAY the batch (the streaming face gets this for free from the
+  * checkpointed foreachBatch: a replayed batch re-merges the same rows
+  * idempotently — MergeSpec's chaos case pins it), or snapshot the
+  * touched partitions first. For table formats with atomic swap
+  * (Iceberg/Delta), route the merged frame to their writer instead. */
 object Merge {
 
   case class MergeStats(touchedPartitions: Seq[String], beforeTouched: Long,

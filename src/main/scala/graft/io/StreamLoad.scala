@@ -91,7 +91,17 @@ object StreamLoad {
   /** Cluster-scale path: each partition formats its rows to the CSV wire
     * shape and streams itself as ONE load request from its executor.
     * `mapping` is the BITMAP/HLL `columns` transform (streamLoadMapping,
-    * without the file-prefix framing). The driver never sees the data. */
+    * without the file-prefix framing). The driver never sees the data.
+    *
+    * Idempotency scope: the default `loadId` (nanoTime at job submit)
+    * makes labels stable across TASK retries/speculation within one job,
+    * but a DRIVER-level re-invocation of the same logical load (a caller
+    * retrying `loadDataset` after a partial failure) mints fresh labels
+    * and can commit duplicate copies of partitions that already landed.
+    * For end-to-end exactly-once, pass a stable `loadId` derived from the
+    * dataset/batch identity (e.g. `"orders_batch_20260815"`), so every
+    * re-invocation re-sends the SAME labels and the server's label dedup
+    * (see parseResult's Label-Already-Exists handling) absorbs replays. */
   def loadDataset(df: DataFrame, cfg: Config, db: String, table: String,
                   mapping: Option[String] = None,
                   loadId: Option[String] = None): Unit = {
@@ -199,7 +209,16 @@ object StreamLoad {
   }
 
   /** `Status` must be `Success`; error text comes from Message/msg/data
-    * with ErrorURL as detail (same fallback chain as the reference). */
+    * with ErrorURL as detail (same fallback chain as the reference).
+    *
+    * `Label Already Exists` is the idempotency protocol WORKING, not a
+    * rejection: a retried/speculative task (or a PUT whose 200 got lost
+    * on the wire) re-sends the same label and the server reports the
+    * earlier job's fate in `ExistingJobStatus`. FINISHED/VISIBLE means
+    * the data already landed exactly once — success (rows/bytes are the
+    * dedup'd zero this attempt contributed). Any other existing status
+    * (aborted/unknown/in-flight) stays a failure so `put`'s retry loop
+    * re-drives it. */
   private[io] def parseResult(json: String): LoadResult = {
     val m =
       try new org.yaml.snakeyaml.Yaml()
@@ -207,7 +226,17 @@ object StreamLoad {
       catch { case scala.util.control.NonFatal(_) =>
         throw LoadError(s"unparseable stream-load reply: ${json.take(200)}")
       }
-    if (!m.get("Status").contains("Success")) {
+    val status = m.get("Status").map(_.toString).getOrElse("")
+    if (status == "Label Already Exists") {
+      val existing = m.get("ExistingJobStatus").map(_.toString.toUpperCase)
+        .getOrElse("")
+      if (existing == "FINISHED" || existing == "VISIBLE")
+        return LoadResult(0, 0)
+      throw LoadError(s"stream load label already exists with " +
+        s"ExistingJobStatus '${if (existing.isEmpty) "unknown" else existing}'" +
+        " (prior attempt did not commit)")
+    }
+    if (status != "Success") {
       val msg = m.get("Message").orElse(m.get("msg")).orElse(m.get("data"))
         .map(_.toString).getOrElse("unknown")
       val detail = m.get("ErrorURL").map(u => s", details: $u").getOrElse("")

@@ -575,8 +575,10 @@ object Multimodal {
   // walk and the per-frame decode are real here; only inter-frame
   // codecs (H.264 etc.) remain out of pure-JVM reach.
 
-  /** Parsed AVI facts: header geometry + declared frame count. */
-  case class AviInfo(width: Int, height: Int, totalFrames: Int)
+  /** Parsed AVI facts: header geometry + declared frame count + stream
+    * count (from avih dwStreams — video+audio files have ≥2). */
+  case class AviInfo(width: Int, height: Int, totalFrames: Int,
+                     streams: Int = 1)
 
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
@@ -617,25 +619,42 @@ object Multimodal {
             "AVI: truncated avih")
           val ah = body0 + 8
           info = Some(AviInfo(le32(p, ah + 32), le32(p, ah + 36),
-            le32(p, ah + 16)))
+            le32(p, ah + 16), le32(p, ah + 24)))
         } else if (listType == "movi") {
-          var o = body0
-          while (o + 8 <= bodyEnd) {
-            val fcc = fourcc(p, o)
-            val fsz = le32(p, o + 4)
-            require(fsz >= 0 && o + 8 + fsz <= bodyEnd,
-              s"AVI: movi chunk '$fcc' at byte $o overruns the list")
-            if (fcc == "00dc" || fcc == "00db")
-              frames += java.util.Arrays.copyOfRange(p, o + 8, o + 8 + fsz)
-            o += 8 + fsz + (fsz & 1) // chunks pad to even
+          // interleaved files wrap frame groups in nested `LIST rec `
+          // chunks (one per interleave unit) — recurse through them;
+          // any other nested LIST type inside movi is skipped whole
+          def walkMovi(start: Int, end: Int): Unit = {
+            var o = start
+            while (o + 8 <= end) {
+              val fcc = fourcc(p, o)
+              val fsz = le32(p, o + 4)
+              require(fsz >= 0 && o + 8 + fsz <= end,
+                s"AVI: movi chunk '$fcc' at byte $o overruns the list")
+              if (fcc == "LIST") {
+                require(fsz >= 4, s"AVI: LIST at byte $o too short for a type")
+                if (fourcc(p, o + 8) == "rec ") walkMovi(o + 12, o + 8 + fsz)
+              } else if (fcc == "00dc" || fcc == "00db")
+                frames += java.util.Arrays.copyOfRange(p, o + 8, o + 8 + fsz)
+              o += 8 + fsz + (fsz & 1) // chunks pad to even
+            }
           }
+          walkMovi(body0, bodyEnd)
         }
       }
       off += 8 + sz + (sz & 1)
     }
     val i = info.getOrElse(sys.error("AVI: no hdrl/avih header found"))
-    require(i.totalFrames == frames.length,
-      s"AVI: header declares ${i.totalFrames} frames, movi carries ${frames.length}")
+    // dwTotalFrames is exact only for a lone video stream; with audio
+    // interleaved many muxers count interleave units, so the mismatch is
+    // advisory there (the frames we DID find are all complete chunks —
+    // the per-chunk bounds checks above stay strict either way)
+    if (i.streams <= 1)
+      require(i.totalFrames == frames.length,
+        s"AVI: header declares ${i.totalFrames} frames, movi carries ${frames.length}")
+    else if (i.totalFrames != frames.length)
+      System.err.println(s"[avi] header declares ${i.totalFrames} frames, " +
+        s"movi carries ${frames.length} (streams=${i.streams}; advisory)")
     (i, frames.toIndexedSeq)
   }
 

@@ -404,35 +404,57 @@ object PipelineQueries extends QueryModule {
         .orderBy("url_canon")
     }),
 
-    // ---- deflate compression-ratio quality signal (the catch-all
-    //      boilerplate/noise detector beside p24's exact repetition
-    //      metrics): codegen'd zlib kernel, scan-local per doc. zlib has
-    //      no DuckDB face, so this entry has NO oracle (rows-only gate);
-    //      CompressSpec carries determinism + ordering correctness, and
-    //      the in-query require pins the ordinal law on the corpus's own
-    //      planted near-dup mass ---------------------------------------
+    // ---- compressibility quality signal (the catch-all boilerplate/
+    //      noise detector beside p24's exact repetition metrics), TWO
+    //      faces over one scan:
+    //      * production signal: codegen'd zlib deflate ratio (no SQL
+    //        face anywhere — CompressSpec carries determinism + ordinal
+    //        laws + codegen==eval);
+    //      * oracle face: repeated 8-gram mass 1 − distinct/total, the
+    //        LZ-match-mass proxy deflate exploits — EXACT and restatable
+    //        as count(DISTINCT substr(...)), so DuckDB value-checks this
+    //        entry end to end.
+    //      The two are bridged IN-QUERY: per-doc Pearson corr(ratio,
+    //      mass) must be strictly negative on the corpus (repetitive
+    //      text compresses better AND carries more repeated grams), and
+    //      the doubled-text ordinal probe pins the zlib kernel itself —
+    //      so a broken production signal fails the green entry even
+    //      though only the portable face is hashed. Per-lang sums are
+    //      exact BIGINTs (order-independent), divisions are single IEEE
+    //      ops — deterministic across engines -------------------------
     "p93_compress_quality" -> ((s, dir) => {
       graft.functions.CompressRatioExpr.register(s)
       val d = docs(s, dir)
-      val scored = d.select(col("lang"),
-        expr("graft_deflate_ratio(text)").as("ratio"))
-      val out = scored.groupBy("lang").agg(
-        count(lit(1)).as("n"),
-        round(avg(col("ratio")), 6).as("avg_ratio"),
-        round(min(col("ratio")), 6).as("min_ratio"),
-        round(max(col("ratio")), 6).as("max_ratio"))
-      // ordinal sanity on real data: a doc's text doubled must compress
-      // strictly better (relatively) than the doc alone — checked on ONE
-      // DETERMINISTIC row (longest text, id tie-break): an arbitrary
-      // limit(1) row could be empty/degenerate, where the ~11-byte
-      // deflate header makes the law fail spuriously
+      val per = d.select(col("lang"), col("doc_id"),
+        expr("graft_deflate_ratio(text)").as("ratio"),
+        expr("graft_distinct_kgrams(text, 8)").as("uniq"),
+        greatest(length(col("text")) - lit(7), lit(0)).cast("long").as("total"))
+        .withColumn("mass", when(col("total") === 0L, lit(0.0))
+          .otherwise(lit(1.0) - col("uniq").cast("double") / col("total").cast("double")))
+      // bridge 1: the zlib production signal must agree directionally
+      // with the oracle-checked gram face across the corpus
+      val c = per.agg(corr(col("ratio"), col("mass"))).head().getDouble(0)
+      require(c < 0.0,
+        f"deflate ratio must anti-correlate with repeated-gram mass, got corr=$c%.4f")
+      // bridge 2 (ordinal, on ONE deterministic row — longest text,
+      // id tie-break): a doc's text doubled must compress strictly
+      // better (relatively) than the doc alone; an arbitrary limit(1)
+      // row could be degenerate, where the ~11-byte deflate header
+      // makes the law fail spuriously
       val probe = d.orderBy(length(col("text")).desc, col("doc_id")).limit(1).select(
         expr("graft_deflate_ratio(text)").as("r1"),
         expr("graft_deflate_ratio(concat(text, ' ', text))").as("r2"))
         .head()
       require(probe.getDouble(1) < probe.getDouble(0),
         "doubled text must compress relatively better than the original")
-      out.orderBy("lang")
+      per.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("uniq")).as("uniq_grams"),
+        sum(col("total")).as("total_grams"),
+        round(lit(1.0) - sum(col("uniq")).cast("double") /
+          sum(col("total")).cast("double"), 6).as("corpus_mass"),
+        round(max(col("mass")), 6).as("max_doc_mass"))
+        .orderBy("lang")
     }),
 
     // ---- hard-negative triplet mining (contrastive-training data prep):
@@ -1584,6 +1606,36 @@ object PipelineQueries extends QueryModule {
         END AS url_canon FROM parts)
       SELECT url_canon, CAST(COUNT(*) AS BIGINT) AS n
       FROM canon GROUP BY url_canon ORDER BY url_canon""",
+
+    "p93_compress_quality" -> """
+      WITH pos AS (
+        SELECT d.doc_id, d.text,
+               unnest(range(1, greatest(len(d.text) - 7, 0) + 1)) AS i
+        FROM documents d),
+      u AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT substr(text, CAST(i AS INTEGER), 8))
+                 AS BIGINT) AS uniq
+        FROM pos GROUP BY doc_id),
+      g AS (
+        -- LEFT join: a doc shorter than 8 chars has no positions at all
+        SELECT d.lang,
+               CAST(greatest(len(d.text) - 7, 0) AS BIGINT) AS total,
+               COALESCE(u.uniq, 0) AS uniq
+        FROM documents d LEFT JOIN u USING (doc_id)),
+      m AS (
+        SELECT lang, total, uniq,
+               CASE WHEN total = 0 THEN 0.0
+                    ELSE 1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE)
+               END AS mass
+        FROM g)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(uniq) AS BIGINT) AS uniq_grams,
+             CAST(sum(total) AS BIGINT) AS total_grams,
+             round(1.0 - CAST(sum(uniq) AS DOUBLE) /
+               CAST(sum(total) AS DOUBLE), 6) AS corpus_mass,
+             round(max(mass), 6) AS max_doc_mass
+      FROM m GROUP BY lang ORDER BY lang""",
 
     "p94_html_extract" -> """
       WITH h AS (SELECT doc_id,

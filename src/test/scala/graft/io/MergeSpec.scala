@@ -85,6 +85,52 @@ class MergeSpec extends SparkSpec {
       (4L, "fr", 40L), (5L, "en", 55L), (6L, "xx", 60L)))
   }
 
+  test("chaos: a replayed micro-batch re-merges idempotently (forced foreachBatch retry)") {
+    val root = freshRoot()
+    base.write.partitionBy("part").parquet(root)
+    val updDir = java.nio.file.Files.createTempDirectory("merge_chaos_upd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("merge_chaos_ck").toString
+    def readTable(): Seq[(Long, String, Long)] =
+      spark.read.parquet(root).orderBy("id")
+        .select("id", "part", "v").as[(Long, String, Long)].collect().toSeq
+    def files(p: String): Set[(String, Long)] =
+      new java.io.File(s"$root/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    val updates = () => spark.readStream
+      .schema("id LONG, part STRING, v LONG").parquet(updDir)
+    // batch 0: update key 2, insert key 5
+    Seq((2L, "en", 99L), (5L, "en", 50L)).toDF("id", "part", "v")
+      .write.mode("append").parquet(updDir)
+    val q0 = Merge.mergeStream(spark, root, updates(), Seq("id"), "part", ckpt)
+    try q0.processAllAvailable() finally q0.stop()
+    // batch 1: re-update key 5, insert key 6
+    Seq((5L, "en", 55L), (6L, "xx", 60L)).toDF("id", "part", "v")
+      .write.mode("append").parquet(updDir)
+    val q1 = Merge.mergeStream(spark, root, updates(), Seq("id"), "part", ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val settled = readTable()
+    val deFiles = files("de"); val frFiles = files("fr")
+    // CHAOS: batch 1's side effects ran but its commit record is lost
+    // (the crash window between foreachBatch returning and the commit
+    // write). On restart the engine MUST re-fire batch 1 with the same
+    // rows, and the merge must absorb the replay.
+    val commit1 = new java.io.File(s"$ckpt/commits/1")
+    assert(commit1.exists(), "expected a commit record for batch 1")
+    assert(commit1.delete())
+    // the local FS keeps a checksum sidecar; a stale one would make the
+    // replayed commit write trip the concurrent-query rename guard
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = Merge.mergeStream(spark, root, updates(), Seq("id"), "part", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readTable() == settled,
+      "replayed batch must leave the table in the same state")
+    assert(files("de") == deFiles && files("fr") == frFiles,
+      "untouched partitions must stay byte-identical across the replay")
+    assert(settled == Seq((1L, "en", 10L), (2L, "en", 99L), (3L, "de", 30L),
+      (4L, "fr", 40L), (5L, "en", 55L), (6L, "xx", 60L)))
+  }
+
   test("duplicate update keys fail loudly BEFORE any file is rewritten") {
     val root = freshRoot()
     base.write.partitionBy("part").parquet(root)

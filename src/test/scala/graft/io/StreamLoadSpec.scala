@@ -119,6 +119,33 @@ class StreamLoadSpec extends SparkSpec {
     }
   }
 
+  test("Label Already Exists + committed existing job is SUCCESS (idempotent replay), aborted is not") {
+    // a replayed label whose first attempt COMMITTED: the server's dedup
+    // answered for us — this is the idempotency protocol working
+    val committed = StreamLoad.parseResult(
+      """{"Status": "Label Already Exists", "ExistingJobStatus": "FINISHED"}""")
+    assert(committed == StreamLoad.LoadResult(0, 0))
+    assert(StreamLoad.parseResult(
+      """{"Status": "Label Already Exists", "ExistingJobStatus": "VISIBLE"}""")
+      == StreamLoad.LoadResult(0, 0))
+    // ...but an existing label whose job ABORTED must stay a failure so
+    // the retry loop (fresh attempt, same label) re-drives the load
+    val e = intercept[StreamLoad.LoadError] {
+      StreamLoad.parseResult(
+        """{"Status": "Label Already Exists", "ExistingJobStatus": "ABORTED"}""")
+    }
+    assert(e.getMessage.contains("ABORTED"))
+    intercept[StreamLoad.LoadError] {
+      StreamLoad.parseResult("""{"Status": "Label Already Exists"}""")
+    }
+    // end-to-end: PUT replies label-exists/FINISHED → loadFile succeeds
+    withServer(ok(_, """{"Status": "Label Already Exists", "ExistingJobStatus": "FINISHED"}""")) { (port, _) =>
+      val cfg = StreamLoad.Config("127.0.0.1", port, maxRetries = 1)
+      val r = StreamLoad.loadFile(cfg, "db1", "t1", csvFile("1☆x"))
+      assert(r.rows == 0L)
+    }
+  }
+
   test("loadDir drives every part file in order; dry-run sends nothing") {
     withServer(ok(_)) { (port, seen) =>
       val dir = Files.createTempDirectory("sl_dir")

@@ -428,6 +428,41 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.parseAviMjpeg(bad) }
   }
 
+  test("multimodal: AVI walk descends LIST rec groupings; multi-stream frame count is advisory") {
+    // rebuild the synthetic AVI with its movi frames wrapped in `rec `
+    // LISTs (the interleaved-file layout) — same chunk builders inline
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(tp: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", bodies.foldLeft(tp.getBytes("US-ASCII"))(_ ++ _))
+    val plain = Multimodal.synthAviMjpeg(7L)
+    val (_, origFrames) = Multimodal.parseAviMjpeg(plain)
+    // hdrl is the first LIST after the 12-byte RIFF prologue — reuse it
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val hdrlSz = 8 + le32(plain, 16)
+    val hdrl = plain.slice(12, 12 + hdrlSz + (hdrlSz & 1))
+    val movi = list("movi",
+      origFrames.map(j => list("rec ", Seq(chunk("00dc", j)))))
+    val form = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val recWrapped = chunk("RIFF", form)
+    val (info2, frames2) = Multimodal.parseAviMjpeg(recWrapped)
+    assert(frames2.length == origFrames.length && info2.totalFrames == 8)
+    assert(frames2.zip(origFrames).forall { case (a, b) => a.sameElements(b) })
+    // multi-stream: dwStreams=2 + a header/movi count mismatch must NOT
+    // throw (muxers count interleave units) — frames found still win
+    val multi = recWrapped.clone()
+    multi(32 + 16) = 99.toByte // dwTotalFrames := bogus
+    multi(32 + 24) = 2.toByte  // dwStreams := 2
+    val (info3, frames3) = Multimodal.parseAviMjpeg(multi)
+    assert(info3.streams == 2 && frames3.length == origFrames.length)
+  }
+
   test("multimodal: uniform-gray JPEG round-trip is exact for all 256 values") {
     for (g <- 0 until 256) {
       val im = new java.awt.image.BufferedImage(16, 16,
