@@ -242,21 +242,79 @@ object Ann {
   def autoLshParams(n: Long, threshold: Double, targetRecall: Double = 0.9965,
                     bucketTarget: Int = 125, planesFloor: Int = 4,
                     tablesFloor: Int = 32, tablesCap: Int = 512): (Int, Int) = {
+    val (planes, tables, _) = autoLshParamsDetailed(n, threshold, targetRecall,
+      bucketTarget, planesFloor, tablesFloor, tablesCap)
+    (planes, tables)
+  }
+
+  /** [[autoLshParams]] plus the REGIME flag: `overCap = true` when the
+    * tables cap bent the parameterization away from its two invariants —
+    * either planes were backed off the occupancy target (expected bucket
+    * size now exceeds `bucketTarget`, so candidate volume is leaving its
+    * linear-in-work bound) or tables were clamped under the analytic
+    * recall requirement (modeled miss now exceeds `1 − targetRecall`).
+    * Either way LSH pair enumeration has left its economical regime and
+    * [[nearDupPairsAuto]] swaps to the cell-based SemDeDup kernel. */
+  def autoLshParamsDetailed(n: Long, threshold: Double,
+                            targetRecall: Double = 0.9965,
+                            bucketTarget: Int = 125, planesFloor: Int = 4,
+                            tablesFloor: Int = 32, tablesCap: Int = 512)
+      : (Int, Int, Boolean) = {
     val r = 1.0 - math.acos(threshold) / math.Pi
     def tablesNeeded(p: Int): Double =
       math.log(1.0 / (1.0 - targetRecall)) / math.pow(r, p)
-    var planes = math.max(planesFloor, math.ceil(
+    val planesWanted = math.max(planesFloor, math.ceil(
       math.log(math.max(n, 1L).toDouble / bucketTarget) / math.log(2)).toInt)
     // tables grows (1/r)^planes ≈ n^0.62 for θ≈63° — when it would blow
     // the posting-volume cap, back planes off so the cap fits: recall
     // stays ≥ target BY CONSTRUCTION (fewer planes ⇒ higher per-table
     // collision), buckets grow instead. Past that point LSH pair
-    // enumeration is leaving its economical regime and the documented
-    // swap is cell-based SemDeDup (p29) — see SCALE.md.
+    // enumeration is leaving its economical regime and the landed
+    // swap is cell-based SemDeDup (p29) — nearDupPairsAuto dispatches.
+    var planes = planesWanted
     while (planes > planesFloor && tablesNeeded(planes) > tablesCap) planes -= 1
     val tables = math.min(tablesCap.toDouble,
       math.max(tablesFloor.toDouble, math.ceil(tablesNeeded(planes)))).toInt
-    (planes, tables)
+    (planes, tables, planes < planesWanted || tablesNeeded(planes) > tablesCap)
+  }
+
+  /** Near-duplicate pair enumeration with the regime dispatch SCALE.md
+    * promises in prose, now in code: inside the LSH budget this IS
+    * [[cosineNearDupPairs]] at [[autoLshParams]] (byte-identical results
+    * at every test SF); once the parameterization goes over-cap (see
+    * [[autoLshParamsDetailed]] — around n ≳ bucketTarget·2^10 at
+    * cos 0.45 with the default cap) it swaps to cell-based SemDeDup
+    * [Abbas et al. 2023] with MULTI-PROBE assignment: each vector lands
+    * in its `nProbe` nearest KMeans cells, so a pair straddling one cell
+    * boundary still meets in the runner-up cell — recovering most of the
+    * cross-cell recall the single-assignment kernel (p29) trades away,
+    * for a ≤ nProbe² candidate-volume factor. Candidate volume stays
+    * Σ c·(c−1)/2 with E[c] ≈ nProbe·cellTarget — linear in n for
+    * nCells = n/cellTarget — versus the LSH path's intrinsic n^1.62.
+    * The KMeans fit is the one-off O(n·nCells) investment the published
+    * algorithm makes; the model stays driver-sized (nCells·dims).
+    *
+    * Recall on the swapped path is the published algorithm's trade, and
+    * it is THRESHOLD-dependent: at SemDeDup's own regime (≥ 0.9,
+    * near-identical vectors) duplicates co-cluster and few probes
+    * suffice; at a moderate dedup threshold the defaults here measured
+    * 96.5% pair recall on the graded corpus (PipelineSpec) — raise
+    * `nProbe` to buy recall back at nProbe² candidate cost.
+    * Returns (i, j, cos_r), i < j, cos_r ≥ threshold — both regimes. */
+  def nearDupPairsAuto(emb: DataFrame, dims: Int, threshold: Double,
+                       seed: Long = 5, targetRecall: Double = 0.9965,
+                       bucketTarget: Int = 125, tablesCap: Int = 512,
+                       cellTarget: Int = 125, nProbe: Int = 4,
+                       nOverride: Option[Long] = None): DataFrame = {
+    val n = nOverride.getOrElse(emb.count())
+    val (planes, tables, overCap) = autoLshParamsDetailed(n, threshold,
+      targetRecall, bucketTarget, tablesCap = tablesCap)
+    if (!overCap)
+      cosineNearDupPairs(emb, dims, threshold, planes, tables, seed)
+    else {
+      val nCells = math.max(2, math.ceil(n.toDouble / cellTarget)).toInt
+      semDedupPairsProbed(emb, nCells, nProbe, threshold, seed)
+    }
   }
 
   /** Metadata-FILTERED ANN top-k — the RAG-retrieval shape: each query's
@@ -340,6 +398,60 @@ object Ann {
     * deal, not an approximation of it: duplicates cluster together by
     * construction. The self-join is keyed by cell (one shuffle); exact
     * cosine verifies every candidate. Returns (cell, i, j, cos_r). */
+  /** Multi-probe cell assignment: each vector lands in its `nProbe`
+    * nearest KMeans cells by cosine (IVF's probe discipline applied to
+    * the CORPUS side) — the recall repair for cell-based dedup, where a
+    * near-dup pair split by one cell boundary still meets in a shared
+    * runner-up cell. Centroids are a tiny literal array (driver-side
+    * model), so assignment is one shuffle-free scan; ranking rounds
+    * before ordering (house rule) so FP near-ties can't flip which cells
+    * a vector probes. Returns (vec_id, cell), nProbe rows per vector. */
+  def kmeansCellsProbed(emb: DataFrame, nCells: Int, nProbe: Int,
+                        seed: Long = 1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells], got $nProbe of $nCells")
+    val fv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fv)
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cell"),
+        array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
+    }: _*)
+    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c.cell"))
+    emb.select(col("vec_id"), col("embedding"), explode(centArr).as("c"))
+      .withColumn("cc", round(cosine(col("embedding"), col("c.cent")), 8))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("c.cell").as("cell"))
+  }
+
+  /** SemDeDup pairs over multi-probe cells — the over-cap branch of
+    * [[nearDupPairsAuto]]. Same skinny-postings shape the LSH path
+    * measured fastest: (cell, id) rows form candidates, cross-probe
+    * `distinct` collapses multiplicity BEFORE any embedding is fetched,
+    * then exact cosine verifies each surviving pair once. Returns
+    * (i, j, cos_r), i < j. */
+  def semDedupPairsProbed(emb: DataFrame, nCells: Int, nProbe: Int,
+                          threshold: Double, seed: Long = 1): DataFrame = {
+    val cells = kmeansCellsProbed(emb, nCells, nProbe, seed)
+    val a = cells.select(col("cell"), col("vec_id").as("i"))
+    val b = cells.select(col("cell"), col("vec_id").as("j"))
+    val candidates = a.join(b, Seq("cell"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val ve = graft.operators.Broadcasts.sizeGated(
+      emb.select(col("vec_id"), col("embedding")))
+    val va = ve.select(col("vec_id").as("i"), col("embedding").as("e_i"))
+    val vb = ve.select(col("vec_id").as("j"), col("embedding").as("e_j"))
+    candidates.join(va, "i").join(vb, "j")
+      .withColumn("cos_r", round(cosine(col("e_i"), col("e_j")), 6))
+      .filter(col("cos_r") >= threshold)
+      .select("i", "j", "cos_r")
+  }
+
   def semDedupPairs(emb: DataFrame, cells: DataFrame,
                     threshold: Double): DataFrame = {
     val byCell = emb.join(cells, "vec_id")

@@ -988,9 +988,11 @@ object PipelineQueries extends QueryModule {
     //      reproduces exactly (4, 32) at the test SFs ------------------
     "p09_embedding_neardup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val (planes, tables) = Ann.autoLshParams(e.count(), threshold = 0.45)
-      val pairs = Ann.cosineNearDupPairs(e, dims = 64, threshold = 0.45,
-        planes = planes, tables = tables)
+      // regime dispatcher: LSH at autoLshParams inside the tables cap
+      // (all test SFs — byte-identical to the tuned parameterization),
+      // multi-probe SemDeDup cells past it (n ≳ 128k at cos 0.45), so a
+      // caller at corpus scale never gets the n^1.62 path silently
+      val pairs = Ann.nearDupPairsAuto(e, dims = 64, threshold = 0.45)
       pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
       val landed = s.read.parquet(s"$outRoot/neardup_pairs")
       val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)

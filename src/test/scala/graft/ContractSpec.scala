@@ -13,10 +13,10 @@ class ContractSpec extends SparkSpec {
     * non-SQL-expressible ops → rows-only check"). Each entry must name
     * the spec that carries its correctness instead; anything not listed
     * here still fails the gap gate below. */
-  private val rowsOnlyQueries = Map(
-    // zlib has no DuckDB face; CompressSpec pins determinism, the
-    // repetitive<<prose<random ordinal law, and codegen==eval
-    "p93_compress_quality" -> "CompressSpec")
+  private val rowsOnlyQueries = Map.empty[String, String]
+  // (previously p93_compress_quality — its repeated-8-gram face is now
+  // fully oracle-checked; the zlib production signal stays pinned by
+  // CompressSpec + the query's in-query corr/ordinal bridges)
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet -- rowsOnlyQueries.keySet

@@ -116,6 +116,56 @@ class PipelineSpec extends SparkSpec {
     assert(truth.except(shipped).count() == 0)
   }
 
+  test("nearDupPairsAuto: identity inside the LSH budget; over-cap swaps to probed cells") {
+    // inside the budget the dispatcher IS the LSH path — same pair set
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Ann.cosineNearDupPairs(embs, dims = 64, threshold = 0.45))
+    val auto = pairSet(Ann.nearDupPairsAuto(embs, dims = 64, threshold = 0.45))
+    assert(auto == lsh && lsh.nonEmpty)
+    // regime flag, both bind modes: tables clamped under the analytic
+    // recall requirement (mode B), planes backed off occupancy (mode A)
+    assert(Ann.autoLshParamsDetailed(500L, 0.45, tablesCap = 8)._3,
+      "a cap under the analytic tables requirement must flag over-cap")
+    assert(Ann.autoLshParamsDetailed(500L, 0.45, bucketTarget = 1,
+      tablesCap = 100)._3, "backed-off planes must flag over-cap")
+    // at DEFAULT params the first over-cap decade is ~1M vectors; every
+    // test SF and the ×10 probe stay firmly in the LSH regime
+    assert(!Ann.autoLshParamsDetailed(20000L, 0.45)._3)
+    assert(!Ann.autoLshParamsDetailed(100000L, 0.45)._3)
+    assert(Ann.autoLshParamsDetailed(1000000L, 0.45)._3)
+
+    // force the over-cap regime and grade the SWAPPED path: recall floor
+    // vs exact truth, exact-verify precision, and the linear
+    // candidate-volume bound the scaladoc claims. Graded on the sf0.1
+    // corpus (2000 vecs) — sf0.001 has only 7 true pairs, so a single
+    // boundary straddle would swing measured recall by 14 points
+    val embsBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val truth = pairSet(Ann.exactProbePairs(embsBig, 1000000L, 0.45))
+    val cellTarget = 125 // the shipped defaults, graded as shipped
+    val nProbe = 4
+    val swapped = pairSet(Ann.nearDupPairsAuto(embsBig, dims = 64,
+      threshold = 0.45, tablesCap = 8))
+    assert(swapped.subsetOf(truth),
+      "exact cosine verify means the swapped path reports no false pair")
+    val recall = (truth & swapped).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      f"swapped-path recall $recall%.3f under floor (${truth.size} true pairs, " +
+        s"missed ${(truth -- swapped).size})")
+    // candidate volume: Σ_cell c·(c−1)/2 over the probed postings must
+    // stay within the multi-probe linear bound the scaladoc claims.
+    // (No all-pairs comparison at THIS scale: 16 cells × 4 probes barely
+    // prunes a 2000-vec corpus — the pruning claim is the bound's shape,
+    // nProbe²·n·cellTarget, which is linear in n while all-pairs is n².)
+    val n = embsBig.count()
+    val nCells = math.max(2, math.ceil(n.toDouble / cellTarget)).toInt
+    val volume = Ann.kmeansCellsProbed(embsBig, nCells, nProbe)
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2)).head().getDouble(0)
+    assert(volume <= nProbe.toDouble * nProbe * n * cellTarget,
+      f"candidate volume $volume%.0f over the linear bound")
+  }
+
   test("autoLshParams: reproduces tuned params at test scale; planes-growth law") {
     // at every test SF (n ≤ 2000 embeddings) the floors must reproduce
     // the hand-tuned (4, 32) EXACTLY — oracle behavior unchanged
