@@ -66,9 +66,10 @@ object TextOps {
   }
 
   /** n-gram-free language-ID heuristic: classify as English when the
-    * stopword fraction clears the threshold (synthetic corpora rarely
-    * carry script signals; a real deployment swaps in per-language
-    * stopword tables — same plan shape). */
+    * stopword fraction clears the threshold. Kept for the oracle-simple
+    * w-family queries; the REAL multilingual router is
+    * [[graft.pipeline.LangId]] (char-n-gram multinomial NB, broadcast
+    * (lang, gram, logp) model, scan-local scoring — p104). */
   def langIdEn(toks: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(toks) >= threshold, "en").otherwise("unk")
 

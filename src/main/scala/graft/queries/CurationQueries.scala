@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.pipeline.{Ann, Clean, Dedup, EntityRes, Lm, Mixing, Privacy, Rank, Series, TextOps}
+import graft.pipeline.{Ann, Clean, Dedup, EntityRes, LangId, Lm, Mixing, Privacy, Rank, Series, TextOps}
 
 /** Round-6 corpus-curation operators: C4-style line cleaning, Bloom-
   * prefiltered decontamination, SemDeDup, cross-document duplicated-span
@@ -190,6 +190,40 @@ object CurationQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("nll")), 6).as("bucket_nll"))
         .orderBy("lang", "bucket")
+    }),
+
+    // ---- multilingual language ID routing CCNet bucketing: a char-
+    //      bigram multinomial NB model (trained on the built-in seed
+    //      corpus — skinny (lang, gram, logp) table, broadcast) classifies
+    //      PLANTED per-language texts (deterministic suffix slices of the
+    //      seed sentences keyed by doc_id — 7 held-out-ish variants per
+    //      language the oracle re-derives with substr), an in-query
+    //      require pins router accuracy at 100% on the plant, then p40's
+    //      perplexityBuckets machinery buckets per PREDICTED language —
+    //      the langid→per-language-LM composition CCNet actually runs ---
+    "p104_langid_route" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val langArr = array(LangId.Seeds.map(x => lit(x._1)): _*)
+      val seedArr = array(LangId.Seeds.map(x => lit(x._2)): _*)
+      val idx = (col("doc_id") % 5 + 1).cast("int")
+      val planted = d.select(col("doc_id"),
+        element_at(langArr, idx).as("lang_true"),
+        element_at(seedArr, idx)
+          .substr(lit(1) + (col("doc_id") % 7).cast("int"), lit(100000))
+          .as("text"))
+      val pred = LangId.classify(planted, "doc_id", "text", LangId.seedModel(s))
+        .withColumnRenamed("id", "doc_id")
+      val routed = planted.join(pred, "doc_id")
+      val wrong = routed.filter(col("lang_true") =!= col("lang_pred")).count()
+      require(wrong == 0L,
+        s"language router misclassified $wrong planted docs — the seed " +
+          "model must recover every planted suffix slice")
+      Lm.perplexityBuckets(routed.select(col("doc_id"), col("lang_pred"),
+          col("text")), "doc_id", "lang_pred", "text", nBuckets = 3)
+        .groupBy(col("grp").as("lang_pred"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nll")), 6).as("bucket_nll"))
+        .orderBy("lang_pred", "bucket")
     }),
 
     // ---- per-source distribution drift: KL(source ‖ corpus) over
@@ -1518,6 +1552,62 @@ object CurationQueries extends QueryModule {
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
              round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS avg_nll
       FROM posts p JOIN mt USING (tok) GROUP BY p.id ORDER BY p.id""",
+
+    "p104_langid_route" -> s"""
+      WITH seeds(lang, stext) AS (VALUES ${LangId.Seeds.map { case (l, t) =>
+        s"('$l', '${t.replace("'", "''")}')" }.mkString(", ")}),
+      lmap(i, lang) AS (VALUES ${LangId.Seeds.map(_._1).zipWithIndex
+        .map { case (l, i) => s"($i, '$l')" }.mkString(", ")}),
+      planted AS (
+        SELECT d.doc_id, m.lang AS lang_true,
+               substr(s.stext, 1 + CAST(d.doc_id % 7 AS INTEGER)) AS text
+        FROM documents d
+        JOIN lmap m ON m.i = CAST(d.doc_id % 5 AS INTEGER)
+        JOIN seeds s ON s.lang = m.lang),
+      sn AS (SELECT lang, regexp_replace(trim(lower(stext)), '\\s+', ' ', 'g') AS t
+             FROM seeds),
+      si AS (SELECT lang, t, unnest(range(1, len(t))) AS i FROM sn),
+      cnts AS (SELECT lang, substr(t, CAST(i AS INTEGER), 2) AS gram,
+                      COUNT(*) AS cnt
+               FROM si GROUP BY 1, 2),
+      tot AS (SELECT lang, SUM(cnt) AS total FROM cnts GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT gram) AS v FROM cnts),
+      model AS (SELECT c.lang, c.gram, ln((c.cnt + 1.0) / (t.total + v.v)) AS logp
+                FROM cnts c JOIN tot t USING (lang) CROSS JOIN v),
+      floors AS (SELECT t.lang, ln(1.0 / (t.total + v.v)) AS logp_oov
+                 FROM tot t CROSS JOIN v),
+      pn AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+             FROM planted),
+      pi AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM pn),
+      dgrams AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS gram,
+                        COUNT(*) AS cnt
+                 FROM pi GROUP BY 1, 2),
+      sc AS (SELECT g.doc_id, f.lang,
+                    round(SUM(g.cnt * coalesce(m.logp, f.logp_oov)), 6) AS score
+             FROM dgrams g CROSS JOIN floors f
+             LEFT JOIN model m ON m.lang = f.lang AND m.gram = g.gram
+             GROUP BY 1, 2),
+      pred AS (SELECT doc_id, lang AS lang_pred
+               FROM (SELECT doc_id, lang,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, lang) AS rk
+                     FROM sc) WHERE rk = 1),
+      posts AS (SELECT p.doc_id AS id, r.lang_pred AS grp,
+                       unnest(string_split_regex(trim(lower(p.text)), '\\s+')) AS tok
+                FROM planted p JOIN pred r USING (doc_id)),
+      m2 AS (SELECT grp, tok, COUNT(*) AS cnt FROM posts GROUP BY 1, 2),
+      mt AS (SELECT grp, tok, cnt, SUM(cnt) OVER (PARTITION BY grp) AS total
+             FROM m2),
+      nll AS (SELECT p.id, p.grp,
+                     round(AVG(-ln(CAST(mt.cnt AS DOUBLE) / mt.total)), 6) AS nll
+              FROM posts p JOIN mt ON p.grp = mt.grp AND p.tok = mt.tok
+              GROUP BY 1, 2),
+      b AS (SELECT grp, nll,
+                   NTILE(3) OVER (PARTITION BY grp ORDER BY nll, id) AS bucket
+            FROM nll)
+      SELECT grp AS lang_pred, CAST(bucket AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs, round(AVG(nll), 6) AS bucket_nll
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "p40_perplexity_buckets" -> s"""
       WITH posts AS (SELECT doc_id AS id, lang AS grp, unnest($duckToks) AS tok
