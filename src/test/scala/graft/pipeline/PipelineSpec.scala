@@ -478,6 +478,59 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.parseAviMjpeg(bad) }
   }
 
+  test("multimodal: codec registry round-trips a fake compressed payload through the seam") {
+    // a fake "compressed" codec: magic 'RLE1' then per frame a 3-byte
+    // record (value, countHi, countLo) expanding to `count` copies of
+    // `value` — decode genuinely transforms bytes, so the test proves
+    // the seam carries a REAL decoder's output, not a pass-through
+    def encode(frames: Seq[(Int, Int)]): Array[Byte] =
+      "RLE1".getBytes("US-ASCII") ++ frames.flatMap { case (v, n) =>
+        Seq(v.toByte, ((n >> 8) & 0xff).toByte, (n & 0xff).toByte) }
+    Multimodal.VideoDecoders.register("fake-rle", new Multimodal.VideoDecoder {
+      def decodeFrames(p: Array[Byte]): IndexedSeq[Array[Byte]] = {
+        require(p.length >= 4 && new String(p, 0, 4, "US-ASCII") == "RLE1",
+          "bad magic")
+        require((p.length - 4) % 3 == 0, "torn frame record")
+        (4 until p.length by 3).map { o =>
+          val n = ((p(o + 1) & 0xff) << 8) | (p(o + 2) & 0xff)
+          Array.fill(n)(p(o))
+        }.toIndexedSeq
+      }
+    })
+    assert(Multimodal.VideoDecoders.registered.contains("fake-rle"))
+    // media 1: 5 frames of value 10·f; media 2: unknown codec; media 3:
+    // corrupt payload (bad magic) under the registered codec
+    val rows = Seq(
+      (1L, encode((0 until 5).map(f => (10 * f, 100))), "fake-rle"),
+      (2L, encode(Seq((1, 4))), "h264"),
+      (3L, "JUNK???".getBytes("US-ASCII"), "fake-rle"))
+    val media = rows.toDF("media_id", "payload", "codec")
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"), lit(0).as("width"),
+          lit(0).as("height"), col("codec").as("codec")).as("meta"))
+    val out = Multimodal.codecFrameSamples(spark, media, stride = 2)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    val m1 = out.filter(_.media_id == 1L)
+    assert(m1.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L)) // stride 2 of 5
+    assert(m1.forall(f => f.decoded && f.n_frames == 5L &&
+      f.mean_byte == 10.0 * f.frame_idx), s"decoded frames: ${m1.toSeq}")
+    val m2 = out.filter(_.media_id == 2L)
+    assert(m2.length == 1 && !m2.head.decoded, "unknown codec -> decoded=false row")
+    val m3 = out.filter(_.media_id == 3L)
+    assert(m3.length == 1 && !m3.head.decoded, "decoder reject -> decoded=false row")
+    // the BUILT-IN containers ride the same seam: the synthetic MJPEG-AVI
+    // through the registry must match aviFrameSamples' own statistics
+    val avi = Seq((7L, Multimodal.synthAviMjpeg(7L), "mjpeg-avi"))
+      .toDF("media_id", "payload", "codec")
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"), lit(0).as("width"),
+          lit(0).as("height"), col("codec").as("codec")).as("meta"))
+    val seam = Multimodal.codecFrameSamples(spark, avi, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(seam.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L, 6L) &&
+      seam.forall(_.decoded))
+  }
+
   test("multimodal: AVI walk descends LIST rec groupings; multi-stream frame count is advisory") {
     // rebuild the synthetic AVI with its movi frames wrapped in `rec `
     // LISTs (the interleaved-file layout) — same chunk builders inline
