@@ -738,6 +738,53 @@ object CurationQueries extends QueryModule {
           round(col("n_true_pairs").cast("double") / col("n_planted"), 6))
     }),
 
+    // ---- Fellegi–Sunter match weights (p76's missing scoring half):
+    //      blocked candidate pairs collapse into the ≤2^k comparison-
+    //      pattern table (one skinny groupBy — states ≪ pairs), a
+    //      deterministic 5-iteration EM (Winkler init, clamped M-steps)
+    //      fits m/u/λ as bounded driver math, and the output is the
+    //      per-pattern log-likelihood-ratio weight + match posterior.
+    //      Blocking is COARSER than p76 (first-2-chars only) so the γ
+    //      fields genuinely vary inside blocks; the oracle re-derives
+    //      the records, patterns, and all five EM iterations as
+    //      unrolled CTEs (the p85 fixed-iteration pattern) -------------
+    "p105_entity_em" -> ((s, dir) => {
+      val ents = Tables.t(s, dir, "part")
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")),
+          lit(" size "), col("p_size").cast("string")).as("nm"))
+        .distinct()
+      val ids = graft.operators.Broadcasts.trackedPersist(
+        graft.operators.Ranks.globalRowNumber(ents, "rn", col("nm")))
+      val originals = ids.select((col("rn") * 2).as("id"), col("nm"))
+      val variants = ids.filter(col("rn") % 3 === 0)
+        .select((col("rn") * 2 + 1).as("id"),
+          concat(substring(col("nm"), 1, 2), lit("x"),
+            substring(col("nm"), 4, 1000)).as("nm"))
+      val records = originals.unionAll(variants)
+      val out = EntityRes.fsMatchWeights(records, "id", "nm",
+        blockKey = substring(col("nm"), 1, 2),
+        comparators = Seq(
+          // banded levenshtein: -1 means "provably > 2", so >= 0 is ≤ 2
+          "lev2" -> ((x, y) => levenshtein(x, y, 2) >= 0),
+          "len" -> ((x, y) => length(x) === length(y)),
+          "last" -> ((x, y) => element_at(split(x, " "), -1) ===
+            element_at(split(y, " "), -1))),
+        iters = 5, blockCap = 500)
+        .orderBy("g_lev2", "g_len", "g_last")
+      // the planted 1-edit variants must land in a HIGH-weight pattern:
+      // the all-agree pattern's posterior separates from the all-disagree
+      // pattern's — the unsupervised fit found the match/non-match mix
+      val probe = out.agg(
+        max(when(col("g_lev2") && col("g_len") && col("g_last"),
+          col("posterior"))).as("hi"),
+        max(when(!col("g_lev2") && !col("g_len"), col("posterior"))).as("lo"))
+        .head()
+      require(probe.getDouble(0) > 0.9 && probe.getDouble(1) < 0.1,
+        s"EM failed to separate match/non-match patterns: " +
+          s"hi=${probe.getDouble(0)} lo=${probe.getDouble(1)}")
+      out
+    }),
+
     // ---- exact triangle count by DEGREE ORIENTATION: the node-iterator
     //      whose wedge volume is bounded m^{3/2} regardless of hubs —
     //      the naive 2-path probe explodes quadratically on a power-law
@@ -1985,6 +2032,67 @@ object CurationQueries extends QueryModule {
              MIN(n) >= 5 AS safe_k_anonymous,
              MIN(l_div) >= 3 AS safe_l_diverse
       FROM lvl GROUP BY level ORDER BY level""",
+
+    "p105_entity_em" -> {
+      // one EM iteration = three CTE layers (joint, posterior, M-step),
+      // generated so the 5 unrolled iterations can't drift apart — the
+      // p85 fixed-iteration oracle pattern
+      val fields = Seq(("g_lev2", "m1", "u1"), ("g_len", "m2", "u2"),
+        ("g_last", "m3", "u3"))
+      def prodM = fields.map { case (g, m, _) =>
+        s"(CASE WHEN $g THEN p.$m ELSE 1 - p.$m END)" }.mkString(" * ")
+      def prodU = fields.map { case (g, _, u) =>
+        s"(CASE WHEN $g THEN p.$u ELSE 1 - p.$u END)" }.mkString(" * ")
+      def clamp(x: String) = s"greatest(least($x, 1 - 1e-6), 1e-6)"
+      def iterSql(i: Int): String = s"""
+      e$i AS (SELECT n_pairs, g_lev2, g_len, g_last,
+                p.lambda * $prodM AS pm, (1 - p.lambda) * $prodU AS pu
+              FROM pats, p${i - 1} p),
+      s$i AS (SELECT *, pm / (pm + pu) AS post FROM e$i),
+      p$i AS (SELECT
+        ${clamp("SUM(n_pairs * post) / SUM(n_pairs)")} AS lambda,
+        ${fields.map { case (g, m, _) => clamp(
+          s"SUM(n_pairs * post * CASE WHEN $g THEN 1 ELSE 0 END) / " +
+            "SUM(n_pairs * post)") + s" AS $m" }.mkString(",\n        ")},
+        ${fields.map { case (g, _, u) => clamp(
+          s"SUM(n_pairs * (1 - post) * CASE WHEN $g THEN 1 ELSE 0 END) / " +
+            "SUM(n_pairs * (1 - post))") + s" AS $u" }.mkString(",\n        ")}
+        FROM s$i)"""
+      val weight = fields.map { case (g, m, u) =>
+        s"(CASE WHEN $g THEN ln(p.$m / p.$u) " +
+          s"ELSE ln((1 - p.$m) / (1 - p.$u)) END)" }.mkString(" + ")
+      s"""
+      WITH ents AS (
+        SELECT DISTINCT p_name || ' ' || lower(p_type) || ' size ' ||
+               CAST(p_size AS VARCHAR) AS nm FROM part),
+      ids AS (SELECT nm, row_number() OVER (ORDER BY nm) AS rn FROM ents),
+      recs AS (
+        SELECT rn * 2 AS id, nm FROM ids
+        UNION ALL
+        SELECT rn * 2 + 1, substr(nm, 1, 2) || 'x' || substr(nm, 4, 1000)
+        FROM ids WHERE rn % 3 = 0),
+      keyed AS (SELECT id, nm, substr(nm, 1, 2) AS bk FROM recs),
+      sizes AS (SELECT bk, COUNT(*) AS bn FROM keyed GROUP BY bk),
+      kept AS (SELECT k.id, k.nm, k.bk FROM keyed k
+               JOIN sizes s USING (bk) WHERE s.bn <= 500),
+      pats AS (
+        SELECT levenshtein(a.nm, b.nm) <= 2 AS g_lev2,
+               length(a.nm) = length(b.nm) AS g_len,
+               (string_split(a.nm, ' '))[-1] = (string_split(b.nm, ' '))[-1]
+                 AS g_last,
+               COUNT(*) AS n_pairs
+        FROM kept a JOIN kept b USING (bk)
+        WHERE a.id < b.id GROUP BY 1, 2, 3),
+      p0(lambda, m1, m2, m3, u1, u2, u3) AS (
+        SELECT 0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1),
+      ${(1 to 5).map(iterSql).mkString(",")}
+      SELECT g_lev2, g_len, g_last, CAST(n_pairs AS BIGINT) AS n_pairs,
+             round($weight, 6) AS weight,
+             round((p.lambda * $prodM) /
+               (p.lambda * $prodM + (1 - p.lambda) * $prodU), 6) AS posterior
+      FROM pats, p5 p
+      ORDER BY g_lev2, g_len, g_last"""
+    },
 
     "p76_entity_blocking" -> """
       WITH ents AS (

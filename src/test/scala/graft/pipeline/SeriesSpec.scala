@@ -182,6 +182,67 @@ class SeriesSpec extends SparkSpec {
     assert(acct.getAs[Long]("n_records_dropped") === 12)
   }
 
+  // ---- EntityRes.fsEm ---------------------------------------------------
+
+  test("fsEm converges: recovers a planted m/u mixture, likelihood non-decreasing") {
+    // synthesize a pattern table from KNOWN parameters: 1000 matches
+    // with m = (0.95, 0.9, 0.8), 9000 non-matches with u = (0.05, 0.2,
+    // 0.1) — expected pattern counts computed analytically (independent
+    // fields), so the test is deterministic, no sampling
+    val m = Seq(0.95, 0.9, 0.8)
+    val u = Seq(0.05, 0.2, 0.1)
+    val patterns = (for {
+      a <- Seq(true, false); b <- Seq(true, false); c <- Seq(true, false)
+    } yield {
+      val g = Seq(a, b, c)
+      val pm = g.zip(m).map { case (gi, p) => if (gi) p else 1 - p }.product
+      val pu = g.zip(u).map { case (gi, p) => if (gi) p else 1 - p }.product
+      (g, math.round(1000 * pm + 9000 * pu))
+    }).filter(_._2 > 0)
+    val fit = EntityRes.fsEm(patterns, iters = 50)
+    // label switching can't happen here (init m > u); recovered params
+    // within the granularity the rounded counts allow
+    assert(math.abs(fit.lambda - 0.1) < 0.02, s"lambda=${fit.lambda}")
+    fit.m.zip(m).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.05, s"m: $got vs $want") }
+    fit.u.zip(u).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.05, s"u: $got vs $want") }
+    // EM's defining invariant: observed-data log-likelihood never drops
+    def loglik(p: EntityRes.FsParams): Double = patterns.map { case (g, c) =>
+      val pm = g.zip(p.m).map { case (gi, x) => if (gi) x else 1 - x }.product
+      val pu = g.zip(p.u).map { case (gi, x) => if (gi) x else 1 - x }.product
+      c * math.log(p.lambda * pm + (1 - p.lambda) * pu)
+    }.sum
+    val lls = (1 to 12).map(i => loglik(EntityRes.fsEm(patterns, iters = i)))
+    lls.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next >= prev - 1e-9, s"likelihood dropped: $prev -> $next") }
+    // and the fitted weights separate: all-agree pattern scores far above
+    // all-disagree (the ordering the p105 in-query require pins on data)
+    def w(g: Seq[Boolean], p: EntityRes.FsParams): Double =
+      g.indices.map(j => if (g(j)) math.log(p.m(j) / p.u(j))
+                         else math.log((1 - p.m(j)) / (1 - p.u(j)))).sum
+    assert(w(Seq(true, true, true), fit) > 4.0)
+    assert(w(Seq(false, false, false), fit) < -2.0)
+  }
+
+  test("fsMatchWeights: pattern table is bounded, weights monotone in agreement") {
+    val recs = Seq(
+      (1L, "alpha widget one"), (2L, "alphx widget one"),
+      (3L, "alpha gadget two"), (4L, "beta gizmo three"),
+      (5L, "beta gizmos three"), (6L, "beta thing four"),
+      (7L, "alzzz wplot nine")).toDF("id", "nm")
+    val out = EntityRes.fsMatchWeights(recs, "id", "nm",
+      substring(col("nm"), 1, 2),
+      Seq("lev2" -> ((x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column) =>
+        levenshtein(x, y, 2) >= 0)),
+      iters = 3, blockCap = 10).collect()
+    assert(out.length <= 2, "k=1 -> at most 2 patterns")
+    val byG = out.map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    if (byG.size == 2)
+      assert(byG(true) > byG(false), "agreeing pattern must outweigh")
+  }
+
   // ---- Mixing.rendezvousShard ------------------------------------------
 
   test("rendezvous resize moves only keys won by the new shard") {
