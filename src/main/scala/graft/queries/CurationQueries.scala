@@ -57,9 +57,22 @@ object CurationQueries extends QueryModule {
       val d = docs(s, dir)
       val probe = d.filter(col("doc_id") % 20 === 13)
       val train = d.filter(col("doc_id") % 20 =!= 13)
-      Dedup.bloomContaminationPairs(train, probe, "doc_id", "text", threshold = 0.5)
+      val out = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
+        threshold = 0.5)
         .withColumn("overlap", round(col("overlap"), 6))
-        .orderBy("train_id", "eval_id")
+      // in-query no-false-negative gate (scale-independent — the oracle's
+      // full containment recompute is sf0.01-only): the EXACT path over a
+      // bounded eval-id prefix must be a subset of the bloom-screened
+      // result; a bloom false negative is precisely a missing pair here
+      val exactSub = Dedup.contaminationPairs(train,
+        probe.filter(col("doc_id") < 2000), "doc_id", "text", threshold = 0.5)
+        .select("train_id", "eval_id")
+      val missed = exactSub
+        .join(out.select("train_id", "eval_id"),
+          Seq("train_id", "eval_id"), "left_anti").count()
+      require(missed == 0L,
+        s"bloom prefilter produced $missed false negative(s) on the probe prefix")
+      out.orderBy("train_id", "eval_id")
     }),
 
     // ---- SemDeDup: KMeans cells landed to parquet, within-cell cosine
@@ -861,12 +874,37 @@ object CurationQueries extends QueryModule {
     //      PPJoin): candidates only where rarest-first prefixes share a
     //      token — lossless, unlike dfCap. The oracle brute-forces the
     //      full posting join, so result-set equality IS the proof that
-    //      prefix pruning dropped nothing ----------------------------
+    //      prefix pruning dropped nothing at sf0.01; the IN-QUERY gate
+    //      below is the proof that survives any scale (the oracle's
+    //      postings pair join is quadratic in hot-token df — Σdf² hit
+    //      4.6e10 at the sf1 probe) -------------------------------------
     "p80_prefix_jaccard" -> ((s, dir) => {
-      Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+      val d = docs(s, dir)
+      val out = Dedup.prefixJaccardPairs(d, "doc_id", "text",
         threshold = 0.95)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("i", "j")
+      // losslessness probe (the p09 discipline): brute-force the exact
+      // pair set over a broadcast id prefix — linear in the corpus — and
+      // require the PPJoin found every one. Same tokenization as
+      // prefixJaccardPairs (distinct whitespace tokens, lower+trim).
+      val toks = d.select(col("doc_id").as("id"),
+        array_distinct(TextOps.tokens(col("text"))).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val probe = broadcast(toks.filter(col("id") < 500)
+        .select(col("id").as("i"), col("ts").as("ts_i")))
+      val truth = toks.select(col("id").as("j"), col("ts").as("ts_j"))
+        .join(probe, col("i") < col("j"))
+        .withColumn("c", size(array_intersect(col("ts_i"), col("ts_j"))))
+        .filter(col("c").cast("double") /
+          (size(col("ts_i")) + size(col("ts_j")) - col("c")).cast("double")
+          >= 0.95)
+        .select("i", "j")
+      val missed = truth
+        .join(out.select("i", "j"), Seq("i", "j"), "left_anti").count()
+      require(missed == 0L,
+        s"PPJoin losslessness violated: prefix pruning dropped $missed " +
+          "probe-prefix pair(s)")
+      out.orderBy("i", "j")
     }),
 
     // ---- KMV set-operation estimates FROM SKETCHES ALONE: bottom-k of

@@ -9,7 +9,7 @@ Usage: check_oracle.py <verify_out_dir> <sf_dir> [name_prefix...]
 filtered Verify run; the FULL run must always be checked unfiltered,
 absence ≠ green)
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -41,8 +41,13 @@ def canon(rows, cols):
 def main(outdir, sfdir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is a single file; ScaleUp-synthesized dirs are
+        # Spark-written DIRECTORIES of part files — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
