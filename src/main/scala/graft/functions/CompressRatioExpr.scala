@@ -61,6 +61,10 @@ object CompressKernels {
     if (k <= 8 && s.numBytes() == nChars) { // pure-ASCII fast path
       val b = s.getBytes
       val total = b.length - k + 1
+      // 2^29 gram positions ≈ a 512 MiB single document — beyond any sane
+      // per-row payload, and past it cap<<=1 would overflow Int and spin
+      require(total <= (1 << 29),
+        s"document too large for per-row k-gram dedup ($total gram positions)")
       val keyMask = if (k == 8) -1L else (1L << (8 * k)) - 1
       var cap = 16
       while (cap < total * 2) cap <<= 1

@@ -313,7 +313,10 @@ object Ann {
       cosineNearDupPairs(emb, dims, threshold, planes, tables, seed)
     else {
       val nCells = math.max(2, math.ceil(n.toDouble / cellTarget)).toInt
-      semDedupPairsProbed(emb, nCells, nProbe, threshold, seed)
+      // tiny over-cap corpora (forced caps in tests) can have fewer
+      // cells than the default probe count — probing every cell is then
+      // simply exact
+      semDedupPairsProbed(emb, nCells, math.min(nProbe, nCells), threshold, seed)
     }
   }
 
@@ -403,9 +406,15 @@ object Ann {
     * the CORPUS side) — the recall repair for cell-based dedup, where a
     * near-dup pair split by one cell boundary still meets in a shared
     * runner-up cell. Centroids are a tiny literal array (driver-side
-    * model), so assignment is one shuffle-free scan; ranking rounds
+    * model) and the per-row top-nProbe selection happens INSIDE one
+    * projection (score all cells, array_sort, slice) — genuinely
+    * shuffle-free and never materializing n×nCells rows (an
+    * explode+row_number formulation would shuffle ~n·nCells rows: at the
+    * over-cap regime this path exists for, that is n²/cellTarget —
+    * asymptotically worse than the LSH path it replaces). Scores round
     * before ordering (house rule) so FP near-ties can't flip which cells
-    * a vector probes. Returns (vec_id, cell), nProbe rows per vector. */
+    * a vector probes; exact ties break on cell id, matching the window
+    * formulation. Returns (vec_id, cell), nProbe rows per vector. */
   def kmeansCellsProbed(emb: DataFrame, nCells: Int, nProbe: Int,
                         seed: Long = 1): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -420,12 +429,13 @@ object Ann {
       struct(lit(i.toLong).as("cell"),
         array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
     }: _*)
-    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c.cell"))
-    emb.select(col("vec_id"), col("embedding"), explode(centArr).as("c"))
-      .withColumn("cc", round(cosine(col("embedding"), col("c.cent")), 8))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("c.cell").as("cell"))
+    // struct sort order = (−score asc, cell asc) = (score desc, cell asc)
+    val scored = transform(centArr, c => struct(
+      (-round(cosine(col("embedding"), c.getField("cent")), 8)).as("neg_cc"),
+      c.getField("cell").as("cell")))
+    emb.select(col("vec_id"),
+        explode(slice(array_sort(scored), 1, nProbe)).as("s"))
+      .select(col("vec_id"), col("s.cell").as("cell"))
   }
 
   /** SemDeDup pairs over multi-probe cells — the over-cap branch of

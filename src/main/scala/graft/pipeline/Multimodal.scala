@@ -664,9 +664,13 @@ object Multimodal {
   // codecs (H.264 etc.) remain out of pure-JVM reach.
 
   /** Parsed AVI facts: header geometry + declared frame count + stream
-    * count (from avih dwStreams — video+audio files have ≥2). */
+    * count (from avih dwStreams — video+audio files have ≥2) +
+    * `declaredMismatch`, true when a multi-stream file's dwTotalFrames
+    * disagrees with the movi frame count (muxers often count interleave
+    * units) — carried IN-BAND so a consumer can surface it per payload
+    * instead of it vanishing into executor stderr. */
   case class AviInfo(width: Int, height: Int, totalFrames: Int,
-                     streams: Int = 1)
+                     streams: Int = 1, declaredMismatch: Boolean = false)
 
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
@@ -735,15 +739,15 @@ object Multimodal {
     val i = info.getOrElse(sys.error("AVI: no hdrl/avih header found"))
     // dwTotalFrames is exact only for a lone video stream; with audio
     // interleaved many muxers count interleave units, so the mismatch is
-    // advisory there (the frames we DID find are all complete chunks —
-    // the per-chunk bounds checks above stay strict either way)
+    // advisory there — flagged on AviInfo, not printed (a stderr line per
+    // payload per parse is invisible to queries and unbounded at corpus
+    // scale). The frames found are all complete chunks either way: the
+    // per-chunk bounds checks above stay strict.
     if (i.streams <= 1)
       require(i.totalFrames == frames.length,
         s"AVI: header declares ${i.totalFrames} frames, movi carries ${frames.length}")
-    else if (i.totalFrames != frames.length)
-      System.err.println(s"[avi] header declares ${i.totalFrames} frames, " +
-        s"movi carries ${frames.length} (streams=${i.streams}; advisory)")
-    (i, frames.toIndexedSeq)
+    (i.copy(declaredMismatch = i.totalFrames != frames.length),
+      frames.toIndexedSeq)
   }
 
   /** Mean luma of a decoded frame: band 0 directly for grayscale, the

@@ -57,9 +57,12 @@ object CurationQueries extends QueryModule {
       val d = docs(s, dir)
       val probe = d.filter(col("doc_id") % 20 === 13)
       val train = d.filter(col("doc_id") % 20 =!= 13)
-      val out = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
-        threshold = 0.5)
-        .withColumn("overlap", round(col("overlap"), 6))
+      // persisted: the no-false-negative gate and the returned frame are
+      // separate actions — unpersisted, the bloom join would run twice
+      val out = graft.operators.Broadcasts.trackedPersist(
+        Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
+          threshold = 0.5)
+          .withColumn("overlap", round(col("overlap"), 6)))
       // in-query no-false-negative gate (scale-independent — the oracle's
       // full containment recompute is sf0.01-only): the EXACT path over a
       // bounded eval-id prefix must be a subset of the bloom-screened
@@ -224,8 +227,12 @@ object CurationQueries extends QueryModule {
         element_at(seedArr, idx)
           .substr(lit(1) + (col("doc_id") % 7).cast("int"), lit(100000))
           .as("text"))
-      val pred = LangId.classify(planted, "doc_id", "text", LangId.seedModel(s))
-        .withColumnRenamed("id", "doc_id")
+      // persisted: the accuracy require and the bucket rollup are
+      // separate actions — unpersisted, the gram-explode classification
+      // would run twice
+      val pred = graft.operators.Broadcasts.trackedPersist(
+        LangId.classify(planted, "doc_id", "text", LangId.seedModel(s))
+          .withColumnRenamed("id", "doc_id"))
       val routed = planted.join(pred, "doc_id")
       val wrong = routed.filter(col("lang_true") =!= col("lang_pred")).count()
       require(wrong == 0L,
@@ -757,10 +764,13 @@ object CurationQueries extends QueryModule {
     //      deterministic 5-iteration EM (Winkler init, clamped M-steps)
     //      fits m/u/λ as bounded driver math, and the output is the
     //      per-pattern log-likelihood-ratio weight + match posterior.
-    //      Blocking is COARSER than p76 (first-2-chars only) so the γ
-    //      fields genuinely vary inside blocks; the oracle re-derives
-    //      the records, patterns, and all five EM iterations as
-    //      unrolled CTEs (the p85 fixed-iteration pattern) -------------
+    //      Blocking reuses p76's scale-proven key (2-char prefix +
+    //      length — a coarser prefix-only key put every sf0.1 block
+    //      over the cap and starved the EM); the γ fields are chosen to
+    //      VARY inside those blocks (2nd token / last token / edit
+    //      distance, never length, which the key fixes). The oracle
+    //      re-derives the records, patterns, and all five EM iterations
+    //      as unrolled CTEs (the p85 fixed-iteration pattern) ----------
     "p105_entity_em" -> ((s, dir) => {
       val ents = Tables.t(s, dir, "part")
         .select(concat(col("p_name"), lit(" "), lower(col("p_type")),
@@ -775,26 +785,31 @@ object CurationQueries extends QueryModule {
             substring(col("nm"), 4, 1000)).as("nm"))
       val records = originals.unionAll(variants)
       val out = EntityRes.fsMatchWeights(records, "id", "nm",
-        blockKey = substring(col("nm"), 1, 2),
+        blockKey = concat(substring(col("nm"), 1, 2), lit("#"),
+          length(col("nm")).cast("string")),
         comparators = Seq(
           // banded levenshtein: -1 means "provably > 2", so >= 0 is ≤ 2
           "lev2" -> ((x, y) => levenshtein(x, y, 2) >= 0),
-          "len" -> ((x, y) => length(x) === length(y)),
+          "tok2" -> ((x, y) => element_at(split(x, " "), 2) ===
+            element_at(split(y, " "), 2)),
           "last" -> ((x, y) => element_at(split(x, " "), -1) ===
             element_at(split(y, " "), -1))),
         iters = 5, blockCap = 500)
-        .orderBy("g_lev2", "g_len", "g_last")
+        .orderBy("g_lev2", "g_tok2", "g_last")
       // the planted 1-edit variants must land in a HIGH-weight pattern:
       // the all-agree pattern's posterior separates from the all-disagree
       // pattern's — the unsupervised fit found the match/non-match mix
+      // coalesce to sentinels: an absent pattern (tiny/filtered corpora)
+      // must fail THIS require's diagnostic, not NPE in getDouble
       val probe = out.agg(
-        max(when(col("g_lev2") && col("g_len") && col("g_last"),
-          col("posterior"))).as("hi"),
-        max(when(!col("g_lev2") && !col("g_len"), col("posterior"))).as("lo"))
+        coalesce(max(when(col("g_lev2") && col("g_tok2") && col("g_last"),
+          col("posterior"))), lit(-1.0)).as("hi"),
+        coalesce(max(when(!col("g_lev2") && !col("g_tok2"),
+          col("posterior"))), lit(2.0)).as("lo"))
         .head()
       require(probe.getDouble(0) > 0.9 && probe.getDouble(1) < 0.1,
-        s"EM failed to separate match/non-match patterns: " +
-          s"hi=${probe.getDouble(0)} lo=${probe.getDouble(1)}")
+        s"EM failed to separate match/non-match patterns (-1/2 = pattern " +
+          s"absent): hi=${probe.getDouble(0)} lo=${probe.getDouble(1)}")
       out
     }),
 
@@ -880,9 +895,12 @@ object CurationQueries extends QueryModule {
     //      4.6e10 at the sf1 probe) -------------------------------------
     "p80_prefix_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      val out = Dedup.prefixJaccardPairs(d, "doc_id", "text",
-        threshold = 0.95)
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      // persisted: the losslessness gate's anti-join and the returned
+      // frame are separate actions — unpersisted, the PPJoin's final
+      // verify stage would run twice
+      val out = graft.operators.Broadcasts.trackedPersist(
+        Dedup.prefixJaccardPairs(d, "doc_id", "text", threshold = 0.95)
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard")))
       // losslessness probe (the p09 discipline): brute-force the exact
       // pair set over a broadcast id prefix — linear in the corpus — and
       // require the PPJoin found every one. Same tokenization as
@@ -890,10 +908,20 @@ object CurationQueries extends QueryModule {
       val toks = d.select(col("doc_id").as("id"),
         array_distinct(TextOps.tokens(col("text"))).as("ts"))
         .filter(size(col("ts")) > 0)
-      val probe = broadcast(toks.filter(col("id") < 500)
+      // probe prefix 150: the corpus plants near-dup mass uniformly in
+      // id space, so the low prefix carries thousands of true pairs at
+      // sf0.1 already — and the gate's cost is probeMax × corpus
+      // intersects (measured ~16 s at probeMax=500/sf0.1, ~1.5 s here)
+      val probe = broadcast(toks.filter(col("id") < 150)
         .select(col("id").as("i"), col("ts").as("ts_i")))
+      // the size prefilter is EXACT for Jaccard >= t (t·|b| ≤ |a| ≤
+      // |b|/t) — it costs nothing and prunes when doc sizes vary (the
+      // synthetic corpus's distinct-token counts cluster, so little
+      // pruning HERE, but the gate also runs on real corpora)
       val truth = toks.select(col("id").as("j"), col("ts").as("ts_j"))
-        .join(probe, col("i") < col("j"))
+        .join(probe, col("i") < col("j") &&
+          size(col("ts_i")).cast("double") >= lit(0.95) * size(col("ts_j")) &&
+          size(col("ts_j")).cast("double") >= lit(0.95) * size(col("ts_i")))
         .withColumn("c", size(array_intersect(col("ts_i"), col("ts_j"))))
         .filter(col("c").cast("double") /
           (size(col("ts_i")) + size(col("ts_j")) - col("c")).cast("double")
@@ -2075,7 +2103,7 @@ object CurationQueries extends QueryModule {
       // one EM iteration = three CTE layers (joint, posterior, M-step),
       // generated so the 5 unrolled iterations can't drift apart — the
       // p85 fixed-iteration oracle pattern
-      val fields = Seq(("g_lev2", "m1", "u1"), ("g_len", "m2", "u2"),
+      val fields = Seq(("g_lev2", "m1", "u1"), ("g_tok2", "m2", "u2"),
         ("g_last", "m3", "u3"))
       def prodM = fields.map { case (g, m, _) =>
         s"(CASE WHEN $g THEN p.$m ELSE 1 - p.$m END)" }.mkString(" * ")
@@ -2083,7 +2111,7 @@ object CurationQueries extends QueryModule {
         s"(CASE WHEN $g THEN p.$u ELSE 1 - p.$u END)" }.mkString(" * ")
       def clamp(x: String) = s"greatest(least($x, 1 - 1e-6), 1e-6)"
       def iterSql(i: Int): String = s"""
-      e$i AS (SELECT n_pairs, g_lev2, g_len, g_last,
+      e$i AS (SELECT n_pairs, g_lev2, g_tok2, g_last,
                 p.lambda * $prodM AS pm, (1 - p.lambda) * $prodU AS pu
               FROM pats, p${i - 1} p),
       s$i AS (SELECT *, pm / (pm + pu) AS post FROM e$i),
@@ -2109,13 +2137,16 @@ object CurationQueries extends QueryModule {
         UNION ALL
         SELECT rn * 2 + 1, substr(nm, 1, 2) || 'x' || substr(nm, 4, 1000)
         FROM ids WHERE rn % 3 = 0),
-      keyed AS (SELECT id, nm, substr(nm, 1, 2) AS bk FROM recs),
+      keyed AS (SELECT id, nm,
+                  substr(nm, 1, 2) || '#' || CAST(length(nm) AS VARCHAR) AS bk
+                FROM recs),
       sizes AS (SELECT bk, COUNT(*) AS bn FROM keyed GROUP BY bk),
       kept AS (SELECT k.id, k.nm, k.bk FROM keyed k
                JOIN sizes s USING (bk) WHERE s.bn <= 500),
       pats AS (
         SELECT levenshtein(a.nm, b.nm) <= 2 AS g_lev2,
-               length(a.nm) = length(b.nm) AS g_len,
+               (string_split(a.nm, ' '))[2] = (string_split(b.nm, ' '))[2]
+                 AS g_tok2,
                (string_split(a.nm, ' '))[-1] = (string_split(b.nm, ' '))[-1]
                  AS g_last,
                COUNT(*) AS n_pairs
@@ -2124,12 +2155,12 @@ object CurationQueries extends QueryModule {
       p0(lambda, m1, m2, m3, u1, u2, u3) AS (
         SELECT 0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1),
       ${(1 to 5).map(iterSql).mkString(",")}
-      SELECT g_lev2, g_len, g_last, CAST(n_pairs AS BIGINT) AS n_pairs,
+      SELECT g_lev2, g_tok2, g_last, CAST(n_pairs AS BIGINT) AS n_pairs,
              round($weight, 6) AS weight,
              round((p.lambda * $prodM) /
                (p.lambda * $prodM + (1 - p.lambda) * $prodU), 6) AS posterior
       FROM pats, p5 p
-      ORDER BY g_lev2, g_len, g_last"""
+      ORDER BY g_lev2, g_tok2, g_last"""
     },
 
     "p76_entity_blocking" -> """

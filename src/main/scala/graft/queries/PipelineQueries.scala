@@ -425,12 +425,16 @@ object PipelineQueries extends QueryModule {
     "p93_compress_quality" -> ((s, dir) => {
       graft.functions.CompressRatioExpr.register(s)
       val d = docs(s, dir)
-      val per = d.select(col("lang"), col("doc_id"),
-        expr("graft_deflate_ratio(text)").as("ratio"),
-        expr("graft_distinct_kgrams(text, 8)").as("uniq"),
-        greatest(length(col("text")) - lit(7), lit(0)).cast("long").as("total"))
+      // persisted: the corr bridge and the returned rollup are separate
+      // actions — unpersisted, the zlib + gram kernels would run over
+      // every doc twice
+      val per = graft.operators.Broadcasts.trackedPersist(
+        d.select(col("lang"), col("doc_id"),
+          expr("graft_deflate_ratio(text)").as("ratio"),
+          expr("graft_distinct_kgrams(text, 8)").as("uniq"),
+          greatest(length(col("text")) - lit(7), lit(0)).cast("long").as("total"))
         .withColumn("mass", when(col("total") === 0L, lit(0.0))
-          .otherwise(lit(1.0) - col("uniq").cast("double") / col("total").cast("double")))
+          .otherwise(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"))))
       // bridge 1: the zlib production signal must agree directionally
       // with the oracle-checked gram face across the corpus
       val c = per.agg(corr(col("ratio"), col("mass"))).head().getDouble(0)
@@ -1001,14 +1005,21 @@ object PipelineQueries extends QueryModule {
       val missed = truth
         .join(landed.select("i", "j"), Seq("i", "j"), "left_anti").count()
       truth.unpersist()
-      // Recall FLOOR, not zero-miss: 32 tables × 4 planes give ~99.8%
-      // per-pair recall at cos 0.45, so expected misses grow with the
-      // truth set (~10 per 5k true pairs — a zero-miss require() is a
-      // test-scale artifact that a 10× corpus statistically breaks, as
-      // the sf1 probe measured). 99.5% still fails any real regression:
-      // a dropped table or a planes/threshold bug costs whole percents.
-      require(missed.toDouble <= 0.005 * nTrueProbe,
-        s"near-dup recall regression: LSH dropped $missed/$nTrueProbe true pair(s)")
+      // Recall FLOOR, not zero-miss — and REGIME-AWARE: the LSH regime's
+      // 32×4 parameterization gives ~99.8% per-pair recall at cos 0.45
+      // (expected misses grow with the truth set; a zero-miss require is
+      // a test-scale artifact a 10× corpus statistically breaks, as the
+      // sf1 probe measured), so 0.5% still fails any real regression.
+      // Past the tables cap the dispatcher runs multi-probe SemDeDup
+      // cells, whose graded recall is ~96.5% (PipelineSpec) — holding
+      // the swapped path to the LSH floor would fail the query at
+      // exactly the scale the dispatcher exists for, so the floor
+      // follows the regime the SAME parameterization call decides.
+      val overCap = Ann.autoLshParamsDetailed(e.count(), 0.45)._3
+      val floor = if (overCap) 0.10 else 0.005
+      require(missed.toDouble <= floor * nTrueProbe,
+        s"near-dup recall regression (${if (overCap) "cell" else "LSH"} " +
+          s"regime): dropped $missed/$nTrueProbe true pair(s)")
       landed.agg(
         count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("cos_r") < 0.45, 1L).otherwise(0L)), lit(0L)).as("n_below"),

@@ -564,6 +564,9 @@ class PipelineSpec extends SparkSpec {
     multi(32 + 24) = 2.toByte  // dwStreams := 2
     val (info3, frames3) = Multimodal.parseAviMjpeg(multi)
     assert(info3.streams == 2 && frames3.length == origFrames.length)
+    assert(info3.declaredMismatch, "the advisory mismatch must be IN-BAND")
+    val (infoOk, _) = Multimodal.parseAviMjpeg(recWrapped)
+    assert(!infoOk.declaredMismatch)
   }
 
   test("multimodal: uniform-gray JPEG round-trip is exact for all 256 values") {

@@ -80,11 +80,18 @@ def main():
             results = json.load(f)
     for q in queries:
         qdir = os.path.join(verify_dir, q)
-        ran = os.path.isdir(qdir) and any(
-            f.endswith(".parquet") for f in os.listdir(qdir))
+        # a failed query leaves an _ERROR marker (Verify clears partial
+        # parquet first), so parquet-present AND marker-absent means the
+        # query — including its in-query require() gates — succeeded in
+        # the run that produced this dir
+        failed_marker = os.path.exists(os.path.join(qdir, "_ERROR"))
+        ran = (os.path.isdir(qdir) and not failed_marker and any(
+            f.endswith(".parquet") for f in os.listdir(qdir)))
         row = {"ran_at_sf1": ran}
         if not ran:
-            row.update(oracle="error", detail="no verify output at sf1")
+            row.update(oracle="error",
+                       detail=("query FAILED at sf1 (_ERROR marker)"
+                               if failed_marker else "no verify output at sf1"))
         else:
             import duckdb
             row["spark_rows"] = duckdb.sql(
@@ -93,7 +100,9 @@ def main():
             row.update(run_one(verify_dir, sf_dir, q, timeout_s))
         if q in IN_QUERY_GATES:
             row["in_query_gate"] = IN_QUERY_GATES[q]
-            row["in_query_gate_passed"] = ran  # Verify exits nonzero on a failed require
+            # a failed require() lands in the _ERROR marker path above,
+            # so ran=True here means the gate executed and held
+            row["in_query_gate_passed"] = ran
         results[q] = row
         print(f"{q}: {row['oracle'] if 'oracle' in row else '?'} "
               f"({row.get('detail', '')[:80]})", flush=True)
