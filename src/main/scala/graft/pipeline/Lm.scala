@@ -55,6 +55,9 @@ object Lm {
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(srcCol).as("source"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
+      // split("") is [""] — an empty/whitespace doc must not mint a
+      // phantom token into the distribution (the dsirLogWeights lesson)
+      .filter(col("tok") =!= "")
     // totals as AGGREGATES joined back — never a window over the vocab
     // table: an empty-partition (or per-source) window funnels the whole
     // Heaps-law-unbounded vocabulary through single reducers, where the
@@ -93,7 +96,14 @@ object Lm {
     import spark.implicits._
     val bRank = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     docs.select(col(idCol).cast("long").as("id"),
-        TextOps.bpeTokens(col(textCol)).as("toks"))
+        // NULL text tokenizes to a NULL array, which the typed decoder
+        // and the merge loop both choke on — coalesce to empty (0 pre,
+        // 0 encoded), matching how every explode-based sibling silently
+        // drops null-text rows; ids that fail the long cast are dropped
+        // for the same reason (the primitive decoder rejects null)
+        coalesce(TextOps.bpeTokens(col(textCol)),
+          array().cast("array<string>")).as("toks"))
+      .filter(col("id").isNotNull)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val rank = bRank.value
@@ -131,6 +141,8 @@ object Lm {
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val posts = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
+      // empty-doc phantom token guard (see sourceDrift)
+      .filter(col("tok") =!= "")
     // corpus total as a ONE-ROW aggregate crossJoin(broadcast(...)) —
     // the q58 discipline — not an empty-partition window over the vocab
     val model = posts.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -159,7 +171,9 @@ object Lm {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 lambda: Double = 0.7): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("t"))
+      // empty-doc phantom token guard (see sourceDrift) — filtered in
+      // the ARRAY so the pair stream and the unigram model agree
+      filter(TextOps.tokens(col(textCol)), t => t =!= "").as("t"))
     val pairs = base.select(col("id"),
         explode(zip_with(col("t"),
           slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
@@ -207,6 +221,8 @@ object Lm {
                         textCol: String, nBuckets: Int): DataFrame = {
     val posts = docs.select(col(idCol).as("id"), col(grpCol).as("grp"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
+      // empty-doc phantom token guard (see sourceDrift)
+      .filter(col("tok") =!= "")
     // per-group totals as a bounded (one row per group) AGGREGATE joined
     // back — a per-group window over the model table would funnel the
     // dominant language's whole vocabulary through one reducer
@@ -245,11 +261,15 @@ object Lm {
       .flatMap { case (qid, q) => q.trim.toLowerCase.split("\\s+").map(qid -> _) }
       .toDF("query_id", "term")
     val base = docs.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("t"))
-    val tf = base.select(col("id"), explode(col("t")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      // empty-doc phantom token guard (see sourceDrift)
+      filter(TextOps.tokens(col(textCol)), t => t =!= "").as("t"))
+    // dl rides THROUGH the explode as a grouping column (functionally
+    // dependent on id, so the groups are unchanged) — a per-id window
+    // here would re-exchange the whole posting table once for dl and
+    // again for the df branch that doesn't even need it
+    val tf = base.select(col("id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
     // df only matters for QUERY terms — restricting tf to the broadcast
     // query vocabulary BEFORE the df aggregate leaves a bounded table
     // (|query terms| rows), where the full-vocab df table is Heaps-law
@@ -290,11 +310,14 @@ object Lm {
     * Returns (id, rk ∈ 1..k, term, tfidf). */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
-    val posts = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
-    val tf = posts.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("n_toks", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    // empty-doc phantom token guard + n_toks through the explode as a
+    // grouping column — same two fixes as bm25TopK (the per-id window
+    // re-exchanged the posting table for a value size(t) already knows)
+    val base = docs.select(col(idCol).as("id"),
+      filter(TextOps.tokens(col(textCol)), t => t =!= "").as("t"))
+    val tf = base.select(col("id"), size(col("t")).cast("long").as("n_toks"),
+        explode(col("t")).as("term"))
+      .groupBy("id", "n_toks", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

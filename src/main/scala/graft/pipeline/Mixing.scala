@@ -210,22 +210,24 @@ object Mixing {
     * function whose defining property is MINIMAL MOVEMENT: growing n→n+1
     * shards relocates only the keys whose new shard wins, an expected
     * 1/(n+1) of them, where mod-hashing reshuffles nearly everything.
-    * Scan-local (n weight hashes + an argmax chain per row, ZERO
+    * Scan-local (n weight hashes + one array-max per row, ZERO
     * shuffle) — placement must never cost a repartition of the data it
     * places. Ties (astronomically rare with 32-bit weights, but the
-    * contract must be total) break toward the SMALLEST shard id; the
-    * ascending fold keeps the first strict maximum, matching an
-    * `ORDER BY weight DESC, shard ASC` oracle. */
+    * contract must be total) break toward the SMALLEST shard id: the
+    * max is taken over (weight, −shard) structs, matching an
+    * `ORDER BY weight DESC, shard ASC` oracle.
+    *
+    * Built as `array_max` over an n-element struct array, NOT a
+    * when/otherwise fold — a fold that references the running best on
+    * both branches doubles the expression tree per shard (O(2^n) nodes:
+    * nShards=24 already OOMs the driver during plan construction, and a
+    * routine 64-shard placement never finishes analyzing). */
   def rendezvousShard(id: Column, nShards: Int, salt: String): Column = {
     require(nShards >= 1, s"nShards >= 1, got $nShards")
-    val weights = (0 until nShards).map(s0 =>
-      s0 -> hashUnit(id, s"$salt:$s0"))
-    weights.tail.foldLeft(
-      (lit(weights.head._1).cast("long"), weights.head._2)) {
-      case ((bestS, bestW), (s0, w)) =>
-        (when(w > bestW, lit(s0).cast("long")).otherwise(bestS),
-          when(w > bestW, w).otherwise(bestW))
-    }._1
+    val scored = array((0 until nShards).map(s0 => struct(
+      hashUnit(id, s"$salt:$s0").as("w"),
+      lit(-s0).cast("long").as("neg_shard"))): _*)
+    -array_max(scored).getField("neg_shard")
   }
 
   /** Concatenate-and-chunk sequence packing with BOUNDARY accounting —
@@ -332,7 +334,10 @@ object Mixing {
     require(k >= 1, s"k >= 1, got $k")
     val keyed = df.select(col(idCol).as("id"),
         col(weightCol).cast("double").as("weight"))
-      .filter(col("weight") > 0)
+      // !isnan is load-bearing: Spark orders NaN ABOVE every double, so
+      // a NaN weight passes `> 0`, yields key_r = NaN, and monopolizes
+      // the descending top-k (the Stats/ZOrder NaN-guard convention)
+      .filter(col("weight") > 0 && !isnan(col("weight")))
       .withColumn("key_r",
         round(pow(hashUnit(col("id"), salt), lit(1.0) / col("weight")), 8))
     val w = Window.orderBy(col("key_r").desc, col("id"))

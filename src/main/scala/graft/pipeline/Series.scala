@@ -113,14 +113,20 @@ object Series {
     * independent of value cardinality — at 100 TB you run PSI on every
     * column every day and KS only where PSI alarms.
     *
-    * Shape: one bounded min/max aggregate fixes equal-width bin edges
-    * (deterministic, engine-replayable literals), then ONE scan into a
-    * (group, snapshot, bin)-keyed map-side-combinable count — state
-    * bounded by groups × bins × 2 regardless of corpus size. The PSI
-    * algebra (Laplace-smoothed shares p = (c + ½)/(n + ½·bins) so empty
-    * bins stay finite; Σ (pₐ−p_b)·ln(pₐ/p_b) over the full bin grid)
-    * runs entirely on that bounded table. `drifted` compares the
-    * UNROUNDED score (the ksDrift lesson); psi is rounded for display.
+    * Shape: one bounded PER-GROUP min/max aggregate fixes each group's
+    * equal-width bin edges (per-group, not global: a group occupying a
+    * narrow slice of the global domain would land in ONE global bin in
+    * both snapshots and its PSI would read ~0 no matter how far it
+    * drifted — exactly the alarm the operator exists to raise), then
+    * ONE scan into a (group, snapshot, bin)-keyed map-side-combinable
+    * count — state bounded by groups × bins × 2 regardless of corpus
+    * size. A degenerate group (every value identical across both
+    * snapshots) bins entirely to bin 0 on both sides and scores the
+    * PSI it deserves: 0. The PSI algebra (Laplace-smoothed shares
+    * p = (c + ½)/(n + ½·bins) so empty bins stay finite;
+    * Σ (pₐ−p_b)·ln(pₐ/p_b) over the full bin grid) runs entirely on
+    * that bounded table. `drifted` compares the UNROUNDED score (the
+    * ksDrift lesson); psi is rounded for display.
     *
     * Groups present in only one snapshot are dropped (the p98 law — a
     * one-sided PSI is not a comparison). Returns
@@ -131,17 +137,18 @@ object Series {
     require(bins >= 2, s"psiDrift: need >= 2 bins, got $bins")
     val base = df.select(col(groupCol).as("g"), snapshot.cast("int").as("snap"),
       col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
-    val mm = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
-    require(!mm.isNullAt(0), "psiDrift: no non-null values")
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    require(hi > lo, s"psiDrift: degenerate value range [$lo, $hi]")
-    val w = (hi - lo) / bins
-    val binc = least(lit(bins - 1L), greatest(lit(0L),
-      floor((col("v") - lit(lo)) / lit(w)).cast("long"))).as("b")
+    // per-group edges: one row per group, size-gated back onto the scan
+    val ranges = base.groupBy("g")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val binc = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(lit(bins - 1L), greatest(lit(0L),
+        floor((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)).cast("long")))).as("b")
     // the one corpus-sized pass; bounded output fans out to the grid,
     // both snapshot sides, and the totals — persist it
     val counts = graft.operators.Broadcasts.trackedPersist(
-      base.groupBy(col("g"), col("snap"), binc).agg(count(lit(1)).as("c")))
+      base.join(graft.operators.Broadcasts.sizeGated(ranges), "g")
+        .groupBy(col("g"), col("snap"), binc).agg(count(lit(1)).as("c")))
     val totals = counts.groupBy("g", "snap").agg(sum(col("c")).as("n"))
     val grid = counts.select(col("g")).distinct()
       .select(col("g"), explode(sequence(lit(0L), lit(bins - 1L))).as("b"))
@@ -181,12 +188,18 @@ object Series {
     * Returns (group, n, d, drifted). */
   def ksDrift(df: DataFrame, groupCol: String, valCol: String,
               threshold: Double = 0.1): DataFrame = {
-    val v = col(valCol).cast("double")
-    val byVal = df.groupBy(col(groupCol).as("g"), v.as("v"))
-      .agg(count(lit(1)).as("c"))
-    val globalByVal = df.groupBy(v.as("v")).agg(count(lit(1)).as("cg"))
-    val nGlobal = df.agg(count(v).as("n_all"))
-    val groups = df.select(col(groupCol).as("g")).distinct()
+    // NULLs (and strings cast to null) are dropped up front, the psiDrift
+    // convention — left in, they corrupt the two ECDFs INCONSISTENTLY
+    // (n_all counts non-null while the grid cumsum kept a null row, and
+    // the null grid key never joins back to a group's null count), which
+    // inflates every group's sup-gap by its null share
+    val base = df.select(col(groupCol).as("g"),
+        col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val byVal = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val globalByVal = base.groupBy("v").agg(count(lit(1)).as("cg"))
+    val nGlobal = base.agg(count(col("v")).as("n_all"))
+    val groups = base.select("g").distinct()
       .join(byVal.groupBy("g").agg(sum(col("c")).as("n_g")), "g")
     val wG = Window.partitionBy("g").orderBy("v")
     // global ECDF cumsum runs DISTRIBUTED (range-partitioned running
@@ -244,8 +257,13 @@ object Series {
       .withColumn("rn", row_number().over(w))
     val firstConv = evs.filter(col("st") === "CONV")
       .groupBy("k").agg(min(col("rn")).as("prn"))
-    val pe = evs.join(firstConv, Seq("k"), "left")
-      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    // pe fans out THREE ways (lag stream, last-rn table, drop rows) and
+    // evs two ways above it — unpersisted, the single collect below
+    // re-runs the full windowed event scan ~5×, against the "ONE
+    // windowed scan" shape this operator promises
+    val pe = graft.operators.Broadcasts.trackedPersist(
+      evs.join(firstConv, Seq("k"), "left")
+        .filter(col("prn").isNull || col("rn") <= col("prn")))
     val w2 = Window.partitionBy("k").orderBy("rn")
     val steps1 = pe
       .withColumn("prev", lag(col("st"), 1).over(w2))

@@ -992,10 +992,11 @@ object CurationQueries extends QueryModule {
     // ---- PSI (population stability index) per event_type between
     //      event_id-parity snapshots: the fixed-bin drift score whose
     //      cost is independent of value cardinality — one bounded
-    //      min/max action fixes the bin edges, ONE scan into a
-    //      (group, snap, bin) map-side-combinable count, smoothed-share
-    //      KL algebra on the bounded grid. `drifted` compares the
-    //      unrounded score (the p82 lesson) --------------------------
+    //      PER-GROUP min/max fixes each group's bin edges (global edges
+    //      would blind the score to drift inside a narrow-range group),
+    //      ONE scan into a (group, snap, bin) map-side-combinable
+    //      count, smoothed-share KL algebra on the bounded grid.
+    //      `drifted` compares the unrounded score (the p82 lesson) ----
     "p101_psi_drift" -> ((s, dir) => {
       Series.psiDrift(Tables.t(s, dir, "events"), "event_type", "value",
         col("event_id") % 2, bins = 10, threshold = 0.05)
@@ -1297,6 +1298,13 @@ object CurationQueries extends QueryModule {
 
   private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** duckToks with the empty-string phantom dropped — string_split of an
+    * empty doc is [''], and the Lm family filters it engine-side; these
+    * oracles must state the same tokenization (the synthetic corpus has
+    * no empty docs, so values are unchanged — this is contract parity). */
+  private val duckToksNE =
+    s"list_filter($duckToks, t -> t <> '')"
+
   /** The c4Aug expression, restated in DuckDB SQL. */
   private val duckAug = """
       concat_ws(chr(10),
@@ -1396,7 +1404,7 @@ object CurationQueries extends QueryModule {
     // drawn from the query docs themselves; cosine leg from the p06
     // machinery; RRF fused over a full outer join of the two rank lists.
     "p61_hybrid_rrf" -> s"""
-      WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+      WITH d AS (SELECT doc_id AS id, $duckToksNE AS toks FROM documents),
       tf AS (SELECT id, tok AS term, COUNT(*) AS tf
              FROM (SELECT id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
       dl AS (SELECT id, len(toks) AS dl FROM d),
@@ -1659,7 +1667,7 @@ object CurationQueries extends QueryModule {
       FROM c ORDER BY cnt DESC, pair LIMIT 30""",
 
     "p34_unigram_nll" -> s"""
-      WITH posts AS (SELECT doc_id AS id, unnest($duckToks) AS tok FROM documents),
+      WITH posts AS (SELECT doc_id AS id, unnest($duckToksNE) AS tok FROM documents),
       m AS (SELECT tok, COUNT(*) AS cnt FROM posts GROUP BY tok),
       mt AS (SELECT tok, cnt, SUM(cnt) OVER () AS total FROM m)
       SELECT p.id AS doc_id, COUNT(*) AS n_toks,
@@ -1706,7 +1714,9 @@ object CurationQueries extends QueryModule {
                                                ORDER BY score DESC, lang) AS rk
                      FROM sc) WHERE rk = 1),
       posts AS (SELECT p.doc_id AS id, r.lang_pred AS grp,
-                       unnest(string_split_regex(trim(lower(p.text)), '\\s+')) AS tok
+                       unnest(list_filter(
+                         string_split_regex(trim(lower(p.text)), '\\s+'),
+                         t -> t <> '')) AS tok
                 FROM planted p JOIN pred r USING (doc_id)),
       m2 AS (SELECT grp, tok, COUNT(*) AS cnt FROM posts GROUP BY 1, 2),
       mt AS (SELECT grp, tok, cnt, SUM(cnt) OVER (PARTITION BY grp) AS total
@@ -1723,7 +1733,7 @@ object CurationQueries extends QueryModule {
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "p40_perplexity_buckets" -> s"""
-      WITH posts AS (SELECT doc_id AS id, lang AS grp, unnest($duckToks) AS tok
+      WITH posts AS (SELECT doc_id AS id, lang AS grp, unnest($duckToksNE) AS tok
                      FROM documents),
       m AS (SELECT grp, tok, COUNT(*) AS cnt FROM posts GROUP BY 1, 2),
       mt AS (SELECT grp, tok, cnt, SUM(cnt) OVER (PARTITION BY grp) AS total
@@ -1740,7 +1750,7 @@ object CurationQueries extends QueryModule {
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "p39_source_drift" -> s"""
-      WITH posts AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+      WITH posts AS (SELECT source, unnest($duckToksNE) AS tok FROM documents),
       s AS (SELECT source, tok, COUNT(*) AS c_s FROM posts GROUP BY 1, 2),
       ss AS (SELECT source, tok, c_s,
                SUM(c_s) OVER (PARTITION BY source) AS n_s FROM s),
@@ -1857,7 +1867,7 @@ object CurationQueries extends QueryModule {
       FROM e ORDER BY doc_id, chunk_id""",
 
     "p45_tfidf_topk" -> s"""
-      WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+      WITH tok AS (SELECT doc_id, unnest($duckToksNE) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
       n AS (SELECT doc_id, SUM(tf) AS n_toks FROM tf GROUP BY 1),
       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -2003,7 +2013,7 @@ object CurationQueries extends QueryModule {
       FROM it3 ORDER BY pr DESC, id LIMIT 20""",
 
     "p53_bm25_topk" -> s"""
-      WITH d AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+      WITH d AS (SELECT doc_id AS id, $duckToksNE AS toks FROM documents),
       tf AS (SELECT id, tok AS term, COUNT(*) AS tf
              FROM (SELECT id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
       dl AS (SELECT id, len(toks) AS dl FROM d),
@@ -2039,7 +2049,7 @@ object CurationQueries extends QueryModule {
       GROUP BY band ORDER BY band""",
 
     "p49_bigram_nll" -> s"""
-      WITH t AS (SELECT doc_id AS id, $duckToks AS t FROM documents),
+      WITH t AS (SELECT doc_id AS id, $duckToksNE AS t FROM documents),
       pairs AS (SELECT id,
                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
                   unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
@@ -2357,12 +2367,13 @@ object CurationQueries extends QueryModule {
       WITH base AS (SELECT event_type AS g, event_id % 2 AS snap,
                       CAST(value AS DOUBLE) AS v
                     FROM events WHERE value IS NOT NULL),
-      mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
-      c AS (SELECT g, snap,
-              least(9, greatest(0, CAST(floor((v - mm.lo) /
-                ((mm.hi - mm.lo) / 10)) AS BIGINT))) AS b,
+      mm AS (SELECT g, min(v) AS lo, max(v) AS hi FROM base GROUP BY g),
+      c AS (SELECT base.g, snap,
+              CASE WHEN mm.hi = mm.lo THEN 0
+                   ELSE least(9, greatest(0, CAST(floor((v - mm.lo) /
+                     ((mm.hi - mm.lo) / 10)) AS BIGINT))) END AS b,
               COUNT(*) AS c
-            FROM base, mm GROUP BY 1, 2, 3),
+            FROM base JOIN mm USING (g) GROUP BY 1, 2, 3),
       t AS (SELECT g, snap, SUM(c) AS n FROM c GROUP BY 1, 2),
       grid AS (SELECT DISTINCT g, unnest(range(0, 10)) AS b FROM c),
       sa AS (SELECT grid.g, grid.b, COALESCE(ca.c, 0) AS ca, ta.n AS na

@@ -532,6 +532,40 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) === ((3L, 3L)))
   }
 
+  test("bpeEncode survives null text (empty doc, not an NPE)") {
+    val df = Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Lm.bpeEncode(df, "doc_id", "text", Seq("a b"))
+      .select("id", "n_pre", "n_encoded").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((2L, 1L)))
+    assert(out(2L) === ((0L, 0L)), "null text is an empty doc")
+    assert(out(3L) === ((0L, 0L)), "empty text has no pre-tokens")
+  }
+
+  test("empty/whitespace docs mint no phantom token into any Lm model") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    // unigram NLL: empty docs emit NO row, and the model must not
+    // contain the "" token (which would also skew doc 1's probabilities)
+    val nll = Lm.unigramNll(df, "doc_id", "text")
+      .select("id", "n_toks").as[(Long, Long)].collect().toMap
+    assert(nll == Map(1L -> 3L), s"got $nll")
+    // source drift: a source of only empty docs contributes nothing
+    val kl = Lm.sourceDrift(df.withColumn("source",
+        when(col("doc_id") === 1, "real").otherwise("empty")),
+      "source", "text").select("source").as[String].collect().toSet
+    assert(kl == Set("real"))
+    // tf-idf: "" can never be a keyword
+    val terms = Lm.tfidfTopK(df, "doc_id", "text", k = 3)
+      .select("term").as[String].collect().toSet
+    assert(!terms.contains(""), s"phantom keyword: $terms")
+    // bm25: N counts all docs but the vocab has no "" term
+    val bm = Lm.bm25TopK(df, "doc_id", "text", Seq(1 -> "alpha"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(bm == Set(1L))
+  }
+
   test("merges induced by bpeMergeCandidates compress the corpus they came from") {
     val df = (0L until 40L).map(i => (i, "the quick fox " + s"tail$i end"))
       .toDF("doc_id", "text")

