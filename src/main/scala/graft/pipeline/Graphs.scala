@@ -99,21 +99,27 @@ object Graphs {
     // Integral `div`, not true division: sum(long)/2 goes through DOUBLE,
     // whose 53-bit mantissa silently truncates once sum(d*(d-1)) passes
     // 2^53 (one hub of degree ~1e8 suffices) — `div` stays in LongType.
+    // coalesce: sum over ZERO rows is NULL while count is 0 — an empty
+    // subgraph must report proper zeros, not NULLs that propagate into
+    // the consumer's arithmetic (n_triangles below is already coalesced)
     val degAgg = deg.agg(
       count(lit(1)).as("n_nodes"),
-      expr("sum(d) div 2").as("n_edges"),
-      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+      coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"),
+      coalesce(expr("sum(d * (d - 1)) div 2"), lit(0L)).as("n_wedges"))
     degAgg.crossJoin(tri)
       .withColumn("transitivity",
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
   }
 
-  /** Canonicalize an edge list: undirected, deduped, u < v, no loops. */
-  def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    pairs.select(
-      least(col(aCol), col(bCol)).cast("long").as("u"),
-      greatest(col(aCol), col(bCol)).cast("long").as("v"))
+  /** Canonicalize an edge list: undirected, deduped, u < v, no loops.
+    * The long cast happens BEFORE least/greatest — on string-typed ids
+    * the other order compares lexicographically ("10" < "9"), which
+    * mis-orients the pair and the u < v filter then DELETES the edge. */
+  def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (a, b) = (col(aCol).cast("long"), col(bCol).cast("long"))
+    pairs.select(least(a, b).as("u"), greatest(a, b).as("v"))
       .filter(col("u") < col("v"))
       .distinct()
+  }
 }

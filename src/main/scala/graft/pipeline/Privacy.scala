@@ -101,9 +101,19 @@ object Privacy {
     * decimals. */
   def dpCountRelease(df: DataFrame, userCol: String, catCol: String,
                      epsilon: Double, cap: Int, maxCats: Int, salt: String,
-                     scale: Int = 4): DataFrame = {
+                     scale: Int = 4,
+                     domain: Option[Seq[String]] = None): DataFrame = {
     require(epsilon > 0 && cap >= 1 && maxCats >= 1,
       s"need epsilon>0, cap>=1, maxCats>=1; got $epsilon, $cap, $maxCats")
+    // The user-level ε-DP guarantee needs a DATA-INDEPENDENT output
+    // support: without `domain`, a category contributed by a single user
+    // appears iff that user participates — the row's PRESENCE leaks with
+    // probability 1 and no amount of count noise hides it. Pass the
+    // PUBLIC category domain to release noisy counts (including noisy
+    // zeros) for exactly those categories; observed categories outside
+    // the public domain are dropped, never leaked. The domain-less form
+    // is kept for exploratory use where the category set itself is
+    // already public knowledge — its scaladoc caveat is this comment.
     val perUser = df.groupBy(col(userCol).as("u"), col(catCol).as("category"))
       .agg(count(lit(1)).as("n_uc"))
     // L0 bound: keep each user's maxCats largest capped counts
@@ -114,8 +124,20 @@ object Privacy {
     val bounded = perUser
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= maxCats)
-    val capped = bounded.groupBy("category")
+    val observed = bounded.groupBy("category")
       .agg(sum(least(col("n_uc"), lit(cap.toLong))).as("n_capped"))
+    val capped = domain match {
+      case None => observed
+      case Some(cats) =>
+        require(cats.nonEmpty, "public domain must be non-empty")
+        val spark = df.sparkSession
+        import spark.implicits._
+        // public support: every domain category gets a row (noisy zero
+        // when unobserved); observed categories outside it are dropped
+        cats.toDF("category").join(observed, Seq("category"), "left")
+          .select(col("category"),
+            coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+    }
     val uu = Mixing.hashUnit(col("category"), salt)
     // Laplace(b) inverse CDF at u∈[0,1): -b·sgn(u-½)·ln(1-2|u-½|); the
     // log argument is clamped at 2^-31 (u=0 would otherwise yield exactly

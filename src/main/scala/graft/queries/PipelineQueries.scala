@@ -542,9 +542,13 @@ object PipelineQueries extends QueryModule {
     //      rand(), so task retries cannot change the release and the
     //      oracle replays the exact released values --------------------
     "p100_dp_release" -> ((s, dir) =>
+      // the PUBLIC domain makes the output support data-independent —
+      // without it a single-contributor category's row presence leaks
+      // that user's participation, which no count noise hides
       graft.pipeline.Privacy.dpCountRelease(Tables.t(s, dir, "events"),
         "user_id", "event_type", epsilon = 1.0, cap = 8, maxCats = 4,
-        salt = "dp-r8")
+        salt = "dp-r8",
+        domain = Some(Seq("click", "error", "purchase", "signup", "view")))
         .orderBy("category")),
 
     // ---- INDEXED bitext mining (p65's corpus-scale path as CODE, not
@@ -1736,8 +1740,14 @@ object PipelineQueries extends QueryModule {
                row_number() OVER (PARTITION BY u
                  ORDER BY least(n_uc, 8) DESC, category) AS rk
              FROM pu),
-      c AS (SELECT category, SUM(least(n_uc, 8)) AS n_capped
-            FROM tk WHERE rk <= 4 GROUP BY 1),
+      obs AS (SELECT category, SUM(least(n_uc, 8)) AS n_capped
+              FROM tk WHERE rk <= 4 GROUP BY 1),
+      -- public domain: data-independent output support (noisy zeros for
+      -- unobserved categories; out-of-domain categories never released)
+      dom(category) AS (VALUES ('click'), ('error'), ('purchase'),
+                               ('signup'), ('view')),
+      c AS (SELECT dom.category, COALESCE(obs.n_capped, 0) AS n_capped
+            FROM dom LEFT JOIN obs USING (category)),
       h AS (SELECT category, n_capped,
               ('0x' || substr(md5('dp-r8:' || category), 1, 8))::BIGINT
                 / 4294967296.0 AS uu

@@ -182,7 +182,17 @@ object EventStream extends Serializable {
     * semantics: state never times out mid-batch, so every group's final
     * state flushes at the end — output equals the declarative path plus
     * the extra column. In streaming, EventTimeTimeout closes a session
-    * once the watermark passes last-event + gap. */
+    * once the watermark passes last-event + gap.
+    *
+    * Scale caveat (batch path): fnBatch buffers and sorts EACH KEY'S
+    * whole event history in one task's heap before folding — a single
+    * hot key (a bot with 10^8 events) can OOM the executor where the
+    * declarative `sessionize` (merging-window aggregate, bounded partial
+    * state) absorbs it. At corpus scale route known-hot keys through the
+    * declarative path, or pre-aggregate; the custom-state path earns its
+    * keep for the per-type map no session_window can express, not for
+    * hot-key robustness. The streaming path is watermark-bounded per
+    * trigger and does not share this spike. */
   def sessionizeWithState(events: DataFrame, gapMinutes: Long = 30,
                           watermark: String = "2 hours",
                           streaming: Boolean = false): org.apache.spark.sql.Dataset[Session] = {
@@ -193,9 +203,16 @@ object EventStream extends Serializable {
     // the watermarked ts COLUMN must survive projection — event-time
     // timeout analysis requires it in the flatMapGroupsWithState child
     // (unix_micros(ts) alone strips the watermark metadata)
+    // dirty-data guards BEFORE the typed decode: the primitive tuple
+    // encoder throws on NULL in a non-nullable field, so a single
+    // null-keyed or null-valued event would kill the whole job where the
+    // declarative path tolerates it. A session needs a key and a time
+    // (null user_id/ts rows drop — they can't belong to any session);
+    // a null VALUE is a real event worth 0 toward the sum.
     val typed = (if (streaming) events.withWatermark("ts", watermark) else events)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")),
-        col("event_type"), col("value").cast("double"))
+        col("event_type"), coalesce(col("value").cast("double"), lit(0.0)))
       .as[(Long, java.sql.Timestamp, Long, String, Double)]
 
     def close(userId: Long, st: SessionState): Session =
@@ -330,6 +347,10 @@ object EventStream extends Serializable {
     // watermarked column in the flatMapGroupsWithState child
     val typed = (if (streaming) events.withWatermark("ts", watermark) else events)
       .filter(col("event_type").isin(steps: _*))
+      // null user_id/ts guard: the primitive decoder throws on NULL in a
+      // non-nullable field; a keyless or timeless event belongs to no
+      // funnel (the sessionizeWithState convention)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")),
         col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)]

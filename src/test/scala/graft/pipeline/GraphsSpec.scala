@@ -49,6 +49,23 @@ class GraphsSpec extends SparkSpec {
       r.getAs[Double]("transitivity") === 0.0)
   }
 
+  test("canonicalEdges casts BEFORE ordering: string ids don't lose edges") {
+    // lexicographic least("10","9") = "10" would mis-orient the pair and
+    // the u < v filter would then DELETE it
+    val out = Graphs.canonicalEdges(
+      Seq(("9", "10"), ("10", "9"), ("2", "2")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((9L, 10L)), s"got $out")
+  }
+
+  test("triangleStats on an empty edge set reports zeros, not NULLs") {
+    val r = stats(Seq.empty[(Long, Long)])
+    assert(r.getAs[Long]("n_nodes") === 0)
+    assert(r.getAs[Long]("n_edges") === 0)
+    assert(r.getAs[Long]("n_wedges") === 0)
+    assert(r.getAs[Long]("n_triangles") === 0)
+  }
+
   test("each triangle counts exactly once regardless of edge direction/dup input") {
     // triangle 1-2-3 plus a pendant, fed with duplicates + both directions
     val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),

@@ -150,6 +150,23 @@ class SeriesSpec extends SparkSpec {
       r.getAs[Long]("n_capped")).toSeq === Seq("a" -> 5L, "b" -> 4L, "c" -> 1L))
   }
 
+  test("dpCountRelease with a public domain: noisy zeros, no out-of-domain leak") {
+    // category 'rare' is contributed by ONE user — without a public
+    // domain its row presence alone reveals that user's participation
+    val df = (Seq.fill(6)((1L, "common")) ++ Seq.fill(4)((2L, "common")) ++
+      Seq((3L, "rare"), (4L, "private-cat")))
+      .toDF("user_id", "event_type")
+    val out = Privacy.dpCountRelease(df, "user_id", "event_type",
+      epsilon = 1.0, cap = 8, maxCats = 4, salt = "dp-dom",
+      domain = Some(Seq("common", "rare", "never-seen")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("common", "rare", "never-seen"),
+      s"output support must be the PUBLIC domain exactly, got ${out.keySet}")
+    assert(out("never-seen") === 0L, "unobserved domain category = noisy zero base")
+    assert(!out.contains("private-cat"),
+      "an observed category outside the public domain must never be released")
+  }
+
   // ---- EntityRes.blockedPairs ------------------------------------------
 
   private val bk = substring(col("nm"), 1, 2)

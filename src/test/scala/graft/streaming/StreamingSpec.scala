@@ -160,6 +160,27 @@ class StreamingSpec extends SparkSpec {
     assert(sums.forall(s => s.eventTypes.values.sum == s.nEvents))
   }
 
+  test("custom-state paths tolerate dirty rows (null key/ts/value), no decoder crash") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, ts, "view", 2.0),
+        org.apache.spark.sql.Row(1L, ts, "view", null),
+        org.apache.spark.sql.Row(null, ts, "view", 9.0),
+        org.apache.spark.sql.Row(2L, null, "view", 1.0)),
+      schema)
+    val sessions = EventStream.sessionizeWithState(rows).collect()
+    // null-key and null-ts rows drop; the null VALUE is a real event
+    // counted with sum contribution 0
+    assert(sessions.map(_.userId).toSet == Set(1L))
+    assert(sessions.head.nEvents == 2L && sessions.head.sumValue == 2.0)
+    val funnels = EventStream.funnelCompletions(rows, Seq("view"),
+      windowMinutes = 60).collect()
+    assert(funnels.map(_.userId).toSet == Set(1L))
+  }
+
   test("custom-state streaming sessionization seals before emitting " +
       "(late-but-admitted events merge, never regress)") {
     // gap 30m, watermark 2h. Trigger 1 delivers 10:00 and 11:00; the
