@@ -21,8 +21,19 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
-  /** True when the physical plan of `joined` contains no shuffle — the
-    * property bucketed co-location buys (exposed for tests/diagnostics). */
-  def isShuffleFree(joined: DataFrame): Boolean =
-    !joined.queryExecution.executedPlan.toString.contains("Exchange ")
+  /** True when the physical plan of `joined` contains no SHUFFLE
+    * exchange — the property bucketed co-location buys (exposed for
+    * tests/diagnostics). Matches shuffle-exchange render forms
+    * specifically ("Exchange hashpartitioning(...)" etc.), NOT the bare
+    * "Exchange " substring — that also matches "BroadcastExchange ",
+    * and a broadcast-join plan is genuinely shuffle-free. String match,
+    * not a tree walk: under AQE the executed plan nests inside
+    * AdaptiveSparkPlanExec, which toString renders fully but exists()
+    * does not traverse into. */
+  def isShuffleFree(joined: DataFrame): Boolean = {
+    val plan = joined.queryExecution.executedPlan.toString
+    !Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition", "Exchange RoundRobinPartitioning")
+      .exists(plan.contains)
+  }
 }

@@ -35,9 +35,13 @@ object ZOrder {
   }
 
   /** 64-bit Morton code of two columns, each clamped to its low
-    * `bits` ≤ 32 bits (callers normalize first — see [[normalized]]). */
-  def zValue2(a: Column, b: Column, bits: Int = 32): Column = {
-    require(bits >= 1 && bits <= 32, "bits must be 1..32")
+    * `bits` ≤ 31 bits (callers normalize first — see [[normalized]]).
+    * 31, not 32: at bits=32 column b's top bit lands in z bit 63, the
+    * SIGN bit, and a signed range partition would order the whole
+    * b-high half of key space before the b-low half — files straddle
+    * the sign seam and the min/max pruning boxes silently widen. */
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be 1..31 (bit 63 is the sign)")
     val mask = lit((1L << bits) - 1) // (1L<<32)-1 == 0xFFFFFFFFL, no overflow
     spread(a.cast("long").bitwiseAND(mask))
       .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
@@ -66,8 +70,14 @@ object ZOrder {
       // 1e-12 floor (not Double.MIN_VALUE) so cross-engine restatements
       // of this formula (io02's oracle) can write the same literal
       val span = math.max(hi - lo, 1e-12)
-      least(floor((col(c).cast("double") - lit(lo)) / lit(span)
-        * lit((1L << bits).toDouble)), lit((1L << bits) - 1.0)).cast("long")
+      // null guard FIRST: a NULL value (or a non-numeric row a string
+      // column casts to null) must cluster deliberately in bucket 0.
+      // The guard cannot sit after the clamp — least() SKIPS nulls and
+      // would return the max-bucket literal, silently scattering null
+      // rows into the top strip of z-space among genuine maxima
+      when(col(c).cast("double").isNull, lit(0L)).otherwise(
+        least(floor((col(c).cast("double") - lit(lo)) / lit(span)
+          * lit((1L << bits).toDouble)), lit((1L << bits) - 1.0)).cast("long"))
     }
   }
 

@@ -92,7 +92,10 @@ object Clean {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
     val path = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored before any '#': a '?' INSIDE the fragment is fragment
+    // content (rule 1 drops it), not a query — the unanchored form
+    // resurrected 'page#sec?x=1' as 'page?x=1' and split the dedup key
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val host0 = regexp_replace(hostport, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
@@ -116,8 +119,15 @@ object Clean {
     def hasNeedle(c: Column, needles: Seq[String]): Column =
       needles.map(n => c.contains(n)).reduce(_ || _)
     def boiler(l: Column): Column = hasNeedle(lower(l), cfg.lineBoiler)
-    def words(l: Column): Column = size(split(l, "\\s+"))
-    def punct(l: Column): Column = l.rlike("[.!?\"]$")
+    // whitespace-stripping is load-bearing in BOTH rules: split keeps
+    // the empty tokens a leading/trailing blank produces (a CRLF corpus
+    // would over-count EVERY line's words by one, waving 4-word lines
+    // past minWords), and a trailing space would fail the terminal-
+    // punctuation test for a good sentence. regexp, not trim(): SQL trim
+    // strips only ' ' — a leading TAB or trailing '\r' sails through it
+    def strip(l: Column): Column = regexp_replace(l, "^\\s+|\\s+$", "")
+    def words(l: Column): Column = size(split(strip(l), "\\s+"))
+    def punct(l: Column): Column = strip(l).rlike("[.!?\"]$")
 
     docs
       .select(col(idCol), col(textCol).as("text"))
@@ -138,9 +148,18 @@ object Clean {
         col(idCol), col("doc_boiler"), col("n_lines"), col("n_boiler"),
         col("n_short"), col("n_nopunct"), col("pass3"),
         // first occurrence wins: a line survives iff its first index in
-        // pass3 is its own index (array_position returns the FIRST match)
-        filter(col("pass3"),
-          (l, i) => array_position(col("pass3"), l) === i + 1).as("kept"))
+        // pass3 is its own index (array_position returns the FIRST match).
+        // This is O(lines²) INSIDE one row — fine for real documents,
+        // but an adversarial 100k-line doc would stall its whole task,
+        // so the quadratic step is gated LOUDLY: route such corpora
+        // through globalLineDedup's exploded-aggregate shape instead
+        when(size(col("pass3")) > 10000,
+          raise_error(concat(lit("c4Lines: document with "),
+            size(col("pass3")).cast("string"),
+            lit(" kept-eligible lines exceeds the per-row dedup bound; " +
+              "split the doc or use globalLineDedup"))))
+          .otherwise(filter(col("pass3"),
+            (l, i) => array_position(col("pass3"), l) === i + 1)).as("kept"))
       .select(
         col(idCol), col("n_lines"), col("n_boiler"), col("n_short"),
         col("n_nopunct"),
@@ -174,7 +193,11 @@ object Clean {
                       maxDocs: Int = 5): DataFrame = {
     val lines = docs
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        // null text ≡ empty text (one "" line): posexplode of a null
+        // array emits NOTHING and the doc would vanish from the report —
+        // the 'never silently absent' convention Cli's spans verb pins
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
     val hot = lines.select(col("lh"), col("id")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("n_docs"))

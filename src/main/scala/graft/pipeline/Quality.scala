@@ -57,7 +57,10 @@ object Quality {
       uniqueCols: Seq[String] = Nil): DataFrame = {
     val aggs =
       rowRules.map { case (n, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"rr_$n") } ++
+        // coalesce: sum over an EMPTY table is NULL while countDistinct
+        // is 0 — an empty input must verdict every rule a uniform
+        // (0, pass=true), never a null `pass` that NPEs getAs[Boolean]
+        coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"rr_$n") } ++
       uniqueCols.map(c => countDistinct(col(c)).as(s"uq_$c"))
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val ruleRows =

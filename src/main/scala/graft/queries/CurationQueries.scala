@@ -1505,15 +1505,15 @@ object CurationQueries extends QueryModule {
                 contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))) AS n_boiler,
               len(list_filter(lines, x ->
                 NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
-                AND len(string_split_regex(x, '\\s+')) < 5)) AS n_short,
+                AND len(string_split_regex(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '\\s+')) < 5)) AS n_short,
               len(list_filter(lines, x ->
                 NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
-                AND len(string_split_regex(x, '\\s+')) >= 5
-                AND NOT regexp_matches(x, '[.!?"]$$'))) AS n_nopunct,
+                AND len(string_split_regex(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '\\s+')) >= 5
+                AND NOT regexp_matches(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$'))) AS n_nopunct,
               list_filter(lines, x ->
                 NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
-                AND len(string_split_regex(x, '\\s+')) >= 5
-                AND regexp_matches(x, '[.!?"]$$')) AS pass3
+                AND len(string_split_regex(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '\\s+')) >= 5
+                AND regexp_matches(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$')) AS pass3
             FROM l),
       k AS (SELECT *, list_transform(
               list_filter(range(1, len(pass3) + 1),
@@ -1623,8 +1623,8 @@ object CurationQueries extends QueryModule {
                contains(lower(aug), 'lorem ipsum') OR contains(lower(aug), '{') AS doc_boiler,
                list_filter(lines, x ->
                  NOT (contains(lower(x), 'javascript') OR contains(lower(x), 'cookie'))
-                 AND len(string_split_regex(x, '\\s+')) >= 5
-                 AND regexp_matches(x, '[.!?"]$$')) AS pass3
+                 AND len(string_split_regex(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '\\s+')) >= 5
+                 AND regexp_matches(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$')) AS pass3
              FROM l),
       ck AS (SELECT doc_id FROM f3
              WHERE NOT doc_boiler

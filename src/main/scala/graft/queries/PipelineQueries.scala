@@ -1598,7 +1598,7 @@ object PipelineQueries extends QueryModule {
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
-        regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query FROM u),
       canon AS (SELECT
         CASE WHEN scheme = '' THEN url ELSE
           scheme || '://' ||

@@ -31,4 +31,14 @@ class BucketingSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("isShuffleFree: a broadcast-join plan is shuffle-free (BroadcastExchange is not a shuffle)") {
+    val big = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val dim = (1L to 10L).map(i => (i, s"d$i")).toDF("k", "d")
+    val joined = big.join(org.apache.spark.sql.functions.broadcast(dim), "k")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "control: the plan does broadcast")
+    assert(Bucketing.isShuffleFree(joined),
+      "a string grep on 'Exchange ' would false-flag this plan")
+  }
 }

@@ -93,4 +93,21 @@ class ZOrderSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(n.head == 0L && n.last == 255L && n(1) == 128L)
   }
+
+  test("null values cluster deliberately in bucket 0, never the top strip") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(10.0), None, Some(30.0)).toDF("v")
+    val n = df.select(ZOrder.normalized(df, "v", 8).as("n"), col("v"))
+      .collect().map(r => Option(r.get(1)).map(_.toString) -> r.getLong(0)).toMap
+    assert(n(None) == 0L,
+      "least() skips nulls — an unguarded null landed in bucket 255")
+    assert(n(Some("30.0")) == 255L)
+  }
+
+  test("zValue2 rejects bits=32 (bit 63 is the sign; z order would break)") {
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue2(col("a"), col("b"), 32)
+    }
+  }
 }

@@ -958,6 +958,50 @@ class CurationSpec extends SparkSpec {
       "http://example.com/p")
     // scheme-less input is passed through untouched, never an error
     assert(c("example.com/p?b=2&a=1") == "example.com/p?b=2&a=1")
+    // a '?' INSIDE the fragment is fragment content, not a query — the
+    // unanchored extract resurrected it and split the dedup key
+    assert(c("http://example.com/p#sec?x=1") == "http://example.com/p")
+    assert(c("http://example.com/p?a=1#sec?x=9") == "http://example.com/p?a=1")
+  }
+
+  test("c4Lines rules trim before counting words and testing terminal punct") {
+    import spark.implicits._
+    // 4 words with a leading tab: split would see ["", w, w, w, w] and
+    // wave the too-short line past minWords=5; CRLF corpora would shift
+    // EVERY line's count by one. And a trailing space must not fail the
+    // terminal-punctuation rule for a good sentence.
+    val doc = Seq((1L,
+      "\tone two three four.\n" +               // short (4 words) -> drop
+      "a good line with five words. \n" +        // good, trailing space
+      "another good line has six words here.")) // good
+      .toDF("doc_id", "text")
+    val r = Clean.c4Lines(doc, "doc_id", "text",
+      Clean.C4Config(minKeptLines = 1)).head()
+    assert(r.getAs[Long]("n_short") == 1L, "the 4-word line is short")
+    assert(r.getAs[Long]("n_kept") == 2L,
+      "trailing-space sentence must keep its terminal punctuation")
+  }
+
+  test("c4Lines gates the per-row quadratic dedup LOUDLY past the line bound") {
+    import spark.implicits._
+    val big = (1 to 10001).map(i => s"generated unique sentence number $i ok.")
+      .mkString("\n")
+    val e = intercept[Exception] {
+      Clean.c4Lines(Seq((1L, big)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+    }
+    assert(e.getMessage.contains("globalLineDedup"),
+      s"expected the routing hint, got: ${e.getMessage.take(120)}")
+  }
+
+  test("globalLineDedup: null-text docs appear in the report, never vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha\nbeta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Clean.globalLineDedup(docs, "doc_id", "text", maxDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_lines")).toMap
+    assert(out.keySet == Set(1L, 2L), s"null-text doc vanished: $out")
+    assert(out(2L) == 1L, "null text reads as one empty line")
   }
 
   // ---- Mixing.exactStratifiedSplit / weightedSampleK -------------------

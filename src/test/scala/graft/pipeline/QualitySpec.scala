@@ -118,6 +118,20 @@ class QualitySpec extends SparkSpec {
       Seq("lang_allowed", "text_nonempty", "unique_doc_id"))
   }
 
+  test("expectations on an EMPTY table: every rule verdicts (0, pass=true), no null pass") {
+    val empty = spark.emptyDataFrame.selectExpr("CAST(null AS LONG) AS id",
+      "CAST(null AS STRING) AS nm").limit(0)
+    import org.apache.spark.sql.functions.{col => c}
+    val out = Quality.expectations(empty,
+      Seq("id_positive" -> (c("id") <= 0), "nm_nonnull" -> c("nm").isNull),
+      uniqueCols = Seq("id")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_violations") == 0L, s"rule ${r.getString(0)}")
+      assert(r.getAs[Boolean]("pass"), s"rule ${r.getString(0)} must pass")
+    }
+  }
+
   test("expectations: all-green suite passes every rule") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
