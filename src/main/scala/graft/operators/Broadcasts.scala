@@ -44,13 +44,24 @@ object Broadcasts {
     * observed cached footprint (an upper-bound proxy for the broadcast
     * build size, which is what we want for a safety gate). */
   def sizeGated(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val cap = spark.conf.getOption(MaxBytesConf).map(_.toLong)
-      .getOrElse(DefaultMaxBytes)
     val cached = trackedPersist(df)
     cached.count()
-    val bytes = measuredBytes(cached)
-    if (bytes <= cap) broadcast(cached) else cached
+    gateMaterialized(cached)
+  }
+
+  /** [[sizeGated]] minus the persist-and-count: hint an ALREADY
+    * persisted-and-materialized frame iff its measured cache size is
+    * under the cap. For callers whose own materializing action (an
+    * aggregate they needed anyway) already populated the cache — saves
+    * the separate count job. Caller contract: `cached` IS persisted and
+    * FULLY materialized — a lazy or partial cache entry reports the
+    * optimizer's estimate instead of observed bytes, which could hint a
+    * frame the measurement was supposed to veto. */
+  private[graft] def gateMaterialized(cached: DataFrame): DataFrame = {
+    val spark = cached.sparkSession
+    val cap = spark.conf.getOption(MaxBytesConf).map(_.toLong)
+      .getOrElse(DefaultMaxBytes)
+    if (measuredBytes(cached) <= cap) broadcast(cached) else cached
   }
 
   // ---- persist lifecycle ------------------------------------------------

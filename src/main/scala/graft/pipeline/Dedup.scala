@@ -886,7 +886,23 @@ object Dedup {
     *
     * Returns (i, j, jaccard) with i < j, J ≥ threshold, exact. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8): DataFrame =
+    prefixJaccardShared(df, idCol, textCol, threshold).pairs
+
+  /** [[prefixJaccardPairs]] plus the PERSISTED per-document set table it
+    * verifies against: `docSets` is (id, tr) where `tr` is the document's
+    * distinct-token set as xxhash64 surrogates (or raw token strings on
+    * the astronomically-rare non-injective corpus — either way Jaccard
+    * over `tr` EQUALS Jaccard over the token sets). Callers that need an
+    * independent exactness probe (p80's losslessness gate) derive their
+    * truth pairs from `docSets` instead of re-tokenizing the corpus: one
+    * tokenization feeds the join AND its audit, and the probe measures
+    * the same sets the verify stage used — so a probe miss can only mean
+    * pruning dropped a pair, never a tokenization drift. */
+  final case class PrefixJoin(pairs: DataFrame, docSets: DataFrame)
+
+  def prefixJaccardShared(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8): PrefixJoin = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     // Both intermediates fan out: rp feeds the prefix cut AND the
     // rank-set verify table; pref feeds BOTH sides of the candidate
@@ -903,17 +919,31 @@ object Dedup {
     // MEMORY_AND_DISK spills rather than OOMs.
     val posts = tokenPostings(df, idCol, textCol)
       .transform(graft.operators.Broadcasts.trackedPersist)
-    // the gate persists the vocab, so the injectivity aggregate below
-    // reads the cache, not the corpus
-    val voc = graft.operators.Broadcasts.sizeGated(vocabOf(posts))
-    val injective = voc.agg(
-      (count(lit(1)) - countDistinct(col("h"))).as("c"))
-      .head().getLong(0) == 0L
-    // single consumer (the prefix cut) — no persist: the join streams
-    // out of the posts cache against the gated vocab
+    // ONE job materializes the vocab cache AND answers injectivity: the
+    // aggregate is the materializing action, so the broadcast gate can
+    // measure the populated cache without sizeGated's separate count
+    // (r10 paid two vocab jobs here)
+    val voc0 = graft.operators.Broadcasts.trackedPersist(vocabOf(posts))
+    val injRow = voc0.agg(count(lit(1)).as("c"),
+      countDistinct(col("h")).as("d")).head()
+    val injective = injRow.getLong(0) == injRow.getLong(1)
+    val voc = graft.operators.Broadcasts.gateMaterialized(voc0)
+    // single consumer (the per-doc aggregate) — no persist: the join
+    // streams out of the posts cache against the gated vocab
     val rp = posts.join(voc, "tok")
-    val pref = prefixCut(rp, threshold)
-      .transform(graft.operators.Broadcasts.trackedPersist)
+    // ONE per-doc aggregate feeds BOTH the prefix cut and the verify set
+    // table (r10 ran two separate groupBys over the postings — same
+    // shuffle twice). The sorted struct array is the prefix order AND
+    // carries the set surrogates; downstream derivations (slice, field
+    // projection) read its cache without reshuffling.
+    val docAgg = graft.operators.Broadcasts.trackedPersist(
+      rp.groupBy("id")
+        .agg(array_sort(collect_list(struct(col("tdf"), col("tok"),
+          col("h")))).as("ts")))
+    // no persist on pref: both self-join sides re-derive it from the
+    // docAgg cache with a scan-local slice+posexplode — no shuffle, and
+    // skipping the cache write beats paying it for an 8k-row frame
+    val pref = prefixSlice(docAgg, threshold)
     // LENGTH filter (the second PPJoin prune, equally lossless):
     // J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so cross-length
     // candidates die INSIDE the join before any pair materializes
@@ -968,12 +998,14 @@ object Dedup {
     // and would fail outright (8 GB limit / driver OOM) on a corpus
     // past the cap, where the gate instead emits no hint and the
     // planner shuffles.
-    // built from the POSTS cache directly (h = xxhash64(tok) needs no
-    // vocab join), which is what lets rp above go un-persisted
-    val setCol = if (injective) xxhash64(col("tok")) else col("tok")
+    // derived from the docAgg cache (a field projection over the sorted
+    // struct array — scan-local, no second groupBy over the postings);
+    // the sizeGated count below doubles as docAgg's materializing action
+    val setExpr = if (injective) transform(col("ts"), t => t.getField("h"))
+                  else transform(col("ts"), t => t.getField("tok"))
     val rankSets = graft.operators.Broadcasts.sizeGated(
-      posts.groupBy("id").agg(collect_list(setCol).as("tr")))
-    cands
+      docAgg.select(col("id"), setExpr.as("tr")))
+    val pairs = cands
       .join(rankSets.select(col("id").as("i"), col("tr").as("ta")), "i")
       .join(rankSets.select(col("id").as("j"), col("tr").as("tb")), "j")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
@@ -981,6 +1013,7 @@ object Dedup {
         (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
+    PrefixJoin(pairs, rankSets)
   }
 
   /** Distinct (id, tok, tdf, h) postings: each document's distinct
@@ -1019,16 +1052,24 @@ object Dedup {
     * materialized rank needed), with each kept token's position `pos`
     * (1-based) and the record set size `n` — `pos` feeds the positional
     * filter. */
-  private def prefixCut(rp: DataFrame, threshold: Double): DataFrame = {
+  private def prefixCut(rp: DataFrame, threshold: Double): DataFrame =
     // ONE shuffle: per-doc sorted token array (record sets are bounded —
     // documents have bounded distinct tokens — so the array state is
     // small), then explode ONLY the prefix slice. r8 paid two full
     // windows over every posting (shuffle + per-id sort of the whole
     // posting stream, then a filter that threw 95% of it away); the
     // aggregate emits |prefix| rows per doc directly.
-    rp.groupBy("id")
+    prefixSlice(rp.groupBy("id")
       .agg(array_sort(collect_list(struct(col("tdf"), col("tok"), col("h"))))
-        .as("ts"))
+        .as("ts")), threshold)
+
+  /** The explode-only half of [[prefixCut]]: from the per-doc sorted
+    * (tdf, tok, h) array, emit each record's prefix tokens with position
+    * and set size. Split out so [[prefixJaccardShared]] can feed it the
+    * SAME persisted per-doc aggregate that the verify set table derives
+    * from — slice and posexplode are scan-local on the cache. */
+  private def prefixSlice(docAgg: DataFrame, threshold: Double): DataFrame = {
+    docAgg
       .withColumn("n", size(col("ts")))
       // 1e-9 slack: n·t floats above the exact integer product for many
       // (n, t) pairs (100·0.55 → ceil 56, not 55), which would shorten

@@ -895,19 +895,28 @@ object CurationQueries extends QueryModule {
     //      4.6e10 at the sf1 probe) -------------------------------------
     "p80_prefix_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
+      val shared = Dedup.prefixJaccardShared(d, "doc_id", "text",
+        threshold = 0.95)
       // persisted: the losslessness gate's anti-join and the returned
       // frame are separate actions — unpersisted, the PPJoin's final
       // verify stage would run twice
       val out = graft.operators.Broadcasts.trackedPersist(
-        Dedup.prefixJaccardPairs(d, "doc_id", "text", threshold = 0.95)
+        shared.pairs
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard")))
+      // Materialize out BEFORE building the probe: the gate's anti-join
+      // is otherwise the first action on out, so the heavyweight
+      // cands+verify chain would compute INTERLEAVED with the probe's
+      // broadcast build, contending for the same cache (r10 bench
+      // recorded 4x interleaved/solo on exactly this shape).
+      out.count()
       // losslessness probe (the p09 discipline): brute-force the exact
       // pair set over a broadcast id prefix — linear in the corpus — and
-      // require the PPJoin found every one. Same tokenization as
-      // prefixJaccardPairs (distinct whitespace tokens, lower+trim).
-      val toks = d.select(col("doc_id").as("id"),
-        array_distinct(TextOps.tokens(col("text"))).as("ts"))
-        .filter(size(col("ts")) > 0)
+      // require the PPJoin found every one. Truth pairs derive from the
+      // SAME persisted docSets frame the PPJoin's verify stage read (one
+      // tokenization for join + audit; Jaccard over the hash surrogates
+      // equals Jaccard over token sets — injectivity is checked inside
+      // prefixJaccardShared, which falls back to raw tokens on a hit).
+      val toks = shared.docSets.select(col("id"), col("tr").as("ts"))
       // probe prefix 150: the corpus plants near-dup mass uniformly in
       // id space, so the low prefix carries thousands of true pairs at
       // sf0.1 already — and the gate's cost is probeMax × corpus
