@@ -261,7 +261,16 @@ object Bench {
     val duckSubset =
       if (duckPerQuery.isEmpty) -1.0
       else math.round(common.toSeq.map(duckPerQuery).sum * 1000) / 1000.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
+    // Bench-honesty flags (VERDICT r10 item 8): queries whose contended
+    // median exceeded 3x their reported solo number carry an explicit
+    // marker in the artifact — a reader of BENCH_r{N}.json sees WHICH
+    // headline numbers came from a solo re-time after heavy contention
+    // rather than reconstructing it from the interleaved map by hand.
+    val contentionFlags = results.collect {
+      case (n, v) if v > 0 && interleaved.toMap.get(n).exists(_ > 3 * v) => n
+    }
+    val flagsJson = contentionFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"contention_flags":$flagsJson,"failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
     // Sole program-stdout line AND a file copy: when launched through sbt,
     // stdout lines get an "[info] " prefix that breaks a naive json parse.
     println(json)

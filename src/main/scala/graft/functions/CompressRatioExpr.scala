@@ -93,6 +93,12 @@ object CompressKernels {
       val cps = s.toString.codePoints().toArray
       val total = cps.length - k + 1
       if (total <= 0) return 0L
+      // same bound as the ASCII path: past 2^29 gram positions the doc is
+      // beyond any sane per-row payload — fail loudly instead of growing
+      // an unbounded HashSet toward executor OOM (and `total * 2` below
+      // would overflow Int for >1G-codepoint inputs)
+      require(total <= (1 << 29),
+        s"document too large for per-row k-gram dedup ($total gram positions)")
       val set = new java.util.HashSet[String](total * 2)
       var i = 0
       while (i < total) { set.add(new String(cps, i, k)); i += 1 }

@@ -23,17 +23,25 @@ object Bucketing {
 
   /** True when the physical plan of `joined` contains no SHUFFLE
     * exchange — the property bucketed co-location buys (exposed for
-    * tests/diagnostics). Matches shuffle-exchange render forms
-    * specifically ("Exchange hashpartitioning(...)" etc.), NOT the bare
-    * "Exchange " substring — that also matches "BroadcastExchange ",
-    * and a broadcast-join plan is genuinely shuffle-free. String match,
-    * not a tree walk: under AQE the executed plan nests inside
-    * AdaptiveSparkPlanExec, which toString renders fully but exists()
-    * does not traverse into. */
+    * tests/diagnostics). Matches any line whose operator is a bare
+    * "Exchange <partitioning>" — which is how ShuffleExchangeExec
+    * renders for EVERY partitioning scheme (hash, range, single,
+    * round-robin, DSv2 key-grouped, future ones) — while
+    * "BroadcastExchange" keeps its distinct prefix, and a
+    * broadcast-join plan is genuinely shuffle-free. A generic match,
+    * not an enumerated whitelist: r10 enumerated four render strings
+    * and would have misreported any fifth scheme as shuffle-free.
+    * String match, not a tree walk: under AQE the executed plan nests
+    * inside AdaptiveSparkPlanExec, which toString renders fully but
+    * exists() does not traverse into. */
   def isShuffleFree(joined: DataFrame): Boolean = {
     val plan = joined.queryExecution.executedPlan.toString
-    !Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
-      "Exchange SinglePartition", "Exchange RoundRobinPartitioning")
-      .exists(plan.contains)
+    // operator names render after tree-drawing glyphs (+- , :- , spaces);
+    // with "BroadcastExchange" masked out first, any remaining
+    // "Exchange <partitioning>" at an operator position is a shuffle
+    // ("ReusedExchange" has a word char before the E and never matches
+    // the operator-boundary pattern)
+    !"""(?m)(^|[\s:+-])Exchange """.r.findFirstIn(
+      plan.replace("BroadcastExchange", "BX")).isDefined
   }
 }

@@ -39,7 +39,16 @@ object Clean {
       minWords: Int = 5,
       minKeptLines: Int = 3,
       lineBoiler: Seq[String] = Seq("javascript", "cookie"),
-      docBoiler: Seq[String] = Seq("lorem ipsum", "{"))
+      docBoiler: Seq[String] = Seq("lorem ipsum", "{"),
+      // per-doc line dedup is O(lines²) INSIDE one row; past this many
+      // kept-eligible lines a single doc would stall its whole task
+      dedupLineCap: Int = 10000,
+      // true: raise_error on an over-cap doc (loud, job-fatal — the
+      // right default for curated corpora where such a doc is a bug);
+      // false: drop the doc IN-BAND instead — kept lines empty,
+      // n_kept=0, doc_keep=false, n_dupline=-1 as the oversize marker —
+      // so one pathological doc cannot abort a 100 TB corpus job
+      failOnOversize: Boolean = true)
 
   /** HTML → text extraction — the ingest step BEFORE any of the line
     * rules ever run on a web crawl: drop script/style payloads, strip
@@ -151,19 +160,29 @@ object Clean {
         // pass3 is its own index (array_position returns the FIRST match).
         // This is O(lines²) INSIDE one row — fine for real documents,
         // but an adversarial 100k-line doc would stall its whole task,
-        // so the quadratic step is gated LOUDLY: route such corpora
-        // through globalLineDedup's exploded-aggregate shape instead
-        when(size(col("pass3")) > 10000,
-          raise_error(concat(lit("c4Lines: document with "),
-            size(col("pass3")).cast("string"),
-            lit(" kept-eligible lines exceeds the per-row dedup bound; " +
-              "split the doc or use globalLineDedup"))))
+        // so the quadratic step is gated at cfg.dedupLineCap: loudly
+        // (raise_error, the curated-corpus default) or in-band (the doc
+        // is dropped with an oversize marker, the corpus job survives —
+        // see C4Config.failOnOversize). Route line-dedup-at-scale
+        // through globalLineDedup's exploded-aggregate shape instead.
+        when(size(col("pass3")) > cfg.dedupLineCap,
+          if (cfg.failOnOversize)
+            raise_error(concat(lit("c4Lines: document with "),
+              size(col("pass3")).cast("string"),
+              lit(" kept-eligible lines exceeds the per-row dedup bound " +
+                s"(${cfg.dedupLineCap}); split the doc or use " +
+                "globalLineDedup")))
+          else typedLit(Array.empty[String]))
           .otherwise(filter(col("pass3"),
             (l, i) => array_position(col("pass3"), l) === i + 1)).as("kept"))
       .select(
         col(idCol), col("n_lines"), col("n_boiler"), col("n_short"),
         col("n_nopunct"),
-        (size(col("pass3")) - size(col("kept"))).cast("long").as("n_dupline"),
+        // -1 marks an in-band oversize drop (kept is empty there, so the
+        // plain difference would masquerade as "every line was a dup")
+        when(size(col("pass3")) > cfg.dedupLineCap, lit(-1L))
+          .otherwise((size(col("pass3")) - size(col("kept"))).cast("long"))
+          .as("n_dupline"),
         size(col("kept")).cast("long").as("n_kept"),
         length(array_join(col("kept"), "\n")).cast("long").as("clean_chars"),
         md5(array_join(col("kept"), "\n")).as("clean_md5"),

@@ -127,7 +127,9 @@ object EntityRes {
     * `comparators` defines the γ fields as (name, (nm_a, nm_b) => bool)
     * column builders — scan-local expressions evaluated inside the
     * block-keyed join, so the pair stream is verified exactly once and
-    * immediately collapses to the pattern table. Hot blocks are capped
+    * immediately collapses to the pattern table. A comparator that
+    * evaluates to NULL on a pair (undecidable — a missing field, a
+    * too-short name) is taken as γ=false (disagree). Hot blocks are capped
     * the same way [[blockedPairs]] caps them. Returns one row per
     * observed pattern: (g_<name>..., n_pairs, weight, posterior),
     * weight/posterior rounded to 1e-6. */
@@ -147,8 +149,12 @@ object EntityRes {
     val kept = keyed.join(sizes, "bk")
     val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
     val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
+    // NULL-γ convention: a comparator that cannot decide (e.g.
+    // element_at on a one-token name) counts as DISAGREE, not as a NULL
+    // group — uncoalesced, the NULL pattern row would NPE the r.getBoolean
+    // collect below with no hint of which comparator produced it
     val gammaCols = comparators.map { case (n, f) =>
-      f(col("nm_a"), col("nm_b")).as(s"g_$n") }
+      coalesce(f(col("nm_a"), col("nm_b")), lit(false)).as(s"g_$n") }
     val patterns = a.join(b, "bk")
       .filter(col("id_a") < col("id_b"))
       .select(gammaCols: _*)

@@ -436,8 +436,12 @@ object PipelineQueries extends QueryModule {
         .withColumn("mass", when(col("total") === 0L, lit(0.0))
           .otherwise(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"))))
       // bridge 1: the zlib production signal must agree directionally
-      // with the oracle-checked gram face across the corpus
-      val c = per.agg(corr(col("ratio"), col("mass"))).head().getDouble(0)
+      // with the oracle-checked gram face across the corpus. corr() is
+      // NULL on a degenerate corpus (zero variance or <2 rows) — the
+      // 0.0 sentinel routes that through the require's diagnostic
+      // instead of an NPE in getDouble (the p105 probe convention).
+      val c = per.agg(coalesce(corr(col("ratio"), col("mass")), lit(0.0)))
+        .head().getDouble(0)
       require(c < 0.0,
         f"deflate ratio must anti-correlate with repeated-gram mass, got corr=$c%.4f")
       // bridge 2 (ordinal, on ONE deterministic row — longest text,

@@ -106,24 +106,13 @@ object AuditLog {
   }
 
   /** S2: encoding detection over a head sample — strict UTF-8 probe
-    * (retrying with up to 3 trailing bytes dropped, in case the sample
-    * cuts a multi-byte char); anything non-UTF-8 decodes as GB18030,
-    * mirroring the reference's chardet + GBK→GB18030 promotion
-    * (reference: src/auditlog.go:438-457, src/misc.go:116-163). */
-  def detectEncoding(head: Array[Byte]): String = {
-    import java.nio.ByteBuffer
-    import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
-    def utf8Ok(bytes: Array[Byte]): Boolean =
-      try {
-        StandardCharsets.UTF_8.newDecoder()
-          .onMalformedInput(CodingErrorAction.REPORT)
-          .onUnmappableCharacter(CodingErrorAction.REPORT)
-          .decode(ByteBuffer.wrap(bytes))
-        true
-      } catch { case _: CharacterCodingException => false }
-    val ok = (0 to 3).exists(drop => head.length >= drop && utf8Ok(head.dropRight(drop)))
-    if (ok) "UTF-8" else "GB18030"
-  }
+    * first (reference keeps UTF-8 whenever plausible), then
+    * [[CharsetDetect]]'s structural+statistical scorer over the charsets
+    * an audit log plausibly arrives in (Shift_JIS, EUC-KR, GB18030,
+    * Big5, the Latin family), falling back to GB18030 — mirroring the
+    * reference's chardet + GBK→GB18030 promotion (reference:
+    * src/auditlog.go:438-457, src/misc.go:116-163). */
+  def detectEncoding(head: Array[Byte]): String = CharsetDetect.detect(head)
 
   /** Detect the encoding of a local file from its first 4 KB. */
   def detectFileEncoding(path: String): String = {

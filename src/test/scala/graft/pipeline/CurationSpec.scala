@@ -31,6 +31,32 @@ class CurationSpec extends SparkSpec {
     assert(out.getAs[Boolean]("doc_keep") === false) // 2 < minKeptLines
   }
 
+  test("c4Lines oversize gate: loud by default, in-band drop when configured") {
+    // 6 kept-eligible lines against a cap of 4 — over the bound
+    val big = (1 to 6).map(i => s"line number $i is a fine sentence.")
+      .mkString("\n")
+    val ok = "a perfectly ordinary single sentence stands here.\n" +
+      "and a second distinct sentence closes it out.\n" +
+      "plus a third so the doc clears the kept-lines gate."
+    val df = Seq((1L, big), (2L, ok)).toDF("doc_id", "text")
+    // default: the whole job fails loudly, naming the bound
+    val e = intercept[Exception] {
+      Clean.c4Lines(df, "doc_id", "text",
+        Clean.C4Config(dedupLineCap = 4)).collect()
+    }
+    assert(e.getMessage.contains("kept-eligible lines"))
+    // failOnOversize=false: the oversized doc is dropped IN-BAND
+    // (n_dupline=-1 marker, nothing kept) and the healthy doc survives
+    val rows = Clean.c4Lines(df, "doc_id", "text",
+        Clean.C4Config(dedupLineCap = 4, failOnOversize = false))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_dupline") === -1L)
+    assert(rows(1L).getAs[Long]("n_kept") === 0L)
+    assert(!rows(1L).getAs[Boolean]("doc_keep"))
+    assert(rows(2L).getAs[Boolean]("doc_keep"))
+    assert(rows(2L).getAs[Long]("n_dupline") === 0L)
+  }
+
   test("c4Lines doc-level gates: lorem ipsum and braces kill the doc") {
     val good = (1 to 4).map(i =>
       s"good sentence number $i with plenty of words present.").mkString("\n")

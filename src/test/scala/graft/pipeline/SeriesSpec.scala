@@ -260,6 +260,26 @@ class SeriesSpec extends SparkSpec {
       assert(byG(true) > byG(false), "agreeing pattern must outweigh")
   }
 
+  test("fsMatchWeights: a NULL comparator counts as disagree, not an NPE") {
+    // one-token names make element_at(split(nm,' '), 2) NULL — the γ
+    // convention coalesces that to false instead of collecting a NULL
+    // pattern group (ADVICE r10)
+    val recs = Seq(
+      (1L, "solo"), (2L, "solo"), (3L, "alpha beta"), (4L, "alpha beta"))
+      .toDF("id", "nm")
+    val out = EntityRes.fsMatchWeights(recs, "id", "nm",
+      substring(col("nm"), 1, 2),
+      Seq("tok2" -> ((x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column) =>
+        try_element_at(split(x, " "), lit(2)) ===
+          try_element_at(split(y, " "), lit(2)))),
+      iters = 2, blockCap = 10).collect()
+    // the (solo, solo) pair lands in the γ=false pattern, never NULL
+    val gs = out.map(_.getBoolean(0)).toSet
+    assert(gs.subsetOf(Set(true, false)))
+    assert(out.map(_.getLong(1)).sum === 2L, "both pairs accounted")
+  }
+
   // ---- Mixing.rendezvousShard ------------------------------------------
 
   test("rendezvous placement stays linear-sized: 64 shards plan and run") {
