@@ -18,11 +18,14 @@ import graft.workload.{AuditLog, ReplayCodec}
   *   create    --ddl-dir <dir> [--db <target>] [--be-count n] [--dry-run]
   *   gendata   --ddl <file,...> --out <dir> [--genconf <yaml>] [--rows n]
   *             [--seed n] [--format csv|parquet]
-  *             [--llm <model> --llm-response <file> [--stats <yaml>]
-  *              [--query <sql>] [--prompt <text>] [--anonymize] [--yes]]
+  *             [--llm <model> (--llm-response <file> |
+  *               --llm-api-key <key> [--llm-base-url <url>])
+  *              [--stats <yaml>] [--query <sql>] [--prompt <text>]
+  *              [--anonymize] [--yes]]
   *             (LLM-assisted genconf: prompt assembly + anonymize-before-
-  *              send + confirm gate; the transport is pluggable and the
-  *              shipped one replays a canned completion from a file)
+  *              send + confirm gate; live OpenAI-compatible streaming
+  *              via --llm-api-key/LLM_API_KEY, or a canned completion
+  *              file for offline runs)
   *   replay    --source <dumpDir> --out <resultDir> [--speed x]
   *             [--client-count n] [--max-hash-rows k]
   *             [--max-conn-idle-ms n] [--cluster <pool>]
@@ -138,11 +141,31 @@ object Cli {
       // --llm <model>: assemble prompt (optionally anonymized), run the
       // transport, validate, write <out>/gendata.yaml, and gate on a
       // human confirm before generating (reference cmd/gendata.go:110-147).
-      // Offline transport: --llm-response <file> with the canned reply.
+      // Live transport: --llm-api-key <key> (or LLM_API_KEY in the env)
+      // streams from an OpenAI-compatible endpoint — --llm-base-url
+      // overrides the model-family default (deepseek-* -> Deepseek beta,
+      // else OpenAI v1). Offline transport: --llm-response <file> with
+      // the canned reply. --llm-response wins when both are given (a
+      // canned reply is an explicit ask).
       var llmAborted = false
       val llmConf: Option[String] = o.get("llm").filter(_ => !o.contains("genconf")).flatMap { model =>
-        val transport: graft.llm.LlmTransport =
-          new graft.llm.FileTransport(req(o, "llm-response"))
+        val apiKey = o.get("llm-api-key").orElse(sys.env.get("LLM_API_KEY"))
+        val transport: graft.llm.LlmTransport = o.get("llm-response") match {
+          case Some(canned) => new graft.llm.FileTransport(canned)
+          case None =>
+            val key = apiKey.getOrElse(throw new IllegalArgumentException(
+              "gendata --llm needs --llm-response <file> (canned) or " +
+                "--llm-api-key / LLM_API_KEY (live endpoint)"))
+            new graft.llm.HttpTransport(
+              o.getOrElse("llm-base-url",
+                graft.llm.HttpTransport.defaultBaseUrl(model)),
+              key,
+              // streamed text echoes to the console as it arrives, the
+              // reference's reading experience (content bright, the
+              // deepseek reasoning channel to stderr)
+              onContent = s => print(s),
+              onReasoning = s => System.err.print(s))
+        }
         val stats = o.get("stats").map(p =>
           graft.stats.Stats.fromYaml(readFile(p))._2).getOrElse(Nil)
         val anonCtx =
