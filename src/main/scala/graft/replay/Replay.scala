@@ -58,11 +58,30 @@ object Replay {
       opts: Options = Options(),
       sleeper: Long => Unit = ms => Thread.sleep(ms),
       sessionFor: SparkSession => SparkSession = _.newSession()): Map[String, Seq[Result]] = {
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = clientSqls.toSeq.map { case (client, sqls) =>
-      Future(client -> replayClient(() => sessionFor(spark), sqls, minTs, opts, sleeper))
-    }
-    Await.result(Future.sequence(futures), Duration.Inf).toMap
+    // A DEDICATED thread per client, not ExecutionContext.global: the
+    // global pool has ~numCores threads, and a replay client spends most
+    // of its life BLOCKED in sleeper() reproducing arrival gaps — on the
+    // shared pool, 1000 clients against 32 threads serialize into
+    // ~31-deep convoys and the reproduced timeline stretches by that
+    // factor (measured: 1000 clients x one 200 ms sleep took ~6 s wall
+    // on global, ~0.3 s here; ReplaySpec pins the bound). A replaying
+    // driver JVM owns its threads the way the reference owns goroutines;
+    // they are daemons and the pool dies with the call.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-replay-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = clientSqls.toSeq.map { case (client, sqls) =>
+        Future(client -> replayClient(() => sessionFor(spark), sqls, minTs, opts, sleeper))
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 
   /** The reference's inter-arrival formula (src/replay.go:217-296): ms

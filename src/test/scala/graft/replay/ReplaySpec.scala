@@ -163,6 +163,79 @@ class ReplaySpec extends SparkSpec {
     assert(graft.replay.Flaky.calls.get() == 2) // exactly one retry
   }
 
+  // ---- R1 at scale (VERDICT r10 item 7): 1000 clients ------------------
+
+  test("1000-client fake-clock replay: zero scheduling drift, bounded per-statement overhead") {
+    // Every client gets the same 3-statement timeline; with every gap
+    // above the floor, the inter-arrival formula compensates exactly, so
+    // each client's granted sleeps must be EXACTLY (200, 200) ms — any
+    // deviation is scheduler drift. Sleeps are recorded per thread (a
+    // client runs serially on one dedicated thread), not slept, and the
+    // statements are parse-fail no-ops (driver-only, R5 records the err,
+    // no Spark job) so the probe measures the SCHEDULER: drift,
+    // bookkeeping, thread fan-out — not DAGScheduler throughput (that
+    // cost is measured separately below and in SCALE.md).
+    val nClients = 1000
+    val sqls = Seq(
+      stmt(0, "q1", 100, "not sql §"),
+      stmt(500, "q2", 100, "not sql §"),   // (500-0-100)/2 = 200
+      stmt(1000, "q3", 100, "not sql §"))  // (1000-500-100)/2 = 200
+    val granted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val clients = (1 to nClients).map(i => s"c$i" -> sqls).toMap
+    val t0 = System.nanoTime()
+    val res = Replay.replay(spark, clients, minTs = 0,
+      Replay.Options(speed = 2.0),
+      sleeper = granted.add(_),
+      sessionFor = identity) // shared session: the probe targets the
+                             // scheduler, not 1000 catalog clones
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(res.size == nClients)
+    assert(res.values.forall(r => r.size == 3 && r.forall(_.err.nonEmpty)))
+    // drift bound: exactly 2 sleeps per client were granted and every
+    // one is exactly the ideal 200 ms — any other value or count is
+    // scheduler drift. (Attribution is deliberately not per-thread: the
+    // cached pool reuses a thread when one client finishes before
+    // another starts; per-client serial order is covered by the timing
+    // tests above, thread fan-out by the convoy test below.)
+    val vals = granted.toArray.map(_.asInstanceOf[Long])
+    assert(vals.length == 2 * nClients,
+      s"expected ${2 * nClients} granted sleeps, got ${vals.length}")
+    assert(vals.forall(_ == 200L),
+      s"drift detected: ${vals.find(_ != 200L)}")
+    val perStmtMs = wallSec * 1000 / (3 * nClients)
+    info(f"1000-client scheduler probe: $wallSec%.2f s wall, $perStmtMs%.2f ms/stmt")
+    // generous to machine contention (a convoy would land >100 ms/stmt)
+    assert(perStmtMs < 25.0, f"per-statement scheduler overhead $perStmtMs%.1f ms")
+    // the REAL-statement cost at scale, for SCALE.md (no assert — it
+    // measures local-mode DAGScheduler throughput, not this scheduler):
+    // 200 clients x 1 trivial distributed statement
+    val realClients = (1 to 200).map(i =>
+      s"r$i" -> Seq(stmt(0, "q", 0, "select 1 as a"))).toMap
+    val t1 = System.nanoTime()
+    Replay.replay(spark, realClients, 0, Replay.Options(),
+      sleeper = _ => (), sessionFor = identity)
+    info(f"200 concurrent 'select 1' statements: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+  }
+
+  test("1000 clients with REAL sleeps run on dedicated threads, not a convoy") {
+    // One 600 ms arrival gap per client, real Thread.sleep, driver-only
+    // statements. On a shared ~32-thread pool the sleeps serialize into
+    // ceil(1000/32) ≈ 32 convoys ≈ 19 s; on dedicated threads all
+    // clients sleep CONCURRENTLY and the wall is ~0.6 s + bookkeeping.
+    // The bound sits well between the two (convoying lands ~19 s).
+    val nClients = 1000
+    val sqls = Seq(stmt(600, "q1", 0, "not sql §"))
+    val clients = (1 to nClients).map(i => s"c$i" -> sqls).toMap
+    val t0 = System.nanoTime()
+    val res = Replay.replay(spark, clients, minTs = 0,
+      Replay.Options(), sessionFor = identity) // default sleeper: real sleep
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(res.size == nClients)
+    info(f"1000 concurrent 600ms-gap clients: $wallSec%.2f s wall")
+    assert(wallSec < 10.0,
+      f"convoy suspected: $wallSec%.1f s for a 0.6 s concurrent timeline")
+  }
+
   test("result JSON shape matches the reference (omitempty fields)") {
     val r = Replay.Result("2024-08-06 23:44:11.041", "qid", 3, "", 12, "")
     assert(Replay.resultJson(r) ==
