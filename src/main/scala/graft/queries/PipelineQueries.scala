@@ -950,6 +950,31 @@ object PipelineQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- MPEG-1 I/P-frame decode through the codec registry: the
+    //      ENGINE walks start codes, macroblock/DC/run-level VLCs, IDCT,
+    //      forward motion compensation, skipped-MB copy and residual
+    //      accumulation (pipeline/Mpeg1.scala — hand-rolled from the
+    //      public spec, no JVM codec exists); the fixture's flat DC-only
+    //      content makes every reconstruction step exact, so the oracle
+    //      recomputes each frame's mean luma from id arithmetic
+    //      (Mpeg1Spec proves decode(synthMpeg1(id)) == the formula) ----
+    "m06_mpeg1_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.{Mpeg1, Multimodal}
+      Mpeg1.register()
+      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 60)
+        .as[Long]
+        .map(id => (id, Mpeg1.synthMpeg1(id)))
+        .toDF("media_id", "payload")
+        .select(col("media_id"), col("payload"),
+          struct(lit("mpeg1").as("codec")).as("meta"))
+      Multimodal.codecFrameSamples(s, media, stride = 1)
+        .toDF()
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- energy-based voice-activity segmentation over REAL WAV decode
     //      (javax.sound.sampled): windows → active runs → segments, the
     //      silence-trim / utterance-split pass of any speech pipeline.
@@ -2028,6 +2053,21 @@ object PipelineQueries extends QueryModule {
              CAST(frame_idx AS BIGINT) AS frame_idx,
              round(CAST((media_id * 37 + frame_idx * 11) % 236 + 10 AS DOUBLE), 4)
                AS mean_byte
+      FROM f ORDER BY media_id, frame_idx""",
+
+    "m06_mpeg1_frames" -> """
+      WITH m AS (SELECT doc_id AS media_id,
+                        4 + doc_id % 3 AS nf,
+                        (doc_id * 29) % 200 + 20 AS l0
+                 FROM documents WHERE doc_id < 60),
+      f AS (SELECT media_id, nf, l0, unnest(range(0, nf)) AS fi FROM m)
+      SELECT media_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(fi AS BIGINT) AS frame_idx,
+             round(CAST(l0 + CASE WHEN fi <= 1 THEN 0
+                                  WHEN fi = 2 THEN 5
+                                  WHEN fi <= 4 THEN 7.5
+                                  ELSE 12.5 END AS DOUBLE), 4) AS mean_byte
       FROM f ORDER BY media_id, frame_idx""",
 
     "p21_audio_decode" -> """
