@@ -168,10 +168,26 @@ object CurationQueries extends QueryModule {
       val train = d.filter(col("doc_id") % 20 =!= 7)
       val contaminated = Dedup.contaminationPairs(train, probe, "doc_id", "text",
         threshold = 0.5).select(col("train_id").as("doc_id")).distinct()
-      d.join(cleaned, Seq("doc_id"), "left_semi")
-        .join(canonical, Seq("doc_id"), "left_semi")
-        .filter(col("doc_id") % 20 =!= 7)
-        .join(contaminated, Seq("doc_id"), "left_anti")
+      val kept = graft.operators.Broadcasts.trackedPersist(
+        d.join(cleaned, Seq("doc_id"), "left_semi")
+          .join(canonical, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 20 =!= 7)
+          .join(contaminated, Seq("doc_id"), "left_anti"))
+      // decontamination losslessness gate (the p80/p28 discipline — this
+      // query's oracle brute-forces the full containment join and is
+      // sf0.01-only): EXACT containment (dfCap=0) against a broadcast
+      // probe PREFIX — linear in the corpus — must find NO surviving doc
+      // still carrying ≥ threshold of a prefix probe; a dfCap-lost pair
+      // whose train doc survived would trip it at any scale
+      val truthIds = Dedup.contaminationPairs(train,
+          probe.filter(col("doc_id") < 150), "doc_id", "text",
+          threshold = 0.5, dfCap = 0)
+        .select(col("train_id").as("doc_id")).distinct()
+      val leaked = kept.join(truthIds, Seq("doc_id"), "left_semi").count()
+      require(leaked == 0L,
+        s"decontamination leak: $leaked surviving doc(s) still contain a " +
+          "probe-prefix eval item")
+      kept
         .withColumn("split", Mixing.splitAssign(
           Mixing.hashUnit(col("doc_id"), "graft-split")))
         .groupBy("source", "split")

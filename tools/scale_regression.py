@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Scale-regression gate over the full query surface (VERDICT r10 item 2).
+
+Compares a ×10 bench run (BENCH_sf1.json, produced by graft.Bench with
+SPARK_GRAFT_SF_DIR pointing at a ScaleUp dir) against the committed
+sf0.1 per-query map (BENCH_baseline.json), applying the sublinear-budget
+law: at ×10 the data, a query's wall may grow at most 20× (10× data ×
+2× constant-factor grace) unless it carries a named, gated exception.
+
+Writes its verdict INTO the sf1 json under "scale_regressions" and exits
+nonzero if any unexcepted query breaches the budget or failed outright.
+
+Usage: scale_regression.py <BENCH_sf1.json> <BENCH_baseline.json>
+Driver-side tooling only — not part of the library.
+"""
+import json
+import sys
+
+# Named exceptions: queries whose sf1 growth is allowed past the budget,
+# each with the reason a reader needs. Keep this list SHORT — an entry
+# here is a debt marker, not a free pass.
+EXCEPTIONS = {
+    # (none this round)
+}
+
+# Fixed floor: queries under this many seconds at sf1 are never flagged —
+# a 0.05s -> 1.2s move is 24x but is job-overhead noise, not a scale cliff.
+ABS_FLOOR_S = 2.0
+
+
+def main():
+    sf1_path, base_path = sys.argv[1], sys.argv[2]
+    with open(sf1_path) as f:
+        sf1 = json.load(f)
+    with open(base_path) as f:
+        base = json.load(f)
+    q1 = sf1.get("queries", {})
+    q0 = base.get("queries", {})
+    failed = [k for k, v in q1.items() if v < 0]
+    flags = []
+    for name, t1 in sorted(q1.items()):
+        t0 = q0.get(name)
+        if t1 < 0 or not t0 or t0 <= 0:
+            continue
+        ratio = t1 / t0
+        if t1 >= ABS_FLOOR_S and ratio > 20.0:
+            row = {"query": name, "sf0.1_s": round(t0, 3),
+                   "sf1_s": round(t1, 3), "ratio": round(ratio, 1)}
+            if name in EXCEPTIONS:
+                row["exception"] = EXCEPTIONS[name]
+            flags.append(row)
+    breaches = [f for f in flags if "exception" not in f]
+    sf1["scale_regressions"] = {
+        "law": "sf1 wall <= 20x sf0.1 wall (abs floor 2s) or a named exception",
+        "baseline_sha": base.get("sha", "?"),
+        "failed_at_sf1": failed,
+        "flagged": flags,
+        "breaches": len(breaches),
+    }
+    with open(sf1_path, "w") as f:
+        json.dump(sf1, f, indent=1)
+    n_compared = sum(1 for k in q1 if k in q0)
+    print(f"compared {n_compared} queries; {len(failed)} failed at sf1; "
+          f"{len(flags)} flagged; {len(breaches)} unexcepted breaches")
+    for f_ in flags:
+        print("  ", f_)
+    sys.exit(1 if (breaches or failed) else 0)
+
+
+if __name__ == "__main__":
+    main()
