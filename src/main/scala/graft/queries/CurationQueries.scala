@@ -1302,6 +1302,14 @@ object CurationQueries extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("si") =!= col("sj"), 1L).otherwise(0L)),
           lit(0L)).as("n_crossing"))
+    // the leakage audit is a GATE, not just a reported column: at scales
+    // where the brute-force pair oracle is infeasible (sf1 tier), the
+    // require() executing inside the run is the evidence that no
+    // near-dup pair straddled folds — a zero in an unchecked column
+    // proves nothing if nobody reads it (r11: p97 joined the sf1 tier)
+    val cRow = crossing.head()
+    require(cRow.getLong(1) == 0L,
+      s"group-split leakage: ${cRow.getLong(1)} near-dup pair(s) cross folds")
     folds.crossJoin(groups).crossJoin(crossing)
       .select(col("split"), col("n"), col("frac"), col("n_pairs"),
         col("n_crossing"), col("n_groups"))

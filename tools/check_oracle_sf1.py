@@ -44,6 +44,8 @@ IN_QUERY_GATES = {
     "io13_merge_upsert": "row conservation on the touched slice; untouched partitions byte-identical",
     "p104_langid_route": "router accuracy == 100% on the planted corpus",
     "p105_entity_em": "EM separates all-agree (posterior > 0.9) from all-disagree (< 0.1)",
+    "p36_curation_pipeline": "exact (dfCap=0) containment vs a broadcast probe prefix finds no surviving contaminated doc",
+    "p97_group_split_minhash": "leakage audit: near-dup pair crossing count == 0 across folds (minhash-fed CC labels)",
 }
 
 
