@@ -170,6 +170,55 @@ object Dedup {
       explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("bkt"))
 
   /** Shingled (id, sh) projection shared by the Jaccard family. */
+  /** EXACT shingle-Jaccard pairs of a broadcast id-prefix probe against
+    * the whole corpus — linear in the corpus, so it runs at ANY scale.
+    * This is the truth set behind the dfCap'd [[ngramJaccardPairs]]'s
+    * in-query losslessness gates (the p80/p28 discipline: where the
+    * brute-force oracle is sf0.01-only, a bounded exact probe asserts
+    * recall inside the run itself). The t·|b| ≤ |a| ≤ |b|/t size
+    * prefilter is exact for J ≥ t. Returns (i, j) with i < probeMaxId,
+    * i < j, J ≥ threshold. */
+  def ngramJaccardProbeTruth(df: DataFrame, idCol: String, textCol: String,
+                             probeMaxId: Long, threshold: Double,
+                             shingleN: Int = 3): DataFrame = {
+    val base = shingled(df, idCol, textCol, shingleN)
+    val pr = broadcast(base.filter(col("id") < probeMaxId)
+      .select(col("id").as("i"), col("sh").as("sh_i")))
+    base.select(col("id").as("j"), col("sh").as("sh_j"))
+      .join(pr, col("i") < col("j") &&
+        size(col("sh_i")).cast("double") >= lit(threshold) * size(col("sh_j")) &&
+        size(col("sh_j")).cast("double") >= lit(threshold) * size(col("sh_i")))
+      .withColumn("c", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .filter(col("c").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("c")).cast("double")
+        >= threshold)
+      .select("i", "j")
+  }
+
+  /** Cross-frame variant of [[ngramJaccardProbeTruth]]: exact shingle
+    * Jaccard between every probe-prefix doc of `probeSide` and every doc
+    * of `corpusSide` — the truth set behind the banded incremental-index
+    * path's recall gate. Returns (probe_id, corpus_id). */
+  def crossJaccardProbeTruth(probeSide: DataFrame, corpusSide: DataFrame,
+                             idCol: String, textCol: String,
+                             probeMaxId: Long, threshold: Double,
+                             shingleN: Int = 3): DataFrame = {
+    val pr = broadcast(
+      shingled(probeSide, idCol, textCol, shingleN)
+        .filter(col("id") < probeMaxId)
+        .select(col("id").as("probe_id"), col("sh").as("sh_p")))
+    shingled(corpusSide, idCol, textCol, shingleN)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+      .join(pr,
+        size(col("sh_p")).cast("double") >= lit(threshold) * size(col("sh_c")) &&
+          size(col("sh_c")).cast("double") >= lit(threshold) * size(col("sh_p")))
+      .withColumn("c", size(array_intersect(col("sh_p"), col("sh_c"))))
+      .filter(col("c").cast("double") /
+        (size(col("sh_p")) + size(col("sh_c")) - col("c")).cast("double")
+        >= threshold)
+      .select("probe_id", "corpus_id")
+  }
+
   private[pipeline] def shingled(df: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),

@@ -143,9 +143,22 @@ object CurationQueries extends QueryModule {
       Dedup.minhashIndex(oldDocs, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$outRoot/mh_index")
       val index = s.read.parquet(s"$outRoot/mh_index")
-      Dedup.incrementalMinhashPairs(newDocs, index, oldDocs, "doc_id", "text",
-        threshold = 0.5)
-        .orderBy("new_id", "old_id")
+      val out = graft.operators.Broadcasts.trackedPersist(
+        Dedup.incrementalMinhashPairs(newDocs, index, oldDocs, "doc_id",
+          "text", threshold = 0.5))
+      out.count() // materialize before the probe (p80 discipline)
+      // banded-recall gate (sf1 tier: the brute-force pair oracle is
+      // sf0.01-only): EXACT shingle-Jaccard truth for a broadcast
+      // new-doc prefix against ALL old docs — linear in the corpus —
+      // must be a subset of the landed-index candidates' verified pairs
+      val truth = Dedup.crossJaccardProbeTruth(newDocs, oldDocs,
+          "doc_id", "text", probeMaxId = 450, threshold = 0.5)
+        .select(col("probe_id").as("new_id"), col("corpus_id").as("old_id"))
+      val missed = truth.join(out.select("new_id", "old_id"),
+        Seq("new_id", "old_id"), "left_anti").count()
+      require(missed == 0L,
+        s"incremental index missed $missed probe-prefix true pair(s)")
+      out.orderBy("new_id", "old_id")
     }),
 
     // ---- the END-TO-END curation story: C4 clean → exact-dedup

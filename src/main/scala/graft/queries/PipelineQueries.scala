@@ -297,8 +297,21 @@ object PipelineQueries extends QueryModule {
     //      probabilistic LSH which the oracle happens to match because
     //      planted dups are high-similarity) -----------------------------
     "p10_ngram_jaccard_dedup" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
-        .orderBy("i", "j")
+      val d = docs(s, dir)
+      val out = graft.operators.Broadcasts.trackedPersist(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5))
+      out.count() // materialize before the probe (p80 discipline)
+      // dfCap losslessness gate (sf1 tier: the brute-force pair oracle
+      // is sf0.01-only): EXACT shingle-Jaccard truth over a broadcast
+      // id prefix — linear in the corpus — must be a subset of the
+      // dfCap'd result; a capped-away true pair trips it at any scale
+      val truth = Dedup.ngramJaccardProbeTruth(d, "doc_id", "text",
+        probeMaxId = 150, threshold = 0.5)
+      val missed = truth.join(out.select("i", "j"), Seq("i", "j"),
+        "left_anti").count()
+      require(missed == 0L,
+        s"ngramJaccardPairs dfCap dropped $missed probe-prefix true pair(s)")
+      out.orderBy("i", "j")
     }),
 
     // ---- winnowing-fingerprint near-dup (rolling-hash candidates,
@@ -724,9 +737,23 @@ object PipelineQueries extends QueryModule {
       val d = docs(s, dir)
       val probe = d.filter(col("doc_id") % 20 === 7)
       val train = d.filter(col("doc_id") % 20 =!= 7)
-      Dedup.contaminationPairs(train, probe, "doc_id", "text", threshold = 0.5)
-        .withColumn("overlap", round(col("overlap"), 6))
-        .orderBy("train_id", "eval_id")
+      val out = graft.operators.Broadcasts.trackedPersist(
+        Dedup.contaminationPairs(train, probe, "doc_id", "text",
+          threshold = 0.5)
+          .withColumn("overlap", round(col("overlap"), 6)))
+      out.count() // materialize before the probe (p80 discipline)
+      // dfCap losslessness gate (sf1 tier): EXACT containment (dfCap=0)
+      // against a broadcast probe PREFIX must be a subset of the dfCap'd
+      // result — a capped-away contaminated pair trips it at any scale
+      val truth = Dedup.contaminationPairs(train,
+          probe.filter(col("doc_id") < 300), "doc_id", "text",
+          threshold = 0.5, dfCap = 0)
+        .select("train_id", "eval_id")
+      val missed = truth.join(out.select("train_id", "eval_id"),
+        Seq("train_id", "eval_id"), "left_anti").count()
+      require(missed == 0L,
+        s"contaminationPairs dfCap dropped $missed probe-prefix pair(s)")
+      out.orderBy("train_id", "eval_id")
     }),
 
     // ---- REAL audio decode on the verified path: deterministic WAV

@@ -121,6 +121,62 @@ class Mpeg1Spec extends SparkSpec {
     assert(out(2L).length == 1 && !out(2L).head.decoded)
   }
 
+  test("AC coefficients: run-level VLC, escape coding, zigzag, intra dequant") {
+    // Hand-assembled 16x16 I-picture whose first luma block carries DC +
+    // two AC coefficients — one through the B.14 VLC ((0,2) = '0100'+s),
+    // one through ESCAPE (run 2, level 100) — exercising the table and
+    // escape paths the DC-only fixtures never touch. Expected pixels are
+    // recomputed here with an independent IDCT over the dequantized
+    // coefficients (intra: (2*level*q*Q[zz])/16, oddified).
+    val bw = new Mpeg1.BitWriter
+    bw.startCode(0xB3)
+    bw.put(16, 12); bw.put(16, 12); bw.put(1, 4); bw.put(3, 4)
+    bw.put(0x3FFFF, 18); bw.put(1, 1); bw.put(0, 10); bw.put(0, 1)
+    bw.put(0, 1); bw.put(0, 1)
+    bw.startCode(0x00)
+    bw.put(0, 10); bw.put(1, 3); bw.put(0xFFFF, 16); bw.put(0, 1)
+    bw.startCode(0x01)
+    bw.put(8, 5); bw.put(0, 1) // qscale 8
+    bw.putBits("1"); bw.put(1, 1) // addr inc 1, intra
+    // block 0: dc_size 5 ('1110'), diff +22 (bits 10110) -> dc 128+22=150
+    bw.putBits("1110"); bw.put(22, 5)
+    // AC 1: (run 0, level +2) = '0100' + sign 0
+    bw.putBits("0100"); bw.put(0, 1)
+    // AC 2: ESCAPE (run 2, level 100): '000001' + run 6b + level 8b
+    bw.putBits("000001"); bw.put(2, 6); bw.put(100, 8)
+    bw.putBits("10") // EOB
+    // blocks 1..5: DC-only at the predictor (diff 0: luma '100', chroma '00')
+    for (blk <- 1 until 6) {
+      bw.putBits(if (blk < 4) "100" else "00")
+      bw.putBits("10")
+    }
+    bw.startCode(0xB7)
+    val frame = Mpeg1.decodeFrames(bw.bytes).head
+    // independent expectation: dequantized coefficients at zigzag 0,1,4
+    // (zigzag position 1 -> raster (0,1) = horizontal frequency 1;
+    // zz 4 = 1+run2+1 -> raster 9 = (1,1))
+    def deq(level: Int, zz: Int, q: Array[Int]): Int = {
+      var r = (2 * level * 8 * q(zz)) / 16
+      if ((r & 1) == 0 && r != 0) r -= Integer.signum(r)
+      math.min(2047, math.max(-2048, r))
+    }
+    val intraQ = Array(8, 16, 19, 22, 26) // zz 0..4 of the default matrix
+    val c01 = deq(2, 1, intraQ)    // 32 -> oddified 31
+    val c11 = deq(100, 4, intraQ)  // 2600 -> 2599 -> saturates at 2047
+    assert(c01 == 31 && c11 == 2047)
+    def cos(k: Int, u: Int) = math.cos((2 * k + 1) * u * math.Pi / 16.0) *
+      (if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (cos(x, 0) * cos(y, 0) * (150 * 8) +
+        cos(x, 1) * cos(y, 0) * c01 +
+        cos(x, 1) * cos(y, 1) * c11) / 4.0
+      val expect = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+      assert((frame(y * 16 + x) & 0xff) == expect, s"pixel ($x,$y)")
+    }
+    // the DC-only neighbor block (block 1, columns 8..15) stays flat 150
+    assert((frame(8) & 0xff) == 150 && (frame(15) & 0xff) == 150)
+  }
+
   test("synthMpeg1 frame means match the analytic m06 oracle formula") {
     for (id <- 0L to 8L) {
       val l0 = ((id * 29) % 200 + 20).toDouble

@@ -46,6 +46,9 @@ IN_QUERY_GATES = {
     "p105_entity_em": "EM separates all-agree (posterior > 0.9) from all-disagree (< 0.1)",
     "p36_curation_pipeline": "exact (dfCap=0) containment vs a broadcast probe prefix finds no surviving contaminated doc",
     "p97_group_split_minhash": "leakage audit: near-dup pair crossing count == 0 across folds (minhash-fed CC labels)",
+    "p10_ngram_jaccard_dedup": "exact probe-prefix shingle-Jaccard truth is a subset of the dfCap'd result (anti-join == 0)",
+    "p20_decontaminate": "exact (dfCap=0) probe-prefix containment is a subset of the dfCap'd result (anti-join == 0)",
+    "p35_incremental_dedup": "exact new-prefix x old-corpus truth is a subset of the landed-index pairs (anti-join == 0)",
 }
 
 
