@@ -116,10 +116,21 @@ object SqlSurfaceQueries extends QueryModule {
     "q31_bitmap_hll" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       graft.functions.DorisCompat.register(s)
+      graft.functions.BitmapExprs.register(s)
+      // bm_ndv through the MERGEABLE Roaring aggregate, not
+      // bitmap_from_array(collect_list(...)): collecting every group
+      // member into one array is per-group-linear driver-side state —
+      // measured 0.7 s -> 20.4 s at the ×10 probe (the r11 20×-law
+      // sweep's one non-fixture breach), an OOM at corpus scale. The
+      // scalar bitmap faces (bitmap_from_array / bitmap_count /
+      // bitmap_empty) stay exercised on BOUNDED per-row arrays, where
+      // value-level semantics belong.
       s.sql("""
         SELECT l_linenumber,
-               CAST(bitmap_count(bitmap_from_array(collect_list(l_suppkey))) AS BIGINT) AS bm_ndv,
+               CAST(graft_bitmap_count(graft_bitmap_agg(l_suppkey)) AS BIGINT) AS bm_ndv,
                COUNT(DISTINCT hll_hash(l_suppkey)) AS hll_ndv,
+               CAST(MAX(bitmap_count(bitmap_from_array(
+                 array(l_suppkey, l_suppkey + 1, l_suppkey)))) AS BIGINT) AS bm_pair,
                CAST(bitmap_count(bitmap_empty()) AS BIGINT) AS bm_zero
         FROM lineitem
         GROUP BY l_linenumber
@@ -936,6 +947,7 @@ object SqlSurfaceQueries extends QueryModule {
       SELECT l_linenumber,
              COUNT(DISTINCT l_suppkey) AS bm_ndv,
              COUNT(DISTINCT l_suppkey) AS hll_ndv,
+             CAST(2 AS BIGINT) AS bm_pair,
              CAST(0 AS BIGINT) AS bm_zero
       FROM lineitem
       GROUP BY l_linenumber
