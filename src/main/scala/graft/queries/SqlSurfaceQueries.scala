@@ -123,14 +123,16 @@ object SqlSurfaceQueries extends QueryModule {
       // measured 0.7 s -> 20.4 s at the ×10 probe (the r11 20×-law
       // sweep's one non-fixture breach), an OOM at corpus scale. The
       // scalar bitmap faces (bitmap_from_array / bitmap_count /
-      // bitmap_empty) stay exercised on BOUNDED per-row arrays, where
-      // value-level semantics belong.
+      // bitmap_empty) stay exercised on a bounded PER-GROUP array (a
+      // per-ROW build costs one Roaring allocation per fact row — the
+      // first fix attempt measured that at ~15 s over 6M rows).
       s.sql("""
         SELECT l_linenumber,
                CAST(graft_bitmap_count(graft_bitmap_agg(l_suppkey)) AS BIGINT) AS bm_ndv,
                COUNT(DISTINCT hll_hash(l_suppkey)) AS hll_ndv,
-               CAST(MAX(bitmap_count(bitmap_from_array(
-                 array(l_suppkey, l_suppkey + 1, l_suppkey)))) AS BIGINT) AS bm_pair,
+               CAST(bitmap_count(bitmap_from_array(array(
+                 min(l_suppkey), min(l_suppkey) + 1, min(l_suppkey))))
+                 AS BIGINT) AS bm_pair,
                CAST(bitmap_count(bitmap_empty()) AS BIGINT) AS bm_zero
         FROM lineitem
         GROUP BY l_linenumber
