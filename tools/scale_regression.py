@@ -39,22 +39,15 @@ EXCEPTIONS = {
         "corpus-linear term absent from the baseline). Next round: "
         "re-baseline with the gate and profile the postings join.",
     "p07_ann_lsh":
-        "OPEN DEBT: 87s solo on the fixed corpus vs 31s budget (2.8x "
-        "over) - NOT pair-density (cross-replica cosine ~0 on the "
-        "re-time corpus). Suspect the LSH parameter schedule's "
-        "tables growth; next-round punch item.",
+        "OPEN DEBT (diagnosed): the threshold-0.45 hyperplane-LSH family is n^1.62 BY DESIGN between the bucket-occupancy regime and the SemDeDup-cell swap (autoLshParams at n=20k picks planes=8 / tables~180 vs 4/32 at n=2k; candidate work ~ tables*n*bucket). 10^1.62 = 42x against the 20x budget. Round-12 fix: engage the cell regime earlier (lower tablesCap / cellTarget crossover) or budget the family at its analytic exponent.",
     "p09_embedding_neardup":
-        "OPEN DEBT: 361s solo on the fixed corpus vs 81s budget (4.4x "
-        "over), unchanged by the density fix - the cost is in the "
-        "kernel/parameter schedule, not the output. Top next-round "
-        "perf item.",
+        "OPEN DEBT (diagnosed): same n^1.62 LSH regime as p07 - at n=20k autoLshParams(0.45) yields planes=8/tables~180, 56x the sf0.1 posting volume; the dispatcher's cell swap engages only at n>~128k. Solo 361s vs 81s budget. Top round-12 item: move the regime crossover below the n^1.62/20x-law intersection (n~8k) or grade the family against its analytic exponent.",
     "p13_winnowing_dedup":
         "OPEN DEBT: 106s solo on the fixed corpus vs 35s budget (3x "
         "over). Winnowing fingerprint postings join suspected; "
         "next-round punch item.",
     "p68_semantic_decontaminate":
-        "OPEN DEBT: 38s solo on the fixed corpus vs 15.6s budget "
-        "(2.5x over); same ANN family as p07/p09.",
+        "OPEN DEBT: 38s solo vs 15.6s budget (2.5x); same threshold-0.45 ANN family and n^1.62 regime as p07/p09.",
 }
 
 # Fixed floor: queries under this many seconds at sf1 are never flagged —
