@@ -28,15 +28,18 @@ object Verify {
     // args: sfDir outDir [queryNamePrefix ...] — optional prefixes narrow
     // the run for local iteration; the driver always passes exactly two.
     val Array(sfDir, outDir, filters @ _*) = args
-    // Per-RUN landing root, under this run's outDir. A fixed /tmp path
-    // aliases across runs: a later sf0.01 Verify overwrites the landed
-    // artifacts a still-pending sf1 oracle is about to read, and the
-    // compare silently grades run A's query against run B's bytes (r11
-    // postmortem: p99's sf1 "mismatch" was exactly this). oracle_sql.json
+    // Per-RUN landing root, keyed by this run's outDir but a SIBLING of
+    // it, never inside it. A fixed /tmp path aliases across runs: a
+    // later sf0.01 Verify overwrites the landed artifacts a
+    // still-pending sf1 oracle is about to read, and the compare
+    // silently grades run A's query against run B's bytes (r11
+    // postmortem: p99's sf1 "mismatch" was exactly this). And a root
+    // INSIDE outDir is swept by the driver's oracle loop as if it were
+    // a query result — r11's phantom `_land` error row. oracle_sql.json
     // is dumped from the query map built AFTER this assignment, so its
     // read_parquet paths point at THIS run's artifacts. Must be set
     // before any query module initializes.
-    Land.root = s"${new java.io.File(outDir).getAbsolutePath}/_land"
+    Land.root = s"${new java.io.File(outDir).getAbsolutePath}_land"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

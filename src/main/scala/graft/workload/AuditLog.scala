@@ -75,7 +75,13 @@ object AuditLog {
       // charsets only, so a JVM decode runs once per FILE — wholetext
       // granularity is the price of the one-shot decode and is confined
       // to this (rare, explicitly-requested) path.
-      val dec = udf((bytes: Array[Byte]) => new String(bytes, encoding))
+      // strip a leading U+FEFF: a BOM survives decoders named with an
+      // explicit endianness (UTF-16LE/BE) and the UTF-8 decoder, and
+      // would otherwise break the first record's timestamp-start regex
+      val dec = udf((bytes: Array[Byte]) => {
+        val s = new String(bytes, encoding)
+        if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+      })
       val text = spark.read.format("binaryFile").load(path)
         .select(col("path").as("file"), dec(col("content")).as("value"))
       return text.select(col("file"),

@@ -125,10 +125,14 @@ object CharsetDetect {
   def detect(head: Array[Byte]): String = {
     if (head.length >= 3 && head(0) == 0xEF.toByte && head(1) == 0xBB.toByte &&
       head(2) == 0xBF.toByte) return "UTF-8"
-    if (head.length >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte)
-      return "UTF-16LE"
-    if (head.length >= 2 && head(0) == 0xFE.toByte && head(1) == 0xFF.toByte)
-      return "UTF-16BE"
+    // "UTF-16", not "UTF-16LE"/"UTF-16BE": the endian-specific JVM
+    // decoders KEEP the BOM as a leading U+FEFF character (which would
+    // break the first record's timestamp regex downstream), while plain
+    // "UTF-16" consumes the BOM and infers endianness from it.
+    if (head.length >= 2 &&
+      ((head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) ||
+        (head(0) == 0xFE.toByte && head(1) == 0xFF.toByte)))
+      return "UTF-16"
     if (strictDecode(head, "UTF-8").isDefined) return "UTF-8"
 
     val (highFrac, isolation) = highByteShape(head)

