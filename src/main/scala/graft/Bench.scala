@@ -56,6 +56,12 @@ object Bench {
     // factor) must never clobber the landed files a Verify-then-oracle
     // compare reads. Must be set before any query module initializes.
     Land.root = "/tmp/graft_bench_land"
+    // Bench times the OPERATOR, not its audit (VERDICT r11 item 1a):
+    // in-query verification gates stay on in Verify/sbt-test — the
+    // correctness surfaces — and off here, where a corpus-linear gate
+    // paid 4× per query (warmup + 3 passes) timed out the whole r11
+    // driver bench. SPARK_GRAFT_GATES=on restores gate-priced timing.
+    Gates.configureForTiming()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -168,7 +174,19 @@ object Bench {
         (prevQueries.get(name).exists(moved(med, _)) ||
           committedQueries.get(name).exists(moved(med, _))) => name
     }
+    // Re-time priority: absolute seconds moved (vs best pass for
+    // contention suspects, vs the nearest committed/prev number for
+    // movers) — when the wall-clock budget below cuts the list, the
+    // biggest distortions get re-timed first.
+    val interMap = interleaved.toMap
+    def secondsMoved(name: String): Double = {
+      val med = interMap(name)
+      val refs = Seq(times(name).minOption, prevQueries.get(name),
+        committedQueries.get(name)).flatten.filter(_ > 0)
+      if (refs.isEmpty) 0.0 else refs.map(r => math.abs(med - r)).max
+    }
     val suspects = (contentionSuspects ++ movers).distinct
+      .sortBy(n => -secondsMoved(n))
     val fns = ordered.toMap
     // Isolated re-times run in a FRESH forked JVM (VERDICT r8 item 1a):
     // re-timing inside this loaded 230+-query session overstates by
@@ -202,12 +220,25 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
         .groupMapReduce(_._1)(_._2)(math.min)
     }
-    val isolated: Map[String, Double] =
-      if (suspects.isEmpty) Map.empty
-      else try forkTimeQ(suspects) catch {
+    // WALL-CLOCK re-time budget (VERDICT r11 item 1b): the r11 bench
+    // died because every gate-inflated query became a "mover" and each
+    // fork pays ~30 s of Spark boot plus warm+timed runs — a count cap
+    // alone cannot bound that when per-query cost itself explodes.
+    // Suspects are re-timed in small fork batches, highest
+    // seconds-moved first, until the budget is spent; the remainder
+    // keep their interleaved medians and are listed in the artifact.
+    val retimeBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET_S", "300").toDouble
+    val isolated = collection.mutable.Map.empty[String, Double]
+    val retimesSkipped = collection.mutable.Buffer.empty[String]
+    val retimeStart = System.nanoTime()
+    def retimeElapsedS = (System.nanoTime() - retimeStart) / 1e9
+    for (batch <- suspects.grouped(6)) {
+      if (retimeElapsedS > retimeBudgetS) retimesSkipped ++= batch
+      else try isolated ++= forkTimeQ(batch) catch {
         case e: Throwable =>
           System.err.println(s"[bench] fresh-JVM re-time failed (${e.getMessage}); falling back in-process")
-          suspects.map { name =>
+          isolated ++= batch.map { name =>
             System.gc(); Thread.sleep(100)
             val ts = Vector.fill(3) {
               val t0 = System.nanoTime()
@@ -215,8 +246,13 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             }
             name -> median(ts)
-          }.toMap
+          }
       }
+    }
+    if (retimesSkipped.nonEmpty)
+      System.err.println(s"[bench] re-time wall budget (${retimeBudgetS}s) " +
+        s"exhausted after ${retimeElapsedS.toInt}s; kept interleaved medians " +
+        s"for: ${retimesSkipped.mkString(", ")}")
     // Headline per-query = solo median where re-timed (never the larger
     // of the two: re-timing exists because the contended number is wrong)
     val results = interleaved.map { case (name, med) =>
@@ -270,7 +306,8 @@ object Bench {
       case (n, v) if v > 0 && interleaved.toMap.get(n).exists(_ > 3 * v) => n
     }
     val flagsJson = contentionFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"contention_flags":$flagsJson,"failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
+    val skippedJson = retimesSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"contention_flags":$flagsJson,"retimes_skipped":$skippedJson,"gates":"${if (Gates.enabled) "on" else "off"}","failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
     // Sole program-stdout line AND a file copy: when launched through sbt,
     // stdout lines get an "[info] " prefix that breaks a naive json parse.
     println(json)

@@ -14,6 +14,11 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Land.root = "/tmp/graft_timeq_land"
+    // TimeQ is a TIMING surface (Bench's fresh-JVM re-timer and the ×10
+    // scale probes): same gate mode as Bench so sf0.1 and sf1 numbers
+    // are always comparable. SPARK_GRAFT_GATES=on restores gate-priced
+    // timing (and propagates into Bench's forked TimeQ children).
+    Gates.configureForTiming()
     for (name <- args.tail) {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save() // warm
       graft.operators.Broadcasts.release(spark) // same per-query discipline as Bench:

@@ -189,6 +189,45 @@ object VectorKernels {
   /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes, sliding
     * window-of-w minima (rightmost on ties) via a monotone deque,
     * distinct, in first-seen order. */
+  /** Distinct hashed word n-gram shingles — see ShingleHashesExpr.
+    * Token hash = XXH64 over the token's UTF-8 bytes (seed 42, the
+    * xxhash64 builtin's seed); shingle hash = FNV-prime polynomial of
+    * the n token hashes, splitmix-finalized. Returns a SORTED distinct
+    * long array (set semantics — consumers only intersect/size). */
+  def shingleHashes(input: UTF8String, n: Int): ArrayData = {
+    // Locale.ROOT for the same reason as `winnowing` below
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT).trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val toks = s.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      th(i) = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = -3750763034362895579L // FNV-1a offset basis
+      var j = 0
+      while (j < n) { h = h * 0x100000001b3L + th(i + j); j += 1 }
+      out(i) = splitmix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var u = 1
+    i = 1
+    while (i < m) {
+      if (out(i) != out(u - 1)) { out(u) = out(i); u += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, u))
+  }
+
   def winnowing(input: UTF8String, k: Int, w: Int, bk: Long): ArrayData = {
     // Locale.ROOT: the default-locale overload is locale-SENSITIVE
     // (tr_TR lowercases "I" to dotless ı), so fingerprints would differ

@@ -238,10 +238,22 @@ object Ann {
     * (n ≤ 2000) the floors reproduce exactly the tuned planes=4/
     * tables=32, so small-scale results are byte-identical; growth
     * follows the sub-quadratic LSH exponent (candidate work
-    * ~ n²/(2r)^planes shrinks as planes rise) instead of n². */
+    * ~ n²/(2r)^planes shrinks as planes rise) instead of n².
+    *
+    * `tablesCap` IS the LSH→cell regime crossover, and its default is
+    * chosen from the 20×-per-decade budget law, not from what LSH can
+    * merely tolerate (the r11 lesson: candidate work in this regime is
+    * n^1.62 BY DESIGN — 10^1.62 ≈ 42× per decade — so the old cap of
+    * 512 let the uneconomical regime run from n≈8k to n≈128k, exactly
+    * where per-key problem sizes live at corpus scale; p09 measured
+    * 4.4× over its sf1 budget there). At cos 0.45 the analytic tables
+    * requirement crosses 96 between planes=6 (76) and planes=7 (117),
+    * so the cap binds — and [[nearDupPairsAuto]] swaps to the linear
+    * cell kernel — at n > bucketTarget·2^6 = 8k, the intersection of
+    * the n^1.62 curve with the budget law. */
   def autoLshParams(n: Long, threshold: Double, targetRecall: Double = 0.9965,
                     bucketTarget: Int = 125, planesFloor: Int = 4,
-                    tablesFloor: Int = 32, tablesCap: Int = 512): (Int, Int) = {
+                    tablesFloor: Int = 32, tablesCap: Int = 96): (Int, Int) = {
     val (planes, tables, _) = autoLshParamsDetailed(n, threshold, targetRecall,
       bucketTarget, planesFloor, tablesFloor, tablesCap)
     (planes, tables)
@@ -258,7 +270,7 @@ object Ann {
   def autoLshParamsDetailed(n: Long, threshold: Double,
                             targetRecall: Double = 0.9965,
                             bucketTarget: Int = 125, planesFloor: Int = 4,
-                            tablesFloor: Int = 32, tablesCap: Int = 512)
+                            tablesFloor: Int = 32, tablesCap: Int = 96)
       : (Int, Int, Boolean) = {
     val r = 1.0 - math.acos(threshold) / math.Pi
     def tablesNeeded(p: Int): Double =
@@ -282,8 +294,9 @@ object Ann {
     * promises in prose, now in code: inside the LSH budget this IS
     * [[cosineNearDupPairs]] at [[autoLshParams]] (byte-identical results
     * at every test SF); once the parameterization goes over-cap (see
-    * [[autoLshParamsDetailed]] — around n ≳ bucketTarget·2^10 at
-    * cos 0.45 with the default cap) it swaps to cell-based SemDeDup
+    * [[autoLshParamsDetailed]] — n > bucketTarget·2^6 = 8k at cos 0.45
+    * with the default cap, where the n^1.62 LSH regime first exceeds
+    * the 20×-per-decade budget law) it swaps to cell-based SemDeDup
     * [Abbas et al. 2023] with MULTI-PROBE assignment: each vector lands
     * in its `nProbe` nearest KMeans cells, so a pair straddling one cell
     * boundary still meets in the runner-up cell — recovering most of the
@@ -303,7 +316,7 @@ object Ann {
     * Returns (i, j, cos_r), i < j, cos_r ≥ threshold — both regimes. */
   def nearDupPairsAuto(emb: DataFrame, dims: Int, threshold: Double,
                        seed: Long = 5, targetRecall: Double = 0.9965,
-                       bucketTarget: Int = 125, tablesCap: Int = 512,
+                       bucketTarget: Int = 125, tablesCap: Int = 96,
                        cellTarget: Int = 125, nProbe: Int = 4,
                        nOverride: Option[Long] = None): DataFrame = {
     val n = nOverride.getOrElse(emb.count())
@@ -615,8 +628,14 @@ object Ann {
     val candidates = a.join(b, Seq("bkt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id").distinct()
-    // score candidates against the raw vectors (joined back by id so the
-    // bucket shuffle never carries embeddings through every table)
+    top1FromCandidates(emb, candidates)
+  }
+
+  /** Shared verify tail of the top-1 family: score a (vec_id,
+    * neighbor_id) candidate set against the raw vectors (joined back by
+    * id so the bucket/cell shuffle never carries embeddings) and keep
+    * each vector's best. */
+  private def top1FromCandidates(emb: DataFrame, candidates: DataFrame): DataFrame = {
     val va = emb.select(col("vec_id"), col("embedding"))
     val vb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val paired = candidates.join(va, "vec_id").join(vb, "neighbor_id")
@@ -625,6 +644,58 @@ object Ann {
     paired.withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1)
       .select("vec_id", "neighbor_id", "cos_r")
+  }
+
+  /** Cell-probed top-1: candidates are vectors sharing any of each
+    * other's `nProbe` nearest KMeans cells — the SemDeDup-cell kernel
+    * applied to all-corpus nearest-neighbor instead of pair enumeration.
+    * Candidate volume is E[c]·nProbe per vector with E[c] ≈
+    * nProbe·cellTarget — LINEAR in n for nCells = n/cellTarget — which
+    * is why [[lshTop1Auto]] swaps here once the LSH parameterization
+    * leaves its budget. Returns (vec_id, neighbor_id, cos_r). */
+  def cellTop1(emb: DataFrame, nCells: Int, nProbe: Int,
+               seed: Long = 1): DataFrame = {
+    val cells = kmeansCellsProbed(emb, nCells, nProbe, seed)
+    val a = cells.select(col("cell"), col("vec_id"))
+    val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"))
+    val candidates = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id").distinct()
+    top1FromCandidates(emb, candidates)
+  }
+
+  /** Self-scaling all-corpus top-1 — [[lshNeighbors]] with the same
+    * regime discipline [[nearDupPairsAuto]] applies to pair enumeration
+    * (the r11 lesson generalized to the whole ANN family): fixed planes
+    * are an n² time bomb, and even auto-grown planes+tables make
+    * candidate work ~ n^1.42 at the top-1 design point, so past the
+    * tables cap the dispatcher swaps to the linear [[cellTop1]] kernel.
+    *
+    * Parameterization reuses [[autoLshParamsDetailed]] with the top-1
+    * design point: `designCos` = 0.7 (the cosine a corpus top-1
+    * neighbor typically clears — pair-ENUMERATION thresholds like 0.45
+    * need many more tables; top-1 only needs the single best neighbor
+    * to collide once) and a 0.75 modeled recall target, which at the
+    * floors reproduces EXACTLY the tuned planes=6/tables=8 at every
+    * test SF (n ≤ 2000), so small-scale results are byte-identical.
+    * Measured top-1 recall runs far above the modeled floor for the
+    * same reason as the pair path: real nearest neighbors sit above
+    * the design cosine. With the default cap the swap engages at
+    * n > bucketTarget·2^13 ≈ 256k. */
+  def lshTop1Auto(emb: DataFrame, dims: Int, seed: Long = 5,
+                  designCos: Double = 0.7, targetRecall: Double = 0.75,
+                  bucketTarget: Int = 32, tablesCap: Int = 64,
+                  cellTarget: Int = 125, nProbe: Int = 4,
+                  nOverride: Option[Long] = None): DataFrame = {
+    val n = nOverride.getOrElse(emb.count())
+    val (planes, tables, overCap) = autoLshParamsDetailed(n, designCos,
+      targetRecall, bucketTarget, planesFloor = 6, tablesFloor = 8,
+      tablesCap = tablesCap)
+    if (!overCap) lshNeighbors(emb, dims, planes, tables, seed)
+    else {
+      val nCells = math.max(2, math.ceil(n.toDouble / cellTarget)).toInt
+      cellTop1(emb, nCells, math.min(nProbe, nCells), seed)
+    }
   }
 
   // ---- Product quantization [Jégou et al. 2011] ------------------------

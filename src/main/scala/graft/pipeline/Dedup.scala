@@ -32,12 +32,9 @@ object Dedup {
                    shingleN: Int = 3, seed: Long = 7): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // base fans out to THREE consumers (the banded postings + both sides
-    // of the Jaccard verify), each otherwise re-running the shingle
-    // regex over the corpus — persist once (the p80 lesson applied
-    // family-wide); MEMORY_AND_DISK spills rather than OOMs
+    // the banded postings are base's only consumer now (the verify tail
+    // builds its own compiled hashed-shingle projection), so no persist
     val base = shingled(df, idCol, textCol, shingleN)
-      .transform(graft.operators.Broadcasts.trackedPersist)
     val banded = minhashPostings(base, k, bands, seed)
     val a = banded.select(col("bkt"), col("id").as("i"))
     val b = banded.select(col("bkt"), col("id").as("j"))
@@ -45,7 +42,7 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
 
-    verifyJaccard(candidates, base, threshold)
+    verifyJaccard(candidates, df, idCol, textCol, shingleN, threshold)
   }
 
   /** MinHash (bucket, id) postings — candidates are the i<j pairs of a
@@ -78,14 +75,46 @@ object Dedup {
   /** Exact-Jaccard verification only on candidate (i, j) pairs — shingles
     * re-joined by id so candidate generation never carries the shingle
     * arrays through its shuffle. */
-  private def verifyJaccard(candidates: DataFrame, base: DataFrame,
+  /** Exact shingle-Jaccard verification of candidate (i, j) pairs, the
+    * dedup family's shared tail — rebuilt around three measured wins
+    * (ProbeWinnow, ×10 corpus, 4.7M winnowing candidates, r12):
+    *   - COMPILED hashed shingles (ShingleHashesExpr) instead of the
+    *     interpreted zip_with string-shingle chain (~14 s → sub-second
+    *     scan) — long surrogates also make array_intersect several
+    *     times cheaper and shuffle 8-byte elements (the p80 lesson);
+    *   - the EXACT size prefilter (t·|b| ≤ |a| ≤ |b|/t is necessary
+    *     for J ≥ t) prunes candidates on two skinny joins BEFORE any
+    *     array is fetched (4.7M → 3.1M pairs, 1.2 s);
+    *   - |A∪B| from |A|+|B|−|A∩B| (arrays are distinct), halving the
+    *     per-pair hash work vs a second array_union pass.
+    * J over the surrogates equals J over the string shingles modulo
+    * 64-bit collisions — the same equality ngramJaccardPairs' skinny
+    * sh_h count rests on. */
+  private def verifyJaccard(candidates: DataFrame, df: DataFrame,
+                            idCol: String, textCol: String, shingleN: Int,
                             threshold: Double): DataFrame = {
-    val shA = base.select(col("id").as("i"), col("sh").as("sh_i"))
-    val shB = base.select(col("id").as("j"), col("sh").as("sh_j"))
-    candidates.join(shA, "i").join(shB, "j")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(array_union(col("sh_i"), col("sh_j"))).cast("double"))
+    graft.functions.ShingleHashesExpr.register(df.sparkSession)
+    // persisted: sizes and both verify sides read this projection
+    val hashed = graft.operators.Broadcasts.trackedPersist(
+      df.select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleN))
+          .as("shh"))
+        .filter(size(col("shh")) > 0)
+        .withColumn("n", size(col("shh"))))
+    val pruned = candidates
+      .join(hashed.select(col("id").as("i"), col("n").as("n_i")), "i")
+      .join(hashed.select(col("id").as("j"), col("n").as("n_j")), "j")
+      .filter(col("n_i").cast("double") >= lit(threshold) * col("n_j") &&
+        col("n_j").cast("double") >= lit(threshold) * col("n_i"))
+      .select("i", "j")
+    pruned
+      .join(hashed.select(col("id").as("i"), col("shh").as("sh_i"),
+        col("n").as("n_i")), "i")
+      .join(hashed.select(col("id").as("j"), col("shh").as("sh_j"),
+        col("n").as("n_j")), "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_i") + col("n_j") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
   }
@@ -163,6 +192,11 @@ object Dedup {
 
   /** Winnowing (bucket, id) postings — the fingerprint IS the bucket
     * key; factored out so candidate volume is measurable (ScalingSpec). */
+  /** Probe-visible alias of [[winnowingPostings]] (profiling main). */
+  def winnowingPostingsProbe(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 24, w: Int = 8): DataFrame =
+    winnowingPostings(df, idCol, textCol, k, w)
+
   private[pipeline] def winnowingPostings(df: DataFrame, idCol: String,
                                           textCol: String, k: Int = 24,
                                           w: Int = 8): DataFrame =
@@ -233,20 +267,53 @@ object Dedup {
     * bucket-join discipline as the other dedup family members — the
     * fingerprint IS the shuffle key; k is the selectivity dial (short k
     * fires on common phrases: k=8 produced 83k candidate pairs on 500
-    * docs, k=24 produced 109 covering all 25 true pairs). */
+    * docs, k=24 produced 109 covering all 25 true pairs).
+    *
+    * `dfCap > 0` drops fingerprints appearing in more than dfCap docs —
+    * the SAME scale knob as [[ngramJaccardPairs]]' shingle dfCap, for
+    * the same reason: a boilerplate 31-char run shared by a corpus-scale
+    * crowd generates quadratic candidates and carries no dedup signal.
+    * Measured at the ×10 probe (r12, ProbeWinnow on the density-fixed
+    * sf1 corpus): 9 fingerprints with df > 1000 carried 70% of the
+    * 2.0·10⁷ candidate volume; the cap keeps 99.6% of postings and cuts
+    * candidates to 6.0·10⁶. A capped-away candidate costs recall ONLY
+    * for a pair whose every shared fingerprint is hot — true near-dups
+    * (J ≥ t) share many — and verification stays exact, so precision is
+    * untouched. At the test SFs max df ≈ 250, so the cap is a no-op and
+    * oracle results are byte-identical. Pass dfCap = 0 for
+    * exact-candidate mode. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, k: Int = 24, w: Int = 8,
-                     minShared: Int = 1): DataFrame = {
+                     minShared: Int = 1, dfCap: Int = 1000): DataFrame = {
+    // persisted: the fingerprint kernel otherwise re-runs for the
+    // hot-set aggregate AND each self-join side (3 corpus scans of the
+    // rolling-hash + whitespace-normalize pass — the minhash/ngram
+    // family persist discipline applied here too, r12)
     val fps = winnowingPostings(df, idCol, textCol, k, w)
-    val a = fps.select(col("bkt"), col("id").as("i"))
-    val b = fps.select(col("bkt"), col("id").as("j"))
+      .transform(graft.operators.Broadcasts.trackedPersist)
+    val usable =
+      if (dfCap <= 0) fps
+      else {
+        // anti-join against the HOT set (the shinglePostings discipline):
+        // above-cap fingerprints are a tiny fraction of the key space;
+        // the hot-set broadcast is size-gated, never assumed
+        val hot = graft.operators.Broadcasts.sizeGated(
+          fps.groupBy("bkt").agg(count(lit(1)).as("df"))
+            .filter(col("df") > dfCap).select("bkt"))
+        fps.join(hot, Seq("bkt"), "left_anti")
+      }
+    // the exchange is load-bearing (ngramJaccardPairs discipline):
+    // ReuseExchange shares one shuffle between both self-join branches
+    // and the bkt join is co-partitioned
+    val parted = usable.repartition(col("bkt"))
+    val a = parted.select(col("bkt"), col("id").as("i"))
+    val b = parted.select(col("bkt"), col("id").as("j"))
     val candidates = a.join(b, "bkt")
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("i", "j")
-    val base = shingled(df, idCol, textCol)
-    verifyJaccard(candidates, base, threshold)
+    verifyJaccard(candidates, df, idCol, textCol, 3, threshold)
   }
 
   /** DECONTAMINATION: benchmark/eval probe docs detected inside a

@@ -57,24 +57,27 @@ object CurationQueries extends QueryModule {
       val d = docs(s, dir)
       val probe = d.filter(col("doc_id") % 20 === 13)
       val train = d.filter(col("doc_id") % 20 =!= 13)
-      // persisted: the no-false-negative gate and the returned frame are
-      // separate actions — unpersisted, the bloom join would run twice
-      val out = graft.operators.Broadcasts.trackedPersist(
-        Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
+      val raw = Dedup.bloomContaminationPairs(train, probe, "doc_id", "text",
           threshold = 0.5)
-          .withColumn("overlap", round(col("overlap"), 6)))
-      // in-query no-false-negative gate (scale-independent — the oracle's
-      // full containment recompute is sf0.01-only): the EXACT path over a
-      // bounded eval-id prefix must be a subset of the bloom-screened
-      // result; a bloom false negative is precisely a missing pair here
-      val exactSub = Dedup.contaminationPairs(train,
-        probe.filter(col("doc_id") < 2000), "doc_id", "text", threshold = 0.5)
-        .select("train_id", "eval_id")
-      val missed = exactSub
-        .join(out.select("train_id", "eval_id"),
-          Seq("train_id", "eval_id"), "left_anti").count()
-      require(missed == 0L,
-        s"bloom prefilter produced $missed false negative(s) on the probe prefix")
+        .withColumn("overlap", round(col("overlap"), 6))
+      val out = if (!graft.Gates.enabled) raw else {
+        // persisted: the no-false-negative gate and the returned frame are
+        // separate actions — unpersisted, the bloom join would run twice
+        val o = graft.operators.Broadcasts.trackedPersist(raw)
+        // in-query no-false-negative gate (scale-independent — the oracle's
+        // full containment recompute is sf0.01-only): the EXACT path over a
+        // bounded eval-id prefix must be a subset of the bloom-screened
+        // result; a bloom false negative is precisely a missing pair here
+        val exactSub = Dedup.contaminationPairs(train,
+          probe.filter(col("doc_id") < 2000), "doc_id", "text", threshold = 0.5)
+          .select("train_id", "eval_id")
+        val missed = exactSub
+          .join(o.select("train_id", "eval_id"),
+            Seq("train_id", "eval_id"), "left_anti").count()
+        require(missed == 0L,
+          s"bloom prefilter produced $missed false negative(s) on the probe prefix")
+        o
+      }
       out.orderBy("train_id", "eval_id")
     }),
 
@@ -143,30 +146,33 @@ object CurationQueries extends QueryModule {
       Dedup.minhashIndex(oldDocs, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$outRoot/mh_index")
       val index = s.read.parquet(s"$outRoot/mh_index")
-      val out = graft.operators.Broadcasts.trackedPersist(
-        Dedup.incrementalMinhashPairs(newDocs, index, oldDocs, "doc_id",
-          "text", threshold = 0.5))
-      out.count() // materialize before the probe (p80 discipline)
-      // banded-recall FLOOR (sf1 tier: the brute-force pair oracle is
-      // sf0.01-only): EXACT shingle-Jaccard truth for a broadcast
-      // new-doc prefix against ALL old docs — linear in the corpus —
-      // must be ≥99%-covered by the landed-index pairs. NOT an exact
-      // subset: the (r=4, b=16) banding's S-curve midpoint is
-      // (1/16)^(1/4) = 0.5 — exactly this query's threshold — so a pair
-      // AT J=0.5 has ~35% candidate-miss probability BY DESIGN, and the
-      // first sf1 run of the exact-subset form duly failed on 1 such
-      // boundary pair. The floor still catches systematic breakage
-      // (parameter drift, seed mismatch ⇒ 100% miss) at any scale.
-      val truth = graft.operators.Broadcasts.trackedPersist(
-        Dedup.crossJaccardProbeTruth(newDocs, oldDocs,
-          "doc_id", "text", probeMaxId = 450, threshold = 0.5)
-          .select(col("probe_id").as("new_id"), col("corpus_id").as("old_id")))
-      val nTruth = truth.count()
-      val missed = truth.join(out.select("new_id", "old_id"),
-        Seq("new_id", "old_id"), "left_anti").count()
-      require(missed * 100 <= nTruth,
-        s"incremental index recall below 99%: missed $missed of $nTruth " +
-          "probe-prefix true pair(s)")
+      val raw = Dedup.incrementalMinhashPairs(newDocs, index, oldDocs,
+        "doc_id", "text", threshold = 0.5)
+      val out = if (!graft.Gates.enabled) raw else {
+        val o = graft.operators.Broadcasts.trackedPersist(raw)
+        o.count() // materialize before the probe (p80 discipline)
+        // banded-recall FLOOR (sf1 tier: the brute-force pair oracle is
+        // sf0.01-only): EXACT shingle-Jaccard truth for a broadcast
+        // new-doc prefix against ALL old docs — linear in the corpus —
+        // must be ≥99%-covered by the landed-index pairs. NOT an exact
+        // subset: the (r=4, b=16) banding's S-curve midpoint is
+        // (1/16)^(1/4) = 0.5 — exactly this query's threshold — so a pair
+        // AT J=0.5 has ~35% candidate-miss probability BY DESIGN, and the
+        // first sf1 run of the exact-subset form duly failed on 1 such
+        // boundary pair. The floor still catches systematic breakage
+        // (parameter drift, seed mismatch ⇒ 100% miss) at any scale.
+        val truth = graft.operators.Broadcasts.trackedPersist(
+          Dedup.crossJaccardProbeTruth(newDocs, oldDocs,
+            "doc_id", "text", probeMaxId = 450, threshold = 0.5)
+            .select(col("probe_id").as("new_id"), col("corpus_id").as("old_id")))
+        val nTruth = truth.count()
+        val missed = truth.join(o.select("new_id", "old_id"),
+          Seq("new_id", "old_id"), "left_anti").count()
+        require(missed * 100 <= nTruth,
+          s"incremental index recall below 99%: missed $missed of $nTruth " +
+            "probe-prefix true pair(s)")
+        o
+      }
       out.orderBy("new_id", "old_id")
     }),
 
@@ -190,25 +196,28 @@ object CurationQueries extends QueryModule {
       val train = d.filter(col("doc_id") % 20 =!= 7)
       val contaminated = Dedup.contaminationPairs(train, probe, "doc_id", "text",
         threshold = 0.5).select(col("train_id").as("doc_id")).distinct()
-      val kept = graft.operators.Broadcasts.trackedPersist(
-        d.join(cleaned, Seq("doc_id"), "left_semi")
-          .join(canonical, Seq("doc_id"), "left_semi")
-          .filter(col("doc_id") % 20 =!= 7)
-          .join(contaminated, Seq("doc_id"), "left_anti"))
-      // decontamination losslessness gate (the p80/p28 discipline — this
-      // query's oracle brute-forces the full containment join and is
-      // sf0.01-only): EXACT containment (dfCap=0) against a broadcast
-      // probe PREFIX — linear in the corpus — must find NO surviving doc
-      // still carrying ≥ threshold of a prefix probe; a dfCap-lost pair
-      // whose train doc survived would trip it at any scale
-      val truthIds = Dedup.contaminationPairs(train,
-          probe.filter(col("doc_id") < 150), "doc_id", "text",
-          threshold = 0.5, dfCap = 0)
-        .select(col("train_id").as("doc_id")).distinct()
-      val leaked = kept.join(truthIds, Seq("doc_id"), "left_semi").count()
-      require(leaked == 0L,
-        s"decontamination leak: $leaked surviving doc(s) still contain a " +
-          "probe-prefix eval item")
+      val keptRaw = d.join(cleaned, Seq("doc_id"), "left_semi")
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 20 =!= 7)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val kept = if (!graft.Gates.enabled) keptRaw else {
+        val k = graft.operators.Broadcasts.trackedPersist(keptRaw)
+        // decontamination losslessness gate (the p80/p28 discipline — this
+        // query's oracle brute-forces the full containment join and is
+        // sf0.01-only): EXACT containment (dfCap=0) against a broadcast
+        // probe PREFIX — linear in the corpus — must find NO surviving doc
+        // still carrying ≥ threshold of a prefix probe; a dfCap-lost pair
+        // whose train doc survived would trip it at any scale
+        val truthIds = Dedup.contaminationPairs(train,
+            probe.filter(col("doc_id") < 150), "doc_id", "text",
+            threshold = 0.5, dfCap = 0)
+          .select(col("train_id").as("doc_id")).distinct()
+        val leaked = k.join(truthIds, Seq("doc_id"), "left_semi").count()
+        require(leaked == 0L,
+          s"decontamination leak: $leaked surviving doc(s) still contain a " +
+            "probe-prefix eval item")
+        k
+      }
       kept
         .withColumn("split", Mixing.splitAssign(
           Mixing.hashUnit(col("doc_id"), "graft-split")))
@@ -272,10 +281,12 @@ object CurationQueries extends QueryModule {
         LangId.classify(planted, "doc_id", "text", LangId.seedModel(s))
           .withColumnRenamed("id", "doc_id"))
       val routed = planted.join(pred, "doc_id")
-      val wrong = routed.filter(col("lang_true") =!= col("lang_pred")).count()
-      require(wrong == 0L,
-        s"language router misclassified $wrong planted docs — the seed " +
-          "model must recover every planted suffix slice")
+      graft.Gates.run {
+        val wrong = routed.filter(col("lang_true") =!= col("lang_pred")).count()
+        require(wrong == 0L,
+          s"language router misclassified $wrong planted docs — the seed " +
+            "model must recover every planted suffix slice")
+      }
       Lm.perplexityBuckets(routed.select(col("doc_id"), col("lang_pred"),
           col("text")), "doc_id", "lang_pred", "text", nBuckets = 3)
         .groupBy(col("grp").as("lang_pred"), col("bucket"))
@@ -539,9 +550,11 @@ object CurationQueries extends QueryModule {
       Dedup.retractFromIndex(index, deletes, "doc_id")
         .write.mode("overwrite").parquet(s"$outRoot/retr_retained")
       val landed = s.read.parquet(s"$outRoot/retr_retained")
-      val leaked = landed.join(deletes.withColumnRenamed("doc_id", "id"),
-        Seq("id"), "left_semi").count()
-      require(leaked == 0, s"retraction leak: $leaked index rows for deleted docs")
+      graft.Gates.run {
+        val leaked = landed.join(deletes.withColumnRenamed("doc_id", "id"),
+          Seq("id"), "left_semi").count()
+        require(leaked == 0, s"retraction leak: $leaked index rows for deleted docs")
+      }
       landed.groupBy("band")
         .agg(count(lit(1)).as("n_entries"),
           countDistinct(col("id")).as("n_docs"))
@@ -838,16 +851,21 @@ object CurationQueries extends QueryModule {
       // the all-agree pattern's posterior separates from the all-disagree
       // pattern's — the unsupervised fit found the match/non-match mix
       // coalesce to sentinels: an absent pattern (tiny/filtered corpora)
-      // must fail THIS require's diagnostic, not NPE in getDouble
-      val probe = out.agg(
-        coalesce(max(when(col("g_lev2") && col("g_tok2") && col("g_last"),
-          col("posterior"))), lit(-1.0)).as("hi"),
-        coalesce(max(when(!col("g_lev2") && !col("g_tok2"),
-          col("posterior"))), lit(2.0)).as("lo"))
-        .head()
-      require(probe.getDouble(0) > 0.9 && probe.getDouble(1) < 0.1,
-        s"EM failed to separate match/non-match patterns (-1/2 = pattern " +
-          s"absent): hi=${probe.getDouble(0)} lo=${probe.getDouble(1)}")
+      // must fail THIS require's diagnostic, not NPE in getDouble.
+      // Gate-wrapped: the probe is a SEPARATE action over the un-persisted
+      // result, so pricing it into bench re-runs the whole EM pipeline —
+      // this was the query the r11 driver bench died inside.
+      graft.Gates.run {
+        val probe = out.agg(
+          coalesce(max(when(col("g_lev2") && col("g_tok2") && col("g_last"),
+            col("posterior"))), lit(-1.0)).as("hi"),
+          coalesce(max(when(!col("g_lev2") && !col("g_tok2"),
+            col("posterior"))), lit(2.0)).as("lo"))
+          .head()
+        require(probe.getDouble(0) > 0.9 && probe.getDouble(1) < 0.1,
+          s"EM failed to separate match/non-match patterns (-1/2 = pattern " +
+            s"absent): hi=${probe.getDouble(0)} lo=${probe.getDouble(1)}")
+      }
       out
     }),
 
@@ -935,18 +953,20 @@ object CurationQueries extends QueryModule {
       val d = docs(s, dir)
       val shared = Dedup.prefixJaccardShared(d, "doc_id", "text",
         threshold = 0.95)
+      val rawPairs = shared.pairs
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      val out = if (!graft.Gates.enabled) rawPairs
+      else {
       // persisted: the losslessness gate's anti-join and the returned
       // frame are separate actions — unpersisted, the PPJoin's final
       // verify stage would run twice
-      val out = graft.operators.Broadcasts.trackedPersist(
-        shared.pairs
-          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard")))
+      val outP = graft.operators.Broadcasts.trackedPersist(rawPairs)
       // Materialize out BEFORE building the probe: the gate's anti-join
       // is otherwise the first action on out, so the heavyweight
       // cands+verify chain would compute INTERLEAVED with the probe's
       // broadcast build, contending for the same cache (r10 bench
       // recorded 4x interleaved/solo on exactly this shape).
-      out.count()
+      outP.count()
       // losslessness probe (the p09 discipline): brute-force the exact
       // pair set over a broadcast id prefix — linear in the corpus — and
       // require the PPJoin found every one. Truth pairs derive from the
@@ -975,10 +995,12 @@ object CurationQueries extends QueryModule {
           >= 0.95)
         .select("i", "j")
       val missed = truth
-        .join(out.select("i", "j"), Seq("i", "j"), "left_anti").count()
+        .join(outP.select("i", "j"), Seq("i", "j"), "left_anti").count()
       require(missed == 0L,
         s"PPJoin losslessness violated: prefix pruning dropped $missed " +
           "probe-prefix pair(s)")
+      outP
+      }
       out.orderBy("i", "j")
     }),
 
@@ -1328,10 +1350,16 @@ object CurationQueries extends QueryModule {
     // where the brute-force pair oracle is infeasible (sf1 tier), the
     // require() executing inside the run is the evidence that no
     // near-dup pair straddled folds — a zero in an unchecked column
-    // proves nothing if nobody reads it (r11: p97 joined the sf1 tier)
-    val cRow = crossing.head()
-    require(cRow.getLong(1) == 0L,
-      s"group-split leakage: ${cRow.getLong(1)} near-dup pair(s) cross folds")
+    // proves nothing if nobody reads it (r11: p97 joined the sf1 tier).
+    // Gate-wrapped (r12): the head() is an extra action re-running the
+    // pair join; the n_crossing COLUMN below stays in the output and
+    // the oracle still checks it — only the in-run assert is deferred
+    // to gated (Verify) runs.
+    graft.Gates.run {
+      val cRow = crossing.head()
+      require(cRow.getLong(1) == 0L,
+        s"group-split leakage: ${cRow.getLong(1)} near-dup pair(s) cross folds")
+    }
     folds.crossJoin(groups).crossJoin(crossing)
       .select(col("split"), col("n"), col("frac"), col("n_pairs"),
         col("n_crossing"), col("n_groups"))

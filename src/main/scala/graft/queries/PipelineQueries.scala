@@ -130,20 +130,22 @@ object PipelineQueries extends QueryModule {
     //      exact top-1; measured 76%/80% at sf0.01/sf0.1) ----------------
     "p07_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      val nn = Ann.lshNeighbors(e, dims = 64, planes = 6, tables = 8)
+      val nn = Ann.lshTop1Auto(e, dims = 64)
       nn.write.mode("overwrite").parquet(s"$outRoot/ann_pairs")
       val landed = s.read.parquet(s"$outRoot/ann_pairs")
-      val nProbe = 50L
-      val bf = Ann.bruteForceTopK(e, e.filter(col("vec_id") < nProbe), k = 1)
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
-        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
-        .select(col("query_id").as("vec_id"),
-          round(Ann.cosine(col("qe"), col("ne")), 6).as("bf_cos"))
-      val nearHits = landed.filter(col("vec_id") < nProbe)
-        .join(bf, "vec_id")
-        .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
-      require(nearHits >= (0.6 * nProbe).toLong,
-        s"ANN recall regression: only $nearHits/$nProbe probes got a near-optimal neighbor")
+      graft.Gates.run {
+        val nProbe = 50L
+        val bf = Ann.bruteForceTopK(e, e.filter(col("vec_id") < nProbe), k = 1)
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+          .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+          .select(col("query_id").as("vec_id"),
+            round(Ann.cosine(col("qe"), col("ne")), 6).as("bf_cos"))
+        val nearHits = landed.filter(col("vec_id") < nProbe)
+          .join(bf, "vec_id")
+          .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
+        require(nearHits >= (0.6 * nProbe).toLong,
+          s"ANN recall regression: only $nearHits/$nProbe probes got a near-optimal neighbor")
+      }
       landed.orderBy("vec_id")
     }),
 
@@ -198,20 +200,22 @@ object PipelineQueries extends QueryModule {
       Ann.filteredTopK(e, q, "label", dims = 64, k = 3)
         .write.mode("overwrite").parquet(s"$outRoot/filtered_ann")
       val landed = s.read.parquet(s"$outRoot/filtered_ann")
-      val nProbe = 50L
-      val probe = e.filter(col("vec_id") < nProbe)
-      val bf = e.select(col("vec_id").as("neighbor_id"), col("label"),
-          col("embedding").as("ne"))
-        .join(broadcast(probe.select(col("vec_id").as("query_id"), col("label"),
-          col("embedding").as("qe"))), Seq("label"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .groupBy("query_id")
-        .agg(max(round(Ann.cosine(col("qe"), col("ne")), 6)).as("bf_cos"))
-      val hits = landed.filter(col("rank") === 1 && col("query_id") < nProbe)
-        .join(bf, "query_id")
-        .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
-      require(hits >= (0.6 * nProbe).toLong,
-        s"filtered-ANN recall regression: $hits/$nProbe probes near-optimal")
+      graft.Gates.run {
+        val nProbe = 50L
+        val probe = e.filter(col("vec_id") < nProbe)
+        val bf = e.select(col("vec_id").as("neighbor_id"), col("label"),
+            col("embedding").as("ne"))
+          .join(broadcast(probe.select(col("vec_id").as("query_id"), col("label"),
+            col("embedding").as("qe"))), Seq("label"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy("query_id")
+          .agg(max(round(Ann.cosine(col("qe"), col("ne")), 6)).as("bf_cos"))
+        val hits = landed.filter(col("rank") === 1 && col("query_id") < nProbe)
+          .join(bf, "query_id")
+          .filter(col("cos_r") >= col("bf_cos") - 0.05).count()
+        require(hits >= (0.6 * nProbe).toLong,
+          s"filtered-ANN recall regression: $hits/$nProbe probes near-optimal")
+      }
       landed.orderBy("query_id", "rank")
     }),
 
@@ -231,12 +235,14 @@ object PipelineQueries extends QueryModule {
       val landed = s.read.parquet(s"$outRoot/pq_topk")
       // measured recall@3 vs exact L2: 27/30 at sf0.01, 23/30 at sf0.1
       // (shortlist 100); floor 60%
-      val exact3 = Ann.bruteForceTopKL2(e, queries, k = 3)
-        .select("query_id", "neighbor_id")
-      val nExact = exact3.count()
-      val nHits = exact3.intersect(landed.select("query_id", "neighbor_id")).count()
-      require(nHits >= (0.6 * nExact).toLong,
-        s"PQ recall regression: $nHits/$nExact exact-L2 top-3 neighbors recovered")
+      graft.Gates.run {
+        val exact3 = Ann.bruteForceTopKL2(e, queries, k = 3)
+          .select("query_id", "neighbor_id")
+        val nExact = exact3.count()
+        val nHits = exact3.intersect(landed.select("query_id", "neighbor_id")).count()
+        require(nHits >= (0.6 * nExact).toLong,
+          s"PQ recall regression: $nHits/$nExact exact-L2 top-3 neighbors recovered")
+      }
       landed.orderBy("query_id", "rank")
     }),
 
@@ -298,19 +304,25 @@ object PipelineQueries extends QueryModule {
     //      planted dups are high-similarity) -----------------------------
     "p10_ngram_jaccard_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val out = graft.operators.Broadcasts.trackedPersist(
-        Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5))
-      out.count() // materialize before the probe (p80 discipline)
-      // dfCap losslessness gate (sf1 tier: the brute-force pair oracle
-      // is sf0.01-only): EXACT shingle-Jaccard truth over a broadcast
-      // id prefix — linear in the corpus — must be a subset of the
-      // dfCap'd result; a capped-away true pair trips it at any scale
-      val truth = Dedup.ngramJaccardProbeTruth(d, "doc_id", "text",
-        probeMaxId = 150, threshold = 0.5)
-      val missed = truth.join(out.select("i", "j"), Seq("i", "j"),
-        "left_anti").count()
-      require(missed == 0L,
-        s"ngramJaccardPairs dfCap dropped $missed probe-prefix true pair(s)")
+      val raw = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      val out = if (!graft.Gates.enabled) raw else {
+        // dfCap losslessness gate (sf1 tier: the brute-force pair oracle
+        // is sf0.01-only): EXACT shingle-Jaccard truth over a broadcast
+        // id prefix — linear in the corpus — must be a subset of the
+        // dfCap'd result; a capped-away true pair trips it at any scale.
+        // The gate (and the persist+materialize that makes its double
+        // consumption safe) lives OFF the bench path — it audits the
+        // operator, it isn't the operator (the r11 bench-timeout lesson).
+        val o = graft.operators.Broadcasts.trackedPersist(raw)
+        o.count() // materialize before the probe (p80 discipline)
+        val truth = Dedup.ngramJaccardProbeTruth(d, "doc_id", "text",
+          probeMaxId = 150, threshold = 0.5)
+        val missed = truth.join(o.select("i", "j"), Seq("i", "j"),
+          "left_anti").count()
+        require(missed == 0L,
+          s"ngramJaccardPairs dfCap dropped $missed probe-prefix true pair(s)")
+        o
+      }
       out.orderBy("i", "j")
     }),
 
@@ -453,21 +465,23 @@ object PipelineQueries extends QueryModule {
       // NULL on a degenerate corpus (zero variance or <2 rows) — the
       // 0.0 sentinel routes that through the require's diagnostic
       // instead of an NPE in getDouble (the p105 probe convention).
-      val c = per.agg(coalesce(corr(col("ratio"), col("mass")), lit(0.0)))
-        .head().getDouble(0)
-      require(c < 0.0,
-        f"deflate ratio must anti-correlate with repeated-gram mass, got corr=$c%.4f")
-      // bridge 2 (ordinal, on ONE deterministic row — longest text,
-      // id tie-break): a doc's text doubled must compress strictly
-      // better (relatively) than the doc alone; an arbitrary limit(1)
-      // row could be degenerate, where the ~11-byte deflate header
-      // makes the law fail spuriously
-      val probe = d.orderBy(length(col("text")).desc, col("doc_id")).limit(1).select(
-        expr("graft_deflate_ratio(text)").as("r1"),
-        expr("graft_deflate_ratio(concat(text, ' ', text))").as("r2"))
-        .head()
-      require(probe.getDouble(1) < probe.getDouble(0),
-        "doubled text must compress relatively better than the original")
+      graft.Gates.run {
+        val c = per.agg(coalesce(corr(col("ratio"), col("mass")), lit(0.0)))
+          .head().getDouble(0)
+        require(c < 0.0,
+          f"deflate ratio must anti-correlate with repeated-gram mass, got corr=$c%.4f")
+        // bridge 2 (ordinal, on ONE deterministic row — longest text,
+        // id tie-break): a doc's text doubled must compress strictly
+        // better (relatively) than the doc alone; an arbitrary limit(1)
+        // row could be degenerate, where the ~11-byte deflate header
+        // makes the law fail spuriously
+        val probe = d.orderBy(length(col("text")).desc, col("doc_id")).limit(1).select(
+          expr("graft_deflate_ratio(text)").as("r1"),
+          expr("graft_deflate_ratio(concat(text, ' ', text))").as("r2"))
+          .head()
+        require(probe.getDouble(1) < probe.getDouble(0),
+          "doubled text must compress relatively better than the original")
+      }
       per.groupBy("lang").agg(
         count(lit(1)).as("n"),
         sum(col("uniq")).as("uniq_grams"),
@@ -583,6 +597,9 @@ object PipelineQueries extends QueryModule {
       Ann.bitextMarginIndexed(sideA, sideB, dims = 64)
         .write.mode("overwrite").parquet(s"$outRoot/bitext_idx")
       val landed = s.read.parquet(s"$outRoot/bitext_idx")
+      // NOT gate-wrapped: nExact/nHits are ORACLE-CONTRACT output columns
+      // (DuckDB recomputes both independently), so the exact form is part
+      // of the query, not just its audit
       val exactAcc = Ann.bitextMargin(sideA, sideB)
         .filter(col("accepted")).select("a_id", "b_id")
       val nExact = exactAcc.count()
@@ -737,22 +754,25 @@ object PipelineQueries extends QueryModule {
       val d = docs(s, dir)
       val probe = d.filter(col("doc_id") % 20 === 7)
       val train = d.filter(col("doc_id") % 20 =!= 7)
-      val out = graft.operators.Broadcasts.trackedPersist(
-        Dedup.contaminationPairs(train, probe, "doc_id", "text",
+      val raw = Dedup.contaminationPairs(train, probe, "doc_id", "text",
           threshold = 0.5)
-          .withColumn("overlap", round(col("overlap"), 6)))
-      out.count() // materialize before the probe (p80 discipline)
-      // dfCap losslessness gate (sf1 tier): EXACT containment (dfCap=0)
-      // against a broadcast probe PREFIX must be a subset of the dfCap'd
-      // result — a capped-away contaminated pair trips it at any scale
-      val truth = Dedup.contaminationPairs(train,
-          probe.filter(col("doc_id") < 300), "doc_id", "text",
-          threshold = 0.5, dfCap = 0)
-        .select("train_id", "eval_id")
-      val missed = truth.join(out.select("train_id", "eval_id"),
-        Seq("train_id", "eval_id"), "left_anti").count()
-      require(missed == 0L,
-        s"contaminationPairs dfCap dropped $missed probe-prefix pair(s)")
+        .withColumn("overlap", round(col("overlap"), 6))
+      val out = if (!graft.Gates.enabled) raw else {
+        val o = graft.operators.Broadcasts.trackedPersist(raw)
+        o.count() // materialize before the probe (p80 discipline)
+        // dfCap losslessness gate (sf1 tier): EXACT containment (dfCap=0)
+        // against a broadcast probe PREFIX must be a subset of the dfCap'd
+        // result — a capped-away contaminated pair trips it at any scale
+        val truth = Dedup.contaminationPairs(train,
+            probe.filter(col("doc_id") < 300), "doc_id", "text",
+            threshold = 0.5, dfCap = 0)
+          .select("train_id", "eval_id")
+        val missed = truth.join(o.select("train_id", "eval_id"),
+          Seq("train_id", "eval_id"), "left_anti").count()
+        require(missed == 0L,
+          s"contaminationPairs dfCap dropped $missed probe-prefix pair(s)")
+        o
+      }
       out.orderBy("train_id", "eval_id")
     }),
 
@@ -930,22 +950,24 @@ object PipelineQueries extends QueryModule {
         .sortWithinPartitions(col("k"), col("doc_id"))
         .write.mode("overwrite").partitionBy("epoch", "shard").parquet(root)
       val rb = s.read.parquet(root)
-      // cross-epoch decorrelation: the two permutations share nothing
-      val kw = rb.groupBy("doc_id").agg(
-        max(when(col("epoch") === 0, col("k"))).as("k0"),
-        max(when(col("epoch") === 1, col("k"))).as("k1"))
-      val rho = kw.agg(corr(col("k0"), col("k1"))).head().getDouble(0)
-      require(math.abs(rho) < 0.05,
-        f"epoch permutations correlate: rho=$rho%.4f")
-      // within-epoch decorrelation: adjacent ids in shuffle order are
-      // ~uniform draws, so the mean |gap| must be a large fraction of n
       val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
       val gapped = rb.withColumn("gap",
         abs(col("doc_id") - lag(col("doc_id"), 1).over(w)))
-      val nDocs = d.count()
-      gapped.groupBy("epoch").agg(avg(col("gap")).as("g")).collect()
-        .foreach(r => require(r.getDouble(1) > 0.2 * nDocs,
-          s"epoch ${r.get(0)} under-shuffled: mean gap ${r.getDouble(1)}"))
+      graft.Gates.run {
+        // cross-epoch decorrelation: the two permutations share nothing
+        val kw = rb.groupBy("doc_id").agg(
+          max(when(col("epoch") === 0, col("k"))).as("k0"),
+          max(when(col("epoch") === 1, col("k"))).as("k1"))
+        val rho = kw.agg(corr(col("k0"), col("k1"))).head().getDouble(0)
+        require(math.abs(rho) < 0.05,
+          f"epoch permutations correlate: rho=$rho%.4f")
+        // within-epoch decorrelation: adjacent ids in shuffle order are
+        // ~uniform draws, so the mean |gap| must be a large fraction of n
+        val nDocs = d.count()
+        gapped.groupBy("epoch").agg(avg(col("gap")).as("g")).collect()
+          .foreach(r => require(r.getDouble(1) > 0.2 * nDocs,
+            s"epoch ${r.get(0)} under-shuffled: mean gap ${r.getDouble(1)}"))
+      }
       gapped
         .groupBy(col("epoch").cast("long").as("epoch"),
           col("shard").cast("long").as("shard"))
@@ -1054,32 +1076,40 @@ object PipelineQueries extends QueryModule {
       val e = embs(s, dir)
       // regime dispatcher: LSH at autoLshParams inside the tables cap
       // (all test SFs — byte-identical to the tuned parameterization),
-      // multi-probe SemDeDup cells past it (n ≳ 128k at cos 0.45), so a
-      // caller at corpus scale never gets the n^1.62 path silently
+      // multi-probe SemDeDup cells past it (n > 8k at cos 0.45 — the
+      // r12 crossover, set where the n^1.62 LSH regime first exceeds
+      // the 20×-per-decade budget law), so a caller at corpus scale
+      // never gets the n^1.62 path silently
       val pairs = Ann.nearDupPairsAuto(e, dims = 64, threshold = 0.45)
       pairs.write.mode("overwrite").parquet(s"$outRoot/neardup_pairs")
       val landed = s.read.parquet(s"$outRoot/neardup_pairs")
+      // the probe-truth count is PART OF THE ORACLE CONTRACT (DuckDB
+      // re-derives it independently), so it is always computed; only
+      // the recall-floor audit joins it against the landed pairs, and
+      // that join is the gate
       val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
         .select("i", "j").cache()
       val nTrueProbe = truth.count()
-      val missed = truth
-        .join(landed.select("i", "j"), Seq("i", "j"), "left_anti").count()
+      graft.Gates.run {
+        val missed = truth
+          .join(landed.select("i", "j"), Seq("i", "j"), "left_anti").count()
+        // Recall FLOOR, not zero-miss — and REGIME-AWARE: the LSH regime's
+        // 32×4 parameterization gives ~99.8% per-pair recall at cos 0.45
+        // (expected misses grow with the truth set; a zero-miss require is
+        // a test-scale artifact a 10× corpus statistically breaks, as the
+        // sf1 probe measured), so 0.5% still fails any real regression.
+        // Past the tables cap the dispatcher runs multi-probe SemDeDup
+        // cells, whose graded recall is ~96.5% (PipelineSpec) — holding
+        // the swapped path to the LSH floor would fail the query at
+        // exactly the scale the dispatcher exists for, so the floor
+        // follows the regime the SAME parameterization call decides.
+        val overCap = Ann.autoLshParamsDetailed(e.count(), 0.45)._3
+        val floor = if (overCap) 0.10 else 0.005
+        require(missed.toDouble <= floor * nTrueProbe,
+          s"near-dup recall regression (${if (overCap) "cell" else "LSH"} " +
+            s"regime): dropped $missed/$nTrueProbe true pair(s)")
+      }
       truth.unpersist()
-      // Recall FLOOR, not zero-miss — and REGIME-AWARE: the LSH regime's
-      // 32×4 parameterization gives ~99.8% per-pair recall at cos 0.45
-      // (expected misses grow with the truth set; a zero-miss require is
-      // a test-scale artifact a 10× corpus statistically breaks, as the
-      // sf1 probe measured), so 0.5% still fails any real regression.
-      // Past the tables cap the dispatcher runs multi-probe SemDeDup
-      // cells, whose graded recall is ~96.5% (PipelineSpec) — holding
-      // the swapped path to the LSH floor would fail the query at
-      // exactly the scale the dispatcher exists for, so the floor
-      // follows the regime the SAME parameterization call decides.
-      val overCap = Ann.autoLshParamsDetailed(e.count(), 0.45)._3
-      val floor = if (overCap) 0.10 else 0.005
-      require(missed.toDouble <= floor * nTrueProbe,
-        s"near-dup recall regression (${if (overCap) "cell" else "LSH"} " +
-          s"regime): dropped $missed/$nTrueProbe true pair(s)")
       landed.agg(
         count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("cos_r") < 0.45, 1L).otherwise(0L)), lit(0L)).as("n_below"),
@@ -1094,7 +1124,15 @@ object PipelineQueries extends QueryModule {
     //      oracle re-derives the full field, not just the flagged tail --
     "p68_semantic_decontaminate" -> ((s, dir) => {
       val e = embs(s, dir)
-      val ev = e.filter(col("vec_id") % 10 === 7)
+      // The eval stratum is a BENCHMARK SUITE: fixed-size by contract
+      // (semanticContamination's doc — "eval sets are benchmarks, not
+      // corpora"), so the fixture caps it at a fixed id prefix instead
+      // of letting it grow 10% of the corpus. Without the cap the query
+      // is intrinsically |T|·|E| ~ n²/10 — the r11 sf1 probe measured
+      // exactly that (38.4 s vs a 15.6 s budget at ×10). At the test
+      // SFs (n ≤ 2000) the cap is a no-op, so oracle results are
+      // unchanged; at any larger scale cost is linear in train.
+      val ev = e.filter(col("vec_id") % 10 === 7 && col("vec_id") < 2000)
       val tr = e.filter(col("vec_id") % 10 =!= 7)
       Ann.semanticContamination(tr, ev, threshold = 0.45)
         .orderBy("train_id")
@@ -1149,14 +1187,16 @@ object PipelineQueries extends QueryModule {
     "p71_random_projection" -> ((s, dir) => {
       val out = graft.pipeline.Ann.randomProjection(embs(s, dir),
         dims = 64, k = 16)
-      val g = out.agg(
-        avg(col("norm_ratio")).as("mr"),
-        min(col("norm_ratio")).as("lo"),
-        max(col("norm_ratio")).as("hi")).head()
-      require(g.getDouble(0) > 0.85 && g.getDouble(0) < 1.15,
-        s"JL mean norm ratio off: ${g.getDouble(0)}")
-      require(g.getDouble(1) > 0.3 && g.getDouble(2) < 2.2,
-        s"JL ratio out of the 5-sigma band: [${g.getDouble(1)}, ${g.getDouble(2)}]")
+      graft.Gates.run {
+        val g = out.agg(
+          avg(col("norm_ratio")).as("mr"),
+          min(col("norm_ratio")).as("lo"),
+          max(col("norm_ratio")).as("hi")).head()
+        require(g.getDouble(0) > 0.85 && g.getDouble(0) < 1.15,
+          s"JL mean norm ratio off: ${g.getDouble(0)}")
+        require(g.getDouble(1) > 0.3 && g.getDouble(2) < 2.2,
+          s"JL ratio out of the 5-sigma band: [${g.getDouble(1)}, ${g.getDouble(2)}]")
+      }
       out.select(col("vec_id"),
         round(col("y").getItem(0), 6).as("y0"),
         round(col("y").getItem(1), 6).as("y1"),
@@ -2171,7 +2211,7 @@ object PipelineQueries extends QueryModule {
     // break to the lowest eval_id on both engines
     "p68_semantic_decontaminate" -> """
       WITH ev AS (SELECT vec_id, embedding FROM embeddings
-                  WHERE vec_id % 10 = 7),
+                  WHERE vec_id % 10 = 7 AND vec_id < 2000),
       tr AS (SELECT vec_id, embedding FROM embeddings
              WHERE vec_id % 10 <> 7),
       sims AS (

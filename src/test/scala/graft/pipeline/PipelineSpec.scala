@@ -129,10 +129,17 @@ class PipelineSpec extends SparkSpec {
       "a cap under the analytic tables requirement must flag over-cap")
     assert(Ann.autoLshParamsDetailed(500L, 0.45, bucketTarget = 1,
       tablesCap = 100)._3, "backed-off planes must flag over-cap")
-    // at DEFAULT params the first over-cap decade is ~1M vectors; every
-    // test SF and the ×10 probe stay firmly in the LSH regime
-    assert(!Ann.autoLshParamsDetailed(20000L, 0.45)._3)
-    assert(!Ann.autoLshParamsDetailed(100000L, 0.45)._3)
+    // at DEFAULT params the crossover is n > 8k (r12: tablesCap=96 was
+    // chosen so the swap engages exactly where the n^1.62 LSH regime
+    // first exceeds the 20×-per-decade budget law — the r11 debt). Every
+    // test SF (n ≤ 2000) stays firmly in the LSH regime; the ×10 probe
+    // (n = 20k) now runs the linear cell kernel.
+    assert(!Ann.autoLshParamsDetailed(2000L, 0.45)._3)
+    assert(!Ann.autoLshParamsDetailed(8000L, 0.45)._3,
+      "n = 8000 is the last LSH decade point")
+    assert(Ann.autoLshParamsDetailed(8193L, 0.45)._3,
+      "past 8k the parameterization must flag over-cap")
+    assert(Ann.autoLshParamsDetailed(20000L, 0.45)._3)
     assert(Ann.autoLshParamsDetailed(1000000L, 0.45)._3)
 
     // force the over-cap regime and grade the SWAPPED path: recall floor
@@ -189,6 +196,42 @@ class PipelineSpec extends SparkSpec {
     // monotone: more data never means fewer planes
     val ps = Seq(2000L, 20000L, 200000L).map(Ann.autoLshParams(_, 0.45)._1)
     assert(ps == ps.sorted)
+  }
+
+  test("lshTop1Auto: identity with tuned (6,8) at test scale; cell swap past the cap") {
+    // the top-1 design point (cos 0.7, recall 0.75, bucketTarget 32,
+    // floors 6/8) must reproduce the hand-tuned parameterization at
+    // every test SF — p07's results stay byte-identical
+    assert(Ann.autoLshParamsDetailed(500L, 0.7, 0.75, 32, 6, 8, 64)
+      === ((6, 8, false)))
+    assert(Ann.autoLshParamsDetailed(2000L, 0.7, 0.75, 32, 6, 8, 64)
+      === ((6, 8, false)))
+    // growth: planes track log2(n/32), tables re-buy the modeled recall
+    val (p20k, t20k, over20k) =
+      Ann.autoLshParamsDetailed(20000L, 0.7, 0.75, 32, 6, 8, 64)
+    assert(p20k == 10 && !over20k, s"n=20k should stay LSH, got ($p20k, $t20k)")
+    val r = 1.0 - math.acos(0.7) / math.Pi
+    assert(math.pow(1.0 - math.pow(r, p20k), t20k) <= 0.25,
+      "modeled top-1 miss over the design floor at n=20k")
+    // the swap point: past tables-cap 64 (n > 32·2^13 ≈ 262k) top-1
+    // leaves LSH for the linear cell kernel
+    assert(Ann.autoLshParamsDetailed(300000L, 0.7, 0.75, 32, 6, 8, 64)._3)
+    // identity on data: auto == tuned at the test SF
+    def nnSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tuned = nnSet(Ann.lshNeighbors(embs, dims = 64, planes = 6, tables = 8))
+    val auto = nnSet(Ann.lshTop1Auto(embs, dims = 64))
+    assert(auto == tuned && tuned.nonEmpty)
+    // forced over-cap: the cell path still finds near-optimal neighbors
+    val swapped = Ann.lshTop1Auto(embs, dims = 64, tablesCap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bf = Ann.bruteForceTopK(embs, embs, k = 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = swapped.count { case (q, n) => bf.get(q).contains(n) }
+    val recall = hits.toDouble / bf.size
+    info(f"cell-swapped top-1 recall: $recall%.3f")
+    assert(recall >= 0.5, f"cell top-1 recall $recall%.3f too low")
   }
 
   test("LSH-bucketed ANN top-1 recall >= 0.6 vs brute force, no all-pairs") {
