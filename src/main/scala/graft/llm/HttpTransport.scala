@@ -34,7 +34,9 @@ final class HttpTransport(
     maxRetries: Int = 3,
     connectTimeout: Duration = Duration.ofSeconds(30),
     onContent: String => Unit = _ => (),
-    onReasoning: String => Unit = _ => ())
+    onReasoning: String => Unit = _ => (),
+    headerTimeout: Duration = Duration.ofSeconds(120),
+    idleReadTimeout: Duration = Duration.ofSeconds(120))
   extends LlmTransport {
 
   require(maxRetries >= 1, "maxRetries >= 1")
@@ -67,6 +69,11 @@ final class HttpTransport(
       .connectTimeout(connectTimeout)
       .build()
     val http = HttpRequest.newBuilder(endpoint)
+      // response-HEADER deadline: without it a server that accepts the
+      // connection but never answers blocks send() forever and the
+      // retry loop never engages (ADVICE r11). The body keeps streaming
+      // past this deadline; the idle watchdog below covers the stream.
+      .timeout(headerTimeout)
       .header("Authorization", s"Bearer $apiKey")
       .header("Content-Type", "application/json")
       .header("Accept", "text/event-stream")
@@ -82,28 +89,57 @@ final class HttpTransport(
       if (code == 429 || code >= 500) throw new RuntimeException(msg)
       else throw new HttpTransport.FatalHttpError(msg)
     }
+    val stream = resp.body()
     val reader = new BufferedReader(
-      new InputStreamReader(resp.body(), StandardCharsets.UTF_8))
+      new InputStreamReader(stream, StandardCharsets.UTF_8))
+    // idle-READ deadline: a stalled mid-SSE stream (connection alive,
+    // no bytes) surfaces as an IOException from readLine — a retryable
+    // failure — instead of hanging gendata --llm forever. The watchdog
+    // closes the underlying stream when no line has arrived within
+    // idleReadTimeout.
+    val lastRead = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "llm-sse-watchdog"); t.setDaemon(true); t })
+    val tickMs = math.max(100L, idleReadTimeout.toMillis / 4)
+    watchdog.scheduleAtFixedRate(() => {
+      if (System.nanoTime() - lastRead.get() > idleReadTimeout.toNanos)
+        try stream.close() catch { case _: Throwable => () }
+    }, tickMs, tickMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try {
       val out = new StringBuilder
-      var line = reader.readLine()
-      while (line != null) {
-        if (line.startsWith("data:")) {
-          val payload = line.drop("data:".length).trim
-          if (payload == "[DONE]") return out.toString
-          if (payload.nonEmpty) HttpTransport.parseDelta(payload) match {
-            case HttpTransport.Delta(content, reasoning) =>
-              reasoning.foreach(onReasoning)
-              content.foreach { c => onContent(c); out.append(c) }
-          }
+      // SSE event framing (ADVICE r11): an event may carry MULTIPLE
+      // `data:` lines (joined with \n per the spec) and is dispatched
+      // at the blank separator line — treating each data line as an
+      // independent payload broke legal multi-line events.
+      val dataBuf = new StringBuilder
+      var done = false
+      def dispatch(): Unit = {
+        val payload = dataBuf.toString
+        dataBuf.clear()
+        if (payload == "[DONE]") done = true
+        else if (payload.nonEmpty) HttpTransport.parseDelta(payload) match {
+          case HttpTransport.Delta(content, reasoning) =>
+            reasoning.foreach(onReasoning)
+            content.foreach { c => onContent(c); out.append(c) }
         }
-        line = reader.readLine()
       }
-      // stream ended without [DONE]: OpenAI-compatible servers may just
-      // close after the final chunk — accept what arrived if anything did
-      if (out.nonEmpty) out.toString
+      var line = reader.readLine()
+      while (line != null && !done) {
+        lastRead.set(System.nanoTime())
+        if (line.isEmpty) dispatch()
+        else if (line.startsWith("data:")) {
+          if (dataBuf.nonEmpty) dataBuf.append('\n')
+          dataBuf.append(line.drop("data:".length).stripPrefix(" ").trim)
+        } // event:/id:/retry:/comment lines are ignored
+        line = if (done) null else reader.readLine()
+      }
+      if (!done) dispatch() // server closed without a trailing blank line
+      if (done || out.nonEmpty) out.toString
       else throw new RuntimeException("empty SSE stream (no content deltas)")
-    } finally reader.close()
+    } finally {
+      watchdog.shutdownNow()
+      reader.close()
+    }
   }
 }
 
@@ -115,11 +151,32 @@ object HttpTransport {
   private[llm] final case class Delta(content: Option[String],
                                       reasoning: Option[String])
 
+  /** JSON allows `\/` inside strings; YAML 1.1 (snakeyaml) rejects it.
+    * Rewrite it to a bare `/` BEFORE yaml-parsing, scanning escape
+    * pairs left-to-right so an escaped backslash followed by a real
+    * slash (`\\/`) is not mangled (ADVICE r11). Every other JSON escape
+    * is YAML-legal and passes through untouched. */
+  private[llm] def unescapeSolidus(s: String): String = {
+    if (!s.contains("\\/")) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        if (n == '/') b.append('/') else { b.append(c); b.append(n) }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** One SSE chunk → (content delta, reasoning delta). Absent/null
     * fields are None; a chunk carrying only role/finish_reason yields
     * Delta(None, None). Unparseable chunks raise — a garbled stream
     * must retry, not silently drop text. */
-  private[llm] def parseDelta(json: String): Delta = {
+  private[llm] def parseDelta(rawJson: String): Delta = {
+    val json = unescapeSolidus(rawJson)
     val root =
       try new org.yaml.snakeyaml.Yaml()
         .load[java.util.Map[String, Any]](json)

@@ -208,7 +208,9 @@ object Ranks {
     // branch may recompute freely (no persist needed).
     val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col("__pid"))
+        // lit partition key: same bounded single-partition plan, but
+        // WindowExec's no-partition warning stays meaningful elsewhere
+        Window.partitionBy(lit(0)).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
     local.join(broadcast(offsets), "__pid")
@@ -232,7 +234,7 @@ object Ranks {
       Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
     val offsets = parted.groupBy("__pid").agg(sum(col(sumCol)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col("__pid"))
+        Window.partitionBy(lit(0)).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
     local.join(broadcast(offsets), "__pid")
@@ -259,6 +261,6 @@ object Ranks {
                  nCol: String = "n", baseCol: String = "base"): DataFrame =
     df.groupBy(groupCol).agg(count(lit(1)).as(nCol))
       .withColumn(baseCol, lit(1L) + coalesce(
-        sum(col(nCol)).over(Window.orderBy(groupCol)
+        sum(col(nCol)).over(Window.partitionBy(lit(0)).orderBy(groupCol)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 }

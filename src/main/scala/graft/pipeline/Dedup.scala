@@ -142,11 +142,11 @@ object Dedup {
                         threshold: Double = 0.5, shingleN: Int = 3,
                         dfCap: Int = 1000): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (J >= t > 0 implies a shared shingle)")
-    // same fan-out as minhashPairs: postings + the two size joins all
-    // re-shingle the corpus without this persist
-    val base = shingled(df, idCol, textCol, shingleN)
+    // compiled hashed shingles; persisted because postings + the two
+    // size joins all re-run the kernel over the corpus without it
+    val base = hashedShingled(df, idCol, textCol, shingleN)
       .transform(graft.operators.Broadcasts.trackedPersist)
-    val sized = base.select(col("id"), size(col("sh")).as("n"))
+    val sized = base.select(col("id"), size(col("shh")).as("n"))
     // The exchange is load-bearing (same discipline as minhashPairs):
     // without it each side of the self-join below re-scans, re-explodes,
     // and re-filters the postings; with it the pipeline materializes
@@ -170,10 +170,11 @@ object Dedup {
   /** (id, sh_h) postings with the document-frequency cap applied —
     * factored out so the cap's candidate-volume effect is testable:
     * candidates are exactly the i<j pairs of a postings self-join, so
-    * the quadratic blow-up of an ubiquitous shingle is visible here. */
+    * the quadratic blow-up of an ubiquitous shingle is visible here.
+    * Input is the [[hashedShingled]] projection — sh_h IS the compiled
+    * shingle-hash surrogate, no per-posting string hash remains. */
   private[pipeline] def shinglePostings(base: DataFrame, dfCap: Int): DataFrame = {
-    val posts = base.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val posts = base.select(col("id"), explode(col("shh")).as("sh_h"))
     if (dfCap <= 0) posts
     else {
       // Anti-join against the HOT set, not inner-join against the rare
@@ -215,10 +216,10 @@ object Dedup {
   def ngramJaccardProbeTruth(df: DataFrame, idCol: String, textCol: String,
                              probeMaxId: Long, threshold: Double,
                              shingleN: Int = 3): DataFrame = {
-    val base = shingled(df, idCol, textCol, shingleN)
+    val base = hashedShingled(df, idCol, textCol, shingleN)
     val pr = broadcast(base.filter(col("id") < probeMaxId)
-      .select(col("id").as("i"), col("sh").as("sh_i")))
-    base.select(col("id").as("j"), col("sh").as("sh_j"))
+      .select(col("id").as("i"), col("shh").as("sh_i")))
+    base.select(col("id").as("j"), col("shh").as("sh_j"))
       .join(pr, col("i") < col("j") &&
         size(col("sh_i")).cast("double") >= lit(threshold) * size(col("sh_j")) &&
         size(col("sh_j")).cast("double") >= lit(threshold) * size(col("sh_i")))
@@ -238,11 +239,11 @@ object Dedup {
                              probeMaxId: Long, threshold: Double,
                              shingleN: Int = 3): DataFrame = {
     val pr = broadcast(
-      shingled(probeSide, idCol, textCol, shingleN)
+      hashedShingled(probeSide, idCol, textCol, shingleN)
         .filter(col("id") < probeMaxId)
-        .select(col("id").as("probe_id"), col("sh").as("sh_p")))
-    shingled(corpusSide, idCol, textCol, shingleN)
-      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+        .select(col("id").as("probe_id"), col("shh").as("sh_p")))
+    hashedShingled(corpusSide, idCol, textCol, shingleN)
+      .select(col("id").as("corpus_id"), col("shh").as("sh_c"))
       .join(pr,
         size(col("sh_p")).cast("double") >= lit(threshold) * size(col("sh_c")) &&
           size(col("sh_c")).cast("double") >= lit(threshold) * size(col("sh_p")))
@@ -258,6 +259,24 @@ object Dedup {
     df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** The COMPILED hashed twin of [[shingled]]: (id, shh array<long>) of
+    * distinct shingle-hash surrogates straight from ShingleHashesExpr —
+    * no interpreted zip_with string chain, no separate xxhash64 pass
+    * (~14 s → sub-second over the ×10 corpus, ProbeWinnow r12). Every
+    * consumer that needs only shingle IDENTITY (postings co-occurrence,
+    * sizes, intersections) reads this; [[shingled]] remains for the
+    * minhash signature path, whose landed indexes pin the string-keyed
+    * hash arithmetic. */
+  private[pipeline] def hashedShingled(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       shingleN: Int = 3): DataFrame = {
+    graft.functions.ShingleHashesExpr.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes", col(textCol), lit(shingleN))
+        .as("shh"))
+      .filter(size(col("shh")) > 0)
+  }
 
   /** Near-duplicate pairs via WINNOWING fingerprints: candidates are
     * pairs sharing ≥ minShared rolling-hash window-min fingerprints
@@ -331,9 +350,9 @@ object Dedup {
                          textCol: String, threshold: Double = 0.5,
                          shingleN: Int = 3, dfCap: Int = 1000): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
-    val tBase = shingled(train, idCol, textCol, shingleN)
-    val pBase = shingled(probe, idCol, textCol, shingleN)
-    val pSized = pBase.select(col("id").as("eval_id"), size(col("sh")).as("n_e"))
+    val tBase = hashedShingled(train, idCol, textCol, shingleN)
+    val pBase = hashedShingled(probe, idCol, textCol, shingleN)
+    val pSized = pBase.select(col("id").as("eval_id"), size(col("shh")).as("n_e"))
     val tPosts = shinglePostings(tBase, dfCap)
       .select(col("sh_h"), col("id").as("train_id"))
     val pPosts = shinglePostings(pBase, 0)
@@ -469,13 +488,17 @@ object Dedup {
     val oldCand = oldDocs.join(
       candidates.select(col("old_id").as(idCol)).distinct(),
       Seq(idCol), "left_semi")
-    val oldSh = shingled(oldCand, idCol, textCol, shingleN)
-      .select(col("id").as("old_id"), col("sh").as("sh_o"))
-    val newSh = newBase.select(col("id").as("new_id"), col("sh").as("sh_n"))
+    // verify on compiled hashed surrogates (the verifyJaccard shape);
+    // the minhash POSTINGS above keep string shingles — landed index
+    // signatures pin that arithmetic
+    val oldSh = hashedShingled(oldCand, idCol, textCol, shingleN)
+      .select(col("id").as("old_id"), col("shh").as("sh_o"))
+    val newSh = hashedShingled(newDocs, idCol, textCol, shingleN)
+      .select(col("id").as("new_id"), col("shh").as("sh_n"))
     candidates.join(newSh, "new_id").join(oldSh, "old_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_o")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")
   }
@@ -546,8 +569,8 @@ object Dedup {
                               shingleN: Int = 3, dfCap: Int = 1000,
                               bitsPerKey: Int = 16, numHashes: Int = 5): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (overlap > 0 implies a shared shingle)")
-    val tBase = shingled(train, idCol, textCol, shingleN)
-    val pBase = shingled(probe, idCol, textCol, shingleN)
+    val tBase = hashedShingled(train, idCol, textCol, shingleN)
+    val pBase = hashedShingled(probe, idCol, textCol, shingleN)
     // ONE cached probe posting set feeds the bloom build's two actions
     // and the returned plan's two probe-side consumers (the containment
     // join and the per-doc shingle counts — shingles are distinct per
@@ -614,9 +637,8 @@ object Dedup {
     * n_dup_windows, dup_frac). */
   def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 8): DataFrame = {
-    val posts = shingled(df, idCol, textCol, window)
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("wh"))
+    val posts = hashedShingled(df, idCol, textCol, window)
+      .select(col("id"), explode(col("shh")).as("wh"))
     // shingles are distinct per doc, so the partition count = doc frequency
     val byWindow = org.apache.spark.sql.expressions.Window.partitionBy("wh")
     posts.withColumn("ndocs", count(lit(1)).over(byWindow))

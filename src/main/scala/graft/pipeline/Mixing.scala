@@ -70,7 +70,7 @@ object Mixing {
     * Input: (srcCol, nCol) per-source counts. Output: + (weight, rate). */
   def temperatureRates(counts: DataFrame, srcCol: String, nCol: String,
                        tau: Double, targetFrac: Double): DataFrame = {
-    val all = Window.partitionBy()
+    val all = Window.partitionBy(lit(0)) // bounded |sources|-row frame
     counts
       .withColumn("w", pow(col(nCol).cast("double"), tau) /
         sum(pow(col(nCol).cast("double"), tau)).over(all))
@@ -94,8 +94,10 @@ object Mixing {
     * Σ alloc = min(budget, Σ cap) by construction. */
   def uniMaxAllocation(counts: DataFrame, srcCol: String, nCol: String,
                        budget: Double, epochCap: Double): DataFrame = {
-    val byCap = Window.partitionBy().orderBy(col("cap"), col(srcCol))
-    val all = Window.partitionBy()
+    // lit partition key on the audited |sources|-row windows: same
+    // bounded single-partition plan, no WindowExec warning noise
+    val byCap = Window.partitionBy(lit(0)).orderBy(col("cap"), col(srcCol))
+    val all = Window.partitionBy(lit(0))
     counts
       .withColumn("cap", col(nCol).cast("double") * epochCap)
       .withColumn("i", row_number().over(byCap))
@@ -195,8 +197,8 @@ object Mixing {
     val model = feats.groupBy("bucket").agg(
         count(lit(1)).as("c_r"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
-      .withColumn("n_r", sum(col("c_r")).over(Window.partitionBy()))
-      .withColumn("n_t", sum(col("c_t")).over(Window.partitionBy()))
+      .withColumn("n_r", sum(col("c_r")).over(Window.partitionBy(lit(0))))
+      .withColumn("n_t", sum(col("c_t")).over(Window.partitionBy(lit(0))))
       .withColumn("lr",
         log((col("c_t") + lit(1.0)) / (col("n_t") + b)) -
           log((col("c_r") + lit(1.0)) / (col("n_r") + b)))
@@ -340,7 +342,7 @@ object Mixing {
       .filter(col("weight") > 0 && !isnan(col("weight")))
       .withColumn("key_r",
         round(pow(hashUnit(col("id"), salt), lit(1.0) / col("weight")), 8))
-    val w = Window.orderBy(col("key_r").desc, col("id"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("key_r").desc, col("id"))
     // global LIMIT k after ORDER BY -> TakeOrderedAndProject (partial
     // top-k below the exchange); the row_number re-rank runs on k rows
     keyed.orderBy(col("key_r").desc, col("id")).limit(k)

@@ -1139,9 +1139,9 @@ object CurationQueries extends QueryModule {
         .withColumn("moved_frac",
           round(col("n_moved").cast("double") / col("n"), 6))
         .withColumn("total_moved_frac",
-          round(sum(col("n_moved")).over(Window.partitionBy())
+          round(sum(col("n_moved")).over(Window.partitionBy(lit(0)))
             .cast("double") /
-            sum(col("n")).over(Window.partitionBy()), 6))
+            sum(col("n")).over(Window.partitionBy(lit(0))), 6))
         .orderBy("shard_before")
     }),
 
@@ -1337,7 +1337,7 @@ object CurationQueries extends QueryModule {
           Mixing.splitAssign(Mixing.hashUnit(col("grp"), "gsplit"))))
     val folds = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
       .withColumn("frac", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy()), 6))
+        sum(col("n")).over(Window.partitionBy(lit(0))), 6))
     val groups = withSplit.agg(
       countDistinct(col("grp")).as("n_groups"))
     val crossing = pairs

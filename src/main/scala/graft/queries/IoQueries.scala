@@ -236,7 +236,8 @@ object IoQueries extends QueryModule {
           min(col("l_shipdate")).as("key_min"),
           max(col("l_shipdate")).as("key_max"))
       // the proof table is one row per FILE (~16) — the window is tiny
-      val w = org.apache.spark.sql.expressions.Window.orderBy("key_min", "fname")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy("key_min", "fname")
       val out = per.select(
         row_number().over(w).cast("long").as("file_rank"),
         col("n_rows"), col("key_min"), col("key_max"),

@@ -57,7 +57,7 @@ class PipelineSpec extends SparkSpec {
     val dups = Seq((101L, dupText), (102L, dupText + " extra"))
     val df = (uniq ++ dups).toDF("doc_id", "text")
 
-    val base = Dedup.shingled(df, "doc_id", "text")
+    val base = Dedup.hashedShingled(df, "doc_id", "text")
     def candidates(dfCap: Int): Long = {
       val posts = Dedup.shinglePostings(base, dfCap)
       posts.as("a").join(posts.as("b"),

@@ -72,6 +72,47 @@ class ScalingSpec extends SparkSpec {
       candVolume(Dedup.winnowingPostings(dL, "doc_id", "text")))
   }
 
+  test("winnowing dfCap (p13, r12): hot-fingerprint boilerplate is quadratic " +
+      "uncapped; the cap restores linearity and loses no true pair") {
+    // the failure mode ProbeWinnow measured at x10 (9 fingerprints with
+    // df > 1000 carried 70% of 2e7 candidates): a shared >=31-char
+    // boilerplate RUN gives every doc the same fingerprint, df = n.
+    // Each doc also gets its own near-dup partner via a repeated body
+    // (every 10th doc repeats its predecessor), so true pairs are
+    // linear and must survive the cap.
+    def corpus(n: Int): DataFrame = spark.range(n).select(col("id"),
+      concat(
+        lit("this exact boilerplate header line is long enough to fingerprint "),
+        expr("""concat_ws(' ', transform(sequence(1, 30),
+          k -> concat('tok', CAST(id - (CASE WHEN id % 10 = 1 THEN 1 ELSE 0 END) AS STRING), 'word', CAST(k AS STRING))))"""))
+        .as("text"))
+    def volume(df: DataFrame, cap: Int): Long = {
+      val fps = Dedup.winnowingPostings(df, "id", "text")
+      val usable = if (cap <= 0) fps else {
+        val hot = fps.groupBy("bkt").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("bkt")
+        fps.join(hot, Seq("bkt"), "left_anti")
+      }
+      candVolume(usable)
+    }
+    val (n1, n2) = (200L, 400L)
+    val (c1, c2) = (corpus(200), corpus(400))
+    val e0 = growthExponent(n1, volume(c1, 0), n2, volume(c2, 0))
+    assert(e0 > 1.35,
+      f"uncapped exponent $e0%.2f should be ~2 — boilerplate fingerprints are quadratic")
+    val eCap = growthExponent(n1, volume(c1, 100), n2, volume(c2, 100))
+    assert(eCap <= 1.35, f"dfCap=100 should restore linearity, got $eCap%.2f")
+    // losslessness on the planted pairs: capped winnowingPairs still
+    // finds every predecessor-repeat near-dup (they share MANY sub-cap
+    // fingerprints; only the boilerplate bucket is dropped)
+    val pairs = Dedup.winnowingPairs(c2.withColumnRenamed("id", "doc_id"),
+      "doc_id", "text", threshold = 0.5, dfCap = 100)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (1L until 400L by 10L).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(pairs),
+      s"dfCap dropped ${(planted -- pairs).size} planted true pair(s)")
+  }
+
   test("simhash (p05) candidate volume stays under true-dups + the 16-bit " +
       "collision floor") {
     assume(haveData, "testdata absent")
@@ -124,12 +165,12 @@ class ScalingSpec extends SparkSpec {
         .as("text"))
     val (n1, n2) = (500L, 5000L)
     assertLinear("ngram-jaccard(p10, Heaps corpus)", 1.35, n1,
-      candVolume(Dedup.shinglePostings(Dedup.shingled(heaps(500), "id", "text"), 1000), "sh_h"),
+      candVolume(Dedup.shinglePostings(Dedup.hashedShingled(heaps(500), "id", "text"), 1000), "sh_h"),
       n2,
-      candVolume(Dedup.shinglePostings(Dedup.shingled(heaps(5000), "id", "text"), 1000), "sh_h"))
+      candVolume(Dedup.shinglePostings(Dedup.hashedShingled(heaps(5000), "id", "text"), 1000), "sh_h"))
 
     val capDefault = 1000
-    val posts = Dedup.shinglePostings(shingledOf(docs(sfLarge)), capDefault)
+    val posts = Dedup.shinglePostings(Dedup.hashedShingled(docs(sfLarge), "doc_id", "text"), capDefault)
     val nPosts = posts.count()
     val vol = candVolume(posts, "sh_h")
     info(f"ngram-jaccard default cap: $vol%d pairs vs envelope ${capDefault / 2}·$nPosts%d")
@@ -211,7 +252,7 @@ class ScalingSpec extends SparkSpec {
       concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "),
         expr("format_string('u%sx u%sy u%sz', id, id, id)")).as("text"))
     def volume(df: DataFrame, cap: Int): Long =
-      candVolume(Dedup.shinglePostings(Dedup.shingled(df, "id", "text"), cap), "sh_h")
+      candVolume(Dedup.shinglePostings(Dedup.hashedShingled(df, "id", "text"), cap), "sh_h")
     val (n1, n2) = (200L, 400L)
     val (c1, c2) = (corpus(200), corpus(400))
     val e0 = growthExponent(n1, volume(c1, 0), n2, volume(c2, 0))

@@ -18,37 +18,16 @@ import sys
 
 # Named exceptions: queries whose sf1 growth is allowed past the budget,
 # each with the reason a reader needs. Keep this list SHORT — an entry
-# here is a debt marker, not a free pass. Solo re-times below are TimeQ
-# on the density-fixed ScaleUp corpus (cross-replica shingle-J 0.13-0.16,
-# cross-replica cosine ~0), idle machine, r11.
-EXCEPTIONS = {
-    "q31_bitmap_hll":
-        "FIXED in-round: collect_list bitmap build replaced by the "
-        "mergeable Roaring aggregate; solo re-time 14.7s == the 20x "
-        "budget (14.6s). The flagged 20.4s is the pre-fix number.",
-    "p20_decontaminate":
-        "within 1.05x of budget on the fixed corpus (60.5s vs 57.6s) "
-        "and the sf0.1 baseline predates the r11-added linear-cost "
-        "recall gate; re-baselines next round.",
-    "p36_curation_pipeline":
-        "within 1.2x of budget on the fixed corpus (73.8s vs 63.0s); "
-        "same gate-baseline asymmetry as p20.",
-    "p10_ngram_jaccard_dedup":
-        "OPEN DEBT: 245s solo on the fixed corpus vs 52.5s budget "
-        "(4.7x over; the r11 probe-truth gate contributes a large "
-        "corpus-linear term absent from the baseline). Next round: "
-        "re-baseline with the gate and profile the postings join.",
-    "p07_ann_lsh":
-        "OPEN DEBT (diagnosed): the threshold-0.45 hyperplane-LSH family is n^1.62 BY DESIGN between the bucket-occupancy regime and the SemDeDup-cell swap (autoLshParams at n=20k picks planes=8 / tables~180 vs 4/32 at n=2k; candidate work ~ tables*n*bucket). 10^1.62 = 42x against the 20x budget. Round-12 fix: engage the cell regime earlier (lower tablesCap / cellTarget crossover) or budget the family at its analytic exponent.",
-    "p09_embedding_neardup":
-        "OPEN DEBT (diagnosed): same n^1.62 LSH regime as p07 - at n=20k autoLshParams(0.45) yields planes=8/tables~180, 56x the sf0.1 posting volume; the dispatcher's cell swap engages only at n>~128k. Solo 361s vs 81s budget. Top round-12 item: move the regime crossover below the n^1.62/20x-law intersection (n~8k) or grade the family against its analytic exponent.",
-    "p13_winnowing_dedup":
-        "OPEN DEBT: 106s solo on the fixed corpus vs 35s budget (3x "
-        "over). Winnowing fingerprint postings join suspected; "
-        "next-round punch item.",
-    "p68_semantic_decontaminate":
-        "OPEN DEBT: 38s solo vs 15.6s budget (2.5x); same threshold-0.45 ANN family and n^1.62 regime as p07/p09.",
-}
+# here is a debt marker, not a free pass.
+#
+# r12 note: gates are now OFF in both timing surfaces (Bench/TimeQ run
+# operator-only; Verify runs every gate), so the r11 "gate asymmetry"
+# exceptions are gone by construction, and the r11 ANN/winnowing debt
+# was closed in code (measured solo on the density-fixed ScaleUp corpus,
+# gates off, idle machine, r12):
+#   p09 361 s -> 54.5 s (budget 81.2), p07 87 s -> 20.9 s (31.3),
+#   p68 38.4 s -> 4.6 s (15.6), p13 105.5 s -> 21.6 s (35.0).
+EXCEPTIONS = {}
 
 # Fixed floor: queries under this many seconds at sf1 are never flagged —
 # a 0.05s -> 1.2s move is 24x but is job-overhead noise, not a scale cliff.
