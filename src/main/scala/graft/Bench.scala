@@ -77,6 +77,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The remaining WindowExec no-partition warnings all come from the
+    // Doris-SQL surface queries whose TEXT says OVER () — semantics we
+    // must execute as written over bounded aggregates. The structural
+    // guard is PlanShapeSpec's funnel lint (allowlisted, stale entries
+    // fail); silencing the logger HERE keeps the bench stderr tail —
+    // the only log the driver keeps — carrying real signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =

@@ -13,6 +13,9 @@ object TimeQ {
         java.nio.file.Files.createTempDirectory("wh").toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     Land.root = "/tmp/graft_timeq_land"
     // TimeQ is a TIMING surface (Bench's fresh-JVM re-timer and the ×10
     // scale probes): same gate mode as Bench so sf0.1 and sf1 numbers

@@ -98,12 +98,15 @@ final class HttpTransport(
     // closes the underlying stream when no line has arrived within
     // idleReadTimeout.
     val lastRead = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "llm-sse-watchdog"); t.setDaemon(true); t })
     val tickMs = math.max(100L, idleReadTimeout.toMillis / 4)
     watchdog.scheduleAtFixedRate(() => {
-      if (System.nanoTime() - lastRead.get() > idleReadTimeout.toNanos)
+      if (System.nanoTime() - lastRead.get() > idleReadTimeout.toNanos) {
+        stalled.set(true)
         try stream.close() catch { case _: Throwable => () }
+      }
     }, tickMs, tickMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try {
       val out = new StringBuilder
@@ -133,6 +136,12 @@ final class HttpTransport(
         } // event:/id:/retry:/comment lines are ignored
         line = if (done) null else reader.readLine()
       }
+      // a watchdog close looks like a server close to the reader — but
+      // partial text from a stalled stream must RETRY whole (the class
+      // doc's contract), never be accepted as a completion
+      if (stalled.get() && !done)
+        throw new RuntimeException(
+          s"SSE stream stalled (no bytes for ${idleReadTimeout.toSeconds}s)")
       if (!done) dispatch() // server closed without a trailing blank line
       if (done || out.nonEmpty) out.toString
       else throw new RuntimeException("empty SSE stream (no content deltas)")

@@ -236,6 +236,66 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("HttpTransport: multi-line SSE data events join per spec; \\/ escape tolerated") {
+    // one EVENT whose JSON spans two data: lines (legal SSE — lines are
+    // joined before parsing), plus a chunk using the JSON-only \/ escape
+    // snakeyaml rejects (ADVICE r11)
+    withSse((ex, _) => {
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0)
+      val w = ex.getResponseBody
+      w.write(("data: {\"choices\":[{\"delta\":\n" +
+        "data: {\"content\":\"a/b \"}}]}\n\n").getBytes(StandardCharsets.UTF_8))
+      w.write("data: {\"choices\":[{\"delta\":{\"content\":\"c\\/d\"}}]}\n\n"
+        .getBytes(StandardCharsets.UTF_8))
+      w.write("data: [DONE]\n\n".getBytes(StandardCharsets.UTF_8))
+      w.close(); ex.close()
+    }) { (port, _) =>
+      val t = new HttpTransport(s"http://127.0.0.1:$port", "k")
+      assert(t.complete(ChatRequest("m", "s", "p", "u")) == "a/b c/d")
+    }
+  }
+
+  test("HttpTransport: unescapeSolidus rewrites \\/ but never a paired escape") {
+    assert(HttpTransport.unescapeSolidus("""a\/b""") == "a/b")
+    assert(HttpTransport.unescapeSolidus("""a\\/b""") == """a\\/b""",
+      "escaped backslash + literal slash must survive")
+    assert(HttpTransport.unescapeSolidus("""\"x\/y\"""") == "\\\"x/y\\\"")
+    assert(HttpTransport.unescapeSolidus("plain") == "plain")
+  }
+
+  test("HttpTransport: a stalled mid-SSE stream is a retryable failure, not a hang") {
+    // server sends one chunk then goes silent — the idle watchdog must
+    // surface a retryable error; with every attempt stalling, complete()
+    // fails after maxRetries instead of blocking forever (ADVICE r11)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    withSse((ex, _) => {
+      attempts.incrementAndGet()
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0)
+      val w = ex.getResponseBody
+      w.write("data: {\"choices\":[{\"delta\":{\"content\":\"x\"}}]}\n\n"
+        .getBytes(StandardCharsets.UTF_8))
+      w.flush()
+      // longer than the idle deadline; short enough that the test
+      // server's SERIAL dispatcher (no executor) frees the handler
+      // thread before attempt 2's exchange queues behind it
+      Thread.sleep(1500)
+    }) { (port, _) =>
+      val t = new HttpTransport(s"http://127.0.0.1:$port", "k",
+        maxRetries = 2,
+        idleReadTimeout = java.time.Duration.ofMillis(400))
+      val t0 = System.nanoTime()
+      val e = intercept[RuntimeException] {
+        t.complete(ChatRequest("m", "s", "p", "u"))
+      }
+      val wallS = (System.nanoTime() - t0) / 1e9
+      assert(e.getMessage.contains("failed after 2 attempt"), e.getMessage)
+      assert(wallS < 7.0, f"watchdog too slow: $wallS%.1f s")
+      assert(attempts.get() == 2, s"expected 2 attempts, got ${attempts.get()}")
+    }
+  }
+
   test("CLI flow: gendata --llm over the live transport end-to-end") {
     val chunks = Seq(
       """{"choices":[{"delta":{"content":"tables:\n  - name: customer_orders\n"}}]}""",
