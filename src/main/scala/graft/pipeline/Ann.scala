@@ -240,20 +240,28 @@ object Ann {
     * follows the sub-quadratic LSH exponent (candidate work
     * ~ n²/(2r)^planes shrinks as planes rise) instead of n².
     *
-    * `tablesCap` IS the LSH→cell regime crossover, and its default is
-    * chosen from the 20×-per-decade budget law, not from what LSH can
-    * merely tolerate (the r11 lesson: candidate work in this regime is
-    * n^1.62 BY DESIGN — 10^1.62 ≈ 42× per decade — so the old cap of
-    * 512 let the uneconomical regime run from n≈8k to n≈128k, exactly
-    * where per-key problem sizes live at corpus scale; p09 measured
-    * 4.4× over its sf1 budget there). At cos 0.45 the analytic tables
-    * requirement crosses 96 between planes=6 (76) and planes=7 (117),
-    * so the cap binds — and [[nearDupPairsAuto]] swaps to the linear
-    * cell kernel — at n > bucketTarget·2^6 = 8k, the intersection of
-    * the n^1.62 curve with the budget law. */
+    * `tablesCap` IS the LSH→cell regime crossover. r12 measured BOTH
+    * sides of that trade and the default is chosen accordingly:
+    * lowering the cap to 96 (crossover n ≈ 8k, where the n^1.62 LSH
+    * regime first exceeds a 20×-per-decade wall-clock law) made the
+    * ×10 corpus run the linear cell kernel at 54.5 s — but the cell
+    * path's pair recall at a MODERATE threshold collapses with the
+    * probed-cell fraction nProbe/nCells: 96.5% at a 25% fraction
+    * (sf0.1 forced-cap grading) vs 60.5% at the 2.5% fraction a ×10
+    * corpus implies — the sf1 recall gate failed loudly. Holding the
+    * fraction needs nProbe ∝ n (quadratic candidates), so there is no
+    * linear high-recall structure at cos≈0.45 — consistent with the
+    * published LSH exponent ρ ≈ 0.62 being a lower bound, not a
+    * design flaw. The default therefore KEEPS the LSH regime through
+    * the measured decades (cap 512 ⇒ crossover n ≈ 128k) and the
+    * 0.45-threshold family is graded against its ANALYTIC budget
+    * (~42×/decade, tools/scale_regression.py) instead of pretending a
+    * cheaper structure exists; the cell swap remains the last resort
+    * past the point LSH tables become absurd, with the recall trade
+    * documented and floor-gated per regime. */
   def autoLshParams(n: Long, threshold: Double, targetRecall: Double = 0.9965,
                     bucketTarget: Int = 125, planesFloor: Int = 4,
-                    tablesFloor: Int = 32, tablesCap: Int = 96): (Int, Int) = {
+                    tablesFloor: Int = 32, tablesCap: Int = 512): (Int, Int) = {
     val (planes, tables, _) = autoLshParamsDetailed(n, threshold, targetRecall,
       bucketTarget, planesFloor, tablesFloor, tablesCap)
     (planes, tables)
@@ -270,7 +278,7 @@ object Ann {
   def autoLshParamsDetailed(n: Long, threshold: Double,
                             targetRecall: Double = 0.9965,
                             bucketTarget: Int = 125, planesFloor: Int = 4,
-                            tablesFloor: Int = 32, tablesCap: Int = 96)
+                            tablesFloor: Int = 32, tablesCap: Int = 512)
       : (Int, Int, Boolean) = {
     val r = 1.0 - math.acos(threshold) / math.Pi
     def tablesNeeded(p: Int): Double =
@@ -294,9 +302,8 @@ object Ann {
     * promises in prose, now in code: inside the LSH budget this IS
     * [[cosineNearDupPairs]] at [[autoLshParams]] (byte-identical results
     * at every test SF); once the parameterization goes over-cap (see
-    * [[autoLshParamsDetailed]] — n > bucketTarget·2^6 = 8k at cos 0.45
-    * with the default cap, where the n^1.62 LSH regime first exceeds
-    * the 20×-per-decade budget law) it swaps to cell-based SemDeDup
+    * [[autoLshParamsDetailed]] — n ≳ 128k at cos 0.45 with the default
+    * cap) it swaps to cell-based SemDeDup
     * [Abbas et al. 2023] with MULTI-PROBE assignment: each vector lands
     * in its `nProbe` nearest KMeans cells, so a pair straddling one cell
     * boundary still meets in the runner-up cell — recovering most of the
@@ -307,16 +314,21 @@ object Ann {
     * The KMeans fit is the one-off O(n·nCells) investment the published
     * algorithm makes; the model stays driver-sized (nCells·dims).
     *
-    * Recall on the swapped path is the published algorithm's trade, and
-    * it is THRESHOLD-dependent: at SemDeDup's own regime (≥ 0.9,
-    * near-identical vectors) duplicates co-cluster and few probes
-    * suffice; at a moderate dedup threshold the defaults here measured
-    * 96.5% pair recall on the graded corpus (PipelineSpec) — raise
-    * `nProbe` to buy recall back at nProbe² candidate cost.
+    * Recall on the swapped path is the published algorithm's trade,
+    * and it is THRESHOLD- and SCALE-dependent: at SemDeDup's own
+    * regime (≥ 0.9, near-identical vectors) duplicates co-cluster and
+    * few probes suffice; at a moderate threshold recall tracks the
+    * probed-cell FRACTION nProbe/nCells — measured 96.5% at a 25%
+    * fraction and 60.5% at 2.5% (the r12 sf1 probe) — and holding the
+    * fraction while nCells ∝ n needs nProbe ∝ n, i.e. quadratic
+    * candidates. Raising `nProbe` buys recall at nProbe² cost; past
+    * the cap at a low threshold the honest options are this trade or
+    * the LSH path's analytic n^1.62 — which is why the default cap
+    * keeps LSH through the measured decades.
     * Returns (i, j, cos_r), i < j, cos_r ≥ threshold — both regimes. */
   def nearDupPairsAuto(emb: DataFrame, dims: Int, threshold: Double,
                        seed: Long = 5, targetRecall: Double = 0.9965,
-                       bucketTarget: Int = 125, tablesCap: Int = 96,
+                       bucketTarget: Int = 125, tablesCap: Int = 512,
                        cellTarget: Int = 125, nProbe: Int = 4,
                        nOverride: Option[Long] = None): DataFrame = {
     val n = nOverride.getOrElse(emb.count())
@@ -837,10 +849,15 @@ object Ann {
     * candidates per query are joined back to their RAW vectors (a skinny
     * id join fetching q·shortlist rows, not a corpus scan) and re-ranked
     * by exact L2 — quantization error affects which candidates make the
-    * shortlist, never the final ordering. `shortlist` is the fixed
-    * recall knob (it does not grow with the corpus). Both rank keys are
-    * rounded to 1e-6 with neighbor-id tie-break, so shortlist membership
-    * and final ranks are engine-reproducible. Returns
+    * shortlist, never the final ordering. `shortlist` is the recall
+    * knob, and it must SCALE with the corpus (a fixed fraction, e.g.
+    * 5%): held constant it silently decays recall as the corpus adds
+    * ADC-confusable distractors — measured 77% top-3 recall at n=2k vs
+    * 50% at n=20k with shortlist=100 (r12 sf1 probe). The re-rank stays
+    * a skinny id join at any shortlist ≪ n; the ADC code scan dominates
+    * cost either way. Both rank keys are rounded to 1e-6 with
+    * neighbor-id tie-break, so shortlist membership and final ranks are
+    * engine-reproducible. Returns
     * (query_id, rank, neighbor_id, dist = exact L2²). */
   def pqTopK(codes: DataFrame, emb: DataFrame, queries: DataFrame, k: Int,
              cbs: Array[Array[Array[Double]]], shortlist: Int = 50): DataFrame = {

@@ -129,17 +129,18 @@ class PipelineSpec extends SparkSpec {
       "a cap under the analytic tables requirement must flag over-cap")
     assert(Ann.autoLshParamsDetailed(500L, 0.45, bucketTarget = 1,
       tablesCap = 100)._3, "backed-off planes must flag over-cap")
-    // at DEFAULT params the crossover is n > 8k (r12: tablesCap=96 was
-    // chosen so the swap engages exactly where the n^1.62 LSH regime
-    // first exceeds the 20×-per-decade budget law — the r11 debt). Every
-    // test SF (n ≤ 2000) stays firmly in the LSH regime; the ×10 probe
-    // (n = 20k) now runs the linear cell kernel.
+    // at DEFAULT params the first over-cap decade is ~128k vectors.
+    // r12 tried an 8k crossover (cells from the ×10 probe up, 54.5 s vs
+    // 361 s at sf1) and REVERTED it on measurement: the cell path's
+    // pair recall at cos 0.45 tracks the probed-cell fraction
+    // nProbe/nCells (96.5% at 25%, 60.5% at the 2.5% a ×10 corpus
+    // implies — the sf1 recall gate failed), and holding the fraction
+    // is quadratic. Every measured scale stays in the high-recall LSH
+    // regime, graded against its analytic n^1.62 budget.
     assert(!Ann.autoLshParamsDetailed(2000L, 0.45)._3)
-    assert(!Ann.autoLshParamsDetailed(8000L, 0.45)._3,
-      "n = 8000 is the last LSH decade point")
-    assert(Ann.autoLshParamsDetailed(8193L, 0.45)._3,
-      "past 8k the parameterization must flag over-cap")
-    assert(Ann.autoLshParamsDetailed(20000L, 0.45)._3)
+    assert(!Ann.autoLshParamsDetailed(20000L, 0.45)._3,
+      "the ×10 probe scale must stay in the high-recall LSH regime")
+    assert(!Ann.autoLshParamsDetailed(100000L, 0.45)._3)
     assert(Ann.autoLshParamsDetailed(1000000L, 0.45)._3)
 
     // force the over-cap regime and grade the SWAPPED path: recall floor

@@ -22,12 +22,31 @@ import sys
 #
 # r12 note: gates are now OFF in both timing surfaces (Bench/TimeQ run
 # operator-only; Verify runs every gate), so the r11 "gate asymmetry"
-# exceptions are gone by construction, and the r11 ANN/winnowing debt
+# exceptions are gone by construction, and most of the r11 scale debt
 # was closed in code (measured solo on the density-fixed ScaleUp corpus,
 # gates off, idle machine, r12):
-#   p09 361 s -> 54.5 s (budget 81.2), p07 87 s -> 20.9 s (31.3),
-#   p68 38.4 s -> 4.6 s (15.6), p13 105.5 s -> 21.6 s (35.0).
+#   p07 87 s -> 20.9 s (budget 31.3), p68 38.4 s -> 4.6 s (15.6),
+#   p13 105.5 s -> 21.6 s (35.0), p10 245 s (gate-inflated) -> 52 s.
 EXCEPTIONS = {}
+
+# ANALYTIC BUDGETS (the 20x law's sanctioned alternative): families whose
+# per-decade growth has a DERIVED exponent the 20x constant-grace law
+# cannot represent. Value = allowed sf1/sf0.1 wall ratio, with the
+# derivation a reader can check. An entry here must cite a measured
+# exponent, not a hope.
+ANALYTIC_BUDGETS = {
+    "p09_embedding_neardup": (50.0,
+        "hyperplane-LSH pair enumeration at cos 0.45: rho = ln(1/r)/ln 2 "
+        "~ 0.62 (r = 1 - acos(0.45)/pi = 0.649), so candidate work is "
+        "n^1.62 = 42x/decade analytically; r10 probe measured 40.3x on "
+        "candidate volume, wall lands higher with the truth-probe output "
+        "contract. r12 MEASURED the only linear alternative (SemDeDup "
+        "cells from n=8k): 54.5 s but 60% probe recall at the 2.5% "
+        "probed-cell fraction a x10 corpus implies (sf1 recall gate "
+        "failed) -- recall at this threshold is bought with this "
+        "exponent or not at all. Budget = 42x analytic * ~1.2 "
+        "fixed-stage grace."),
+}
 
 # Fixed floor: queries under this many seconds at sf1 are never flagged —
 # a 0.05s -> 1.2s move is 24x but is job-overhead noise, not a scale cliff.
@@ -54,12 +73,20 @@ def main():
         if t1 < 0 or not t0 or t0 <= 0:
             continue
         ratio = t1 / t0
-        if t1 >= ABS_FLOOR_S and ratio > 20.0:
+        budget, why = ANALYTIC_BUDGETS.get(name, (20.0, None))
+        if t1 >= ABS_FLOOR_S and ratio > budget:
             row = {"query": name, "sf0.1_s": round(t0, 3),
-                   "sf1_s": round(t1, 3), "ratio": round(ratio, 1)}
+                   "sf1_s": round(t1, 3), "ratio": round(ratio, 1),
+                   "budget": budget}
             if name in EXCEPTIONS:
                 row["exception"] = EXCEPTIONS[name]
             flags.append(row)
+        elif why is not None and t1 >= ABS_FLOOR_S and ratio > 20.0:
+            # within its analytic budget but over the generic law:
+            # record it so the analytic grading is visible, not silent
+            flags.append({"query": name, "sf0.1_s": round(t0, 3),
+                          "sf1_s": round(t1, 3), "ratio": round(ratio, 1),
+                          "budget": budget, "exception": why})
     breaches = [f for f in flags if "exception" not in f]
     sf1["scale_regressions"] = {
         "law": "sf1 wall <= 20x sf0.1 wall (abs floor 2s) or a named exception",
