@@ -1610,11 +1610,14 @@ object PipelineQueries extends QueryModule {
         FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
         WHERE c.vec_id <> dt.query_id GROUP BY 1, 2),
       short AS (
+        -- shortlist scales with the corpus exactly as the Spark side:
+        -- max(100, n/20) (integer floor division)
         SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY adc, neighbor_id) AS rk
-          FROM sc) t WHERE rk <= 100),
+          FROM sc) t
+        WHERE rk <= greatest(100, (SELECT count(*) // 20 FROM embeddings))),
       re AS (
         SELECT s.query_id, s.neighbor_id,
                round(list_sum(list_transform(range(1, 65), i ->
