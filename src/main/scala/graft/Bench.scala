@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark harness. Protocol with the driver: the ONE line on
   * stdout is the result JSON (all Spark logging goes to stderr).
   *
-  * Design (fixes the round-1 flaws called out in VERDICT.md):
+  * Design (accumulated from twelve rounds of postmortems):
   *   - full materialization via a noop-format write — `.count()` lets
   *     Catalyst prune every unused projection, so projection-heavy queries
   *     would measure a bare scan;
@@ -13,28 +13,44 @@ import org.apache.spark.sql.SparkSession
   *   - deterministic (sorted) query order;
   *   - a failed query is reported (negative sentinel + errors map), never
   *     silently recorded as a fast success;
-  *   - MEDIAN of 3 timed passes per query (round-3 postmortem: a single
-  *     pass recorded a 22x phantom regression on untouched code during a
-  *     burst of machine contention; the median absorbs one bad pass);
+  *   - MEDIAN of up to 3 timed passes per query (round-3 postmortem: a
+  *     single pass recorded a 22x phantom regression on untouched code
+  *     during a burst of machine contention; the median absorbs one bad
+  *     pass);
   *   - PASS-MAJOR timing (round-4 postmortem: with query-major reps the
-  *     first queries after the warmup pass — a01/c01 alphabetically —
-  *     absorbed post-warmup GC/JIT churn in ALL their reps and recorded
-  *     ~5x their clean single-query cost; interleaving whole passes makes
-  *     that churn land on at most one of a query's three samples, which
-  *     the median discards);
-  *   - ISOLATED RE-TIME of contention suspects (round-5 postmortem: a
-  *     contiguous alphabetical block of untouched queries recorded 2-4x
-  *     their solo TimeQ cost three rounds running — 93 queries in one JVM
-  *     contend on GC/JIT no matter how passes interleave). A query whose
-  *     interleaved median exceeds 1.4x its own best pass has demonstrated
-  *     its feasible cost and been denied it; those are re-timed solo
-  *     (GC-quiesced, median of 3) and the solo median is reported, with
-  *     the contended median kept alongside under "interleaved";
-  *   - SELF-ACTING round-over-round re-time (round-6 verdict item 7): any
-  *     query whose interleaved median moved >1.5x vs the previous round's
-  *     bench_result.json is re-timed solo unconditionally (movers are
-  *     never capped out), so every reported regression or speedup carries
-  *     a clean isolated number the same round it appears.
+  *     first queries after the warmup pass absorbed post-warmup GC/JIT
+  *     churn in ALL their reps; interleaving whole passes makes that
+  *     churn land on at most one of a query's samples);
+  *   - ISOLATED RE-TIME of contention suspects (round-5 postmortem):
+  *     a query whose interleaved median exceeds 1.4x its own best pass
+  *     has demonstrated its feasible cost and been denied it; those are
+  *     re-timed solo in a fresh JVM and the solo number is reported;
+  *   - MACHINE-FACTOR-NORMALIZED movers (round-12 postmortem, the rc=124
+  *     root cause): movers used to be flagged at ±1.5x vs the committed
+  *     baseline's ABSOLUTE seconds, so on any box whose speed differs
+  *     from the baseline box the whole surface drifts together — the
+  *     judge measured a median machine ratio of 1.36x pushing 203/238
+  *     queries over the line, and the resulting fork storm (114 forked
+  *     re-times x ~30s boot each) blew every kill budget two rounds
+  *     running. The fix: estimate the global machine factor as the
+  *     median per-query ratio vs the reference map and flag only queries
+  *     deviating >1.5x from THAT — a real single-query regression still
+  *     deviates from the global factor; a slow box does not;
+  *   - SELF-IMPOSED WALL DEADLINE (round-12 item 1b): warmup + pass 1
+  *     are mandatory (they produce a complete per-query map); passes
+  *     2-3, re-times, and the DuckDB ratio run only while
+  *     SPARK_GRAFT_BENCH_WALL_S (default 840s) allows, and anything
+  *     degraded is recorded in the artifact — a bounded honest run
+  *     beats an unbounded killed one;
+  *   - PARTIAL-RESULT FLUSH (round-12 item 1c): the cumulative per-query
+  *     map is printed to stderr after every pass and a JVM shutdown hook
+  *     writes/prints the best-known JSON — a driver kill (rc=124) now
+  *     leaves a complete-ish map in both the stderr tail and
+  *     bench_result.json instead of nothing;
+  *   - PER-FORK TIMEOUT (round-12 item 5): each re-time fork is bounded
+  *     (SPARK_GRAFT_FORK_TIMEOUT_S, default 90s) so one pathological
+  *     suspect cannot eat the whole re-time budget, and the budget is
+  *     checked per 2-query fork, not per 6-query batch.
   */
 /** Which build produced an artifact: round 5 burned judge hours on "which
   * commit did the driver actually run?" — every Verify/Bench artifact now
@@ -48,6 +64,37 @@ object Provenance {
     * iterates that file's keys as query names). */
   def json: String =
     s"""{"sha":"$sha","generated_at":"$timestamp"}"""
+}
+
+/** The mover-rule arithmetic, factored out of [[Bench]]'s main so the
+  * r12 rc=124 root-cause fix is spec-guarded (BenchRulesSpec): on a box
+  * whose speed differs uniformly from the committed baseline's box, the
+  * machine factor — the median per-query ratio — absorbs the drift and
+  * NO query is flagged; a single query that genuinely moved still
+  * deviates from the median and is. */
+object BenchRules {
+  def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+
+  /** Global machine factor vs a reference map: the median per-query
+    * ratio over queries big enough on BOTH sides (>=0.2s) to be signal
+    * rather than scheduler jitter. Fewer than 8 such queries -> 1.0
+    * (no evidence of a different box). */
+  def machineFactor(current: Seq[(String, Double)],
+                    ref: Map[String, Double]): Double = {
+    val ratios = current.collect {
+      case (n, med) if med >= 0.2 && ref.get(n).exists(_ >= 0.2) =>
+        med / ref(n)
+    }.toVector
+    if (ratios.size < 8) 1.0 else median(ratios)
+  }
+
+  /** moved = deviates >1.5x from the machine-factor-scaled reference
+    * (and by >50ms after scaling, so micro-query jitter stays quiet). */
+  def moved(med: Double, p: Double, f: Double): Boolean = {
+    val exp = f * p
+    p > 0 && (med > 1.5 * exp || exp > 1.5 * med) &&
+      math.abs(med - exp) > 0.05 * math.max(1.0, f)
+  }
 }
 
 object Bench {
@@ -64,6 +111,10 @@ object Bench {
     Gates.configureForTiming()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchStartNs = System.nanoTime()
+    def wallS: Double = (System.nanoTime() - benchStartNs) / 1e9
+    val wallBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_S", "840").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,69 +139,19 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      // each invocation builds FRESH frames, so a previous run's persists
-      // are dead weight — release keeps the long bench session's block
-      // manager flat (and the unpersist cost lands inside the timed run,
-      // where it honestly belongs: a real pipeline pays it too)
-      finally graft.operators.Broadcasts.release(spark)
-
-    // Warmup: one full untimed pass (codegen compile, parquet footer cache,
-    // JIT). Failures here are also failures in the timed pass; skip noise.
-    ordered.foreach { case (n, fn) => runOnce(n, fn) }
-
-    var errors = Map.empty[String, String]
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val times = collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
-    val lastErr = collection.mutable.Map.empty[String, String]
-    // Pass-major: each pass times every query once, so a burst of machine
-    // or GC contention is spread across queries instead of concentrated in
-    // all reps of whichever query is running when it hits.
-    for (_ <- 1 to reps; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      val err = runOnce(name, fn)
-      val sec = (System.nanoTime() - t0) / 1e9
-      err match {
-        case Some(m) =>
-          System.err.println(s"[bench] $name pass FAILED: $m")
-          lastErr(name) = m
-        case None => times(name) :+= sec
-      }
-    }
-    def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
-    val interleaved = ordered.map { case (name, _) =>
-      val ts = times(name)
-      // a query is failed only when NO pass succeeded
-      if (ts.isEmpty) lastErr.get(name).foreach(m => errors += (name -> m))
-      name -> (if (ts.isEmpty) -1.0 else median(ts))
-    }
-    // Contention suspects: interleaved median >1.4x the query's own best
-    // pass (and >50 ms absolute, so micro-queries' scheduling jitter
-    // doesn't trigger re-times). Capped at 24 re-times to bound the run.
-    val contentionSuspects = interleaved.collect {
-      case (name, med) if med >= 0 && {
-        val best = times(name).min
-        med > 1.4 * best && med - best > 0.05
-      } => name
-    }.take(24)
-    // Round-over-round movers (self-acting rule, VERDICT r6 item 7 +
-    // r8 item 1b): any query whose interleaved median moved >1.5x vs
-    // EITHER the previous dev run (bench_result.json) OR the last
-    // COMMITTED round bench (highest BENCH_r{N}.json) is re-timed solo
-    // UNCONDITIONALLY — diffing only the latest dev file lets gradual
-    // cross-round creep (<1.5x per step) evade re-timing forever; the
-    // committed file anchors the comparison to a judged number.
-    // >50 ms absolute keeps micro-query jitter quiet.
+    // Reference maps for the mover rule are read UP FRONT: partial
+    // flushes below overwrite bench_result.json during the run, so a
+    // late read would compare this run against its own snapshot.
     def queriesOf(path: java.nio.file.Path): Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(path)
       // only comparable against the SAME scale factor: a dev run at
       // another sf would otherwise flag the whole surface as movers
       val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sameSf) Map.empty
+      // a killed run's flushed snapshot may hold cold warmup walls —
+      // never anchor the mover rule to one
+      val partial = txt.contains(""""partial":true""")
+      if (!sameSf || partial) Map.empty
       else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .map { body =>
           """"([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
@@ -176,22 +177,164 @@ object Bench {
         if (files.isEmpty) Map.empty else queriesOf(files.maxBy(_._1)._2)
       }
     }
-    def moved(med: Double, p: Double): Boolean =
-      p > 0 && (med > 1.5 * p || p > 1.5 * med) && math.abs(med - p) > 0.05
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      // each invocation builds FRESH frames, so a previous run's persists
+      // are dead weight — release keeps the long bench session's block
+      // manager flat (and the unpersist cost lands inside the timed run,
+      // where it honestly belongs: a real pipeline pays it too)
+      finally graft.operators.Broadcasts.release(spark)
+
+    def median(ts: Vector[Double]): Double = BenchRules.median(ts)
+
+    // ---- live state the shutdown hook snapshots on a kill ----
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val warmupTimes = collection.mutable.Map.empty[String, Double]
+    val lastErr = collection.mutable.Map.empty[String, String]
+    val degraded = collection.mutable.Buffer.empty[String]
+    @volatile var passesCompleted = 0
+    @volatile var finished = false
+
+    // `metric` is "total" only on lines a driver may legitimately parse
+    // as the result (the final line; the shutdown hook's kill flush) —
+    // mid-run stderr flushes say "partial" so a naive `grep '{"metric'`
+    // over the combined sbt output can never pick one up as the result.
+    def snapshotJson(metric: String): String = times.synchronized {
+      val qs = ordered.map { case (name, _) =>
+        val ts = times(name)
+        val v =
+          if (ts.nonEmpty) median(ts)
+          else warmupTimes.getOrElse(name, -1.0)
+        "\"" + name + "\":" + v
+      }.mkString("{", ",", "}")
+      s"""{"metric":"$metric","value":-1,"unit":"sec","partial":true,"passes":$passesCompleted,"queries":$qs,"gates":"${if (Gates.enabled) "on" else "off"}","sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
+    }
+    def flushPartial(stage: String): Unit = {
+      System.err.println(s"[bench-partial after $stage] ${snapshotJson("partial")}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_result.json"), snapshotJson("total"))
+      catch { case _: Throwable => }
+    }
+    // A driver kill (rc=124 is SIGTERM) runs shutdown hooks: leave the
+    // best-known per-query map on stdout AND in bench_result.json, so a
+    // killed run still produces a parseable artifact (VERDICT r12 1c).
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!finished) {
+        val js = snapshotJson("total")
+        println(js)
+        System.err.println(s"[bench] KILLED at ${wallS.toInt}s — flushed partial result")
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_result.json"), js)
+        catch { case _: Throwable => }
+      }))
+
+    // Mid-pass flushes every N queries: a kill can land before the first
+    // pass boundary (the r11/r12 kills hit ~44 queries in), and the
+    // shutdown hook's stdout/stderr die with sbt's pipes — only lines
+    // emitted BEFORE the kill reach the tail the driver keeps.
+    var sinceFlush = 0
+    def tickFlush(stage: String): Unit = {
+      sinceFlush += 1
+      if (sinceFlush >= 60) { sinceFlush = 0; flushPartial(stage) }
+    }
+
+    // Warmup: one full untimed pass (codegen compile, parquet footer
+    // cache, JIT). Failures here are also failures in the timed pass;
+    // skip noise. Cold wall per query is recorded only as the emergency
+    // fallback a kill-during-pass-1 snapshot reports.
+    for ((n, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      runOnce(n, fn)
+      times.synchronized { warmupTimes(n) = (System.nanoTime() - t0) / 1e9 }
+      tickFlush(s"warmup query $n")
+    }
+    flushPartial("warmup")
+
+    var errors = Map.empty[String, String]
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Reserve tail room for re-times + the DuckDB ratio; passes 2+ stop
+    // when they'd eat into it. Pass 1 is NEVER skipped — it is what
+    // makes the per-query map complete.
+    val retimeBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET_S", "300").toDouble
+    val passDeadlineS = wallBudgetS - math.min(retimeBudgetS, 0.35 * wallBudgetS)
+    // Pass-major: each pass times every query once, so a burst of machine
+    // or GC contention is spread across queries instead of concentrated in
+    // all reps of whichever query is running when it hits.
+    var passAborted = false
+    for (pass <- 1 to reps; (name, fn) <- ordered) {
+      val over = pass > 1 && wallS > passDeadlineS
+      if (over && !passAborted) {
+        passAborted = true
+        degraded += s"passes aborted in pass $pass at $name (${wallS.toInt}s > ${passDeadlineS.toInt}s pass deadline)"
+        System.err.println(s"[bench] ${degraded.last}")
+      }
+      if (!over) {
+        val t0 = System.nanoTime()
+        val err = runOnce(name, fn)
+        val sec = (System.nanoTime() - t0) / 1e9
+        err match {
+          case Some(m) =>
+            System.err.println(s"[bench] $name pass FAILED: $m")
+            lastErr(name) = m
+          case None => times.synchronized { times(name) :+= sec }
+        }
+        if (name == ordered.last._1) {
+          passesCompleted = pass
+          sinceFlush = 0
+          flushPartial(s"pass $pass")
+        } else tickFlush(s"pass $pass query $name")
+      }
+    }
+    val interleaved = ordered.map { case (name, _) =>
+      val ts = times(name)
+      // a query is failed only when NO pass succeeded
+      if (ts.isEmpty) lastErr.get(name).foreach(m => errors += (name -> m))
+      name -> (if (ts.isEmpty) -1.0 else median(ts))
+    }
+    // Contention suspects: interleaved median >1.4x the query's own best
+    // pass (and >50 ms absolute, so micro-queries' scheduling jitter
+    // doesn't trigger re-times). Capped at 24 re-times to bound the run.
+    // This rule is machine-independent (it compares the query to itself),
+    // so no factor normalization applies. With a single completed pass
+    // median == best, so a deadline-degraded run simply has no suspects.
+    val contentionSuspects = interleaved.collect {
+      case (name, med) if med >= 0 && {
+        val best = times(name).min
+        med > 1.4 * best && med - best > 0.05
+      } => name
+    }.take(24)
+    // Round-over-round movers (self-acting rule, VERDICT r6 item 7 +
+    // r8 item 1b + r12 item 1a): any query whose interleaved median moved
+    // >1.5x vs EITHER the previous dev run (bench_result.json) OR the
+    // committed baseline (BENCH_baseline.json), AFTER normalizing each
+    // reference by the global machine factor, is re-timed solo. Diffing
+    // only the latest dev file lets gradual cross-round creep evade
+    // re-timing forever; the committed file anchors the comparison to a
+    // judged number; the machine factor keeps a slower/faster box from
+    // flagging the whole surface at once. (Both reference maps were read
+    // before the first partial flush overwrote bench_result.json.)
+    val interMap = interleaved.toMap
+    // Machine factors recorded in the artifact (see BenchRules for the
+    // r12 rationale and BenchRulesSpec for the law).
+    val prevFactor = BenchRules.machineFactor(interleaved, prevQueries)
+    val commFactor = BenchRules.machineFactor(interleaved, committedQueries)
     val movers = interleaved.collect {
       case (name, med) if med >= 0 &&
-        (prevQueries.get(name).exists(moved(med, _)) ||
-          committedQueries.get(name).exists(moved(med, _))) => name
+        (prevQueries.get(name).exists(BenchRules.moved(med, _, prevFactor)) ||
+          committedQueries.get(name).exists(BenchRules.moved(med, _, commFactor))) => name
     }
     // Re-time priority: absolute seconds moved (vs best pass for
-    // contention suspects, vs the nearest committed/prev number for
-    // movers) — when the wall-clock budget below cuts the list, the
-    // biggest distortions get re-timed first.
-    val interMap = interleaved.toMap
+    // contention suspects, vs the nearest factor-scaled committed/prev
+    // number for movers) — when the wall-clock budget below cuts the
+    // list, the biggest distortions get re-timed first.
     def secondsMoved(name: String): Double = {
       val med = interMap(name)
-      val refs = Seq(times(name).minOption, prevQueries.get(name),
-        committedQueries.get(name)).flatten.filter(_ > 0)
+      val refs = Seq(times(name).minOption,
+        prevQueries.get(name).map(_ * prevFactor),
+        committedQueries.get(name).map(_ * commFactor)).flatten.filter(_ > 0)
       if (refs.isEmpty) 0.0 else refs.map(r => math.abs(med - r)).max
     }
     val suspects = (contentionSuspects ++ movers).distinct
@@ -202,8 +345,12 @@ object Bench {
     // 1.2-2.3x (GC pressure, code-cache churn, block-manager residue).
     // `run / fork := true` means java.class.path IS the full classpath,
     // so one child JVM runs graft.TimeQ over every suspect (each twice,
-    // min taken — TimeQ itself warms untimed per invocation). Falls back
-    // to in-process re-timing only if the fork cannot start.
+    // min taken — TimeQ itself warms untimed per invocation). Each fork
+    // is bounded by SPARK_GRAFT_FORK_TIMEOUT_S (default 90s) — one
+    // pathological suspect kills its own fork, not the run (r12 item 5).
+    val forkTimeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_FORK_TIMEOUT_S", "90").toDouble
+    val forkTimeouts = collection.mutable.Buffer.empty[String]
     def forkTimeQ(names: Seq[String]): Map[String, Double] = {
       // same module-opens + heap as build.sbt's javaOptions (they arrive
       // as paired argv elements, so RuntimeMXBean introspection would
@@ -224,26 +371,39 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", sys.props("java.class.path"), "graft.TimeQ", sfDir) ++
         names.flatMap(n => Seq(n, n))
-      val out = scala.sys.process.Process(cmd).!!
+      val buf = new StringBuilder
+      val pl = scala.sys.process.ProcessLogger(
+        l => buf.synchronized { buf.append(l).append('\n'); () },
+        l => System.err.println(l))
+      val proc = scala.sys.process.Process(cmd).run(pl)
+      val deadlineNs = System.nanoTime() + (forkTimeoutS * 1e9).toLong
+      while (proc.isAlive() && System.nanoTime() < deadlineNs)
+        Thread.sleep(200)
+      if (proc.isAlive()) {
+        proc.destroy()
+        forkTimeouts ++= names
+        System.err.println(s"[bench] re-time fork for ${names.mkString(",")} " +
+          s"killed at ${forkTimeoutS.toInt}s; keeping whatever it printed")
+      }
+      val out = buf.synchronized(buf.toString)
       """TIMEQ (\S+) ([0-9.]+) s""".r.findAllMatchIn(out)
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
         .groupMapReduce(_._1)(_._2)(math.min)
     }
-    // WALL-CLOCK re-time budget (VERDICT r11 item 1b): the r11 bench
-    // died because every gate-inflated query became a "mover" and each
-    // fork pays ~30 s of Spark boot plus warm+timed runs — a count cap
-    // alone cannot bound that when per-query cost itself explodes.
-    // Suspects are re-timed in small fork batches, highest
-    // seconds-moved first, until the budget is spent; the remainder
+    // WALL-CLOCK re-time budget (VERDICT r11 item 1b): each fork pays
+    // ~30s of Spark boot plus warm+timed runs, so a count cap alone
+    // cannot bound the storm when per-query cost explodes. Suspects are
+    // re-timed in 2-query forks, highest seconds-moved first, while BOTH
+    // the re-time budget and the run's wall budget allow; the remainder
     // keep their interleaved medians and are listed in the artifact.
-    val retimeBudgetS =
-      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET_S", "300").toDouble
     val isolated = collection.mutable.Map.empty[String, Double]
     val retimesSkipped = collection.mutable.Buffer.empty[String]
     val retimeStart = System.nanoTime()
     def retimeElapsedS = (System.nanoTime() - retimeStart) / 1e9
-    for (batch <- suspects.grouped(6)) {
-      if (retimeElapsedS > retimeBudgetS) retimesSkipped ++= batch
+    for (batch <- suspects.grouped(2)) {
+      val outOfTime = retimeElapsedS > retimeBudgetS ||
+        wallS > wallBudgetS - forkTimeoutS
+      if (outOfTime) retimesSkipped ++= batch
       else try isolated ++= forkTimeQ(batch) catch {
         case e: Throwable =>
           System.err.println(s"[bench] fresh-JVM re-time failed (${e.getMessage}); falling back in-process")
@@ -258,10 +418,13 @@ object Bench {
           }
       }
     }
-    if (retimesSkipped.nonEmpty)
-      System.err.println(s"[bench] re-time wall budget (${retimeBudgetS}s) " +
-        s"exhausted after ${retimeElapsedS.toInt}s; kept interleaved medians " +
-        s"for: ${retimesSkipped.mkString(", ")}")
+    if (retimesSkipped.nonEmpty) {
+      degraded += s"re-time budget exhausted after ${retimeElapsedS.toInt}s; " +
+        s"kept interleaved medians for ${retimesSkipped.size} suspects"
+      System.err.println(s"[bench] ${degraded.last}: ${retimesSkipped.mkString(", ")}")
+    }
+    if (forkTimeouts.nonEmpty)
+      degraded += s"re-time forks killed at ${forkTimeoutS.toInt}s for: ${forkTimeouts.mkString(", ")}"
     // Headline per-query = solo median where re-timed (never the larger
     // of the two: re-timing exists because the contended number is wrong)
     val results = interleaved.map { case (name, med) =>
@@ -270,7 +433,7 @@ object Bench {
     def numMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = numMap(results)
-    val interJson = numMap(suspects.map(n => n -> interleaved.toMap.apply(n)))
+    val interJson = numMap(suspects.map(n => n -> interMap(n)))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\""
@@ -278,21 +441,23 @@ object Bench {
     // DuckDB stand-in ratio, recorded per round instead of recomputed by
     // hand each judge pass (VERDICT r7 item 7): the q-subset's oracle SQL
     // timed in in-process DuckDB over the same parquet, next to Spark's
-    // own q-subset seconds. Best-effort — a missing python/duckdb yields
-    // -1, never a failed bench.
-    // Both subset sums cover the SAME query set: DuckDB excludes its
-    // failures from its total, and Spark's sum drops those same names.
-    val duckPerQuery: Map[String, Double] = try {
-      val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
-      java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
-      val out = scala.sys.process.Process(
-        Seq("python3", "tools/duckdb_bench.py", sfDir, tmp.toString)).!!.trim
-      java.nio.file.Files.deleteIfExists(tmp)
-      """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(out)
-        .map(m => """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
-          .map(q => q.group(1) -> q.group(2).toDouble).toMap)
-        .getOrElse(Map.empty[String, Double])
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    // own q-subset seconds. Best-effort — a missing python/duckdb or an
+    // exhausted wall budget yields -1, never a failed bench.
+    val duckPerQuery: Map[String, Double] =
+      if (wallS > wallBudgetS) {
+        degraded += "duckdb ratio skipped (wall budget exhausted)"
+        Map.empty
+      } else try {
+        val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+        java.nio.file.Files.writeString(tmp, OracleJson(SparkEntry.oracleSql))
+        val out = scala.sys.process.Process(
+          Seq("python3", "tools/duckdb_bench.py", sfDir, tmp.toString)).!!.trim
+        java.nio.file.Files.deleteIfExists(tmp)
+        """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(out)
+          .map(m => """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
+            .map(q => q.group(1) -> q.group(2).toDouble).toMap)
+          .getOrElse(Map.empty[String, Double])
+      } catch { case _: Throwable => Map.empty[String, Double] }
     // both subset sums cover EXACTLY the intersection of successes:
     // queries DuckDB failed drop from Spark's sum AND queries Spark
     // failed drop from DuckDB's — a one-sided failure can no longer
@@ -312,13 +477,14 @@ object Bench {
     // headline numbers came from a solo re-time after heavy contention
     // rather than reconstructing it from the interleaved map by hand.
     val contentionFlags = results.collect {
-      case (n, v) if v > 0 && interleaved.toMap.get(n).exists(_ > 3 * v) => n
+      case (n, v) if v > 0 && interMap.get(n).exists(_ > 3 * v) => n
     }
-    val flagsJson = contentionFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedJson = retimesSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"interleaved":$interJson,"contention_flags":$flagsJson,"retimes_skipped":$skippedJson,"gates":"${if (Gates.enabled) "on" else "off"}","failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _.replaceAll("[\"\\\\]", " ") + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":false,"passes":$passesCompleted,"wall_s":${math.round(wallS)},"wall_budget_s":${math.round(wallBudgetS)},"machine_factor":{"prev":${math.round(prevFactor * 1000) / 1000.0},"committed":${math.round(commFactor * 1000) / 1000.0}},"queries":$qs,"interleaved":$interJson,"contention_flags":${strArr(contentionFlags)},"retimes_skipped":${strArr(retimesSkipped.toSeq)},"degraded":${strArr(degraded.toSeq)},"gates":"${if (Gates.enabled) "on" else "off"}","failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
     // Sole program-stdout line AND a file copy: when launched through sbt,
     // stdout lines get an "[info] " prefix that breaks a naive json parse.
+    finished = true
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
     spark.stop()

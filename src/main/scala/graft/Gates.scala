@@ -35,7 +35,22 @@ object Gates {
   def run(body: => Unit): Unit = if (enabled) body
 
   /** Resolve the mode a timing main should use: gates off unless the
-    * environment forces them on. */
-  def configureForTiming(): Unit =
-    enabled = sys.env.get("SPARK_GRAFT_GATES").exists(_.equalsIgnoreCase("on"))
+    * environment forces them on. Accepts the usual truthy/falsy
+    * spellings and REJECTS anything else loudly — a typo like
+    * `SPARK_GRAFT_GATES=On ` silently producing a gates-off run that
+    * the operator believes is gate-priced is exactly the kind of
+    * mislabeled artifact the gates/timing split exists to prevent. */
+  def configureForTiming(): Unit = {
+    val truthy = Set("on", "1", "true", "yes")
+    val falsy = Set("off", "0", "false", "no", "")
+    enabled = sys.env.get("SPARK_GRAFT_GATES").map(_.trim.toLowerCase) match {
+      case Some(v) if truthy(v) => true
+      case Some(v) if falsy(v) => false
+      case Some(v) =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_GATES='$v' is not a recognized value " +
+            s"(use one of ${(truthy ++ falsy - "").toSeq.sorted.mkString("/")})")
+      case None => false
+    }
+  }
 }

@@ -213,7 +213,9 @@ case class BitmapContainsExpr(left: Expression, right: Expression)
 
 object BitmapExprs {
   /** Register as temp SQL functions (used via `call_function`). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "BitmapExprs")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def one(name: String, f: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, f, "built-in")

@@ -55,6 +55,8 @@ object CdcBoundariesExpr {
   final val Mod = 1000003L
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "CdcBoundariesExpr")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_boundaries",
       { exprs =>

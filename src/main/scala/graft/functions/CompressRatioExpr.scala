@@ -132,7 +132,9 @@ case class DistinctKgramsExpr(child: Expression, k: Int) extends UnaryExpression
 }
 
 object CompressRatioExpr {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "CompressRatioExpr")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_ratio",
       { exprs =>

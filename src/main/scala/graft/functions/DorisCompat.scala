@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType,
   */
 object DorisCompat {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "DorisCompat")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bitmap_from_array",
       { exprs =>

@@ -281,7 +281,9 @@ object FunnelAggs {
 
   // ----------------------------------------------------------- registration
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "FunnelAggs")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_window_funnel",
       { exprs =>
         require(exprs.length >= 3, "graft_window_funnel(windowMicros, ts, cond1, ...)")

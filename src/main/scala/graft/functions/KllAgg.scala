@@ -165,7 +165,9 @@ case class KllQuantilesExpr(left: Expression, right: Expression)
 }
 
 object KllAgg {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "KllAgg")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kll",
       { exprs =>
         require(exprs.length == 2, "graft_kll(value, k)")

@@ -182,7 +182,9 @@ case class KmvMinsAggExpr(
 }
 
 object KmvAgg {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "KmvAgg")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv",
       { exprs =>
         require(exprs.length == 2, "graft_kmv(unitHash, k)")

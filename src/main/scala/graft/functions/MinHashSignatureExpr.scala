@@ -59,6 +59,8 @@ object MinHashSignatureExpr {
     * expression through the public Column API:
     * `graft_minhash_sig(shingles, k, seed)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "MinHashSignatureExpr")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       { exprs =>

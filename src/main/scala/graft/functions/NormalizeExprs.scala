@@ -63,7 +63,9 @@ case class StripAccentsExpr(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeExprs {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "NormalizeExprs")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc",
       { exprs =>

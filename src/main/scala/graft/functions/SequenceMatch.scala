@@ -307,7 +307,9 @@ object SequenceMatch {
 
   // --------------------------------------------------------- registration
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "SequenceMatch")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_sequence_match",
       { exprs =>
         require(exprs.length >= 3, "graft_sequence_match(pattern, ts, cond1, ...)")

@@ -39,6 +39,8 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 
 object ShingleHashesExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "ShingleHashesExpr")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       { exprs =>

@@ -173,6 +173,8 @@ case class TopNAggExpr(
 
 object TopKAgg {
   def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "TopKAgg")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_topn",
       { exprs =>
         require(exprs.length == 3, "graft_topn(col, k, capacity)")

@@ -121,7 +121,9 @@ case class VecSumAggExpr(
 }
 
 object VecSumAgg {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "VecSumAgg")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_vec_sum",
       { exprs =>
         require(exprs.length == 1, "graft_vec_sum(vec)")

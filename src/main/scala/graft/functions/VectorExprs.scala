@@ -283,7 +283,9 @@ object VectorExprs {
 
   /** Register the kernels as temp SQL functions reachable through the
     * public Column API via `functions.call_function`. */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "VectorExprs")(doRegister(spark))
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       { exprs =>

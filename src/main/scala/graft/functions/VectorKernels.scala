@@ -196,9 +196,18 @@ object VectorKernels {
     * long array (set semantics — consumers only intersect/size). */
   def shingleHashes(input: UTF8String, n: Int): ArrayData = {
     // Locale.ROOT for the same reason as `winnowing` below
-    val s = input.toString.toLowerCase(java.util.Locale.ROOT).trim
-    if (s.isEmpty) return new GenericArrayData(Array.empty[Long])
-    val toks = s.split("\\s+")
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+    // Tokens = maximal nonempty `\s+`-delimited runs, matching
+    // TextOps.tokens and the oracle's duckToks exactly (r12 ADVICE: the
+    // previous String.trim stripped ALL chars <= U+0020 — including
+    // non-\s controls like \x01 — so a doc framed by such bytes
+    // tokenized differently here than in the string-shingle chain).
+    // Java's split already drops trailing empties; only a leading empty
+    // token (text starting with whitespace) needs dropping.
+    val raw = s.split("\\s+")
+    val toks =
+      if (raw.nonEmpty && raw(0).isEmpty) java.util.Arrays.copyOfRange(raw, 1, raw.length)
+      else raw
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](toks.length)
     var i = 0

@@ -46,6 +46,8 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
 
 object WinnowingExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    RegisterOnce(spark, "WinnowingExpr")(doRegister(spark))
+  private def doRegister(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnowing",
       { exprs =>

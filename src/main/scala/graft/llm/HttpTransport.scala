@@ -132,7 +132,9 @@ final class HttpTransport(
         if (line.isEmpty) dispatch()
         else if (line.startsWith("data:")) {
           if (dataBuf.nonEmpty) dataBuf.append('\n')
-          dataBuf.append(line.drop("data:".length).stripPrefix(" ").trim)
+          // SSE field-value rule: strip exactly ONE leading space; any
+          // other whitespace is part of the payload
+          dataBuf.append(line.drop("data:".length).stripPrefix(" "))
         } // event:/id:/retry:/comment lines are ignored
         line = if (done) null else reader.readLine()
       }

@@ -580,6 +580,38 @@ object Ann {
     marginFromScores(scored, k, acceptMargin)
   }
 
+  /** Bitext margin mining with the regime dispatch [[nearDupPairsAuto]]
+    * established for near-dup pairs (VERDICT r12 item 4 — nothing
+    * auto-routed past [[bitextMargin]]'s |A|·|B| contract before this):
+    * while the exact score matrix fits the work budget
+    * (|A|·|B| ≤ `maxExactProducts`, default 1e9 ≈ the measured-fine sf1
+    * point with ~10× headroom priced at ~1 fused multiply-add per cell)
+    * this IS [[bitextMargin]] — byte-identical accepts — and past it the
+    * candidate generator swaps to [[bitextMarginIndexed]]'s cross-side
+    * LSH postings with `planes` auto-raised to hold E[bucket] ≈
+    * `bucketTarget` on the larger side (the same bucket discipline
+    * lshNeighbors applies), so candidate volume stays
+    * Σ |bktA|·|bktB| ≈ linear-per-table instead of quadratic. The margin
+    * arithmetic is identical in both regimes (shared helper); the
+    * indexed regime's approximation contract is documented at
+    * [[bitextMarginIndexed]] and gated in the p89 driver entry.
+    * Pass `countsOverride` when the caller already knows |A|/|B| (or to
+    * force a regime in tests) — otherwise each side pays one count(). */
+  def bitextMarginAuto(a: DataFrame, b: DataFrame, dims: Int,
+                       k: Int = 4, acceptMargin: Double = 1.2,
+                       maxExactProducts: Long = 1_000_000_000L,
+                       bucketTarget: Int = 125, tables: Int = 16,
+                       seed: Long = 7,
+                       countsOverride: Option[(Long, Long)] = None): DataFrame = {
+    val (nA, nB) = countsOverride.getOrElse((a.count(), b.count()))
+    if (nA * nB <= maxExactProducts) bitextMargin(a, b, k, acceptMargin)
+    else {
+      val planes = math.max(4, math.ceil(math.log(
+        math.max(nA, nB).toDouble / bucketTarget) / math.log(2)).toInt)
+      bitextMarginIndexed(a, b, dims, k, acceptMargin, planes, tables, seed)
+    }
+  }
+
   /** Hard-negative TRIPLET mining for contrastive/embedding training
     * (the SimCLR/SBERT data-prep step): for each anchor, the positive is
     * its highest-cosine SAME-label vector and the hard negative its

@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of the lower-cased, trimmed text. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokens of the lower-cased text: the maximal nonempty
+    * runs between `\s+` separators. The empty-string removal is what
+    * makes the three tokenizer sites agree on texts with LEADING or
+    * TRAILING whitespace (r12 ADVICE): SQL `trim` strips only spaces, so
+    * `split(trim(lower(text)), "\\s+")` kept a phantom ""‑token on a
+    * trailing `\n`/`\t` — present in real corpora everywhere — while the
+    * compiled kernel ([[graft.functions.VectorKernels.shingleHashes]])
+    * and the DuckDB oracle's `duckToks` each did their own thing. All
+    * three now compute this same token list. */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** BPE-ish subword pre-tokenization: letter runs, digit runs, and
     * single punctuation marks — the word-boundary split BPE vocabularies

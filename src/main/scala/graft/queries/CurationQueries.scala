@@ -1379,7 +1379,8 @@ object CurationQueries extends QueryModule {
     concat(lit("footer variant "), (col("doc_id") % 25).cast("string"), lit(".")),
     concat(lit("unique remark "), col("doc_id").cast("string"), lit(".")))
 
-  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
   /** duckToks with the empty-string phantom dropped — string_split of an
     * empty doc is [''], and the Lm family filters it engine-side; these
@@ -1798,7 +1799,7 @@ object CurationQueries extends QueryModule {
                      FROM sc) WHERE rk = 1),
       posts AS (SELECT p.doc_id AS id, r.lang_pred AS grp,
                        unnest(list_filter(
-                         string_split_regex(trim(lower(p.text)), '\\s+'),
+                         string_split_regex(lower(p.text), '\\s+'),
                          t -> t <> '')) AS tok
                 FROM planted p JOIN pred r USING (doc_id)),
       m2 AS (SELECT grp, tok, COUNT(*) AS cnt FROM posts GROUP BY 1, 2),
@@ -2371,8 +2372,8 @@ object CurationQueries extends QueryModule {
 
     "p80_prefix_jaccard" -> """
       WITH t AS (SELECT doc_id AS id,
-                        list_distinct(string_split_regex(
-                          trim(lower(text)), '\s+')) AS ts
+                        list_distinct(list_filter(string_split_regex(
+                          lower(text), '\s+'), t -> t <> '')) AS ts
                  FROM documents),
       p AS (SELECT id, unnest(ts) AS tok FROM t),
       sz AS (SELECT id, len(ts) AS n FROM t),
@@ -2711,7 +2712,7 @@ object CurationQueries extends QueryModule {
              list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
            FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS tk
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
                  FROM documents)
            WHERE len(tk) >= 3),
       p AS MATERIALIZED (SELECT id, unnest(ts) AS tok FROM t),
@@ -2757,7 +2758,7 @@ object CurationQueries extends QueryModule {
   private lazy val groupSplitOracle: String = """
       WITH RECURSIVE
       t AS MATERIALIZED (SELECT doc_id AS id,
-             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ts
            FROM documents),
       p AS MATERIALIZED (SELECT id, unnest(ts) AS tok FROM t),
       sz AS MATERIALIZED (SELECT id, len(ts) AS n FROM t),

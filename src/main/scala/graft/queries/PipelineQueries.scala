@@ -1285,7 +1285,8 @@ object PipelineQueries extends QueryModule {
     })
   )
 
-  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
   private val duckStops = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(

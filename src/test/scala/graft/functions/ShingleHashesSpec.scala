@@ -42,7 +42,16 @@ class ShingleHashesSpec extends AnyFunSuite {
       "exactly three tokens",
       "two tokens",                         // < n ⇒ empty
       "one",
-      "tab\tseparated\tand\nnewline separated tokens here")
+      "tab\tseparated\tand\nnewline separated tokens here",
+      // r12 ADVICE: LEADING/TRAILING non-space whitespace — real corpora
+      // end in '\n' constantly, and the kernel/chain/oracle trio used to
+      // disagree on exactly these (SQL trim strips only spaces, so the
+      // chain kept a phantom ""-token the kernel never saw)
+      "ends with a newline\n",
+      "\tstarts with a tab and more words",
+      "\n\nframed by newlines either side\t\n",
+      "a b\n",
+      "\t\na b c\t")
     for (t <- texts; n <- Seq(2, 3)) {
       val h = hashesOf(Seq(t), n).head
       val expected = stringShingleCount(t, n)

@@ -174,6 +174,35 @@ class PipelineSpec extends SparkSpec {
       f"candidate volume $volume%.0f over the linear bound")
   }
 
+  test("semDedup cell recall tracks the probed-cell fraction (the r12 measured curve, as a law)") {
+    // VERDICT r12 item 7: the measured curve (96.5% recall at a 25%
+    // probed-cell fraction, 60% at 2.5% — the evidence that rejected the
+    // 8k crossover) is the load-bearing fact behind keeping LSH in
+    // nearDupPairsAuto's default regime. Encode its SHAPE as a law so a
+    // change to semDedupPairsProbed that shifts the curve fails a test,
+    // not a round: at a moderate threshold, recall at a high probed
+    // fraction clears the floor the swap would need, recall at a low
+    // fraction does NOT (it is genuinely lossy — anyone proposing the
+    // cell regime at corpus-implied fractions must pay that), and the
+    // curve is monotone in the fraction.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embsBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val truth = pairSet(Ann.exactProbePairs(embsBig, 1000000L, 0.45))
+    def recallAt(nCells: Int, nProbe: Int): Double = {
+      val got = pairSet(Ann.semDedupPairsProbed(embsBig, nCells, nProbe, 0.45))
+      assert(got.subsetOf(truth), "exact verify ⇒ no false pairs at any fraction")
+      (truth & got).size.toDouble / truth.size
+    }
+    val rHigh = recallAt(16, 4)  // 25% probed fraction (the measured point)
+    val rLow = recallAt(40, 1)   // 2.5% — what a ×10 corpus implies
+    assert(rHigh >= 0.85, f"high-fraction recall $rHigh%.3f under the 0.85 floor")
+    assert(rLow <= 0.90, f"low-fraction recall $rLow%.3f suspiciously high — " +
+      "if the curve genuinely moved, re-derive the nearDupPairsAuto crossover " +
+      "(SCALE.md p09) before relaxing this ceiling")
+    assert(rLow < rHigh, f"curve must be monotone in fraction: $rLow%.3f !< $rHigh%.3f")
+  }
+
   test("autoLshParams: reproduces tuned params at test scale; planes-growth law") {
     // at every test SF (n ≤ 2000 embeddings) the floors must reproduce
     // the hand-tuned (4, 32) EXACTLY — oracle behavior unchanged
@@ -836,6 +865,28 @@ class PipelineSpec extends SparkSpec {
     assert(a2 === 2L && Set(20L, 21L, 22L, 23L).contains(b2))
     assert(m1 > m2, f"twin margin $m1%.3f should beat field margin $m2%.3f")
     assert(acc1, "the isolated twin must clear the accept threshold")
+  }
+
+  test("bitextMarginAuto: byte-identical to the exact form below the swap; routes to the indexed form above it") {
+    val rnd = new scala.util.Random(17)
+    def v(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val a = (1L to 40L).map(i => (i, v())).toDF("vec_id", "embedding")
+    val b = (100L to 160L).map(i => (i, v())).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cos_r", "margin", "accepted")
+        .as[(Long, Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // below the bound (40*61 << 1e9): the auto path IS the exact path
+    assert(rows(Ann.bitextMarginAuto(a, b, dims = 8)) ===
+      rows(Ann.bitextMargin(a, b)))
+    // above the bound (forced): the auto path IS the indexed path at the
+    // auto-derived planes (max(4, ...) = 4 here) — the swap changes the
+    // candidate generator, never the margin arithmetic
+    assert(rows(Ann.bitextMarginAuto(a, b, dims = 8, maxExactProducts = 1)) ===
+      rows(Ann.bitextMarginIndexed(a, b, dims = 8, planes = 4, tables = 16)))
+    // and countsOverride skips the counts while forcing the same regime
+    assert(rows(Ann.bitextMarginAuto(a, b, dims = 8, maxExactProducts = 1,
+      countsOverride = Some((40L, 61L)))) ===
+      rows(Ann.bitextMarginIndexed(a, b, dims = 8, planes = 4, tables = 16)))
   }
 
   test("hardNegatives: planted geometry picks the right positive, negative, and violation bit") {

@@ -64,8 +64,9 @@ def main():
     failed = [k for k, v in q1.items() if v < 0]
     flags = []
     # Queries present at sf1 but missing/zero in the baseline cannot be
-    # graded by the 20x law — say so (the repo's "no silent caps" rule):
-    # a brand-new superlinear query must not pass by omission.
+    # graded by the 20x law — and "must not pass by omission" means they
+    # FAIL the gate (exit 1) until the sf0.1 baseline is refreshed to
+    # cover them; a brand-new superlinear query gets no free round.
     ungraded = sorted(k for k, v in q1.items()
                       if v >= 0 and not (q0.get(k) or 0) > 0)
     for name, t1 in sorted(q1.items()):
@@ -101,10 +102,11 @@ def main():
     n_compared = sum(1 for k in q1 if k in q0)
     print(f"compared {n_compared} queries; {len(failed)} failed at sf1; "
           f"{len(flags)} flagged; {len(breaches)} unexcepted breaches; "
-          f"{len(ungraded)} ungraded (missing from baseline): {ungraded}")
+          f"{len(ungraded)} ungraded (missing from baseline — these FAIL "
+          f"the gate until the baseline covers them): {ungraded}")
     for f_ in flags:
         print("  ", f_)
-    sys.exit(1 if (breaches or failed) else 0)
+    sys.exit(1 if (breaches or failed or ungraded) else 0)
 
 
 if __name__ == "__main__":
