@@ -12,12 +12,13 @@ object PlanAudit {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cap = sys.env.getOrElse("SPARK_GRAFT_PLAN_CHARS", "6000").toInt
     for (name <- args) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(6000))
+        org.apache.spark.sql.execution.FormattedMode).take(cap))
     }
     spark.stop()
   }

@@ -771,6 +771,26 @@ object Dedup {
       .map(i => i.memSize + i.diskSize)
   }
 
+  /** [[checkpointBytes]] restricted to frames that ARE a materialized
+    * checkpoint (possibly under row-preserving Project/alias nodes): a
+    * checkpoint buried under joins/explodes says nothing about the bytes
+    * of the DERIVED frame, so it must not gate a collect of it. */
+  private def directCheckpointBytes(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => strip(c) // 1:1 rows by construction
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id).map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+  }
+
   /** Join-strategy decision for the node-bounded side of an iterative
     * round (labels, per-node minima): broadcast hint iff the measured
     * size fits the configured
@@ -799,6 +819,110 @@ object Dedup {
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
+
+  // ---- LOCAL (driver union-find) CC fast path -------------------------
+  // Both CC strategies broadcast their node-bounded label/minima tables
+  // EVERY ROUND when the measured edge bytes fit the hint cap — so for a
+  // graph that small, the component structure is bounded driver metadata
+  // by the same argument, and a single O(E·α(E)) union-find replaces
+  // 5–10 distributed rounds (each round: broadcast builds + a checkpoint
+  // materialization + a convergence aggregate — measured ~0.4–0.6 s of
+  // pure fixed cost per round at sf0.1, data volume irrelevant). The
+  // gate is MEASURED, never assumed: checkpoint bytes when the input is
+  // already materialized (free, off the block manager), else the bytes
+  // of the canonical edge checkpoint the loop was about to build anyway
+  // — so the local path never adds a recompute of a heavy pair plan.
+  // Past the cap the distributed loops run unchanged (the 100 TB path).
+  // Both strategies converge to the component-minimum label, and so does
+  // union-find — CurationSpec pins the three-way equality as a law.
+
+  /** Conf key for the local-CC byte cap; 0 forces the distributed loop
+    * (specs exercising loop semantics set it). */
+  val CcLocalMaxBytesConf = "graft.cc.localMaxBytes"
+
+  /** Default local-CC cap: 64 MB of measured checkpoint bytes (≈2M edge
+    * rows) — far under driver heap, and a size where the distributed
+    * loop's per-round fixed costs dwarf the collect. */
+  val CcLocalDefaultMaxBytes: Long = 64L << 20
+
+  private def ccLocalCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(CcLocalMaxBytesConf).map(_.toLong)
+      .getOrElse(CcLocalDefaultMaxBytes)
+
+  /** Union-find over collected (a, b) rows → (node, component-min) pairs.
+    * `selfNodes`: register a row's non-null endpoints as nodes even when
+    * the row is a self-loop / half-null (mirrors the min-label loop's
+    * self-loop construction; the alternating loop drops such rows and
+    * passes pre-filtered input). Path-halving find + union-by-size. */
+  private[pipeline] def unionFindLabels(rows: Array[org.apache.spark.sql.Row])
+      : Array[(Long, Long)] = {
+    val idx = new java.util.HashMap[java.lang.Long, Integer](rows.length * 2)
+    val nodes = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+    def nodeId(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else { val n = nodes.length; idx.put(x, n); nodes += x; n }
+    }
+    // first pass registers nodes so the parent array can size once
+    var r = 0
+    val ab = new Array[Int](rows.length * 2)
+    while (r < rows.length) {
+      val row = rows(r)
+      val ai = if (row.isNullAt(0)) -1 else nodeId(row.getLong(0))
+      val bi = if (row.isNullAt(1)) -1 else nodeId(row.getLong(1))
+      ab(2 * r) = ai; ab(2 * r + 1) = bi
+      r += 1
+    }
+    val parent = Array.tabulate(nodes.length)(identity)
+    val size = Array.fill(nodes.length)(1)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    r = 0
+    while (r < rows.length) {
+      val ai = ab(2 * r); val bi = ab(2 * r + 1)
+      if (ai >= 0 && bi >= 0 && ai != bi) {
+        val ra = find(ai); val rb = find(bi)
+        if (ra != rb) {
+          if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+          else { parent(ra) = rb; size(rb) += size(ra) }
+        }
+      }
+      r += 1
+    }
+    // component minimum per root, then one labeling pass
+    val minOf = new Array[Long](nodes.length)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < nodes.length) {
+      val root = find(i)
+      if (nodes(i) < minOf(root)) minOf(root) = nodes(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](nodes.length)
+    i = 0
+    while (i < nodes.length) { out(i) = (nodes(i), minOf(find(i))); i += 1 }
+    out
+  }
+
+  /** Build the (v, lbl) label frame from local union-find output. The
+    * frame is provably under the local cap (it was just collected), so
+    * it carries the broadcast hint every consumer join wants; parallelize
+    * (not a LocalRelation literal) keeps large label sets out of the
+    * logical plan. */
+  private def labelsFrame(spark: org.apache.spark.sql.SparkSession,
+                          labels: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("lbl", LongType, nullable = false)))
+    val slices = math.max(1, labels.length / 500000)
+    val rdd = spark.sparkContext.parallelize(
+      labels.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), slices)
+    broadcast(spark.createDataFrame(rdd, schema))
+  }
 
   /** Connected components over near-dup PAIRS → per-doc cluster labels
     * (label = min doc id in the component) — the step that turns a pair
@@ -835,10 +959,26 @@ object Dedup {
     // old-vs-new comparison join, one tiny aggregate per round.
     val base = pairs.select(col("i").cast("long").as("a"),
       col("j").cast("long").as("b"))
+    // LOCAL fast path, gate 1 (free): the caller handed us an already-
+    // materialized checkpoint whose measured bytes fit the local cap —
+    // collect it and union-find on the driver (see the block comment
+    // above unionFindLabels). Half-null rows register their non-null
+    // endpoint as an isolated node, mirroring the self-loop construction.
+    val cap = ccLocalCap(pairs)
+    if (directCheckpointBytes(pairs).exists(_ <= cap))
+      return labelsFrame(pairs.sparkSession, unionFindLabels(base.collect()))
     val sym = base.unionByName(
       base.select(col("b").as("a"), col("a").as("b")))
     val edges = sym.unionByName(sym.select(col("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    // LOCAL fast path, gate 2: the canonical edge checkpoint the loop
+    // needs anyway just materialized — its measured bytes are free, and
+    // collecting its blocks recomputes nothing.
+    if (checkpointBytes(edges).exists(_ <= cap)) {
+      val rows = edges.collect()
+      releaseCheckpoint(edges)
+      return labelsFrame(pairs.sparkSession, unionFindLabels(rows))
+    }
     // Per-round join strategy, decided ONCE from the measured CHECKPOINT
     // bytes (free, off the block manager): label tables are node-bounded
     // and strictly smaller than the edge set, so edges-under-cap ⇒
@@ -963,9 +1103,24 @@ object Dedup {
     // The superseded round's checkpoint blocks are released explicitly
     // (the eager checkpoint of `next` has already consumed them) so peak
     // storage is two edge sets, not one per round.
+    // LOCAL fast path (same two measured gates as connectedComponents;
+    // this strategy's node universe is endpoints of a≠b rows only, so
+    // the collected rows are pre-filtered to match the loop's edges)
+    val cap = ccLocalCap(pairs)
+    val prefiltered = pairs
+      .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    if (directCheckpointBytes(pairs).exists(_ <= cap))
+      return labelsFrame(pairs.sparkSession,
+        unionFindLabels(prefiltered.collect()))
     var edges = pairs
       .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    if (checkpointBytes(edges).exists(_ <= cap)) {
+      val rows = edges.collect()
+      releaseCheckpoint(edges)
+      return labelsFrame(pairs.sparkSession, unionFindLabels(rows))
+    }
     // gate on the EDGE checkpoint's measured bytes (free, off the block
     // manager): the per-node minima tables are strictly smaller than the
     // edge set (grouped per node, skinnier rows), so edges-under-cap ⇒
@@ -1139,14 +1294,28 @@ object Dedup {
     // derived from the docAgg cache (a field projection over the sorted
     // struct array — scan-local, no second groupBy over the postings);
     // the sizeGated count below doubles as docAgg's materializing action
-    val setExpr = if (injective) transform(col("ts"), t => t.getField("h"))
+    // The surrogate arrays SORT ONCE per document (longs, scan-local)
+    // so the per-candidate intersection is an allocation-free linear
+    // merge inside codegen (graft_sorted_intersect_count) instead of
+    // array_intersect's per-pair hash set + materialized output array —
+    // the same swap Graphs.triangleStats measured 5.0 → 3.1 s at sf0.1.
+    // Sorting changes only element ORDER: |∩|, the set sizes, and every
+    // downstream Jaccard are unchanged (PrefixJoinSpec pins equality).
+    // The astronomically-rare non-injective fallback keeps token-string
+    // sets and the hash-based intersect (the kernel is long-typed).
+    val setExpr = if (injective)
+                    array_sort(transform(col("ts"), t => t.getField("h")))
                   else transform(col("ts"), t => t.getField("tok"))
     val rankSets = graft.operators.Broadcasts.sizeGated(
       docAgg.select(col("id"), setExpr.as("tr")))
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val interExpr =
+      if (injective) expr("graft_sorted_intersect_count(ta, tb)")
+      else size(array_intersect(col("ta"), col("tb"))).cast("long")
     val pairs = cands
       .join(rankSets.select(col("id").as("i"), col("tr").as("ta")), "i")
       .join(rankSets.select(col("id").as("j"), col("tr").as("tb")), "j")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", interExpr)
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -103,12 +103,28 @@ object LangId {
       .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
     // one floor row per language — a handful of rows, always broadcast
     val floors = model.select("lang", "logp_oov").distinct()
-    grams.crossJoin(broadcast(floors))
+    // Σ cnt·coalesce(logp, logp_oov) over every (gram, lang) pair, but
+    // WITHOUT fanning the gram stream out ×|langs| before aggregating
+    // (r13, guide §2.3 — aggregate before you shuffle/fan out):
+    //   score(id, lang) = Σ_matched cnt·(logp − logp_oov)
+    //                   + (Σ_all cnt)·logp_oov(lang)
+    // The matched part is an INNER join on the gram alone (each gram
+    // meets only the languages that know it — a strict subset of the
+    // old ×|langs| cross fan-out), and the floor term fans out over the
+    // PER-DOCUMENT totals table (one row per doc), not the gram stream.
+    // Same algebra, same 1e-6 rounding contract as before.
+    val matched = grams
       .join(graft.operators.Broadcasts.sizeGated(
-        model.select("lang", "gram", "logp")), Seq("lang", "gram"), "left")
+          model.select(col("lang"), col("gram"), col("logp"),
+            col("logp_oov").as("f"))), Seq("gram"))
       .groupBy("id", "lang")
-      .agg(round(sum(col("cnt") *
-        coalesce(col("logp"), col("logp_oov"))), 6).as("score"))
+      .agg(sum(col("cnt") * (col("logp") - col("f"))).as("adj"))
+    val totals = grams.groupBy("id").agg(sum(col("cnt")).as("n_g"))
+    totals.crossJoin(broadcast(floors))
+      .join(matched, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        round(coalesce(col("adj"), lit(0.0)) +
+          col("n_g") * col("logp_oov"), 6).as("score"))
   }
 
   /** Argmax classification. Returns (id, lang_pred, score) — one row per

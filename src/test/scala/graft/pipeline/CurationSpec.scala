@@ -715,20 +715,56 @@ class CurationSpec extends SparkSpec {
 
   // ---- Dedup.connectedComponentsAlternating --------------------------------
 
+  /** Run `body` with the local union-find CC path disabled, so the
+    * DISTRIBUTED loop is what the assertions exercise. */
+  private def withDistributedCC[T](body: => T): T = {
+    spark.conf.set(Dedup.CcLocalMaxBytesConf, "0")
+    try body finally spark.conf.unset(Dedup.CcLocalMaxBytesConf)
+  }
+
   test("alternating CC matches min-label propagation on a random graph") {
-    val rnd = new scala.util.Random(11)
-    val pairs = (0 until 150).map(_ =>
-      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
-      .filter(p => p._1 != p._2)
-      .toDF("i", "j")
-    val alt = Dedup.connectedComponentsAlternating(pairs)
-      .as[(Long, Long)].collect().toMap
-    val ml = Dedup.connectedComponents(pairs, maxIter = 100)
-      .as[(Long, Long)].collect().toMap
-    assert(alt === ml)
+    withDistributedCC {
+      val rnd = new scala.util.Random(11)
+      val pairs = (0 until 150).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("i", "j")
+      val alt = Dedup.connectedComponentsAlternating(pairs)
+        .as[(Long, Long)].collect().toMap
+      val ml = Dedup.connectedComponents(pairs, maxIter = 100)
+        .as[(Long, Long)].collect().toMap
+      assert(alt === ml)
+    }
+  }
+
+  test("local union-find CC == distributed loops, both strategies, seeded shapes") {
+    // the law that licenses the measured-size-gated driver path (r13):
+    // under the cap the collect+union-find must label EXACTLY as the
+    // loop it replaces — per strategy, self-loops and parallel edges in
+    for (seed <- 21 to 26) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(50)
+      val m = n / 2 + rnd.nextInt(n * 2)
+      val pairs = (0 until m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("i", "j")
+      val noSelf = pairs.filter(col("i") =!= col("j"))
+      val (mlLoop, altLoop) = withDistributedCC {
+        (Dedup.connectedComponents(pairs, maxIter = 100)
+          .as[(Long, Long)].collect().toMap,
+          Dedup.connectedComponentsAlternating(noSelf)
+            .as[(Long, Long)].collect().toMap)
+      }
+      val mlLocal = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val altLocal = Dedup.connectedComponentsAlternating(noSelf)
+        .as[(Long, Long)].collect().toMap
+      assert(mlLocal === mlLoop, s"min-label local != loop, seed=$seed")
+      assert(altLocal === altLoop, s"alternating local != loop, seed=$seed")
+    }
   }
 
   test("alternating CC == min-label across seeded graph shapes") {
+    withDistributedCC {
     // property sweep guarding smallStar's oriented-input precondition
     // (r9 drops its canonicalization as a no-op on largeStar output):
     // densities from forest-sparse to near-complete, parallel edges
@@ -749,16 +785,19 @@ class CurationSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(alt === ml, s"seed=$seed n=$n m=$m")
     }
+    }
   }
 
   test("alternating CC converges on a 200-node chain in few rounds") {
-    // diameter 199: min-label would need 199 rounds; star contraction
-    // must do it within the default budget (O(log n))
-    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
-    val labels = Dedup.connectedComponentsAlternating(pairs, maxIter = 15)
-      .as[(Long, Long)].collect()
-    assert(labels.length === 200)
-    assert(labels.forall(_._2 === 0L))
+    withDistributedCC {
+      // diameter 199: min-label would need 199 rounds; star contraction
+      // must do it within the default budget (O(log n))
+      val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
+      val labels = Dedup.connectedComponentsAlternating(pairs, maxIter = 15)
+        .as[(Long, Long)].collect()
+      assert(labels.length === 200)
+      assert(labels.forall(_._2 === 0L))
+    }
   }
 
   test("alternating CC labels two disjoint chains by their minima") {

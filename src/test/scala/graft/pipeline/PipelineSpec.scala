@@ -830,14 +830,19 @@ class PipelineSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(cc(_) == 20L))
     assert(cc.size == 9)
     // maxIter below the diameter leaves the far end unlabeled-minimal:
-    // the bound is honored, not silently exceeded
-    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L),
-      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("i", "j")
-    intercept[IllegalArgumentException](
-      Dedup.connectedComponents(chain, maxIter = 2))
-    val partial = Dedup.connectedComponents(chain, maxIter = 2,
-      allowPartial = true).as[(Long, Long)].collect().toMap
-    assert(partial(8L) > 1L)
+    // the bound is honored, not silently exceeded. maxIter is a LOOP
+    // contract — the local union-find path is exact by construction —
+    // so the loop is forced for this part (cap 0).
+    spark.conf.set(Dedup.CcLocalMaxBytesConf, "0")
+    try {
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("i", "j")
+      intercept[IllegalArgumentException](
+        Dedup.connectedComponents(chain, maxIter = 2))
+      val partial = Dedup.connectedComponents(chain, maxIter = 2,
+        allowPartial = true).as[(Long, Long)].collect().toMap
+      assert(partial(8L) > 1L)
+    } finally spark.conf.unset(Dedup.CcLocalMaxBytesConf)
   }
 
   // ---- Ann.bitextMargin --------------------------------------------------
