@@ -42,6 +42,21 @@ object Tables {
     }
   }
 
+  /** Conditional scan-spread (r13, guide §2.5 "input skew"): the test
+    * corpora ship documents/embeddings as SINGLE-row-group parquet
+    * files, so Spark scans them as ONE task and every scan-local heavy
+    * stage — shingle kernels, per-pair cosines, text quality passes —
+    * serializes on one core (measured: 2.5 s of p09's 5 s in one task).
+    * Round-robin up to the session's parallelism ONLY when the scan's
+    * partitioning is below it; on any real corpus (many files / row
+    * groups) this is a structural no-op — no exchange is added. The
+    * shuffled bytes are the frame itself, paid once, against a ×cores
+    * speedup of every downstream scan-local stage. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every table as a temp view (for the spark.sql surface).
     * Memoized per (session, dir): many queries call this and re-reading
     * ten parquet footers per query is pure fixed overhead. */

@@ -44,7 +44,17 @@ object EntityRes {
     val sizes = graft.operators.Broadcasts.sizeGated(
       keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= blockCap).select("bk"))
-    val kept = keyed.join(sizes, "bk")
+    // Explicit bk-repartition at the session's parallelism: the block
+    // self-join's INPUT bytes are tiny but its output/CPU is Σ|block|²
+    // pairs of edit-distance DP — left to AQE, the byte-based coalescer
+    // folds the post-shuffle side to ONE partition and the whole verify
+    // runs single-task (measured 4.3 s of a 6 s query in one task at
+    // sf0.1). A user repartition is exempt from AQE coalescing, and both
+    // self-join sides derive from it, so ONE exchange feeds the join
+    // co-partitioned. Partition count follows the session, not a
+    // constant — scale-adaptive by construction.
+    val kept = keyed.join(sizes, "bk").repartition(
+      keyed.sparkSession.sparkContext.defaultParallelism, col("bk"))
     val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
     val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
     a.join(b, "bk")
@@ -146,7 +156,11 @@ object EntityRes {
     val sizes = graft.operators.Broadcasts.sizeGated(
       keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= blockCap).select("bk"))
-    val kept = keyed.join(sizes, "bk")
+    // same AQE-coalesce guard as blockedPairs: the pair verify is CPU-
+    // quadratic per block while its input bytes are tiny — pin the join
+    // parallelism with an explicit (coalesce-exempt) bk repartition
+    val kept = keyed.join(sizes, "bk").repartition(
+      keyed.sparkSession.sparkContext.defaultParallelism, col("bk"))
     val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
     val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
     // NULL-γ convention: a comparator that cannot decide (e.g.

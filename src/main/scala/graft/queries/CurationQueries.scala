@@ -16,8 +16,10 @@ import graft.pipeline.{Ann, Clean, Dedup, EntityRes, LangId, Lm, Mixing, Privacy
 object CurationQueries extends QueryModule {
 
   private val outRoot = s"${graft.Land.root}/curation"
-  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String) =
+    Tables.spread(Tables.t(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String) =
+    Tables.spread(Tables.t(s, dir, "embeddings"))
 
   /** The synthetic corpus is single-line and boilerplate-free, so the
     * C4 query first AUGMENTS each doc with deterministic doc_id-derived
@@ -882,8 +884,10 @@ object CurationQueries extends QueryModule {
       // array), so the quadratic blowup never exists as join rows —
       // only the already-deduplicating edge `distinct` shuffles pairs.
       // Two consumers (edges + the cap accounting) → tracked persist.
+      // spread: the single-row-group lineitem file otherwise feeds the
+      // whole collect_set partial aggregation through one scan task
       val byOrder = graft.operators.Broadcasts.trackedPersist(
-        Tables.t(s, dir, "lineitem")
+        Tables.spread(Tables.t(s, dir, "lineitem"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
       val edges = byOrder

@@ -57,7 +57,7 @@ object DiffStatsQueries extends QueryModule {
 
     // ---- S6/A2: one-pass column stats over lineitem --------------------
     "s01_column_stats" -> ((s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
+      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
       Stats.collect(li,
         Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"), exact = true)
     }),
@@ -69,7 +69,7 @@ object DiffStatsQueries extends QueryModule {
     //      [exact(q-1%), exact(q+1%)] — rank-space, because value-space
     //      bounds are meaningless for discrete columns like l_discount -
     "s02_quantile_stats" -> ((s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
+      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       // the result is 12 rows: collect ONCE, guard on the driver, and
       // return a local frame — a .count() guard would re-execute the
@@ -98,7 +98,7 @@ object DiffStatsQueries extends QueryModule {
     //      are pure double arithmetic both engines restate verbatim;
     //      equi-HEIGHT boundaries are s02's quantile-sketch territory) -
     "s03_histogram" -> ((s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
+      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
       Stats.histogram(li, Seq("l_quantity", "l_extendedprice", "l_discount"), 8)
         .select(col("column"), col("bucket"),
           round(col("bucket_lo"), 6).as("bucket_lo"),
@@ -121,7 +121,7 @@ object DiffStatsQueries extends QueryModule {
         ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
         ("customer", "c_mktsegment"))
       cols.map { case (tbl, c) =>
-        Tables.t(s, dir, tbl).groupBy(col(c).as("value"))
+        Tables.spread(Tables.t(s, dir, tbl)).groupBy(col(c).as("value"))
           .agg(count(lit(1)).as("cnt"))
           .select(lit(tbl).as("tbl"), lit(c).as("column"),
             col("value"), col("cnt"))
@@ -134,7 +134,7 @@ object DiffStatsQueries extends QueryModule {
     }),
 
     "s04_numeric_corr" -> ((s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
+      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
       Stats.corrMatrix(li,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
@@ -148,7 +148,7 @@ object DiffStatsQueries extends QueryModule {
     //      engines interpolate linearly; 1e-6 rounding absorbs the
     //      a+(b−a)·f vs (1−f)·a+f·b ulp split -------------------------
     "s05_group_quantiles" -> ((s, dir) => {
-      Tables.t(s, dir, "documents")
+      Tables.spread(Tables.t(s, dir, "documents"))
         .groupBy(col("lang"))
         .agg(
           round(expr("percentile(n_chars, 0.25D)"), 6).as("p25"),
@@ -169,7 +169,7 @@ object DiffStatsQueries extends QueryModule {
         ("customer", "c_mktsegment", "c_nationkey"))
         .map { case (tbl, a, b) =>
           graft.stats.Stats.mutualInfo(
-            Tables.t(s, dir, tbl).withColumn(b, col(b).cast("string")), a, b)
+            Tables.spread(Tables.t(s, dir, tbl)).withColumn(b, col(b).cast("string")), a, b)
             .withColumn("tbl", lit(tbl))
         }
         .reduce(_ unionByName _)
@@ -186,7 +186,7 @@ object DiffStatsQueries extends QueryModule {
       Seq(("documents", "lang", "n_chars"),
         ("lineitem", "l_returnflag", "l_extendedprice"))
         .map { case (tbl, g, v) =>
-          graft.stats.Stats.robustOutliers(Tables.t(s, dir, tbl), g, v)
+          graft.stats.Stats.robustOutliers(Tables.spread(Tables.t(s, dir, tbl)), g, v)
             .withColumn("tbl", lit(tbl))
         }
         .reduce(_ unionByName _)
@@ -201,7 +201,7 @@ object DiffStatsQueries extends QueryModule {
     //      the identical weights from the salted id hash ---------------
     "s10_bootstrap_ci" -> ((s, dir) =>
       graft.stats.Stats.bootstrapCI(
-        Tables.t(s, dir, "documents"), "doc_id", "n_chars")),
+        Tables.spread(Tables.t(s, dir, "documents")), "doc_id", "n_chars")),
 
     // ---- equi-HEIGHT histogram: equal-frequency buckets from exact
     //      interpolated inner quantiles (s03 is the equi-width face);
@@ -212,7 +212,7 @@ object DiffStatsQueries extends QueryModule {
       // = DuckDB quantile_cont); exact = false is the 100 TB default
       // (approx_percentile sketch boundaries) — StatsSpec pins the
       // sketch boundaries inside the exact rank envelope
-      graft.stats.Stats.equiHeightHistogram(Tables.t(s, dir, "lineitem"),
+      graft.stats.Stats.equiHeightHistogram(Tables.spread(Tables.t(s, dir, "lineitem")),
         Seq("l_quantity", "l_extendedprice", "l_discount"), 8, exact = true)
         .orderBy("column", "bucket")
     }),
@@ -233,7 +233,7 @@ object DiffStatsQueries extends QueryModule {
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
       val k = 200
       val tol = 2.0 * graft.functions.Kll.rankError(k)
-      val grouped = Tables.t(s, dir, "lineitem")
+      val grouped = Tables.spread(Tables.t(s, dir, "lineitem"))
         .select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
         .filter(col("v").isNotNull)

@@ -14,8 +14,10 @@ import graft.pipeline.{Ann, Dedup, Mixing, TextOps}
 object PipelineQueries extends QueryModule {
 
   private val outRoot = s"${graft.Land.root}/pipeline"
-  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String) =
+    Tables.spread(Tables.t(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String) =
+    Tables.spread(Tables.t(s, dir, "embeddings"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: tokens / quality / fingerprint -----------------
