@@ -57,6 +57,18 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Register (idempotently) a [[spread]] copy of one table as the temp
+    * view `<name>_spread` and return that view name — for SQL-surface
+    * queries whose SCAN-stage expressions are the whole cost (per-row
+    * md5/roaring/variant work) and would otherwise run single-task on
+    * the one-row-group test files. Deliberately per-query opt-in: most
+    * SQL queries are too cheap to buy a repartition exchange. */
+  def spreadView(spark: SparkSession, dir: String, name: String): String = {
+    val vn = s"${name}_spread"
+    spread(t(spark, dir, name)).createOrReplaceTempView(vn)
+    vn
+  }
+
   /** Register every table as a temp view (for the spark.sql surface).
     * Memoized per (session, dir): many queries call this and re-reading
     * ten parquet footers per query is pure fixed overhead. */

@@ -913,13 +913,14 @@ object CurationQueries extends QueryModule {
     "p78_kmv_ndv" -> ((s, dir) => {
       graft.functions.KmvAgg.register(s)
       Tables.registerAll(s, dir)
-      s.sql("""
+      val sv_lineitem = Tables.spreadView(s, dir, "lineitem")
+      s.sql(s"""
         WITH h AS (
           SELECT l_returnflag AS flag,
                  CAST(conv(substring(md5(concat('kmv:',
                    CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS DOUBLE)
                    / CAST(4294967296 AS DOUBLE) AS u
-          FROM lineitem),
+          FROM ${sv_lineitem}),
         sk AS (
           SELECT flag, graft_kmv(u, 256) AS s,
                  COUNT(DISTINCT u) AS n_exact
@@ -1017,13 +1018,14 @@ object CurationQueries extends QueryModule {
     "p81_kmv_setops" -> ((s, dir) => {
       graft.functions.KmvAgg.register(s)
       Tables.registerAll(s, dir)
-      s.sql("""
+      val sv_lineitem = Tables.spreadView(s, dir, "lineitem")
+      s.sql(s"""
         WITH h AS (
           SELECT l_orderkey % 3 AS shard,
                  CAST(conv(substring(md5(concat('kmv:',
                    CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS DOUBLE)
                    / CAST(4294967296 AS DOUBLE) AS u
-          FROM lineitem WHERE l_orderkey % 3 <= 1),
+          FROM ${sv_lineitem} WHERE l_orderkey % 3 <= 1),
         sk AS (
           SELECT graft_kmv_mins(CASE WHEN shard = 0 THEN u END, 256) AS a,
                  graft_kmv_mins(CASE WHEN shard = 1 THEN u END, 256) AS b

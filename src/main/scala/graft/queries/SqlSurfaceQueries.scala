@@ -126,7 +126,8 @@ object SqlSurfaceQueries extends QueryModule {
       // bitmap_empty) stay exercised on a bounded PER-GROUP array (a
       // per-ROW build costs one Roaring allocation per fact row — the
       // first fix attempt measured that at ~15 s over 6M rows).
-      s.sql("""
+      val sv_lineitem = Tables.spreadView(s, dir, "lineitem")
+      s.sql(s"""
         SELECT l_linenumber,
                CAST(graft_bitmap_count(graft_bitmap_agg(l_suppkey)) AS BIGINT) AS bm_ndv,
                COUNT(DISTINCT hll_hash(l_suppkey)) AS hll_ndv,
@@ -134,7 +135,7 @@ object SqlSurfaceQueries extends QueryModule {
                  min(l_suppkey), min(l_suppkey) + 1, min(l_suppkey))))
                  AS BIGINT) AS bm_pair,
                CAST(bitmap_count(bitmap_empty()) AS BIGINT) AS bm_zero
-        FROM lineitem
+        FROM ${sv_lineitem}
         GROUP BY l_linenumber
         ORDER BY l_linenumber""")
     }),
@@ -527,6 +528,11 @@ object SqlSurfaceQueries extends QueryModule {
     // across all rows — the precondition for columnar variant shredding.
     "q80_variant_shred" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // spread: the per-row parse_json + five variant_gets are the
+      // query's whole cost, and the single-row-group events file would
+      // run them all in ONE scan task (guide §2.5 input skew)
+      Tables.spread(Tables.t(s, dir, "events"))
+        .createOrReplaceTempView("events_spread_q80")
       val shredded = s.sql("""
         WITH j AS (
           SELECT event_id, event_type,
@@ -536,7 +542,7 @@ object SqlSurfaceQueries extends QueryModule {
                    '","m":{"k":', get_json_object(props, '$.k'),
                    ',"n":null},"a":[', CAST(user_id % 7 AS STRING),
                    ',', CAST(event_id % 5 AS STRING), ']}')) AS v
-          FROM events),
+          FROM events_spread_q80),
         sh AS (
           SELECT event_type,
                  variant_get(v, '$.u', 'bigint') AS u,
