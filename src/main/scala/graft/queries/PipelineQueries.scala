@@ -862,10 +862,14 @@ object PipelineQueries extends QueryModule {
     "m01_image_neardup" -> ((s, dir) => {
       import s.implicits._
       import graft.pipeline.Multimodal
-      val media = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
-        .as[Long]
-        .map(id => (id, Multimodal.synthPng(id), Multimodal.imagePattern(id)))
-        .toDF("id", "png", "expected")
+      // persisted: the typed map is OPAQUE to column pruning, so the
+      // second consumer (the expected-hash join) would re-synthesize
+      // every PNG just to read (id, expected)
+      val media = graft.operators.Broadcasts.trackedPersist(
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
+          .as[Long]
+          .map(id => (id, Multimodal.synthPng(id), Multimodal.imagePattern(id)))
+          .toDF("id", "png", "expected"))
       val feats = Multimodal.imageFeatures(s,
         Multimodal.asMedia(media, "id", "png", "image"))
       val checked = feats.join(

@@ -137,13 +137,16 @@ object Stats {
         max(when(col("role") === "hi", col("v"))).as("v_hi"))
       .withColumn("exact", col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
       .select(col("column"), col("qi"), col("exact"))
-    val exQ = ex.filter(col("qi") < k).select(col("column"), col("qi").as("pos"), col("exact").as("exact_pct"))
-    val exLo = ex.filter(col("qi") >= k && col("qi") < 2 * k)
-      .select(col("column"), (col("qi") - k).as("pos"), col("exact").as("exact_lo"))
-    val exHi = ex.filter(col("qi") >= 2 * k)
-      .select(col("column"), (col("qi") - 2 * k).as("pos"), col("exact").as("exact_hi"))
-    approx.join(exQ, Seq("column", "pos")).join(exLo, Seq("column", "pos"))
-      .join(exHi, Seq("column", "pos"))
+    // ONE pivot pass over `ex` — qi ∈ [0,k) is the target quantile,
+    // [k,2k) its lo envelope, [2k,3k) its hi, all at pos = qi mod k.
+    // The three slice-frames this replaces each re-executed the whole
+    // ranked-sort chain as their own join branch (nothing upstream is
+    // persisted — measured 3× ~1.5 s concurrent sort stages at sf0.1).
+    val exPivot = ex.groupBy(col("column"), (col("qi") % k).as("pos")).agg(
+      max(when(col("qi") < k, col("exact"))).as("exact_pct"),
+      max(when(col("qi") >= k && col("qi") < 2 * k, col("exact"))).as("exact_lo"),
+      max(when(col("qi") >= 2 * k, col("exact"))).as("exact_hi"))
+    approx.join(exPivot, Seq("column", "pos"))
       .select(col("column"), col("q"), col("exact_pct"), col("approx_pct"),
         col("exact_lo"), col("exact_hi"))
   }
