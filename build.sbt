@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's final stdout JSON line from a 2000-char
+// output tail. sbt's default LoggedOutput for forked runs prefixes every
+// stdout line with "[info] ", which breaks any line-is-JSON parse —
+// 13 rounds of BENCH_r*.json had parsed:null partly because of it.
+// StdoutOutput hands the forked JVM's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -118,6 +118,43 @@ object BenchRules {
 }
 
 object Bench {
+  def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+
+  /** Round-14 driver-contract repair (VERDICT r13 item 1): the driver
+    * json-parses ONE line recovered from a 2000-char stdout tail. The
+    * full result line is ~7KB (238 query names plus detail arrays), so
+    * its head never survives that window — every BENCH_r01..r13 artifact
+    * has parsed:null. This builds a budgeted companion line: detail
+    * arrays become counts in `tail`, and the `queries` map is filled
+    * slowest-first with as many entries as keep the whole line within
+    * `maxLen`. It is printed LAST so the tail window keeps it intact;
+    * the full per-query map stays in the full line and bench_result.json. */
+  def compactResultLine(head: String, tail: String,
+                        entriesSlowFirst: Seq[(String, Double)],
+                        maxLen: Int): String = {
+    val sb = new StringBuilder
+    var used = head.length + tail.length + 2 // the {} around queries
+    var n = 0
+    val it = entriesSlowFirst.iterator
+    var outOfRoom = false
+    while (it.hasNext && !outOfRoom) {
+      val (k, v) = it.next()
+      val e = "\"" + k + "\":" + r3(v)
+      val add = e.length + (if (n > 0) 1 else 0)
+      if (used + add <= maxLen) {
+        if (n > 0) sb.append(',')
+        sb.append(e); used += add; n += 1
+      } else outOfRoom = true
+    }
+    head + "{" + sb.toString + "}" + tail
+  }
+
+  /** Budget for the compact line: 2000-char driver tail minus the sbt
+    * epilogue observed after the final program line ([success] ~95 chars,
+    * GC [warn] ~340 chars when it fires — damped via .jvmopts but kept in
+    * the reserve) and a newline margin. */
+  val CompactMaxLen = 1450
+
   def main(args: Array[String]): Unit = {
     // Isolated landing root: a bench run (typically a different scale
     // factor) must never clobber the landed files a Verify-then-oracle
@@ -240,6 +277,15 @@ object Bench {
       if (!finished) {
         val js = snapshotJson("total")
         println(js)
+        // compact last line for the driver's 2000-char tail (same shape
+        // as the normal-completion compact line below)
+        val slowFirst = times.synchronized {
+          ordered.map { case (n, _) => n -> est(times(n)) }
+        }.filter(_._2 >= 0).sortBy(-_._2)
+        println(compactResultLine(
+          s"""{"metric":"total","value":-1,"unit":"sec","partial":true,"passes":$passesCompleted,"queries":""",
+          s""","queries_n":${ordered.size},"gates":"${if (Gates.enabled) "on" else "off"}","sf":"$sfDir","sha":"${Provenance.sha}"}""",
+          slowFirst, CompactMaxLen))
         System.err.println(s"[bench] KILLED at ${wallS.toInt}s — flushed partial result")
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_result.json"), js)
@@ -514,7 +560,7 @@ object Bench {
       name -> isolated.get(name).map(math.min(_, med)).getOrElse(med)
     }
     def numMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = numMap(results)
     val interJson = numMap(suspects.map(n => n -> interMap(n)))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -545,10 +591,19 @@ object Bench {
     def strArr(xs: Seq[String]): String =
       xs.map("\"" + _.replaceAll("[\"\\\\]", " ") + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_passes","partial":false,"passes":$passesCompleted,"rescued":$rescued,"wall_s":${math.round(wallS)},"wall_budget_s":${math.round(wallBudgetS)},"machine_factor":{"prev":${math.round(prevFactor * 1000) / 1000.0},"committed":${math.round(commFactor * 1000) / 1000.0}},"queries":$qs,"interleaved":$interJson,"contention_flags":${strArr(contentionFlags)},"retimes_skipped":${strArr(retimesSkipped.toSeq)},"degraded":${strArr(degraded.toSeq)},"gates":"${if (Gates.enabled) "on" else "off"}","failed":${errors.size},"errors":$errJson,"spark_subset_secs":${math.round(sparkSubset * 1000) / 1000.0},"duckdb_subset_secs":$duckSubset,"sf":"$sfDir","sha":"${Provenance.sha}","generated_at":"${Provenance.timestamp}"}"""
-    // Sole program-stdout line AND a file copy: when launched through sbt,
-    // stdout lines get an "[info] " prefix that breaks a naive json parse.
+    // Full line first (complete per-query map; also persisted to
+    // bench_result.json), then the budgeted compact line LAST so the
+    // driver's 2000-char output tail holds one whole parseable JSON line
+    // (build.sbt's run/outputStrategy := StdoutOutput keeps both lines
+    // free of sbt's "[info] " prefix).
     finished = true
     println(json)
+    val compactHead =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","estimator":"min_of_passes","partial":false,"passes":$passesCompleted,"rescued":$rescued,"wall_s":${math.round(wallS)},"machine_factor":{"prev":${r3(prevFactor)},"committed":${r3(commFactor)}},"queries":"""
+    val compactTail =
+      s""","queries_n":${results.size},"failed":${errors.size},"spark_subset_secs":${r3(sparkSubset)},"duckdb_subset_secs":$duckSubset,"movers_n":${suspects.size},"retimes_skipped_n":${retimesSkipped.size},"contention_flags_n":${contentionFlags.size},"degraded_n":${degraded.size},"gates":"${if (Gates.enabled) "on" else "off"}","sf":"$sfDir","sha":"${Provenance.sha}"}"""
+    println(compactResultLine(compactHead, compactTail,
+      results.filter(_._2 >= 0).sortBy(-_._2), CompactMaxLen))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
     spark.stop()
   }
