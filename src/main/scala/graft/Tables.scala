@@ -47,14 +47,41 @@ object Tables {
     * files, so Spark scans them as ONE task and every scan-local heavy
     * stage — shingle kernels, per-pair cosines, text quality passes —
     * serializes on one core (measured: 2.5 s of p09's 5 s in one task).
-    * Round-robin up to the session's parallelism ONLY when the scan's
+    * Spread up to the session's parallelism ONLY when the scan's
     * partitioning is below it; on any real corpus (many files / row
     * groups) this is a structural no-op — no exchange is added. The
     * shuffled bytes are the frame itself, paid once, against a ×cores
-    * speedup of every downstream scan-local stage. */
+    * speedup of every downstream scan-local stage.
+    *
+    * r14: the exchange is a HASH repartition on a deterministic
+    * synthetic key, not `repartition(p)` — a keyless round-robin first
+    * LOCAL-SORTS its input partition (spark.sql.execution.
+    * sortBeforeRepartition, on by default for retry determinism), and on
+    * exactly the one-fat-partition input this targets that sort is a
+    * single-task full-width pass paid on EVERY evaluation of the
+    * exchange (measured 0.5-0.8 s per consumer at sf0.1; ×10 at sf1 —
+    * the s08/s09 scale regression of VERDICT r13). The synthetic key is
+    * the guide-§2.5 recipe: xxhash64 of monotonically_increasing_id(),
+    * which is a pure function of (partition index, row position) and so
+    * re-derives identically on task retry over a deterministic scan —
+    * no SPARK-38388 row loss/duplication, no sort, even distribution.
+    *
+    * Known caveat (ADVICE r13): the gate reads `df.rdd.getNumPartitions`,
+    * which (a) forces a physical-plan build per call — fine at query
+    * granularity, do not call in loops — and (b) can report >= p
+    * partitions for a single-ROW-GROUP file split by byte ranges where
+    * all rows still land in one split; the shipped corpora read as 1-3
+    * real partitions so the gate fires, but a corpus shape that trips
+    * (b) would make spread a silent no-op — check the scan task count,
+    * not this gate, when diagnosing. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions < p) {
+      val k = "__graft_spread_k"
+      df.withColumn(k, xxhash64(monotonically_increasing_id()))
+        .repartition(p, col(k))
+        .drop(k)
+    } else df
   }
 
   /** Register (idempotently) a [[spread]] copy of one table as the temp

@@ -57,9 +57,15 @@ object DiffStatsQueries extends QueryModule {
 
     // ---- S6/A2: one-pass column stats over lineitem --------------------
     "s01_column_stats" -> ((s, dir) => {
-      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
-      Stats.collect(li,
-        Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"), exact = true)
+      // project to the profiled columns BEFORE the spread exchange (guide
+      // §2.3) and persist: exact mode consumes the scan twice (wide agg +
+      // the ndv pair explode), and an un-persisted spread frame re-pays
+      // scan+exchange per consumer (VERDICT r13 item 2). Released per
+      // query by Bench/Verify.
+      val cols = Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+      val li = graft.operators.Broadcasts.trackedPersist(
+        Tables.spread(Tables.t(s, dir, "lineitem").select(cols.map(col): _*)))
+      Stats.collect(li, cols, exact = true)
     }),
 
     // ---- quantile stats: percentile_approx is the mergeable-sketch
@@ -69,8 +75,11 @@ object DiffStatsQueries extends QueryModule {
     //      [exact(q-1%), exact(q+1%)] — rank-space, because value-space
     //      bounds are meaningless for discrete columns like l_discount -
     "s02_quantile_stats" -> ((s, dir) => {
-      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
+      // 3-col projection + persist: quantiles consumes the pair stream
+      // three ways (approx sketch, counts, the ranked sort) — see s01
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = graft.operators.Broadcasts.trackedPersist(
+        Tables.spread(Tables.t(s, dir, "lineitem").select(cols.map(col): _*)))
       // the result is 12 rows: collect ONCE, guard on the driver, and
       // return a local frame — a .count() guard would re-execute the
       // whole aggregation for the write
@@ -98,8 +107,11 @@ object DiffStatsQueries extends QueryModule {
     //      are pure double arithmetic both engines restate verbatim;
     //      equi-HEIGHT boundaries are s02's quantile-sketch territory) -
     "s03_histogram" -> ((s, dir) => {
-      val li = Tables.spread(Tables.t(s, dir, "lineitem"))
-      Stats.histogram(li, Seq("l_quantity", "l_extendedprice", "l_discount"), 8)
+      // 2 consumers (min/max head + the bucket-count pass) — see s01
+      val hcols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = graft.operators.Broadcasts.trackedPersist(
+        Tables.spread(Tables.t(s, dir, "lineitem").select(hcols.map(col): _*)))
+      Stats.histogram(li, hcols, 8)
         .select(col("column"), col("bucket"),
           round(col("bucket_lo"), 6).as("bucket_lo"),
           round(col("bucket_hi"), 6).as("bucket_hi"), col("cnt"))
@@ -212,8 +224,13 @@ object DiffStatsQueries extends QueryModule {
       // = DuckDB quantile_cont); exact = false is the 100 TB default
       // (approx_percentile sketch boundaries) — StatsSpec pins the
       // sketch boundaries inside the exact rank envelope
-      graft.stats.Stats.equiHeightHistogram(Tables.spread(Tables.t(s, dir, "lineitem")),
-        Seq("l_quantity", "l_extendedprice", "l_discount"), 8, exact = true)
+      // 3-col projection + persist: the exact face consumes the spread
+      // scan three ways (rank sort, group bases, the bucket-count wide
+      // agg) — the s09 ×10 regression of VERDICT r13 item 2
+      val hcols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = graft.operators.Broadcasts.trackedPersist(
+        Tables.spread(Tables.t(s, dir, "lineitem").select(hcols.map(col): _*)))
+      graft.stats.Stats.equiHeightHistogram(li, hcols, 8, exact = true)
         .orderBy("column", "bucket")
     }),
 
@@ -233,10 +250,16 @@ object DiffStatsQueries extends QueryModule {
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
       val k = 200
       val tol = 2.0 * graft.functions.Kll.rankError(k)
-      val grouped = Tables.spread(Tables.t(s, dir, "lineitem"))
-        .select(col("l_returnflag").as("g"),
-          col("l_extendedprice").cast("double").as("v"))
-        .filter(col("v").isNotNull)
+      // persisted: grouped fans out to the sketch aggregate AND both
+      // legs of the exact-face union (rank sort + group bases) — an
+      // un-persisted spread frame re-pays scan+exchange per branch
+      // (the s11 share of VERDICT r13 item 2)
+      val grouped = graft.operators.Broadcasts.trackedPersist(
+        Tables.spread(Tables.t(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice"))
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull))
       // 'ALL' rides the same pipeline as the groups: one union, one
       // range-partition sort, one code path for both faces
       val vals = grouped.unionByName(

@@ -254,9 +254,15 @@ object Stats {
     *
     * Returns one row: (col_a, col_b, n, h_a, h_b, mi, nmi). */
   def mutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
-    val cxy = df.filter(col(a).isNotNull && col(b).isNotNull)
-      .groupBy(col(a).as("va"), col(b).as("vb"))
-      .agg(count(lit(1)).as("c"))
+    // The contingency table fans out SIX ways (n, ca×2, cb×2, the joined
+    // MI pass); un-persisted, every branch re-runs the full data scan +
+    // contingency aggregate (measured: s07 re-scanned each of its three
+    // tables 6× at sf0.1). |A|·|B| skinny rows — the bounded-persist
+    // class; released per query by Bench/Verify.
+    val cxy = graft.operators.Broadcasts.trackedPersist(
+      df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("c")))
     val n = cxy.agg(sum(col("c")).as("n"))
     val ca = cxy.groupBy("va").agg(sum(col("c")).as("ca"))
     val cb = cxy.groupBy("vb").agg(sum(col("c")).as("cb"))
@@ -439,8 +445,13 @@ object Stats {
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
                      zCut: Double = 3.5): DataFrame = {
     val v = col(valCol).cast("double")
-    val base = df.filter(v.isNotNull)
-      .select(col(groupCol).as("g"), v.as("x"))
+    // base fans out to the median aggregate AND the dev join build; on a
+    // spread (repartitioned) scan each un-persisted consumer re-pays the
+    // whole scan+exchange as its own plan branch (the s08 ×10 regression,
+    // VERDICT r13 item 2). Skinny (g, x) rows, MEMORY_AND_DISK, released
+    // per query by Bench/Verify.
+    val base = graft.operators.Broadcasts.trackedPersist(
+      df.filter(v.isNotNull).select(col(groupCol).as("g"), v.as("x")))
     val med = base.groupBy("g")
       .agg(count(lit(1)).as("n"),
         round(expr("percentile(x, 0.5)"), 6).as("med"))

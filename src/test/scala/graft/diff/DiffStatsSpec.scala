@@ -66,6 +66,25 @@ class DiffStatsSpec extends SparkSpec {
     assert(math.abs(st("s").getAs[Double]("avg_len") - (2 + 3 + 2) / 3.0) < 1e-9)
   }
 
+  test("quantiles: pivot emits a complete non-null envelope per (column, q)") {
+    // ADVICE r13: the s02 pivot would surface a missing qi slice as a
+    // NULL exact_lo/exact_hi instead of a dropped row (the old triple
+    // inner join's behavior). All slices exist by construction; this
+    // pins that construction so a future qi-layout change fails loudly.
+    val df = (1 to 500).map(i => (i.toDouble, (i * 7 % 500).toDouble))
+      .toDF("a", "b")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val rows = Stats.quantiles(df, Seq("a", "b"), qs).collect()
+    assert(rows.length == 2 * qs.size, s"expected ${2 * qs.size} rows, got ${rows.length}")
+    rows.foreach { r =>
+      for (c <- Seq("exact_pct", "approx_pct", "exact_lo", "exact_hi"))
+        assert(!r.isNullAt(r.fieldIndex(c)),
+          s"NULL $c for (${r.getAs[String]("column")}, q=${r.getAs[Double]("q")})")
+      assert(r.getAs[Double]("exact_lo") <= r.getAs[Double]("exact_pct") &&
+        r.getAs[Double]("exact_pct") <= r.getAs[Double]("exact_hi"))
+    }
+  }
+
   test("equi-width histogram: bucket bounds, counts, clamping, empty bins skipped") {
     val s = spark
     import s.implicits._

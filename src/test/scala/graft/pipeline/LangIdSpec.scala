@@ -75,4 +75,40 @@ class LangIdSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1))
     assert(sums.forall(_._2 < 1.0 + 1e-12), s"prob mass over 1: ${sums.toSeq}")
   }
+
+  test("aggregate-first scores equal the direct per-gram fan-out on a randomized model") {
+    // ADVICE r13: the r13 rewrite changed fp association before the 1e-6
+    // round (Σ cnt·(logp−logp_oov) + n_g·logp_oov vs the per-gram
+    // coalesce sum) and assumes one distinct logp_oov per lang. Pin both
+    // on a seeded randomized corpus/model: trainNgramModel structurally
+    // guarantees the one-floor invariant, and the rounded scores must
+    // match the direct formulation exactly.
+    val rng = new scala.util.Random(0xC0FFEE)
+    val alphabet = "abcdefgh "
+    def randText(len: Int): String =
+      (1 to len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val labeled = (1 to 6).map(i => (s"l${i % 3}", randText(80 + rng.nextInt(60))))
+      .toDF("lang", "text")
+    val m = LangId.trainNgramModel(labeled, "lang", "text").cache()
+    // one distinct floor per language (the rewrite's standing assumption)
+    val nFloors = m.select("lang", "logp_oov").distinct()
+      .groupBy("lang").count().agg(max("count")).head().getLong(0)
+    assert(nFloors == 1L, "trainNgramModel must emit one logp_oov per lang")
+    val docs = (1L to 8L).map(i => (i, randText(40 + rng.nextInt(40))))
+      .toDF("id", "text")
+    val got = LangId.scores(docs, "id", "text", m)
+    // direct formulation: fan the gram stream out ×|langs|, coalesce to
+    // the floor per (gram, lang), then one rollup — the pre-r13 plan
+    val grams = docs.select(col("id"), explode(LangId.charGrams(col("text"), 2)).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val langs = m.select("lang", "logp_oov").distinct()
+    val direct = grams.crossJoin(langs)
+      .join(m.select("lang", "gram", "logp"), Seq("lang", "gram"), "left")
+      .groupBy("id", "lang")
+      .agg(round(sum(col("cnt") * coalesce(col("logp"), col("logp_oov"))), 6).as("score_direct"))
+    val diff = got.join(direct, Seq("id", "lang"))
+      .filter(col("score") =!= col("score_direct")).collect()
+    assert(diff.isEmpty, s"score mismatch rows: ${diff.mkString("; ")}")
+    m.unpersist()
+  }
 }
