@@ -64,36 +64,43 @@ object Merge {
     require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: target ${target.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")
-    // touched partitions: bounded METADATA (one value per partition of
-    // the update batch) — the same bounded-collect class as boundary
-    // arrays; this is what scopes both the read and the rewrite
-    val touchedRaw = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0))).toSeq
+    // ONE job over the PERSISTED batch replaces four (r14, guide §1.2 /
+    // the io13 33-job profile: each extra action here is a fixed-cost
+    // job dispatch, and touched/unstable/count each rebuilt the update
+    // frame from raw scans before the persist existed): the per-partition
+    // aggregate below yields the touched-partition set (bounded METADATA,
+    // one row per partition of the batch — the boundary-array collect
+    // class), the round-trip stability count, and the batch row count,
+    // while its scan is what materializes the cache every later pass
+    // reads.
+    val pType = target.schema(partCol).dataType
+    val u = graft.operators.Broadcasts.trackedPersist(updates)
+    val pstats = u.groupBy(col(partCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(!(col(partCol).cast("string").cast(pType).cast("string")
+          <=> col(partCol).cast("string")), 1L).otherwise(0L)).as("__bad"))
+      .collect()
     // a NULL partition value cannot be scoped: isin(null) never matches,
     // so the existing __HIVE_DEFAULT_PARTITION__ rows would be EXCLUDED
     // from the merge read yet REPLACED by the dynamic overwrite — silent
     // data loss the conservation check would flag only after the rewrite
-    require(!touchedRaw.contains(None),
+    require(!pstats.exists(_.isNullAt(0)),
       s"update batch has rows with a NULL '$partCol' — a key's partition " +
         "value is its physical address and must be non-null")
-    val touched = touchedRaw.flatten.sorted
+    val touched = pstats.map(_.getString(0)).sorted.toSeq
     // the scoping filter compares string views across a disk round-trip,
     // so the partition value must survive the target's read-back type
     // (Hive partition-column inference turns '01' into int 1 → '1', and
     // the scoped read would then MISS the existing partition before the
-    // overwrite replaces it). One skinny aggregate proves stability.
-    val pType = target.schema(partCol).dataType
-    val unstable = updates.filter(!(col(partCol).cast("string")
-        .cast(pType).cast("string") <=> col(partCol).cast("string"))).count()
+    // overwrite replaces it).
+    val unstable = pstats.map(_.getLong(2)).sum
     require(unstable == 0L,
       s"$unstable update rows carry '$partCol' values that do not survive " +
         s"the partition-column round trip to ${pType.sql} (e.g. zero-padded " +
         "numerics) — they would scope to a DIFFERENT partition than the " +
         "one the write replaces")
     val scoped = target.filter(col(partCol).cast("string").isin(touched: _*))
-    val before = scoped.count()
-    val u = graft.operators.Broadcasts.trackedPersist(updates)
-    val nUpdates = u.count()
+    val nUpdates = pstats.map(_.getLong(1)).sum
     // duplicate-key guard BEFORE anything is written: SQL MERGE rejects
     // a source that updates the same target row twice, and for good
     // reason — matched duplicates would write two copies of the key
@@ -136,15 +143,21 @@ object Merge {
     val uHas = col("u.__u_present").isNotNull
     val tHas = col("t.__t_present").isNotNull
     // one bounded aggregate: match/insert counts + the moved-key guard
+    // before = target rows of the touched slice, read off the SAME
+    // bounded aggregate (every scoped row appears exactly once in the
+    // full outer join) — the separate scoped.count() job it replaces
+    // scanned the slice a second time (r14 job fold)
     val stats = joined.agg(
       sum(when(uHas && tHas, 1L).otherwise(0L)).as("matched"),
       sum(when(uHas && !tHas, 1L).otherwise(0L)).as("inserted"),
       sum(when(uHas && tHas &&
         !(col(s"t.$partCol") <=> col(s"u.$partCol")), 1L).otherwise(0L))
-        .as("moved")).head()
+        .as("moved"),
+      sum(when(tHas, 1L).otherwise(0L)).as("before")).head()
     val matched = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val inserted = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val moved = Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val before = Option(stats.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
     require(moved == 0L,
       s"$moved update rows try to move keys across partitions — a key's " +
         "partition value is its physical address and cannot change in a merge")

@@ -938,6 +938,15 @@ object Dedup {
     * (Web-scale graphs with long chains want large-star/small-star
     * [Kiveris et al.]; for dedup clusters the simple propagation IS the
     * right cost.) */
+  /** NOTE on the local fast path vs the `maxIter`/`allowPartial`
+    * contract (ADVICE r13): maxIter bounds the DISTRIBUTED loop's round
+    * count — it is a resource budget, not a semantic truncation knob.
+    * Under the measured size gate the union-find returns the same
+    * converged labels the loop would have reached, without consuming
+    * rounds, so a small-maxIter call can succeed on a small input where
+    * a big input would throw non-convergence. Callers that specifically
+    * exercise loop semantics (round budgets, allowPartial) must force
+    * the loop with `graft.cc.localMaxBytes = 0`, as the specs do. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           allowPartial: Boolean = false): DataFrame = {
     // localCheckpoint, not cache: each round's output feeds the next

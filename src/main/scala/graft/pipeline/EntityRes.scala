@@ -143,10 +143,19 @@ object EntityRes {
     * the same way [[blockedPairs]] caps them. Returns one row per
     * observed pattern: (g_<name>..., n_pairs, weight, posterior),
     * weight/posterior rounded to 1e-6. */
+  /** @param pairView per-RECORD projection of the name column handed to
+    *   the comparators (default: the raw name). Comparator expressions
+    *   run once per PAIR side, i.e. Σ|block|² times — a comparator that
+    *   re-derives a record feature (tokenize, split, normalize) on every
+    *   pair multiplies that work by the pair count (ADVICE/VERDICT r13
+    *   item 7). pairView is projected once per record BELOW the
+    *   self-join (the §2.3 "project before the exchange" seam), so
+    *   comparators can read precomputed fields instead. */
   def fsMatchWeights(records: DataFrame, idCol: String, nameCol: String,
                      blockKey: Column,
                      comparators: Seq[(String, (Column, Column) => Column)],
-                     iters: Int = 5, blockCap: Int = 1000): DataFrame = {
+                     iters: Int = 5, blockCap: Int = 1000,
+                     pairView: Column => Column = identity): DataFrame = {
     require(comparators.nonEmpty && comparators.size <= 8,
       "1..8 comparison fields (pattern table is 2^k)")
     val spark = records.sparkSession
@@ -158,11 +167,14 @@ object EntityRes {
         .filter(col("bn") <= blockCap).select("bk"))
     // same AQE-coalesce guard as blockedPairs: the pair verify is CPU-
     // quadratic per block while its input bytes are tiny — pin the join
-    // parallelism with an explicit (coalesce-exempt) bk repartition
-    val kept = keyed.join(sizes, "bk").repartition(
-      keyed.sparkSession.sparkContext.defaultParallelism, col("bk"))
-    val a = kept.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
-    val b = kept.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b"))
+    // parallelism with an explicit (coalesce-exempt) bk repartition.
+    // pairView is evaluated HERE (once per record, below the exchange),
+    // never per pair.
+    val kept = keyed.join(sizes, "bk")
+      .select(col("bk"), col("id"), pairView(col("nm")).as("fv"))
+      .repartition(keyed.sparkSession.sparkContext.defaultParallelism, col("bk"))
+    val a = kept.select(col("bk"), col("id").as("id_a"), col("fv").as("nm_a"))
+    val b = kept.select(col("bk"), col("id").as("id_b"), col("fv").as("nm_b"))
     // NULL-γ convention: a comparator that cannot decide (e.g.
     // element_at on a one-token name) counts as DISAGREE, not as a NULL
     // group — uncoalesced, the NULL pattern row would NPE the r.getBoolean

@@ -842,12 +842,17 @@ object CurationQueries extends QueryModule {
           length(col("nm")).cast("string")),
         comparators = Seq(
           // banded levenshtein: -1 means "provably > 2", so >= 0 is ≤ 2
-          "lev2" -> ((x, y) => levenshtein(x, y, 2) >= 0),
-          "tok2" -> ((x, y) => element_at(split(x, " "), 2) ===
-            element_at(split(y, " "), 2)),
-          "last" -> ((x, y) => element_at(split(x, " "), -1) ===
-            element_at(split(y, " "), -1))),
-        iters = 5, blockCap = 500)
+          "lev2" -> ((x, y) => levenshtein(x.getField("nm"), y.getField("nm"), 2) >= 0),
+          "tok2" -> ((x, y) => x.getField("t2") === y.getField("t2")),
+          "last" -> ((x, y) => x.getField("tl") === y.getField("tl"))),
+        iters = 5, blockCap = 500,
+        // token features computed once per RECORD below the self-join
+        // (VERDICT r13 item 7): the old comparators re-split BOTH names
+        // on every pair, Σ|block|² times. Same values: element_at of the
+        // same split, with identical null-to-disagree coalescing.
+        pairView = nm => struct(nm.as("nm"),
+          element_at(split(nm, " "), 2).as("t2"),
+          element_at(split(nm, " "), -1).as("tl")))
         .orderBy("g_lev2", "g_tok2", "g_last")
       // the planted 1-edit variants must land in a HIGH-weight pattern:
       // the all-agree pattern's posterior separates from the all-disagree

@@ -1103,8 +1103,12 @@ object PipelineQueries extends QueryModule {
       // re-derives it independently), so it is always computed; only
       // the recall-floor audit joins it against the landed pairs, and
       // that join is the gate
-      val truth = Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
-        .select("i", "j").cache()
+      // trackedPersist, not a raw .cache(): this probe-truth frame must
+      // ride Bench/Verify's per-query release like every other library
+      // persist (ADVICE r13 — a raw cache escapes the registry)
+      val truth = graft.operators.Broadcasts.trackedPersist(
+        Ann.exactProbePairs(e, probeMax = 500L, threshold = 0.45)
+          .select("i", "j"))
       val nTrueProbe = truth.count()
       graft.Gates.run {
         val missed = truth
