@@ -65,19 +65,11 @@ object Ann {
     * cos_r). */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
               nProbe: Int = 4, seed: Long = 1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val corpusFv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpusFv)
-    val corpus = model.transform(corpusFv)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"),
-        array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
-    }: _*)
+    val cents = cosineCentroids(emb, nCells)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), cellOf(col("embedding"), cents).as("cell"))
+    val centArr = centArrOf(cents)
     // round the probe ranking too (house rule): a near-tie between two
     // centroids flipped by FP accumulation order changes which CELLS are
     // scanned — a different neighbor set entirely, not just a rank swap
@@ -402,18 +394,103 @@ object Ann {
         col("vec_id"), col("embedding"))
   }
 
+  // ===== deterministic spherical k-means (the IVF/SemDeDup cell fit) ==
+  // r14, VERDICT r13 item 4: the MLlib KMeans fit cost 24 sub-0.1 s
+  // driver-coordinated jobs at sf0.1 (~1.2 s of pure fixed cost — worse
+  // relative cost at scale, where the fit jobs don't shrink with data),
+  // and its seeded k-means|| init depends on RDD partitioning, so the
+  // "same" fit changes with cluster layout. Replaced by the repo's own
+  // pqTrain discipline: fit on a BOUNDED DETERMINISTIC SAMPLE (first
+  // maxSample vectors by id — one TakeOrdered job at any corpus size),
+  // which is how IVF coarse quantizers are trained in practice (the
+  // model is nCells·dims floats and converges from a few thousand
+  // points; only assignment touches the full corpus, scan-locally).
+  // The fit is bit-reproducible on any cluster layout: evenly-spaced
+  // init in id order, per-point argmax cosine with lowest-index
+  // tie-break, spherical mean update (normalize), empty cells keep
+  // their centroid, fixed iteration count. No gate and no distributed
+  // twin to keep equivalent — the sample bound holds at 100 TB.
+
+  /** Fit `nCells` cosine (spherical) k-means centroids on the first
+    * `maxSample` vectors by id. Sample size auto-scales with nCells
+    * (≥48 points/cell, capped) so large auto-derived cell counts still
+    * train. Returns nCells × dims FLOAT centroids — floats, so the
+    * assignment expressions' literals are identical everywhere. */
+  def cosineCentroids(emb: DataFrame, nCells: Int,
+                      maxSample: Int = 4096, iters: Int = 10): Array[Array[Float]] = {
+    require(nCells >= 1, s"nCells >= 1, got $nCells")
+    val cap = math.min(math.max(maxSample, 48 * nCells), 1 << 17)
+    val sample = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .sort("vec_id").limit(cap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "cosineCentroids: empty corpus")
+    val n = sample.length
+    val d = sample(0).length
+    def unit(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var j = 0
+      while (j < d) { s += v(j) * v(j); j += 1 }
+      val m = math.sqrt(s)
+      if (m == 0.0) v.clone() else Array.tabulate(d)(j => v(j) / m)
+    }
+    var cents = Array.tabulate(nCells)(c => unit(sample(((c.toLong * n) / nCells).toInt)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](d))
+      val cnts = new Array[Long](nCells)
+      var i = 0
+      while (i < n) {
+        val p = sample(i)
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) {
+          // centroids are unit vectors, so argmax cosine = argmax dot/|p|
+          // = argmax dot — |p| is constant across c
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += p(j) * cents(c)(j); j += 1 }
+          if (dot > bestCos) { bestCos = dot; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(nCells)(c => if (cnts(c) == 0) cents(c) else unit(sums(c)))
+      it += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** Centroid table as a literal array column of (cell, cent) structs —
+    * the tiny driver-side model every assignment expression embeds. */
+  private def centArrOf(cents: Array[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cell"), array(c.map(lit): _*).as("cent"))
+    }: _*)
+
+  /** Scan-local nearest-centroid assignment: scores every cell, rounds
+    * to 1e-8 BEFORE the argmax (house ranking rule — an fp near-tie must
+    * not flip which cell a vector lands in), breaks exact ties on the
+    * lowest cell id. */
+  private def cellOf(embCol: Column, cents: Array[Array[Float]]): Column = {
+    val scored = transform(centArrOf(cents), c => struct(
+      (-round(cosine(embCol, c.getField("cent")), 8)).as("neg_cc"),
+      c.getField("cell").as("cell")))
+    element_at(array_sort(scored), 1).getField("cell")
+  }
+
   /** KMeans cell assignment (cosine distance), the clustering step shared
-    * by IVF search and SemDeDup — a one-off fit whose model is tiny
-    * (nCells × dims floats on the driver), after which assignment is a
-    * scan-local transform. Returns (vec_id, cell). */
+    * by IVF search and SemDeDup — a one-off sample fit whose model is
+    * tiny (nCells × dims floats on the driver), after which assignment
+    * is a scan-local transform. `seed` is retained for API stability;
+    * the sample fit is deterministic and ignores it. Returns
+    * (vec_id, cell). */
   def kmeansCells(emb: DataFrame, nCells: Int, seed: Long = 1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val fv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fv)
-    model.transform(fv).select(col("vec_id"), col("cell").cast("long").as("cell"))
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val cents = cosineCentroids(emb, nCells)
+    emb.select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
   }
 
   /** SemDeDup [Abbas et al. 2023]: semantic near-duplicate pairs found by
@@ -442,18 +519,10 @@ object Ann {
     * formulation. Returns (vec_id, cell), nProbe rows per vector. */
   def kmeansCellsProbed(emb: DataFrame, nCells: Int, nProbe: Int,
                         seed: Long = 1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, nCells], got $nProbe of $nCells")
-    val fv = emb.withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine").setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fv)
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i.toLong).as("cell"),
-        array(c.toArray.map(x => lit(x.toFloat)): _*).as("cent"))
-    }: _*)
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val centArr = centArrOf(cosineCentroids(emb, nCells))
     // struct sort order = (−score asc, cell asc) = (score desc, cell asc)
     val scored = transform(centArr, c => struct(
       (-round(cosine(col("embedding"), c.getField("cent")), 8)).as("neg_cc"),

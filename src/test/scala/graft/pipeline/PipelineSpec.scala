@@ -328,6 +328,25 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall { case (i, j) => expected.contains((i, j)) })
   }
 
+  test("cosineCentroids: partitioning-independent, unit-norm, deterministic") {
+    // the r14 sample fit replaced MLlib KMeans precisely because the
+    // seeded k-means|| init changes with RDD partitioning; pin that the
+    // replacement does NOT — same centroids from a 1-partition and a
+    // 16-partition layout of the same rows, bit for bit
+    val a = Ann.cosineCentroids(embs.coalesce(1), nCells = 8)
+    val b = Ann.cosineCentroids(embs.repartition(16), nCells = 8)
+    assert(a.length == 8 && a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "fit must be independent of input partitioning")
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"centroid not unit-norm: $n")
+    }
+    // assignment covers every vector exactly once and cells are in range
+    val cells = Ann.kmeansCells(embs, nCells = 8).collect()
+    assert(cells.length == embs.count())
+    assert(cells.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+  }
+
   test("IVF ANN: full probe equals brute force; partial probe recalls") {
     val queries = embs.filter(col("vec_id") < 20)
     val bf = Ann.bruteForceTopK(embs, queries, k = 3)
