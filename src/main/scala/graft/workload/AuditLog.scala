@@ -90,25 +90,132 @@ object AuditLog {
     }
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    // Optional split-size override so one unrotated multi-GB log fans
+    // out to many tasks (and so specs can force >1 split on a small
+    // fixture); unset, Hadoop's block-size splits apply.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.conf.getOption("graft.audit.splitMaxBytes").foreach(v =>
+      conf.set("mapreduce.input.fileinputformat.split.maxsize", v))
     val raw = spark.sparkContext.newAPIHadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], spark.sparkContext.hadoopConfiguration)
+        classOf[LongWritable], classOf[Text], conf)
       .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
       .mapPartitionsWithInputSplit { case (split, iter) =>
         val file = split.asInstanceOf[FileSplit].getPath.toString
         iter.map { case (off, line) => (file, off.get(), line.toString) }
       }
-    val lines = spark.createDataFrame(raw).toDF("file", "off", "line")
-    val w = org.apache.spark.sql.expressions.Window
+    // Boundary-stitched PER-SPLIT reassembly (r14, guide §6; VERDICT r13
+    // item 6). The old shape windowed ALL lines per file — correct, but
+    // Window.partitionBy(file) serializes an unrotated multi-GB log into
+    // one task. Lines arrive in byte order within each split (one split
+    // = one byte range of one file; LineRecordReader charges a
+    // boundary-spanning line to the split it starts in), so each task
+    // coalesces its consecutive lines into CHUNKS locally: every chunk
+    // but the first begins with a record-start line; a chunk that is
+    // neither the split's first nor last is a COMPLETE record by
+    // construction (its record ends where the next start line begins).
+    // Only the ≤2 boundary chunks per split (the head fragment, whose
+    // record opened in an earlier split, and the tail chunk, whose
+    // record may continue into the next) go through the stitch pass —
+    // the original running-count window, now over bounded rows (≤
+    // 2·numSplits), not the corpus.
+    // Single-split input (a small or unsplittable file): the per-file
+    // window IS that one task, and the boundary-stitch machinery below
+    // (chunk persist, stitch window, base join) would only add jobs —
+    // take the direct shape. Multi-split inputs take the parallel path;
+    // WorkloadSpec pins the two byte-identical across a forced 512-byte
+    // split of the same fixture.
+    if (raw.getNumPartitions <= 1) {
+      val lines = spark.createDataFrame(raw).toDF("file", "off", "line")
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file")).orderBy(col("off"))
+      return lines
+        .withColumn("pos",
+          sum(when(col("line").rlike(s"^$recordStartRe "), 1).otherwise(0)).over(w1)
+            .cast("int"))
+        .filter(col("pos") > 0) // prelude lines before the first record start
+        .groupBy(col("file"), col("pos"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("off"), col("line")))),
+            x => x.getField("line")), "\n").as("record"))
+    }
+    val re = java.util.regex.Pattern.compile(s"^$recordStartRe .*", java.util.regex.Pattern.DOTALL)
+    // (file, split, off, sidx, isStart, isBoundary, text) — sidx is the
+    // chunk's 1-based record-start index WITHIN its split (0 for a head
+    // fragment), so the global record index decomposes into bounded
+    // per-split arithmetic: pos = (starts in earlier splits of the file)
+    // + sidx, with the per-split totals a numSplits-row summary — never
+    // a window over corpus-shaped rows.
+    val chunks = raw.mapPartitions { it =>
+      val split = org.apache.spark.TaskContext.getPartitionId().toLong
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Boolean, Boolean, String)]
+      var file: String = null
+      var off = -1L
+      var isStart = false
+      var first = true
+      var sidx = 0L
+      val buf = new StringBuilder
+      def flush(last: Boolean): Unit = if (off >= 0) {
+        out += ((file, split, off, sidx, isStart, first || last, buf.toString))
+        first = false
+        buf.clear()
+      }
+      while (it.hasNext) {
+        val (f, o, line) = it.next()
+        if (re.matcher(line).matches()) {
+          flush(last = false)
+          file = f; off = o; isStart = true; sidx += 1
+          buf ++= line
+        } else if (off >= 0) {
+          buf += '\n'; buf ++= line
+        } else { // head continuation before the split's first start line
+          file = f; off = o; isStart = false
+          buf ++= line
+        }
+      }
+      flush(last = true)
+      out.iterator
+    }
+    // Persisted: interior records, the stitch pass and the per-split
+    // summary all consume the chunk table; recomputing it re-scans the
+    // raw text (released per query by Bench/Verify).
+    val chunkDf = graft.operators.Broadcasts.trackedPersist(
+      spark.createDataFrame(chunks)
+        .toDF("file", "split", "off", "sidx", "is_start", "boundary", "text"))
+    // per-split record-start totals: ONE row per split (bounded
+    // metadata), so the per-file running offset is the one window shape
+    // that is always correct — a cumulative sum over bounded rows
+    val wSplit = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("o0"))
+    val bases = chunkDf.groupBy(col("file"), col("split"))
+      .agg(max(col("sidx")).as("nstarts"), min(col("off")).as("o0"))
+      .withColumn("base", coalesce(sum(col("nstarts")).over(
+        wSplit.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("file", "split", "base")
+    val interior = chunkDf.filter(!col("boundary"))
+      .select(col("file"), col("split"), col("sidx"), col("text").as("record"))
+    // stitch pass: only the ≤2 boundary chunks per split; the running-
+    // count window runs over those bounded rows, never the corpus
+    val wFile = org.apache.spark.sql.expressions.Window
       .partitionBy(col("file")).orderBy(col("off"))
-    lines
-      .withColumn("pos",
-        sum(when(col("line").rlike(s"^$recordStartRe "), 1).otherwise(0)).over(w)
-          .cast("int"))
-      .filter(col("pos") > 0) // prelude lines before the first record start
-      .groupBy(col("file"), col("pos"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("off"), col("line")))),
-          x => x.getField("line")), "\n").as("record"))
+    val stitched = chunkDf.filter(col("boundary"))
+      .withColumn("grp",
+        sum(when(col("is_start"), 1).otherwise(0)).over(wFile))
+      .filter(col("grp") > 0) // prelude fragments before the first record
+      .groupBy(col("file"), col("grp"))
+      .agg(max(when(col("is_start"), col("split"))).as("split"),
+        max(when(col("is_start"), col("sidx"))).as("sidx"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("off"), col("text")))),
+            x => x.getField("text")), "\n").as("record"))
+      .select("file", "split", "sidx", "record")
+    interior.unionByName(stitched)
+      .join(broadcast(bases), Seq("file", "split"))
+      .select(col("file"),
+        (col("base") + col("sidx")).cast("int").as("pos"),
+        col("record"))
   }
 
   /** S2: encoding detection over a head sample — strict UTF-8 probe
